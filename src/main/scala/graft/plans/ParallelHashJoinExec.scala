@@ -1,0 +1,215 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.physical._
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+
+/** Physical shared-build hash join.
+  *
+  * Faithful-in-semantics, Spark-native-in-architecture rebuild of the
+  * reference's operator (`/root/reference/src/operator/
+  * parallel_hash_join.rs:140-167` + probe implementations): the
+  * reference has all partitions cooperatively build ONE shared map
+  * because it runs in a single process; under Spark's shuffle model the
+  * equivalent co-location is achieved by hash-partitioning both sides on
+  * the join keys (requiredChildDistribution below → EnsureRequirements
+  * inserts the exchanges), after which each task builds its slice of the
+  * map and streams its probe slice against it — same build-then-probe
+  * barrier, same per-key co-location, but distribution-safe at 1000
+  * executors instead of one process.
+  *
+  * Join-type mechanics mirror the reference's probe kernels:
+  *  - hash lookup, then real key equality (collision guard), then the
+  *    residual non-equi `condition`
+  *    (`probe_lookup_implementation/inner.rs:79-129`)
+  *  - build-side visited bitset + post-probe finalizer emitting
+  *    unmatched build rows for outer/semi/anti
+  *    (`probe_lookup_implementation/full.rs:160-201`,
+  *    `concurrent_bit_set.rs`) — per-partition here, which is correct
+  *    because the shuffle guarantees key-disjoint partitions.
+  *  - NULL keys never match (`use_parallel_hash_join_rule.rs:87-89`),
+  *    but null-keyed build rows still surface as unmatched in
+  *    outer/anti results.
+  */
+case class ParallelHashJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    joinType: JoinType,
+    condition: Option[Expression],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "buildRows" -> SQLMetrics.createMetric(sparkContext, "build side rows"))
+
+  override def output: Seq[Attribute] =
+    ParallelHashJoin.outputFor(joinType, left.output, right.output)
+
+  /** Both sides clustered on the join keys — Spark co-partitions them
+    * (the distributed analog of the reference's shared build map). */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  /** Report surviving partitioning so no redundant exchange follows
+    * (SURVEY.md §7 "What's hard": the reference instead re-runs
+    * EnforceDistribution after claiming RoundRobin). */
+  override def outputPartitioning: Partitioning = joinType match {
+    case Inner => PartitioningCollection(Seq(left.outputPartitioning, right.outputPartitioning))
+    case LeftOuter | LeftSemi | LeftAnti => left.outputPartitioning
+    case RightOuter => right.outputPartitioning
+    case FullOuter => UnknownPartitioning(left.outputPartitioning.numPartitions)
+    case t => throw new IllegalArgumentException(s"unsupported join type $t")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): ParallelHashJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val buildRowsMetric = longMetric("buildRows")
+    val buildOutput = left.output
+    val probeOutput = right.output
+    val buildKeys = leftKeys
+    val probeKeys = rightKeys
+    val jt = joinType
+    val cond = condition
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (buildIter, probeIter) =>
+      ParallelHashJoinExec.joinPartition(
+        buildIter, probeIter, buildOutput, probeOutput, buildKeys, probeKeys,
+        jt, cond, outAttrs, numOutputRows, buildRowsMetric)
+    }
+  }
+}
+
+object ParallelHashJoinExec {
+
+  /** One partition's build-then-probe, mirroring the reference's
+    * `execute_streaming_join` (`parallel_hash_join_executor.rs:101-121`):
+    * fully consume the build side into a hash map, then stream the probe
+    * side, then run the unmatched-rows finalizer. */
+  // noinspection ScalaStyle
+  private[plans] def joinPartition(
+      buildIter: Iterator[InternalRow],
+      probeIter: Iterator[InternalRow],
+      buildOutput: Seq[Attribute],
+      probeOutput: Seq[Attribute],
+      buildKeys: Seq[Expression],
+      probeKeys: Seq[Expression],
+      joinType: JoinType,
+      condition: Option[Expression],
+      outAttrs: Seq[Attribute],
+      numOutputRows: SQLMetric,
+      buildRowsMetric: SQLMetric): Iterator[InternalRow] = {
+
+    val buildKeyProj = UnsafeProjection.create(buildKeys, buildOutput)
+    val probeKeyProj = UnsafeProjection.create(probeKeys, probeOutput)
+    val joinedOutput = buildOutput ++ probeOutput
+    val resultProj: UnsafeProjection = joinType match {
+      case LeftSemi | LeftAnti => UnsafeProjection.create(outAttrs, buildOutput)
+      case _ => UnsafeProjection.create(outAttrs, joinedOutput)
+    }
+    val boundCondition: InternalRow => Boolean = condition match {
+      case Some(c) =>
+        val pred = Predicate.create(c, joinedOutput)
+        pred.initialize(0)
+        pred.eval _
+      case None => (_: InternalRow) => true
+    }
+
+    // --- build phase: one pass, rows buffered, non-null keys indexed ---
+    val rows = new mutable.ArrayBuffer[InternalRow]()
+    val keyIndex = new java.util.HashMap[UnsafeRow, mutable.ArrayBuffer[Int]]()
+    while (buildIter.hasNext) {
+      val row = buildIter.next().copy()
+      val idx = rows.length
+      rows += row
+      val key = buildKeyProj(row)
+      if (!key.anyNull) {
+        var bucket = keyIndex.get(key)
+        if (bucket == null) {
+          bucket = new mutable.ArrayBuffer[Int](4)
+          keyIndex.put(key.copy(), bucket)
+        }
+        bucket += idx
+      }
+    }
+    buildRowsMetric += rows.length
+
+    val trackBuildMatches = joinType match {
+      case LeftOuter | FullOuter | LeftSemi | LeftAnti => true
+      case _ => false
+    }
+    val matched = if (trackBuildMatches) new java.util.BitSet(rows.length) else null
+    val emitDuringProbe = joinType match {
+      case Inner | LeftOuter | RightOuter | FullOuter => true
+      case _ => false
+    }
+    val preserveProbe = joinType match {
+      case RightOuter | FullOuter => true
+      case _ => false
+    }
+    val nullBuildRow = new GenericInternalRow(buildOutput.length)
+    val nullProbeRow = new GenericInternalRow(probeOutput.length)
+    val joined = new JoinedRow
+
+    // --- probe phase: streamed, no buffering ---
+    val probePhase: Iterator[InternalRow] = probeIter.flatMap { probeRow =>
+      val key = probeKeyProj(probeRow)
+      val bucket = if (key.anyNull) null else keyIndex.get(key)
+      var anyMatch = false
+      val out = new mutable.ArrayBuffer[InternalRow](4)
+      if (bucket != null) {
+        val it = bucket.iterator
+        while (it.hasNext) {
+          val idx = it.next()
+          joined(rows(idx), probeRow)
+          if (boundCondition(joined)) {
+            anyMatch = true
+            if (matched != null) matched.set(idx)
+            if (emitDuringProbe) {
+              numOutputRows += 1
+              out += resultProj(joined).copy()
+            }
+          }
+        }
+      }
+      if (!anyMatch && preserveProbe) {
+        numOutputRows += 1
+        out += resultProj(joined(nullBuildRow, probeRow)).copy()
+      }
+      out
+    }
+
+    // --- finalizer: unmatched build rows (runs once probe is drained),
+    // the per-partition analog of the reference's last-owner finalizer ---
+    def finisher(): Iterator[InternalRow] = joinType match {
+      case LeftOuter | FullOuter =>
+        Iterator.range(0, rows.length).filter(i => !matched.get(i)).map { i =>
+          numOutputRows += 1
+          resultProj(joined(rows(i), nullProbeRow))
+        }
+      case LeftSemi =>
+        Iterator.range(0, rows.length).filter(matched.get).map { i =>
+          numOutputRows += 1
+          resultProj(rows(i))
+        }
+      case LeftAnti =>
+        Iterator.range(0, rows.length).filter(i => !matched.get(i)).map { i =>
+          numOutputRows += 1
+          resultProj(rows(i))
+        }
+      case _ => Iterator.empty
+    }
+
+    probePhase ++ finisher()
+  }
+}

@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+
+/** Planner strategy: [[ParallelHashJoin]] logical → [[ParallelHashJoinExec]].
+  * The Spark analog of the reference's physical-optimizer rule
+  * `UseParallelHashJoinRule`
+  * (`/root/reference/src/operator/use_parallel_hash_join_rule.rs:20-146`);
+  * matching only our explicit logical node keeps every other join on
+  * Spark's built-in strategies (the rule's guard conditions are enforced
+  * at node construction instead). */
+object ParallelHashJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: ParallelHashJoin =>
+      ParallelHashJoinExec(j.leftKeys, j.rightKeys, j.joinType, j.condition,
+        planLater(j.left), planLater(j.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** User-facing API: join two DataFrames through the custom operator. */
+object ParallelHashJoinApi {
+
+  /** Install the strategy on a session (idempotent). Also usable through
+    * `SparkSession.builder.withExtensions(new GraftExtensions)`. */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(ParallelHashJoinStrategy))
+      cs.experimental.extraStrategies =
+        cs.experimental.extraStrategies :+ ParallelHashJoinStrategy
+  }
+
+  /** Join through ParallelHashJoinExec. `joinType` accepts the
+    * reference's full 8-type surface — `inner, left_outer, right_outer,
+    * full_outer, left_semi, left_anti, right_semi, right_anti` — with
+    * the right-semi/right-anti variants realized by side swap exactly as
+    * the reference's planner does. Keys are resolved by column name;
+    * `condition` is an extra residual predicate (non-equi allowed). */
+  def parallelHashJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeyNames: Seq[String],
+      rightKeyNames: Seq[String],
+      joinType: String = "inner",
+      condition: Option[Column] = None): DataFrame = {
+    val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
+    install(spark)
+
+    val (jt, swap) = joinType.toLowerCase match {
+      case "right_semi" => (LeftSemi, true)
+      case "right_anti" => (LeftAnti, true)
+      case other => (JoinType(other), false)
+    }
+    val (lDf, rDf, lNames, rNames) =
+      if (swap) (right, left, rightKeyNames, leftKeyNames)
+      else (left, right, leftKeyNames, rightKeyNames)
+
+    val lPlan = lDf.queryExecution.analyzed
+    var rPlan = rDf.queryExecution.analyzed
+    // Self-join safety: re-alias the right side when attribute ids collide.
+    if (lPlan.outputSet.intersect(rPlan.outputSet).nonEmpty) {
+      val aliases = rPlan.output.map(a =>
+        Alias(a, a.name)(NamedExpression.newExprId): NamedExpression)
+      rPlan = Project(aliases, rPlan)
+    }
+
+    def resolve(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"key column $name not in ${p.output.map(_.name).mkString(",")}"))
+
+    val lKeys: Seq[Expression] = lNames.map(resolve(lPlan, _))
+    val rKeys: Seq[Expression] = rNames.map(resolve(rPlan, _))
+    // Resolve the residual condition (attribute references, function
+    // lookup, type coercion) by running the analyzer over a scratch
+    // Filter-on-Join plan exposing both sides' attributes.
+    val resolvedCond: Option[Expression] = condition.map { c =>
+      val scratch = Filter(classic.GraftSqlBridge.expression(spark, c),
+        Join(lPlan, rPlan, Cross, None, JoinHint.NONE))
+      spark.sessionState.analyzer.execute(scratch) match {
+        case f: Filter => f.condition
+        case other => throw new IllegalStateException(
+          s"unexpected analyzed condition plan: ${other.getClass}")
+      }
+    }
+    val node = ParallelHashJoin(lPlan, rPlan, lKeys, rKeys, jt, resolvedCond)
+    classic.GraftSqlBridge.ofRows(spark, node)
+  }
+}
+
+/** `SparkSessionExtensions` hook, mirroring the reference's session
+  * factory wiring (`/root/reference/src/parse_sql.rs:26-54`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => ParallelHashJoinStrategy)
+}

@@ -1,0 +1,22 @@
+package org.apache.spark.sql.classic
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Thin compile-time bridge into Spark's package-private classic API:
+  * lets the graft library turn a custom LogicalPlan into a DataFrame and
+  * a public Column into its Catalyst Expression. Uses only public Spark
+  * machinery semantically — these two calls are what Dataset.join itself
+  * performs internally. */
+object GraftSqlBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+
+  /** Convert a public Column into a real Catalyst expression tree via the
+    * session's ColumnNode converter (what Dataset.filter does). The result
+    * may still contain UnresolvedAttribute nodes — run it through the
+    * analyzer before execution. */
+  def expression(spark: org.apache.spark.sql.SparkSession, c: Column): Expression =
+    spark.asInstanceOf[SparkSession].expression(c)
+}
