@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables.t
+
+/** Similarity search over the embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exactness baseline, random-hyperplane
+  * LSH bucketing as the 100 TB path (candidates only within a bucket —
+  * the shuffle carries 8-bit signatures, never the cross product), plus
+  * embedding statistics and cosine near-dup pairs.
+  *
+  * All arithmetic is in double via Spark's codegen'd higher-order
+  * functions (`zip_with`/`aggregate`) — no UDFs in the hot path.
+  */
+object SimQueries {
+
+  /** dot(a,b) in double with left-to-right summation (engine-stable). */
+  private def dotExpr(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def normSqExpr(a: String): Column = dotExpr(a, a)
+
+  /** Brute-force cosine top-k against a query vector (vec_id 0) —
+    * the correctness baseline for ANN. */
+  val cosineTopK: Q = Q(
+    "v1_cosine_topk",
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+      |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings WHERE vec_id <> 0),
+      |s AS (SELECT vec_id,
+      |        SUM(ve[i] * qe[i]) AS dot,
+      |        SUM(ve[i] * ve[i]) AS n1,
+      |        SUM(qe[i] * qe[i]) AS n2
+      |      FROM d, q, generate_series(1, 64) t(i) GROUP BY vec_id)
+      |SELECT vec_id, ROUND(dot / (SQRT(n1) * SQRT(n2)), 4) AS cos_sim
+      |FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotExpr("embedding", "qe") /
+          (sqrt(normSqExpr("embedding")) * sqrt(normSqExpr("qe"))), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** ANN via random-hyperplane LSH: 8 deterministic pseudo-hyperplanes
+    * (xxhash64-seeded ±1 weights), 8-bit signature, candidates = same
+    * bucket as the query, re-ranked by exact cosine. The scale path:
+    * bucket cardinality ~ N/256, and the signature is computed in one
+    * codegen'd pass per row. No SQL oracle (xxhash64-derived planes);
+    * gated by ScalaTest recall checks against v1. */
+  val annLsh: Q = Q.noOracle("v2_ann_lsh") { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    // signature bit p = sign(sum_i w(p,i) * v_i), w(p,i) = ±1 from xxhash64
+    def sigExpr(vec: String): Column = {
+      val bits = (0 until 8).map { p =>
+        val proj = expr(
+          s"""aggregate(zip_with($vec, sequence(0, size($vec) - 1),
+             |  (x, i) -> CAST(x AS DOUBLE) * (CAST(xxhash64($p * 4096 + i) & 2 AS DOUBLE) - 1.0)),
+             |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        when(proj > 0, lit(1 << p)).otherwise(lit(0))
+      }
+      bits.reduce(_ + _)
+    }
+    val withSig = e.select(col("vec_id"), col("embedding"), sigExpr("embedding").as("sig"))
+    val q = withSig.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("sig").as("qsig"))
+    withSig.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("sig") === col("qsig"))
+      .select(col("vec_id"), col("sig"),
+        round(dotExpr("embedding", "qe") /
+          (sqrt(normSqExpr("embedding")) * sqrt(normSqExpr("qe"))), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Embedding statistics per label: counts and norm profile. */
+  val stats: Q = Q(
+    "v3_embedding_stats",
+    """WITH n AS (SELECT vec_id, label, SQRT(SUM(ve[i] * ve[i])) AS nrm
+      |           FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+      |                 FROM embeddings) d,
+      |                generate_series(1, 64) t(i)
+      |           GROUP BY vec_id, label)
+      |SELECT label, COUNT(*) AS n,
+      |  ROUND(AVG(nrm), 4) AS avg_norm,
+      |  ROUND(MIN(nrm), 4) AS min_norm,
+      |  ROUND(MAX(nrm), 4) AS max_norm
+      |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+    t(s, dir, "embeddings")
+      .select(col("label"), sqrt(normSqExpr("embedding")).as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("nrm")), 4).as("avg_norm"),
+        round(min(col("nrm")), 4).as("min_norm"),
+        round(max(col("nrm")), 4).as("max_norm"))
+      .orderBy("label")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (threshold on the rounded
+    * score so both engines agree at the boundary). Quadratic baseline —
+    * v2's LSH bucketing is the scale path for the same semantics. */
+  val nearDup: Q = Q(
+    "v4_embedding_neardup",
+    """WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |             CAST(a.embedding AS DOUBLE[]) AS va, CAST(b.embedding AS DOUBLE[]) AS vb
+      |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      |s AS (SELECT a_id, b_id, SUM(va[i] * vb[i]) AS dot,
+      |        SUM(va[i] * va[i]) AS n1, SUM(vb[i] * vb[i]) AS n2
+      |      FROM p, generate_series(1, 64) t(i) GROUP BY a_id, b_id)
+      |SELECT a_id, b_id, ROUND(dot / (SQRT(n1) * SQRT(n2)), 4) AS cos_sim
+      |FROM s WHERE ROUND(dot / (SQRT(n1) * SQRT(n2)), 4) >= 0.45
+      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val cos = round(dotExpr("va", "vb") /
+      (sqrt(normSqExpr("va")) * sqrt(normSqExpr("vb"))), 4)
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cos.as("cos_sim"))
+      .filter(col("cos_sim") >= 0.45)
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup)
+}

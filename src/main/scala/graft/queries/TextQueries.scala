@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables.t
+
+/** Training-data text pipeline: deduplication (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard), language ID, quality scoring, token
+  * counting, fingerprinting — the large-scale-corpus operators layered
+  * on top of the reference's OLAP surface (BASELINE.json north star).
+  *
+  * Scale posture: every op is a pure per-row transform plus hash-key
+  * aggregations/joins — embarrassingly parallel at 100 TB. The pairwise
+  * variants (t8) block on shared shingles, and the LSH variants (t6) are
+  * the subquadratic path: candidate pairs only within equal band
+  * buckets, so the shuffle carries band keys, never the cross product.
+  */
+object TextQueries {
+
+  /** Exact dedup: hash-groupBy on content (keep lowest doc_id). */
+  val dedupExact: Q = Q(
+    "t1_dedup_exact",
+    """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("fp")
+  }
+
+  /** Token counting: whitespace tokens + distinct tokens + char stats. */
+  val tokenStats: Q = Q(
+    "t2_token_stats",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+      |  CAST(length(text) AS INT) AS n_chars,
+      |  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |    / len(string_split(text, ' ')), 4) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val ws = split(col("text"), " ")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(ws).as("n_tokens"),
+        size(array_distinct(ws)).as("n_distinct"),
+        length(col("text")).as("n_chars"),
+        round(length(regexp_replace(col("text"), " ", "")).cast(DoubleType) /
+          size(ws), 4).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID: marker-word n-gram heuristic (occurrence counting via
+    * length-difference; argmax with deterministic tie order). */
+  val langId: Q = Q(
+    "t3_lang_id",
+    """WITH p AS (SELECT doc_id, lang, ' ' || text || ' ' AS pt FROM documents),
+      |scores AS (SELECT doc_id, lang,
+      |  (length(pt) - length(replace(pt, ' the ', ''))) / 5 AS s_en,
+      |  (length(pt) - length(replace(pt, ' el ', ''))) / 4
+      |    + (length(pt) - length(replace(pt, ' la ', ''))) / 4 AS s_es,
+      |  (length(pt) - length(replace(pt, ' der ', ''))) / 5
+      |    + (length(pt) - length(replace(pt, ' und ', ''))) / 5 AS s_de,
+      |  (length(pt) - length(replace(pt, ' le ', ''))) / 4
+      |    + (length(pt) - length(replace(pt, ' et ', ''))) / 4 AS s_fr
+      |  FROM p)
+      |SELECT doc_id, lang,
+      |  CASE WHEN s_es > s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |       WHEN s_de > s_en AND s_de > s_es AND s_de >= s_fr THEN 'de'
+      |       WHEN s_fr > s_en AND s_fr > s_es AND s_fr > s_de THEN 'fr'
+      |       ELSE 'en' END AS pred_lang
+      |FROM scores ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def occurrences(pt: org.apache.spark.sql.Column, marker: String) =
+      (length(pt) - length(regexp_replace(pt, marker, ""))) / marker.length
+    val d = t(s, dir, "documents")
+      .withColumn("pt", concat(lit(" "), col("text"), lit(" ")))
+    val scored = d.select(col("doc_id"), col("lang"),
+      occurrences(col("pt"), " the ").as("s_en"),
+      (occurrences(col("pt"), " el ") + occurrences(col("pt"), " la ")).as("s_es"),
+      (occurrences(col("pt"), " der ") + occurrences(col("pt"), " und ")).as("s_de"),
+      (occurrences(col("pt"), " le ") + occurrences(col("pt"), " et ")).as("s_fr"))
+    scored.select(col("doc_id"), col("lang"),
+      when(col("s_es") > col("s_en") && col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+        .when(col("s_de") > col("s_en") && col("s_de") > col("s_es") && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_fr") > col("s_en") && col("s_fr") > col("s_es") && col("s_fr") > col("s_de"), "fr")
+        .otherwise("en").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length / punctuation / stopword / repetition ratios. */
+  val quality: Q = Q(
+    "t4_quality_score",
+    """WITH f AS (SELECT doc_id,
+      |    CAST(length(text) AS DOUBLE) AS n_chars,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+      |    CAST(length(text) - length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) AS n_nonalpha,
+      |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS DOUBLE) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ROUND(n_distinct / n_tokens, 4) AS diversity,
+      |  ROUND(n_nonalpha / n_chars, 4) AS noise_ratio,
+      |  ROUND(n_stop / n_tokens, 4) AS stopword_ratio,
+      |  ROUND(0.5 * (n_distinct / n_tokens) + 0.3 * (1.0 - n_nonalpha / n_chars)
+      |    + 0.2 * LEAST(n_tokens / 100.0, 1.0), 4) AS quality
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val ws = split(col("text"), " ")
+    val pt = concat(lit(" "), col("text"), lit(" "))
+    val f = t(s, dir, "documents").select(col("doc_id"),
+      length(col("text")).cast(DoubleType).as("n_chars"),
+      size(ws).cast(DoubleType).as("n_tokens"),
+      size(array_distinct(ws)).cast(DoubleType).as("n_distinct"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[a-z ]", "")))
+        .cast(DoubleType).as("n_nonalpha"),
+      ((length(pt) - length(regexp_replace(pt, " the ", ""))) / 5)
+        .cast(DoubleType).as("n_stop"))
+    f.select(col("doc_id"),
+      round(col("n_distinct") / col("n_tokens"), 4).as("diversity"),
+      round(col("n_nonalpha") / col("n_chars"), 4).as("noise_ratio"),
+      round(col("n_stop") / col("n_tokens"), 4).as("stopword_ratio"),
+      round(lit(0.5) * (col("n_distinct") / col("n_tokens")) +
+        lit(0.3) * (lit(1.0) - col("n_nonalpha") / col("n_chars")) +
+        lit(0.2) * least(col("n_tokens") / 100.0, lit(1.0)), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: md5 over whitespace-normalized lowercase
+    * content (the rolling-hash canonical form). */
+  val fingerprint: Q = Q(
+    "t5_fingerprint",
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
+      |  substr(md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))), 1, 8) AS fp_short
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val norm = lower(regexp_replace(trim(col("text")), " +", " "))
+    t(s, dir, "documents")
+      .select(col("doc_id"), md5(norm).as("fp"),
+        substring(md5(norm), 1, 8).as("fp_short"))
+      .orderBy("doc_id")
+  }
+
+  /** N-gram Jaccard near-dup pairs: distinct 3-word shingles, blocked
+    * self-join on shared shingle, |A∩B| / |A∪B| ≥ 0.5. The shared-shingle
+    * join IS the blocking — no cross product ever materializes. */
+  val ngramJaccard: Q = Q(
+    "t8_ngram_jaccard",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |       FROM w, generate_series(1, 1000) t(i) WHERE i <= len(ws) - 2),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS nb
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT a_id, b_id,
+      |  ROUND(CAST(nb AS DOUBLE) / (ca.n + cb.n - nb), 4) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON ca.doc_id = a_id
+      |JOIN cnt cb ON cb.doc_id = b_id
+      |WHERE ROUND(CAST(nb AS DOUBLE) / (ca.n + cb.n - nb), 4) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    val w = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val sh = w.select(col("doc_id"), explode(
+      expr("transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+      .as("g")).distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("a_id"), col("g"))
+    val b = sh.select(col("doc_id").as("b_id"), col("g").as("g2"))
+    val inter = a.join(b, col("g") === col("g2") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("nb"))
+    val ca = cnt.select(col("doc_id").as("ca_id"), col("n").as("na"))
+    val cb = cnt.select(col("doc_id").as("cb_id"), col("n").as("nbb"))
+    val jac = round(col("nb").cast(DoubleType) / (col("na") + col("nbb") - col("nb")), 4)
+    inter.join(ca, col("a_id") === col("ca_id"))
+      .join(cb, col("b_id") === col("cb_id"))
+      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** MinHash + LSH near-dup candidates: k=8 signature over 3-word
+    * shingles (xxhash64 under k seeds), 4 bands × 2 rows; pairs sharing
+    * any band bucket, scored by signature agreement ≥ 0.5. The shuffle
+    * key is (band, bucket-hash) — subquadratic at corpus scale. No SQL
+    * oracle (xxhash64 is engine-specific); semantics gated by ScalaTest
+    * against t8's exact Jaccard pairs. */
+  val minhashLsh: Q = Q.noOracle("t6_minhash_lsh") { (s, dir) =>
+    val w = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val sh = w.select(col("doc_id"), explode(
+      expr("transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+      .as("g")).distinct()
+    val K = 8
+    val sigCols = (0 until K).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i"))
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // 4 bands × 2 hashes: bucket key per band
+    val bands = (0 until 4).map { bnd =>
+      sig.select(col("doc_id"), lit(bnd).as("band"),
+        xxhash64(col(s"h${2 * bnd}"), col(s"h${2 * bnd + 1}")).as("bucket"))
+    }.reduce(_ union _)
+    val l = bands.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val r = bands.select(col("band").as("band2"), col("bucket").as("bucket2"), col("doc_id").as("b_id"))
+    val cand = l.join(r, col("band") === col("band2") &&
+        col("bucket") === col("bucket2") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // verify candidates by full-signature agreement (estimated jaccard)
+    val sa = sig.select(col("doc_id").as("a_id") +: (0 until K).map(i => col(s"h$i").as(s"a$i")): _*)
+    val sb = sig.select(col("doc_id").as("b_id") +: (0 until K).map(i => col(s"h$i").as(s"b$i")): _*)
+    val agree = (0 until K).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(agree.cast(DoubleType) / K, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** SimHash: 32-bit signature from token hashes (per-bit ±1 vote).
+    * Near-dup pairs = signatures within Hamming distance ≤ 6, found by
+    * exact-match blocking on 4 signature quarters (any pair within
+    * distance 6 must agree exactly on ≥1 quarter at 32 bits... using 8
+    * bands of 4 bits for recall). No SQL oracle (xxhash64). */
+  val simhash: Q = Q.noOracle("t7_simhash") { (s, dir) =>
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", xxhash64(col("tok")))
+    val B = 32
+    val voteCols = (0 until B).map(i =>
+      sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1).otherwise(-1)).as(s"v$i"))
+    val votes = tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val simhashCol = (0 until B).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    votes.select(col("doc_id"), simhashCol.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(dedupExact, tokenStats, langId, quality,
+    fingerprint, ngramJaccard, minhashLsh, simhash)
+}

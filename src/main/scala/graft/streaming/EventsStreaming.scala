@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table.
+  *
+  * The reference's "StreamingTable" is a pull-based static source
+  * (`/root/reference/src/lib.rs:830-852`, ExecutionMode::Bounded) — it
+  * never exercises real unbounded streams. We go further: the same
+  * windowed aggregation runs as a genuine Structured Streaming query
+  * (file source → watermark → windowed agg → sink), which at scale is
+  * the kafka/files-in-object-store ingestion path with bounded state
+  * (the watermark expires old windows).
+  */
+object EventsStreaming {
+
+  /** Events schema with `ts` as epoch-nanos (see Tables.t). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Hourly windowed counts/sums per event type with a 1-hour watermark. */
+  def hourlyAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet") // the file source wants a dir
+      .parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_ts"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Run the streaming query to completion against the static fixture
+    * (memory sink, complete mode) and return the materialized result —
+    * used by tests to prove batch/stream agreement. */
+  def runToCompletion(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val q = hourlyAgg(spark, dir)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

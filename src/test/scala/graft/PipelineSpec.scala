@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{SimQueries, TextQueries}
+import graft.streaming.EventsStreaming
+
+/** Gates for the non-SQL-expressible pipeline ops: LSH recall vs the
+  * exact baselines, streaming/batch agreement, stub determinism. */
+class PipelineSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("minhash LSH recovers the exact high-jaccard pairs") {
+    val exact = TextQueries.ngramJaccard.fn(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextQueries.minhashLsh.fn(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low; exact=$exact lsh=$lsh")
+  }
+
+  test("simhash is deterministic and near-dups collide") {
+    val a = TextQueries.simhash.fn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = TextQueries.simhash.fn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+    // planted near-dup pairs should have close signatures
+    val pairs = TextQueries.ngramJaccard.fn(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hammingOk = pairs.count { case (x, y) =>
+      java.lang.Long.bitCount(a(x) ^ a(y)) <= 6
+    }
+    assert(hammingOk >= pairs.length * 0.8,
+      s"only $hammingOk/${pairs.length} near-dup pairs within hamming 6")
+  }
+
+  test("ANN LSH top hit agrees with brute-force top hit") {
+    val exact = SimQueries.cosineTopK.fn(spark, dir).collect()
+    val approx = SimQueries.annLsh.fn(spark, dir).collect()
+    assert(exact.nonEmpty)
+    // every ANN result must appear in the exact ranking with the same score
+    val exactScores = exact.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    approx.foreach { r =>
+      val id = r.getLong(0)
+      if (exactScores.contains(id))
+        assert(math.abs(exactScores(id) - r.getDouble(2)) < 1e-9)
+    }
+  }
+
+  test("streaming hourly agg matches the batch equivalent") {
+    val streamed = EventsStreaming.runToCompletion(spark, dir, "stream_hourly")
+      .select("hour_ts", "event_type", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.queries.CoreQueries.e1Hourly.fn(spark, dir)
+      .select("hour_ts", "event_type", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("decode stub is deterministic with full coverage") {
+    val a = graft.queries.MultimodalQueries.decodeStub.fn(spark, dir).collect()
+    val b = graft.queries.MultimodalQueries.decodeStub.fn(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.length == graft.engine.Tables.t(spark, dir, "documents").count())
+    assert(a.forall(r => r.getInt(2) >= 1 && r.getInt(3) >= 1))
+  }
+}
