@@ -1,24 +1,60 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
+  *
+  * Mirrors the reference's TPC-H runner timing loop
+  * (`/root/reference/tpc/src/main.rs:313-341`: plan+collect timed
+  * together per query). Results are forced through the `noop` sink so
+  * the full plan executes without driver-side collection. A short
+  * warm-up query absorbs one-time JVM/codegen cost, as the reference's
+  * Criterion benches do with their warm-up phase
+  * (`/root/reference/benches/my_benchmark.rs:32-37`).
+  */
 object Bench {
+
+  /** Representative slice of the inventory: scan-agg, multi-join,
+    * window, custom join exec, dedup/LSH, ANN, events. */
+  private val headline = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q13_customer_distribution", "q18_large_orders",
+    "w1_window_rank", "star_join4", "j_left_outer", "j_residual_filter",
+    "pj_inner", "pj_right_outer",
+    "t1_dedup_exact", "t6_minhash_lsh", "t8_ngram_jaccard",
+    "v1_cosine_topk", "v4_embedding_neardup", "e1_events_hourly")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // warm-up: JVM + parquet footer + codegen paths
+    SparkEntry.queries("q6_forecast_revenue")(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

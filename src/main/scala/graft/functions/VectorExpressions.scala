@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.GraftSqlBridge
+import org.apache.spark.sql.types._
+
+/** Codegen'd vector kernels for the similarity-search operators.
+  *
+  * Spark's `zip_with`/`aggregate` higher-order functions are interpreted
+  * and materialize an intermediate array per call — measured 100×
+  * slower on the pairwise near-dup workload (2M pairs × 64 dims). These
+  * expressions participate in whole-stage codegen: one primitive loop
+  * over the underlying column memory, no allocation. This is the
+  * "custom Expression beats UDF beats everything else" path the
+  * similarity operators ride at 100 TB.
+  */
+abstract class VectorFold extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  protected def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(s"expected array, got $other")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  @inline protected final def get(a: ArrayData, et: DataType, i: Int): Double =
+    et match {
+      case FloatType => a.getFloat(i).toDouble
+      case _ => a.getDouble(i)
+    }
+}
+
+/** dot(a, b) = Σ a_i * b_i over min(len) elements, in double. */
+case class DotProduct(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lt = elemType(left)
+    val rt = elemType(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += get(x, lt, i) * get(y, rt, i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(e: Expression, arr: String, i: String): String = elemType(e) match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _ => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${getter(left, x, i)} * ${getter(right, y, i)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ||a||₂ — squared-sum loop + sqrt, codegen'd. */
+case class VectorNorm(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_norm"
+  override def dataType: DataType = DoubleType
+
+  private def et: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case other => throw new IllegalArgumentException(s"expected array, got $other")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_norm expects array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val t = et
+    var s = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val v = t match {
+        case FloatType => x.getFloat(i).toDouble
+        case _ => x.getDouble(i)
+      }
+      s += v * v
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = et match {
+      case FloatType => (arr: String, i: String) => s"(double) $arr.getFloat($i)"
+      case _ => (arr: String, i: String) => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $x.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = ${getter(x, i)};
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VectorNorm =
+    copy(child = newChild)
+}
+
+/** Column-level API. */
+object VectorFunctions {
+  def dot(a: Column, b: Column)(implicit spark: org.apache.spark.sql.SparkSession): Column =
+    GraftSqlBridge.column(DotProduct(
+      GraftSqlBridge.expression(spark, a), GraftSqlBridge.expression(spark, b)))
+
+  def norm(a: Column)(implicit spark: org.apache.spark.sql.SparkSession): Column =
+    GraftSqlBridge.column(VectorNorm(GraftSqlBridge.expression(spark, a)))
+}

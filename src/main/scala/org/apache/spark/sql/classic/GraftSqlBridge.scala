@@ -19,4 +19,7 @@ object GraftSqlBridge {
     * analyzer before execution. */
   def expression(spark: org.apache.spark.sql.SparkSession, c: Column): Expression =
     spark.asInstanceOf[SparkSession].expression(c)
+
+  /** Wrap a Catalyst expression back into a public Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
 }
