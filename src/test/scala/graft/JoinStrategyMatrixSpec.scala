@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables.t
+import graft.plans.{ParallelHashJoinApi, ParallelHashJoinExec}
+
+/** The reference's strategy-parameterized matrix (110 tests =
+  * 10 scenarios × 11 engine configs, `/root/reference/src/lib.rs:36-60`):
+  * here, every join type runs under four physical strategies —
+  * sort-merge, shuffle-hash, broadcast, and our custom exec — with
+  * identical results and plan-shape assertions per strategy (the
+  * analog of the reference's `get_join_type` downcasts,
+  * `/root/reference/src/lib.rs:728-753`). */
+class JoinStrategyMatrixSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val joinTypes =
+    Seq("inner", "left_outer", "right_outer", "full_outer", "left_semi", "left_anti")
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def part = t(spark, dir, "part").select(col("p_partkey"), col("p_size"))
+  private def li = t(spark, dir, "lineitem")
+    .filter(col("l_quantity") >= 40.0)
+    .select(col("l_partkey"), col("l_orderkey"))
+
+  private def builtinJoin(jt: String): DataFrame =
+    part.join(li, col("p_partkey") === col("l_partkey"), jt)
+
+  private def collected(d: DataFrame): Seq[Seq[Any]] =
+    d.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  /** All physical nodes, descending through AQE query stages. */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: inner.flatMap(flatten)
+  }
+
+  private def finalPlan(d: DataFrame): Seq[SparkPlan] = {
+    d.collect() // finalize AQE
+    flatten(d.queryExecution.executedPlan)
+  }
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private lazy val golden: Map[String, Seq[Seq[Any]]] =
+    joinTypes.map(jt => jt -> collected(builtinJoin(jt))).toMap
+
+  test("sort-merge strategy matches golden for all join types") {
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.join.preferSortMergeJoin" -> "true") {
+      for (jt <- joinTypes) {
+        val d = builtinJoin(jt)
+        assert(collected(d) == golden(jt), s"results for $jt")
+        assert(finalPlan(d).exists(_.isInstanceOf[SortMergeJoinExec]),
+          s"expected SortMergeJoinExec for $jt")
+      }
+    }
+  }
+
+  test("shuffle-hash strategy matches golden for all join types") {
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      for (jt <- joinTypes) {
+        val d = part.join(li.hint("SHUFFLE_HASH"),
+          col("p_partkey") === col("l_partkey"), jt)
+        assert(collected(d) == golden(jt), s"results for $jt")
+        assert(finalPlan(d).exists(_.isInstanceOf[ShuffledHashJoinExec]),
+          s"expected ShuffledHashJoinExec for $jt")
+      }
+    }
+  }
+
+  test("broadcast strategy matches golden where broadcastable") {
+    // full outer cannot broadcast; semi/anti broadcast only the right side
+    for (jt <- Seq("inner", "left_outer", "left_semi", "left_anti")) {
+      val d = part.join(org.apache.spark.sql.functions.broadcast(li),
+        col("p_partkey") === col("l_partkey"), jt)
+      assert(collected(d) == golden(jt), s"results for $jt")
+      assert(finalPlan(d).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"expected BroadcastHashJoinExec for $jt")
+    }
+  }
+
+  test("custom parallel-hash strategy matches golden for all join types") {
+    for (jt <- joinTypes) {
+      val d = ParallelHashJoinApi.parallelHashJoin(
+        part, li, Seq("p_partkey"), Seq("l_partkey"), jt)
+      assert(collected(d) == golden(jt), s"results for $jt")
+      assert(finalPlan(d).exists(_.isInstanceOf[ParallelHashJoinExec]),
+        s"expected ParallelHashJoinExec for $jt")
+    }
+  }
+}
