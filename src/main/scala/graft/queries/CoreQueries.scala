@@ -331,6 +331,19 @@ object CoreQueries {
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
   }
 
+  /** HLL sketch: approx_count_distinct next to the exact count.
+    * No oracle (DuckDB's HLL differs); gated by a ScalaTest error-bound
+    * check. At 100 TB the sketch is the only option — fixed-size state,
+    * one pass, mergeable across partitions. */
+  val q17Approx: Q = Q.noOracle("q17_approx_distinct") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** TPC-H Q18-style: HAVING via IN-subquery on an aggregate (exact
     * long-cents comparison). */
   val q18LargeOrders: Q = Q(
@@ -629,7 +642,7 @@ object CoreQueries {
   val all: Seq[Q] = Seq(
     q1Pricing, q2Filter, q3Shipping, q4OrderPriority, q5LocalSupplier,
     q6Revenue, q7Volume, q10Returned, q13CustDist, q14Promo,
-    q15TopSupplier, q16Distinct, q18LargeOrders, q22Acctbal,
+    q15TopSupplier, q16Distinct, q17Approx, q18LargeOrders, q22Acctbal,
     w1Rank, w2Running, s1TopOrders,
     set1Union, set2Intersect, set3Except, g1Rollup, g2Cube,
     sub1Scalar, sub2In, str1Funcs, dt1Funcs, e1Hourly, e2UserStats, star4)
