@@ -12,9 +12,9 @@ import graft.queries._
 object SparkEntry {
 
   private def packs: Seq[Q] =
-    CoreQueries.all ++ JoinQueries.all ++ ParallelJoinQueries.all ++
-      TextQueries.all ++ SimQueries.all ++ MultimodalQueries.all ++
-      SyntheticQueries.all
+    CoreQueries.all ++ TpchExtraQueries.all ++ JoinQueries.all ++
+      ParallelJoinQueries.all ++ TextQueries.all ++ SimQueries.all ++
+      MultimodalQueries.all ++ SyntheticQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's right-deep 4-dim star join

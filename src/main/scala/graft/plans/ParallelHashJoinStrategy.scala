@@ -94,8 +94,33 @@ object ParallelHashJoinApi {
 }
 
 /** `SparkSessionExtensions` hook, mirroring the reference's session
-  * factory wiring (`/root/reference/src/parse_sql.rs:26-54`). */
+  * factory wiring (`/root/reference/src/parse_sql.rs:26-54`): the join
+  * strategy plus SQL-callable registrations of the vector kernels. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.functions.{DotProduct, VectorNorm}
+
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => ParallelHashJoinStrategy)
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_norm"),
+      new ExpressionInfo(classOf[VectorNorm].getName, "graft_norm"),
+      (exprs: Seq[Expression]) => VectorNorm(exprs.head)))
+  }
+}
+
+/** Runtime registration of the SQL functions on an existing session
+  * (the non-extensions path). */
+object GraftFunctionsRegistry {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    import graft.functions.{DotProduct, VectorNorm}
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_norm", exprs => VectorNorm(exprs.head), "built-in")
+  }
 }

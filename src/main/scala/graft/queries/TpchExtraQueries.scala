@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables.t
+import Num._
+
+/** Second TPC-H wave: market share, profit, disjunctive predicates,
+  * correlated scalar subqueries, chained EXISTS/NOT EXISTS — the
+  * remaining query shapes of the reference's TPC-H corpus
+  * (`/root/reference/tpc/`), adapted to the testdata schema (no
+  * partsupp/commitdate columns; profit omits supply cost, lateness is
+  * shipdate vs orderdate+60d).
+  */
+object TpchExtraQueries {
+
+  /** Q8-style market share: one nation's share of regional volume per
+    * year — exact long-cents volumes, deterministic double ratio. */
+  val q8MarketShare: Q = Q(
+    "q8_market_share",
+    """SELECT o_year,
+      |  ROUND((SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)/10000.0)
+      |    / (SUM(volume)/10000.0), 4) AS mkt_share
+      |FROM (
+      |  SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+      |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+      |      * CAST(ROUND((1 - l_discount)*100, 0) AS BIGINT) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |    AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+      |    AND p_type = 'STANDARD'
+      |) all_nations
+      |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part").filter(col("p_type") === "STANDARD")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val su = t(s, dir, "supplier")
+    val n1 = t(s, dir, "nation").select(col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
+    val n2 = t(s, dir, "nation").select(col("n_nationkey").as("n2_key"), col("n_name").as("nation"))
+    val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+    l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(su), col("s_suppkey") === col("l_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+      .join(broadcast(r), col("n1_region") === col("r_regionkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+      .select(year(col("o_orderdate")).as("o_year"),
+        discPrice4(col("l_extendedprice"), col("l_discount")).as("volume"),
+        col("nation"))
+      .groupBy("o_year")
+      .agg(round(
+        (sum(when(col("nation") === "NATION_3", col("volume")).otherwise(0L)) / 10000.0) /
+          (sum(col("volume")) / 10000.0), 4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q9-style profit by supplier nation and year (no supplycost column —
+    * profit = discounted revenue; LIKE filter on part name). */
+  val q9Profit: Q = Q(
+    "q9_profit",
+    """SELECT nation, o_year, SUM(amount)/10000.0 AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+      |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+      |      * CAST(ROUND((1 - l_discount)*100, 0) AS BIGINT) AS amount
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |    AND p_name LIKE '%a%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin) { (s, dir) =>
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part").filter(col("p_name").like("%a%"))
+    val o = t(s, dir, "orders")
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(su), col("s_suppkey") === col("l_suppkey"))
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"),
+        discPrice4(col("l_extendedprice"), col("l_discount")).as("amount"))
+      .groupBy("nation", "o_year")
+      .agg((sum(col("amount")) / 10000.0).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q12-style: conditional counts by line status (priority classes). */
+  val q12Priority: Q = Q(
+    "q12_priority_count",
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    o.join(l, col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Q17-style: correlated scalar subquery — revenue from below-average
+    * small-quantity orders. Quantities are integer-valued doubles, so
+    * AVG is exact and order-free in both engines. */
+  val q17SmallQty: Q = Q(
+    "q17_small_quantity",
+    """SELECT ROUND(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT))/100.0/7.0, 4) AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
+      |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin) { (s, dir) =>
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part").filter(col("p_brand") === "Brand#3")
+    val avgQty = l.groupBy(col("l_partkey").as("avg_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_threshold"))
+    l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .join(avgQty, col("l_partkey") === col("avg_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg(round(sum(cents(col("l_extendedprice"))) / 100.0 / 7.0, 4).as("avg_yearly"))
+  }
+
+  /** Q19-style: disjunctive multi-attribute predicates across the join. */
+  val q19Disjunctive: Q = Q(
+    "q19_disjunctive",
+    """SELECT SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+      |         * CAST(ROUND((1 - l_discount)*100, 0) AS BIGINT))/10000.0 AS revenue
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND (
+      |     (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
+      |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 40)
+      |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35 AND l_quantity BETWEEN 20 AND 50))""".stripMargin) { (s, dir) =>
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    l.join(broadcast(p), col("p_partkey") === col("l_partkey") && (
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 30)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 25) && col("l_quantity").between(10, 40)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 35) && col("l_quantity").between(20, 50))))
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+  }
+
+  /** Q20-style: suppliers with heavy shipments of a brand (IN over an
+    * aggregate-HAVING subquery, exact cents comparison). */
+  val q20HeavySuppliers: Q = Q(
+    "q20_heavy_suppliers",
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem, part
+      |  WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
+      |  GROUP BY l_suppkey
+      |  HAVING SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) > 50000)
+      |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part").filter(col("p_brand") === "Brand#4")
+    val heavy = l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum(cents(col("l_quantity"))).as("q"))
+      .filter(col("q") > 50000L)
+      .select(col("l_suppkey"))
+    t(s, dir, "supplier")
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q21-style: chained EXISTS + NOT EXISTS — suppliers who were the
+    * only late shipper on a multi-supplier finished order. */
+  val q21Waiting: Q = Q(
+    "q21_waiting_orders",
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin) { (s, dir) =>
+    val su = t(s, dir, "supplier")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    val l1 = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("l1_orderkey"), col("l_suppkey").as("l1_suppkey"),
+      col("l_shipdate").as("l1_shipdate"))
+    val l2 = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+    val l3 = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"),
+      col("l_shipdate").as("l3_shipdate"))
+    l1.join(o, col("o_orderkey") === col("l1_orderkey") &&
+        col("l1_shipdate") > date_add(col("o_orderdate").cast(DateType), 60).cast(TimestampType))
+      .join(l2, col("l2_orderkey") === col("l1_orderkey") &&
+        col("l2_suppkey") =!= col("l1_suppkey"), "left_semi")
+      .join(l3, col("l3_orderkey") === col("l1_orderkey") &&
+        col("l3_suppkey") =!= col("l1_suppkey") &&
+        col("l3_shipdate") > col("l1_shipdate"), "left_anti")
+      .join(broadcast(su), col("s_suppkey") === col("l1_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(q8MarketShare, q9Profit, q12Priority, q17SmallQty,
+    q19Disjunctive, q20HeavySuppliers, q21Waiting)
+}

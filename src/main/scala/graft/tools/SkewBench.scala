@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skewed-join benchmark mirroring the reference's exponential-
+  * distribution bench (`/root/reference/benches/
+  * exponential_distribution.rs:39-75`; id skew `y = (16^x - 1)/15`,
+  * `/root/reference/src/api_utils.rs:15-23`) — and demonstrating the
+  * Spark-native answer to `WorkStealingRepartitionExec` (SURVEY O18):
+  * AQE skew-join splitting. Runs the same skewed join with AQE skew
+  * handling off vs on and prints one JSON line each.
+  *
+  *   runMain graft.tools.SkewBench [factRows] [reps]
+  */
+object SkewBench {
+  def main(args: Array[String]): Unit = {
+    val factRows = if (args.nonEmpty) args(0).toLong else 4L * 1024 * 1024
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val maxKey = 100000L
+    // reference skew curve: u∈[0,1) → (16^u − 1)/15, mass near 0
+    val fact = spark.range(0, factRows, 1, 64).select(
+      floor(lit(maxKey) * (pow(lit(16.0), (col("id") % 100000L) / 100000.0) - 1) / 15.0)
+        .as("k"),
+      (col("id") % 1000).as("v")).cache()
+    val dim = spark.range(0, maxKey, 1, 8).select(
+      col("id").as("d_k"), (col("id") * 7 % 100).as("d_v")).cache()
+    fact.count(); dim.count()
+
+    def run(skewOn: Boolean): Double = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+      // keep AQE from hiding the skew by merging everything into one partition
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", skewOn.toString)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fact.join(dim.hint("MERGE"), col("k") === col("d_k"))
+          .groupBy("d_v").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.min
+    }
+
+    val off = run(skewOn = false)
+    val on = run(skewOn = true)
+    println(f"""{"metric":"skew_join_aqe_off","value":$off%.3f,"unit":"sec","rows":$factRows}""")
+    println(f"""{"metric":"skew_join_aqe_on","value":$on%.3f,"unit":"sec","rows":$factRows}""")
+    spark.stop()
+  }
+}
