@@ -14,7 +14,8 @@ object SparkEntry {
   private def packs: Seq[Q] =
     CoreQueries.all ++ TpchExtraQueries.all ++ JoinQueries.all ++
       ParallelJoinQueries.all ++ TextQueries.all ++ SimQueries.all ++
-      MultimodalQueries.all ++ SyntheticQueries.all
+      MultimodalQueries.all ++ SyntheticQueries.all ++
+      RelationalExtrasQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's right-deep 4-dim star join

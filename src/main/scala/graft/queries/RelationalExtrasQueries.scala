@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables.t
+
+/** Remaining relational surface: pivot, lateral explode with position,
+  * limit+offset pagination, and regex field extraction from
+  * semi-structured text. */
+object RelationalExtrasQueries {
+
+  /** Pivot: order counts per year × status (missing cells zeroed so the
+    * conditional-aggregation oracle matches exactly). */
+  val pivot1: Q = Q(
+    "p1_pivot",
+    """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+      |  CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+      |  CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+      |  CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+      .groupBy("o_year")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("o_year")
+  }
+
+  /** Lateral explode with ordinality (posexplode ↔ unnest-with-index). */
+  val explode1: Q = Q(
+    "l1_explode_pos",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents WHERE doc_id < 20)
+      |SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS word
+      |FROM w, generate_series(1, 1000) t(i)
+      |WHERE i <= len(ws)
+      |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Pagination: ORDER BY + LIMIT + OFFSET with deterministic tiebreak. */
+  val offset1: Q = Q(
+    "s2_limit_offset",
+    """SELECT o_orderkey, o_totalprice AS totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20 OFFSET 10""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(10)
+      .limit(20)
+      .select(col("o_orderkey"), col("o_totalprice").as("totalprice"))
+  }
+
+  /** Regex extraction over semi-structured text (events.props JSON-ish
+    * payload) — regexp_extract is identical in both engines for this
+    * pattern class. */
+  val regex1: Q = Q(
+    "r1_regexp_extract",
+    """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .select(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k")
+  }
+
+  val all: Seq[Q] = Seq(pivot1, explode1, offset1, regex1)
+}
