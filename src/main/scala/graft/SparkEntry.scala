@@ -15,7 +15,7 @@ object SparkEntry {
     CoreQueries.all ++ TpchExtraQueries.all ++ JoinQueries.all ++
       ParallelJoinQueries.all ++ TextQueries.all ++ SimQueries.all ++
       MultimodalQueries.all ++ SyntheticQueries.all ++
-      RelationalExtrasQueries.all
+      RelationalExtrasQueries.all ++ SessionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's right-deep 4-dim star join

