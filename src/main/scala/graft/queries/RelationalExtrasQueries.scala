@@ -69,5 +69,32 @@ object RelationalExtrasQueries {
       .orderBy("k")
   }
 
-  val all: Seq[Q] = Seq(pivot1, explode1, offset1, regex1)
+  /** Math functions: exact ones raw (sqrt/abs/floor/ceil/power are
+    * IEEE-deterministic), transcendentals rounded (libm vs java.lang.Math
+    * can differ in the last ulp). */
+  val math1: Q = Q(
+    "math1_functions",
+    """SELECT p_partkey,
+      |  SQRT(p_retailprice) AS sqrt_price,
+      |  ABS(p_retailprice - 1000.0) AS abs_diff,
+      |  CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_price,
+      |  CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_price,
+      |  p_retailprice * p_retailprice AS price_sq,
+      |  ROUND(LN(p_retailprice), 6) AS ln_price,
+      |  CAST(p_size % 7 AS INT) AS size_mod
+      |FROM part WHERE p_retailprice > 0 ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "part")
+      .filter(col("p_retailprice") > 0)
+      .select(col("p_partkey"),
+        sqrt(col("p_retailprice")).as("sqrt_price"),
+        abs(col("p_retailprice") - 1000.0).as("abs_diff"),
+        floor(col("p_retailprice")).as("floor_price"),
+        ceil(col("p_retailprice")).as("ceil_price"),
+        (col("p_retailprice") * col("p_retailprice")).as("price_sq"),
+        round(log(col("p_retailprice")), 6).as("ln_price"),
+        (col("p_size") % 7).as("size_mod"))
+      .orderBy("p_partkey")
+  }
+
+  val all: Seq[Q] = Seq(pivot1, explode1, offset1, regex1, math1)
 }
