@@ -125,68 +125,126 @@ object ParallelHashJoinExec {
       case None => (_: InternalRow) => true
     }
 
-    // --- build phase: one pass, rows buffered, non-null keys indexed ---
+    // --- build phase: one pass, rows buffered, non-null keys indexed.
+    // Chain layout (key → head row-idx, int next[] chain): no per-row
+    // boxing, no per-key buffers — the reference's index-chain map shape
+    // (`concurrent_self_hash_join_map.rs` append_block) in its
+    // single-writer per-partition form. ---
     val rows = new mutable.ArrayBuffer[InternalRow]()
-    val keyIndex = new java.util.HashMap[UnsafeRow, mutable.ArrayBuffer[Int]]()
+    val keyHead = new java.util.HashMap[UnsafeRow, Integer]()
+    var nextIdx = new Array[Int](1024)
     while (buildIter.hasNext) {
       val row = buildIter.next().copy()
       val idx = rows.length
       rows += row
+      if (nextIdx.length <= idx) nextIdx = java.util.Arrays.copyOf(nextIdx, nextIdx.length * 2)
       val key = buildKeyProj(row)
       if (!key.anyNull) {
-        var bucket = keyIndex.get(key)
-        if (bucket == null) {
-          bucket = new mutable.ArrayBuffer[Int](4)
-          keyIndex.put(key.copy(), bucket)
+        val prevHead = keyHead.get(key)
+        if (prevHead == null) {
+          keyHead.put(key.copy(), idx)
+          nextIdx(idx) = -1
+        } else {
+          // entry exists: HashMap keeps the stored key object, so the
+          // reused projection row is safe to pass here
+          keyHead.put(key, idx)
+          nextIdx(idx) = prevHead.intValue()
         }
-        bucket += idx
       }
     }
     buildRowsMetric += rows.length
+
+    @inline def headFor(key: UnsafeRow): Int =
+      if (key.anyNull) -1
+      else {
+        val h = keyHead.get(key)
+        if (h == null) -1 else h.intValue()
+      }
 
     val trackBuildMatches = joinType match {
       case LeftOuter | FullOuter | LeftSemi | LeftAnti => true
       case _ => false
     }
     val matched = if (trackBuildMatches) new java.util.BitSet(rows.length) else null
-    val emitDuringProbe = joinType match {
-      case Inner | LeftOuter | RightOuter | FullOuter => true
-      case _ => false
-    }
-    val preserveProbe = joinType match {
-      case RightOuter | FullOuter => true
-      case _ => false
-    }
     val nullBuildRow = new GenericInternalRow(buildOutput.length)
     val nullProbeRow = new GenericInternalRow(probeOutput.length)
     val joined = new JoinedRow
 
-    // --- probe phase: streamed, no buffering ---
-    val probePhase: Iterator[InternalRow] = probeIter.flatMap { probeRow =>
-      val key = probeKeyProj(probeRow)
-      val bucket = if (key.anyNull) null else keyIndex.get(key)
-      var anyMatch = false
-      val out = new mutable.ArrayBuffer[InternalRow](4)
-      if (bucket != null) {
-        val it = bucket.iterator
-        while (it.hasNext) {
-          val idx = it.next()
-          joined(rows(idx), probeRow)
-          if (boundCondition(joined)) {
-            anyMatch = true
-            if (matched != null) matched.set(idx)
-            if (emitDuringProbe) {
+    // --- probe phase: streamed ---
+    // Inner: fully lazy, zero-copy (projection rows are consumed before
+    // the next element is produced — standard SparkPlan iterator
+    // contract). Semi/anti: allocation-free marking pass, no output.
+    // Outer paths buffer per-probe-row matches (they must know whether
+    // any match survived the condition before padding), so they copy.
+    val probePhase: Iterator[InternalRow] = joinType match {
+      case Inner =>
+        new Iterator[InternalRow] {
+          private var probeRow: InternalRow = _
+          private var cursor: Int = -1
+          private var pending = false
+
+          private def advance(): Boolean = {
+            while (true) {
+              while (cursor != -1) {
+                val idx = cursor
+                cursor = nextIdx(idx)
+                joined(rows(idx), probeRow)
+                if (boundCondition(joined)) return true
+              }
+              if (!probeIter.hasNext) return false
+              probeRow = probeIter.next()
+              cursor = headFor(probeKeyProj(probeRow))
+            }
+            false
+          }
+
+          override def hasNext: Boolean = pending || { pending = advance(); pending }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            pending = false
+            numOutputRows += 1
+            resultProj(joined)
+          }
+        }
+      case LeftSemi | LeftAnti =>
+        // marking pass only; emits nothing (finalizer emits build rows)
+        new Iterator[InternalRow] {
+          override def hasNext: Boolean = {
+            while (probeIter.hasNext) {
+              val probeRow = probeIter.next()
+              var cursor = headFor(probeKeyProj(probeRow))
+              while (cursor != -1) {
+                joined(rows(cursor), probeRow)
+                if (boundCondition(joined)) matched.set(cursor)
+                cursor = nextIdx(cursor)
+              }
+            }
+            false
+          }
+          override def next(): InternalRow = throw new NoSuchElementException
+        }
+      case _ => // LeftOuter, RightOuter, FullOuter
+        val preserveProbe = joinType == RightOuter || joinType == FullOuter
+        probeIter.flatMap { probeRow =>
+          var cursor = headFor(probeKeyProj(probeRow))
+          var anyMatch = false
+          val out = new mutable.ArrayBuffer[InternalRow](4)
+          while (cursor != -1) {
+            joined(rows(cursor), probeRow)
+            if (boundCondition(joined)) {
+              anyMatch = true
+              if (matched != null) matched.set(cursor)
               numOutputRows += 1
               out += resultProj(joined).copy()
             }
+            cursor = nextIdx(cursor)
           }
+          if (!anyMatch && preserveProbe) {
+            numOutputRows += 1
+            out += resultProj(joined(nullBuildRow, probeRow)).copy()
+          }
+          out
         }
-      }
-      if (!anyMatch && preserveProbe) {
-        numOutputRows += 1
-        out += resultProj(joined(nullBuildRow, probeRow)).copy()
-      }
-      out
     }
 
     // --- finalizer: unmatched build rows (runs once probe is drained),

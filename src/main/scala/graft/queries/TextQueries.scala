@@ -236,6 +236,67 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Content-hash train/test split: md5-derived bucket is stable across
+    * engines, machines, and reshuffles — the property a training
+    * pipeline needs so the split never leaks when data is re-ingested. */
+  val trainTestSplit: Q = Q(
+    "t9_train_test_split",
+    """SELECT CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+      |            THEN 'train' ELSE 'test' END AS split,
+      |  lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(
+        when(substring(md5(col("text")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
+          .otherwise("test").as("split"),
+        col("lang"), col("n_chars"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("split", "lang")
+  }
+
+  /** Vocabulary building: token frequencies, top 20 with deterministic
+    * tiebreak — the explode→count→top-k shape that at corpus scale runs
+    * as partial counts + a single small final top-k. */
+  val vocab: Q = Q(
+    "t10_vocab_topk",
+    """SELECT word, COUNT(*) AS freq
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+      |WHERE length(word) > 0
+      |GROUP BY word ORDER BY freq DESC, word LIMIT 20""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(20)
+  }
+
+  /** Sequence-packing stats: docs bucketed by token length, with the
+    * per-bucket token mass that drives packing efficiency. */
+  val lengthBuckets: Q = Q(
+    "t11_length_buckets",
+    """WITH tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |             FROM documents)
+      |SELECT CAST(n_tokens // 16 * 16 AS BIGINT) AS bucket_start,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+      |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select((expr("n_tokens div 16") * 16).as("bucket_start"), col("n_tokens"))
+      .groupBy("bucket_start")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy("bucket_start")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, tokenStats, langId, quality,
-    fingerprint, ngramJaccard, minhashLsh, simhash)
+    fingerprint, ngramJaccard, minhashLsh, simhash,
+    trainTestSplit, vocab, lengthBuckets)
 }

@@ -44,23 +44,31 @@ class StorageLayoutSpec extends AnyFunSuite {
       .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
     t(spark, dir, "customer").write.mode("overwrite")
       .bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    // disable broadcasting in BOTH the static planner and AQE's runtime
+    // re-planner — AQE has a separate threshold and will happily turn a
+    // shuffle-free bucketed SMJ into a broadcast join otherwise
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
       val d = spark.table("customer_b")
         .join(spark.table("orders_b"), col("c_custkey") === col("o_custkey"))
         .groupBy("c_custkey").agg(count(lit(1)).as("n"))
       d.collect()
-      val shuffles = flatten(d.queryExecution.executedPlan)
-        .count(_.isInstanceOf[ShuffleExchangeLike])
-      // join itself must be shuffle-free; only the final small agg may move data
-      val joinSubtree = flatten(d.queryExecution.executedPlan)
-        .find(p => p.nodeName.contains("SortMergeJoin") || p.nodeName.contains("ShuffledHashJoin"))
-      assert(joinSubtree.isDefined, "expected a shuffled join over bucketed tables")
+      val nodes = flatten(d.queryExecution.executedPlan)
+      val joinSubtree = nodes.find(p =>
+        p.nodeName.contains("SortMergeJoin") || p.nodeName.contains("ShuffledHashJoin"))
+      assert(joinSubtree.isDefined,
+        s"expected a shuffled join over bucketed tables in:\n${d.queryExecution.executedPlan}")
       val shufflesBelowJoin = flatten(joinSubtree.get).count(_.isInstanceOf[ShuffleExchangeLike])
       assert(shufflesBelowJoin == 0,
         s"bucketed join should have no exchange below it:\n${joinSubtree.get}")
       assert(d.count() == spark.table("customer_b").count())
-    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
   }
 
   test("partitioned parquet prunes partitions at the scan") {
