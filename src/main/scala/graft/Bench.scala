@@ -49,11 +49,16 @@ object Bench {
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-          (System.nanoTime() - t0) / 1e9
+          try {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              -1.0 // failures surface as -1, never as a fast timing
+          }
         }
-        name -> times.min
+        name -> (if (times.contains(-1.0)) -1.0 else times.min)
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

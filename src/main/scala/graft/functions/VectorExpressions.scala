@@ -46,6 +46,8 @@ abstract class VectorFold extends BinaryExpression {
 case class DotProduct(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "graft_dot"
 
+  /** Null array element → null result, matching what the equivalent
+    * zip_with/aggregate formulation produces. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -54,7 +56,11 @@ case class DotProduct(left: Expression, right: Expression) extends VectorFold {
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += get(x, lt, i) * get(y, rt, i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += get(x, lt, i) * get(y, rt, i)
+      i += 1
+    }
     s
   }
 
@@ -71,12 +77,15 @@ case class DotProduct(left: Expression, right: Expression) extends VectorFold {
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += ${getter(left, x, i)} * ${getter(right, y, i)};
          |}
          |${ev.value} = $s;
        """.stripMargin
     })
   }
+
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
@@ -101,6 +110,7 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
         s"graft_norm expects array<float|double>, got $other")
     }
 
+  /** Null array element → null result (see DotProduct). */
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val t = et
@@ -108,6 +118,7 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
     var i = 0
     val n = x.numElements()
     while (i < n) {
+      if (x.isNullAt(i)) return null
       val v = t match {
         case FloatType => x.getFloat(i).toDouble
         case _ => x.getDouble(i)
@@ -117,6 +128,8 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
     }
     math.sqrt(s)
   }
+
+  override def nullable: Boolean = true
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val getter = et match {
@@ -132,6 +145,7 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
          |int $n = $x.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $v = ${getter(x, i)};
          |  $s += $v * $v;
          |}

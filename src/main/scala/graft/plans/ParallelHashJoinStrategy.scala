@@ -63,7 +63,14 @@ object ParallelHashJoinApi {
     val lPlan = lDf.queryExecution.analyzed
     var rPlan = rDf.queryExecution.analyzed
     // Self-join safety: re-alias the right side when attribute ids collide.
+    // A residual condition cannot be disambiguated in that case (resolved
+    // Columns still carry the left side's exprIds; by-name resolution is
+    // ambiguous) — fail loudly instead of silently binding to the left.
     if (lPlan.outputSet.intersect(rPlan.outputSet).nonEmpty) {
+      require(condition.isEmpty,
+        "parallelHashJoin: residual conditions on self-joins require " +
+          "pre-aliased inputs with distinct column names " +
+          "(e.g. df.select(col(\"x\").as(\"left_x\")))")
       val aliases = rPlan.output.map(a =>
         Alias(a, a.name)(NamedExpression.newExprId): NamedExpression)
       rPlan = Project(aliases, rPlan)
@@ -105,22 +112,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => ParallelHashJoinStrategy)
     e.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      GraftFunctionsRegistry.dotBuilder))
     e.injectFunction((FunctionIdentifier("graft_norm"),
       new ExpressionInfo(classOf[VectorNorm].getName, "graft_norm"),
-      (exprs: Seq[Expression]) => VectorNorm(exprs.head)))
+      GraftFunctionsRegistry.normBuilder))
   }
 }
 
 /** Runtime registration of the SQL functions on an existing session
   * (the non-extensions path). */
 object GraftFunctionsRegistry {
+  import graft.functions.{DotProduct, VectorNorm}
+
+  private[plans] val dotBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"graft_dot expects exactly 2 arguments, got ${exprs.length}")
+    DotProduct(exprs.head, exprs(1))
+  }
+  private[plans] val normBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1,
+      s"graft_norm expects exactly 1 argument, got ${exprs.length}")
+    VectorNorm(exprs.head)
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cs = spark.asInstanceOf[classic.SparkSession]
-    import graft.functions.{DotProduct, VectorNorm}
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+      "graft_dot", dotBuilder, "built-in")
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_norm", exprs => VectorNorm(exprs.head), "built-in")
+      "graft_norm", normBuilder, "built-in")
   }
 }

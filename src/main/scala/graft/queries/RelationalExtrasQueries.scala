@@ -26,7 +26,9 @@ object RelationalExtrasQueries {
       .orderBy("o_year")
   }
 
-  /** Lateral explode with ordinality (posexplode ↔ unnest-with-index). */
+  /** Lateral explode with ordinality (posexplode ↔ unnest-with-index).
+    * Both sides cap at the first 1000 tokens (the oracle's
+    * generate_series bound and Spark's slice stay in lockstep). */
   val explode1: Q = Q(
     "l1_explode_pos",
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
@@ -37,7 +39,8 @@ object RelationalExtrasQueries {
       |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
     t(s, dir, "documents")
       .filter(col("doc_id") < 20)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"),
+        posexplode(slice(split(col("text"), " "), 1, 1000)).as(Seq("pos", "word")))
       .orderBy("doc_id", "pos")
   }
 

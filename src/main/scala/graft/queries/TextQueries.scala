@@ -140,7 +140,10 @@ object TextQueries {
 
   /** N-gram Jaccard near-dup pairs: distinct 3-word shingles, blocked
     * self-join on shared shingle, |A∩B| / |A∪B| ≥ 0.5. The shared-shingle
-    * join IS the blocking — no cross product ever materializes. */
+    * join IS the blocking — no cross product ever materializes.
+    * Both engines cap at the first 1000 shingles per document (the
+    * oracle's generate_series bound and the Spark `least` below must
+    * stay in lockstep). */
   val ngramJaccard: Q = Q(
     "t8_ngram_jaccard",
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -161,7 +164,7 @@ object TextQueries {
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
     val sh = w.select(col("doc_id"), explode(
-      expr("transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+      expr("transform(sequence(0, least(size(ws)-3, 999)), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
       .as("g")).distinct()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("a_id"), col("g"))
@@ -189,7 +192,7 @@ object TextQueries {
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
     val sh = w.select(col("doc_id"), explode(
-      expr("transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+      expr("transform(sequence(0, least(size(ws)-3, 999)), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
       .as("g")).distinct()
     val K = 8
     val sigCols = (0 until K).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i"))

@@ -46,8 +46,9 @@ object MicroBench {
         base.join(dimR.hint("SHUFFLE_HASH"), col("id1") === col("d_id")))),
       "join_sort_merge" -> time(noop(
         base.join(dimR.hint("MERGE"), col("id1") === col("d_id")))),
+      // build side = left = dim, matching what the hinted built-ins hash
       "join_parallel_hash" -> time(noop(
-        ParallelHashJoinApi.parallelHashJoin(base, dimR, Seq("id1"), Seq("d_id")))),
+        ParallelHashJoinApi.parallelHashJoin(dimR, base, Seq("d_id"), Seq("id1")))),
       "sort_global" -> time(noop(base.orderBy(col("id1"), col("id2")))),
       "sort_within_partitions" -> time(noop(base.sortWithinPartitions(col("id1"), col("id2")))))
 

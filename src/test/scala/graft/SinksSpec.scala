@@ -40,6 +40,13 @@ class SinksSpec extends AnyFunSuite {
     assert(back.columns.sorted.toSeq == d.columns.sorted.toSeq)
   }
 
+  test("driver contract: entry returns rows and every query has a fn") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
+      "every oracle key must have a query")
+    assert(SparkEntry.queries.size >= 80)
+  }
+
   test("approx_count_distinct within declared error of exact") {
     val rows = SparkEntry.queries("q17_approx_distinct")(spark, dir).collect()
     assert(rows.nonEmpty)
