@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
 
+/* coverage: see COVERAGE.md for the SURVEY §2 operator-by-operator map */
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Each entry in `queries` is one operator/capability from SURVEY.md §2;

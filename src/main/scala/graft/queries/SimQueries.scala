@@ -166,5 +166,52 @@ object SimQueries {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup)
+  /** ANN via IVF-flat: a coarse quantizer (16 strided centroids) maps
+    * every vector to its nearest-centroid cluster; a query probes the 4
+    * closest clusters and re-ranks exactly. The 100 TB shape: clustering
+    * is one broadcast-join pass (centroids are tiny), the inverted index
+    * is just a cluster-keyed partitioning of the corpus, and the probe
+    * touches nprobe/k of the data. No SQL oracle; PipelineSpec checks
+    * score consistency and recall against the exact baseline. */
+  val annIvf: Q = Q.noOracle("v5_ann_ivf") { (s, dir) =>
+    implicit val sp: SparkSession = s
+    val e = t(s, dir, "embeddings")
+    val k = 16
+    // deterministic strided coarse centroids (vec_id ascending, every n/k-th)
+    val idsSorted = e.select(col("vec_id")).orderBy("vec_id")
+      .limit(1000000).collect().map(_.getLong(0))
+    val stride = math.max(1, idsSorted.length / k)
+    val centroidIds = idsSorted.zipWithIndex.filter(_._2 % stride == 0).map(_._1).take(k)
+    val cents = e.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+        norm(col("embedding")).as("c_norm"))
+    // assignment: nearest centroid by cosine (broadcast join + rank-1)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_id"))
+    val assigned = e
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_sim", dot(col("embedding"), col("c_vec")) / (col("nrm") * col("c_norm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cluster"))
+    // query vector + its 4 closest centroids
+    val q = assigned.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val probed = cents.crossJoin(broadcast(q))
+      .withColumn("qc_sim", dot(col("qe"), col("c_vec")) / (col("qn") * col("c_norm")))
+      .orderBy(col("qc_sim").desc, col("c_id"))
+      .limit(4)
+      .select(col("c_id").as("probe_cluster"))
+    // candidates = vectors in probed clusters; exact re-rank
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(probed), col("cluster") === col("probe_cluster"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cluster"),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup, annIvf)
 }

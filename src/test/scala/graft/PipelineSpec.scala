@@ -66,6 +66,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("IVF ANN scores are exact for returned ids and recall is useful") {
+    val exact = SimQueries.cosineTopK.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = SimQueries.annIvf.fn(spark, dir).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val id = r.getLong(0)
+      exact.get(id).foreach(s => assert(math.abs(s - r.getDouble(2)) < 1e-9))
+    }
+    val recall = exact.keySet.count(id => ivf.exists(_.getLong(0) == id)).toDouble /
+      exact.size
+    assert(recall >= 0.3, s"IVF recall@10 too low: $recall")
+  }
+
   test("stateful streaming sessionization matches the batch formulation") {
     val streamed = EventsStreaming.sessionizeStream(spark, dir, "stream_sessions")
       .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSeq
