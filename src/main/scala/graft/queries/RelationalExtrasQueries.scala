@@ -99,5 +99,44 @@ object RelationalExtrasQueries {
       .orderBy("p_partkey")
   }
 
-  val all: Seq[Q] = Seq(pivot1, explode1, offset1, regex1, math1)
+  /** Custom typed Aggregator (UDAF surface): per-brand geometric mean of
+    * retail price. Oracle = exp(avg(ln x)) — the same mergeable
+    * formulation, rounded for float-order tolerance. */
+  val geoMean: Q = Q(
+    "agg1_geomean_udaf",
+    """SELECT p_brand,
+      |  ROUND(EXP(AVG(LN(p_retailprice))), 4) AS geo_mean_price,
+      |  COUNT(*) AS n
+      |FROM part WHERE p_retailprice > 0
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions.udaf
+    val geo = udaf(graft.functions.GeoMeanAggregator,
+      org.apache.spark.sql.Encoders.scalaDouble)
+    t(s, dir, "part")
+      .filter(col("p_retailprice") > 0)
+      .groupBy("p_brand")
+      .agg(round(geo(col("p_retailprice")), 4).as("geo_mean_price"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand")
+  }
+
+  /** Exact interpolated percentiles (Spark `percentile` ↔ DuckDB
+    * `quantile_cont` share the linear-interpolation definition). */
+  val percentiles: Q = Q(
+    "pc1_percentiles",
+    """SELECT o_orderstatus,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .orderBy("o_orderstatus")
+  }
+
+  val all: Seq[Q] = Seq(pivot1, explode1, offset1, regex1, math1, geoMean, percentiles)
 }

@@ -26,6 +26,22 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(row.getDouble(1) == 5.0)
   }
 
+  test("null array elements propagate to null results") {
+    GraftFunctionsRegistry.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(CAST(1.0 AS DOUBLE), NULL), array(CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) AS d,
+        |       graft_norm(array(CAST(1.0 AS DOUBLE), NULL)) AS n,
+        |       graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(CAST(1.0 AS DOUBLE))) AS dn""".stripMargin)
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("wrong arity is rejected at registration call") {
+    GraftFunctionsRegistry.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT graft_norm(array(1.0D), array(2.0D))").collect())
+    assert(e.getMessage.contains("graft_norm") || e.getMessage.contains("argument"))
+  }
+
   test("graft_dot on the embeddings table equals the HOF formulation") {
     GraftFunctionsRegistry.register(spark)
     graft.engine.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
