@@ -97,11 +97,11 @@ object TextQueries {
       |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS DOUBLE) AS n_stop
       |  FROM documents)
       |SELECT doc_id,
-      |  ROUND(n_distinct / n_tokens, 4) AS diversity,
-      |  ROUND(n_nonalpha / n_chars, 4) AS noise_ratio,
-      |  ROUND(n_stop / n_tokens, 4) AS stopword_ratio,
-      |  ROUND(0.5 * (n_distinct / n_tokens) + 0.3 * (1.0 - n_nonalpha / n_chars)
-      |    + 0.2 * LEAST(n_tokens / 100.0, 1.0), 4) AS quality
+      |  FLOOR(n_distinct / n_tokens * 10000 + 0.5) / 10000 AS diversity,
+      |  FLOOR(n_nonalpha / n_chars * 10000 + 0.5) / 10000 AS noise_ratio,
+      |  FLOOR(n_stop / n_tokens * 10000 + 0.5) / 10000 AS stopword_ratio,
+      |  FLOOR((0.5 * (n_distinct / n_tokens) + 0.3 * (1.0 - n_nonalpha / n_chars)
+      |    + 0.2 * LEAST(n_tokens / 100.0, 1.0)) * 10000 + 0.5) / 10000 AS quality
       |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val ws = split(col("text"), " ")
     val pt = concat(lit(" "), col("text"), lit(" "))
@@ -113,13 +113,17 @@ object TextQueries {
         .cast(DoubleType).as("n_nonalpha"),
       ((length(pt) - length(regexp_replace(pt, " the ", ""))) / 5)
         .cast(DoubleType).as("n_stop"))
+    // half-up rounding in raw double arithmetic: floor(x*1e4 + 0.5)/1e4
+    // is bit-identical across engines, unlike ROUND whose shortest-repr
+    // vs binary half-handling diverges on values like 0.31475
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000.0
     f.select(col("doc_id"),
-      round(col("n_distinct") / col("n_tokens"), 4).as("diversity"),
-      round(col("n_nonalpha") / col("n_chars"), 4).as("noise_ratio"),
-      round(col("n_stop") / col("n_tokens"), 4).as("stopword_ratio"),
-      round(lit(0.5) * (col("n_distinct") / col("n_tokens")) +
+      r4(col("n_distinct") / col("n_tokens")).as("diversity"),
+      r4(col("n_nonalpha") / col("n_chars")).as("noise_ratio"),
+      r4(col("n_stop") / col("n_tokens")).as("stopword_ratio"),
+      r4(lit(0.5) * (col("n_distinct") / col("n_tokens")) +
         lit(0.3) * (lit(1.0) - col("n_nonalpha") / col("n_chars")) +
-        lit(0.2) * least(col("n_tokens") / 100.0, lit(1.0)), 4).as("quality"))
+        lit(0.2) * least(col("n_tokens") / 100.0, lit(1.0))).as("quality"))
       .orderBy("doc_id")
   }
 
