@@ -167,13 +167,16 @@ object TextQueries {
     val w = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
+    // shuffle 64-bit shingle hashes, not strings (collision odds over
+    // ~3e5 distinct shingles ≈ 2e-9 — far below the gate's noise floor)
     val sh = w.select(col("doc_id"), explode(
       expr("transform(sequence(0, least(size(ws)-3, 999)), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
       .as("g")).distinct()
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("a_id"), col("g"))
-    val b = sh.select(col("doc_id").as("b_id"), col("g").as("g2"))
-    val inter = a.join(b, col("g") === col("g2") && col("a_id") < col("b_id"))
+    val a = sh.select(col("doc_id").as("a_id"), col("gh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("gh").as("gh2"))
+    val inter = a.join(b, col("gh") === col("gh2") && col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("nb"))
     val ca = cnt.select(col("doc_id").as("ca_id"), col("n").as("na"))
     val cb = cnt.select(col("doc_id").as("cb_id"), col("n").as("nbb"))
@@ -198,6 +201,7 @@ object TextQueries {
     val sh = w.select(col("doc_id"), explode(
       expr("transform(sequence(0, least(size(ws)-3, 999)), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
       .as("g")).distinct()
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
     val K = 8
     val sigCols = (0 until K).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i"))
     val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
