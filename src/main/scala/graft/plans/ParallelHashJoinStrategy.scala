@@ -7,18 +7,47 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, Logi
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
-/** Planner strategy: [[ParallelHashJoin]] logical → [[ParallelHashJoinExec]].
+/** Planner strategy: [[ParallelHashJoin]] logical → physical.
   * The Spark analog of the reference's physical-optimizer rule
   * `UseParallelHashJoinRule`
   * (`/root/reference/src/operator/use_parallel_hash_join_rule.rs:20-146`);
   * matching only our explicit logical node keeps every other join on
   * Spark's built-in strategies (the rule's guard conditions are enforced
-  * at node construction instead). */
+  * at node construction instead).
+  *
+  * `spark.graft.parallelHashJoin.impl` is the analog of the reference's
+  * `JoinReplacement` version knob (`/root/reference/src/parse_sql.rs:12-24`):
+  *   - `chain` (default): our interpreted chain-map exec
+  *   - `codegen`: Spark's whole-stage-codegen shuffled-hash exec with a
+  *     left build side — the "control" implementation, semantically
+  *     identical, for A/B runs exactly as the reference's None/versionN
+  *     configurations. */
 object ParallelHashJoinStrategy extends SparkStrategy {
+  import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight, BuildSide}
+  import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+  import org.apache.spark.sql.internal.SQLConf
+
+  val implConfKey = "spark.graft.parallelHashJoin.impl"
+
+  /** Spark's supported build-side combos (HashJoin rejects e.g.
+    * semi/anti with a left build): prefer BuildLeft for reference
+    * fidelity, fall back to BuildRight where required. */
+  private def buildSideFor(jt: JoinType): BuildSide = jt match {
+    case Inner | RightOuter | FullOuter => BuildLeft
+    case _ => BuildRight // LeftOuter, LeftSemi, LeftAnti
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: ParallelHashJoin =>
-      ParallelHashJoinExec(j.leftKeys, j.rightKeys, j.joinType, j.condition,
-        planLater(j.left), planLater(j.right)) :: Nil
+      SQLConf.get.getConfString(implConfKey, "chain") match {
+        case "codegen" =>
+          ShuffledHashJoinExec(j.leftKeys, j.rightKeys, j.joinType,
+            buildSideFor(j.joinType), j.condition,
+            planLater(j.left), planLater(j.right)) :: Nil
+        case _ =>
+          ParallelHashJoinExec(j.leftKeys, j.rightKeys, j.joinType, j.condition,
+            planLater(j.left), planLater(j.right)) :: Nil
+      }
     case _ => Nil
   }
 }

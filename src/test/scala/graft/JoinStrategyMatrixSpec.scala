@@ -115,4 +115,16 @@ class JoinStrategyMatrixSpec extends AnyFunSuite {
         s"expected ParallelHashJoinExec for $jt")
     }
   }
+
+  test("codegen impl knob plans Spark's shuffled-hash exec with same results") {
+    withConf(graft.plans.ParallelHashJoinStrategy.implConfKey -> "codegen") {
+      for (jt <- joinTypes) {
+        val d = ParallelHashJoinApi.parallelHashJoin(
+          part, li, Seq("p_partkey"), Seq("l_partkey"), jt)
+        assert(collected(d) == golden(jt), s"results for $jt")
+        assert(finalPlan(d).exists(_.isInstanceOf[ShuffledHashJoinExec]),
+          s"expected ShuffledHashJoinExec (codegen impl) for $jt")
+      }
+    }
+  }
 }

@@ -94,6 +94,26 @@ class StorageLayoutSpec extends AnyFunSuite {
       "scan should only list the pruned partition directory")
   }
 
+  test("ANALYZE TABLE computes statistics the optimizer can use") {
+    import graft.engine.Tables.t
+    t(spark, dir, "nation").write.mode("overwrite").saveAsTable("nation_s")
+    try {
+      spark.sql("ANALYZE TABLE nation_s COMPUTE STATISTICS")
+      val tableStats = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("nation_s")).stats
+      assert(tableStats.exists(_.rowCount.contains(BigInt(25))),
+        s"row count stat: $tableStats")
+      assert(tableStats.exists(_.sizeInBytes > 0))
+      // column-level stats (distinct counts — what the reference's
+      // StaticTable fakes to steer join sides, src/bin/main.rs:192-223)
+      spark.sql("ANALYZE TABLE nation_s COMPUTE STATISTICS FOR COLUMNS n_nationkey")
+      val cat = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("nation_s"))
+      assert(cat.stats.exists(_.colStats.get("n_nationkey").exists(
+        _.distinctCount.exists(_ == BigInt(25)))))
+    } finally spark.sql("DROP TABLE IF EXISTS nation_s")
+  }
+
   test("global temp view is reachable via 3-part name") {
     import graft.engine.Tables.t
     t(spark, dir, "region").createOrReplaceGlobalTempView("region_g")

@@ -74,8 +74,8 @@ for name in names:
         fails.append(name); continue
     print(f"OK       {name}: {len(a)} rows")
 
-# rows-only entries without oracle
-for name in sorted(set(os.listdir(OUT)) - set(oracle.keys())):
+# rows-only entries without oracle (skip ones already reported above)
+for name in sorted(set(os.listdir(OUT)) - set(oracle.keys()) - set(names)):
     if os.path.isdir(f"{OUT}/{name}") and (not only or name in only):
         try:
             n = sum(len(pd.read_parquet(f)) for f in glob.glob(f"{OUT}/{name}/*.parquet"))
