@@ -50,10 +50,33 @@ object SkewBench {
       times.min
     }
 
+    /** Manual salting: fact key gets a deterministic salt, the dim is
+      * exploded across all salt values, the join key becomes (k, salt)
+      * — the classic pre-AQE skew remedy, shown for comparison. */
+    def runSalted(): Double = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val salts = 8
+      val factS = fact.withColumn("f_salt", (col("v") % salts).cast("int"))
+      val dimS = dim.withColumn("d_salt",
+        explode(lit((0 until salts).toArray)))
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        factS.join(dimS.hint("MERGE"),
+            col("k") === col("d_k") && col("f_salt") === col("d_salt"))
+          .groupBy("d_v").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.min
+    }
+
     val off = run(skewOn = false)
     val on = run(skewOn = true)
+    val salted = runSalted()
     println(f"""{"metric":"skew_join_aqe_off","value":$off%.3f,"unit":"sec","rows":$factRows}""")
     println(f"""{"metric":"skew_join_aqe_on","value":$on%.3f,"unit":"sec","rows":$factRows}""")
+    println(f"""{"metric":"skew_join_salted","value":$salted%.3f,"unit":"sec","rows":$factRows}""")
     spark.stop()
   }
 }

@@ -22,4 +22,20 @@ object GraftSqlBridge {
 
   /** Wrap a Catalyst expression back into a public Column. */
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** What an extensions object would inject into a session — lets tests
+    * verify GraftExtensions wiring without constructing a new session
+    * (the session constructor is private even package-locally). */
+  def plannerStrategiesOf(
+      extensions: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    extensions.buildPlannerStrategies(spark.asInstanceOf[SparkSession])
+      .map(_.asInstanceOf[org.apache.spark.sql.execution.SparkStrategy])
+
+  def injectedFunctionNames(
+      extensions: org.apache.spark.sql.SparkSessionExtensions): Seq[String] = {
+    val registry = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    extensions.registerFunctions(registry)
+    registry.listFunction().map(_.funcName)
+  }
 }

@@ -42,6 +42,16 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_norm") || e.getMessage.contains("argument"))
   }
 
+  test("GraftExtensions injects the strategy and both SQL functions") {
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(exts)
+    val strategies = org.apache.spark.sql.classic.GraftSqlBridge
+      .plannerStrategiesOf(exts, spark)
+    assert(strategies.contains(graft.plans.ParallelHashJoinStrategy))
+    val fns = org.apache.spark.sql.classic.GraftSqlBridge.injectedFunctionNames(exts)
+    assert(fns.contains("graft_dot") && fns.contains("graft_norm"))
+  }
+
   test("graft_dot on the embeddings table equals the HOF formulation") {
     GraftFunctionsRegistry.register(spark)
     graft.engine.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
