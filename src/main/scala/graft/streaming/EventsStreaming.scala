@@ -94,6 +94,29 @@ object EventsStreaming {
     spark.table(name)
   }
 
+  /** Streaming deduplication — the ingest-side dedup a training
+    * pipeline runs before anything else: dropDuplicates on the event
+    * key over the stream (with a watermark the state stays bounded;
+    * dropDuplicatesWithinWatermark is the unbounded-key variant). */
+  def dedupStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val q = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .selectExpr("user_id", "event_type", "timestamp_micros(ts div 1000) AS event_ts")
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Run the streaming query to completion against the static fixture
     * (memory sink, complete mode) and return the materialized result —
     * used by tests to prove batch/stream agreement. */

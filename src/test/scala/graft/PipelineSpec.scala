@@ -91,6 +91,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup matches batch distinct") {
+    val streamed = EventsStreaming.dedupStream(spark, dir, "stream_dedup")
+      .select("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.engine.Tables.t(spark, dir, "events")
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+  }
+
+  test("embedding arrays round-trip through a parquet sink") {
+    val out = java.nio.file.Files.createTempDirectory("graft_emb").toString
+    val e = graft.engine.Tables.t(spark, dir, "embeddings")
+    e.write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == e.count())
+    val a = e.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val b = back.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(a.zip(b).forall { case (x, y) => x._1 == y._1 && x._2 == y._2 })
+  }
+
   test("decode stub is deterministic with full coverage") {
     val a = graft.queries.MultimodalQueries.decodeStub.fn(spark, dir).collect()
     val b = graft.queries.MultimodalQueries.decodeStub.fn(spark, dir).collect()
