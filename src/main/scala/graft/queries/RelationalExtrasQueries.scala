@@ -138,5 +138,70 @@ object RelationalExtrasQueries {
       .orderBy("o_orderstatus")
   }
 
-  val all: Seq[Q] = Seq(pivot1, explode1, offset1, regex1, math1, geoMean, percentiles)
+  /** Array functions over token arrays: membership, slicing, sorted
+    * heads, dedup size. */
+  val arrayFuncs: Q = Q(
+    "a1_array_funcs",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |SELECT doc_id,
+      |  list_contains(ws, 'spark') AS has_spark,
+      |  CAST(len(ws) AS INT) AS n_tokens,
+      |  array_to_string(list_sort(ws[1:3]), ',') AS head3_sorted,
+      |  CAST(len(list_distinct(ws)) AS INT) AS n_distinct
+      |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val ws = split(col("text"), " ")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_contains(ws, "spark").as("has_spark"),
+        size(ws).as("n_tokens"),
+        concat_ws(",", sort_array(slice(ws, 1, 3))).as("head3_sorted"),
+        size(array_distinct(ws)).as("n_distinct"))
+      .orderBy("doc_id")
+  }
+
+  /** UNION ALL (bag semantics, no dedup shuffle). */
+  val unionAll: Q = Q(
+    "set0_union_all",
+    """SELECT k, COUNT(*) AS n FROM (
+      |  SELECT c_nationkey AS k FROM customer
+      |  UNION ALL SELECT s_nationkey AS k FROM supplier
+      |  UNION ALL SELECT n_nationkey AS k FROM nation) u
+      |GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      .unionAll(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+      .unionAll(t(s, dir, "nation").select(col("n_nationkey").as("k")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k")
+  }
+
+  /** Window frames: first/last/nth value and ntile over explicit frames. */
+  val windowFrames: Q = Q(
+    "w3_window_frames",
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_orderkey) OVER w AS first_ok,
+      |  last_value(o_orderkey) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+      |  nth_value(o_orderkey, 2) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(wFull).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_ok"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(pivot1, explode1, offset1, regex1, math1, geoMean,
+    percentiles, arrayFuncs, unionAll, windowFrames)
 }

@@ -307,7 +307,25 @@ object TextQueries {
       .orderBy("bucket_start")
   }
 
+  /** BPE-ish tokenization: alpha runs / digit runs / single punctuation
+    * as separate tokens (the pre-tokenizer shape real BPE vocabularies
+    * use), counted per doc next to the whitespace count. */
+  val bpeTokens: Q = Q(
+    "t12_bpe_tokens",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_number_runs
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_bpe_tokens"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_number_runs"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, tokenStats, langId, quality,
     fingerprint, ngramJaccard, minhashLsh, simhash,
-    trainTestSplit, vocab, lengthBuckets)
+    trainTestSplit, vocab, lengthBuckets, bpeTokens)
 }
