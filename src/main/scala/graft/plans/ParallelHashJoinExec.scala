@@ -112,7 +112,19 @@ object ParallelHashJoinExec {
 
     val buildKeyProj = UnsafeProjection.create(buildKeys, buildOutput)
     val probeKeyProj = UnsafeProjection.create(probeKeys, probeOutput)
-    val joinedOutput = buildOutput ++ probeOutput
+    // Null-padding makes the padded side's columns nullable even when the
+    // child schema says otherwise — the output projection MUST bind
+    // against nullability-adjusted attributes, or codegen elides the
+    // null check and reads 0 from the all-null pad row.
+    val buildOutForRead = joinType match {
+      case RightOuter | FullOuter => buildOutput.map(_.withNullability(true))
+      case _ => buildOutput
+    }
+    val probeOutForRead = joinType match {
+      case LeftOuter | FullOuter => probeOutput.map(_.withNullability(true))
+      case _ => probeOutput
+    }
+    val joinedOutput = buildOutForRead ++ probeOutForRead
     val resultProj: UnsafeProjection = joinType match {
       case LeftSemi | LeftAnti => UnsafeProjection.create(outAttrs, buildOutput)
       case _ => UnsafeProjection.create(outAttrs, joinedOutput)

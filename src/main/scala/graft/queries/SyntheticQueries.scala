@@ -102,5 +102,25 @@ object SyntheticQueries {
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(starSynthetic, sqlEntry, cachedTable)
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): a month ladder spanning the
+    * order history, left-joined to per-month order counts — gaps stay
+    * visible as zero months, which a plain GROUP BY cannot produce. */
+  val recursiveCte: Q = {
+    val sql =
+      """WITH RECURSIVE seq(n) AS (
+        |  SELECT 0
+        |  UNION ALL SELECT n + 1 FROM seq WHERE n < 79
+        |)
+        |SELECT n AS month_idx, COUNT(o_orderkey) AS n_orders
+        |FROM seq LEFT JOIN orders
+        |  ON CAST(extract(year FROM o_orderdate) AS INT) * 12
+        |     + CAST(extract(month FROM o_orderdate) AS INT) - (1995 * 12 + 1) = n
+        |GROUP BY n ORDER BY n""".stripMargin
+    Q("rec1_recursive_cte", sql) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(sql)
+    }
+  }
+
+  val all: Seq[Q] = Seq(starSynthetic, sqlEntry, cachedTable, recursiveCte)
 }
