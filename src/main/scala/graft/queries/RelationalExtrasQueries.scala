@@ -202,6 +202,26 @@ object RelationalExtrasQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Higher-order functions: lambda transform / filter / aggregate over
+    * arrays (codegen-free but optimizer-visible — the declarative way to
+    * process array columns without exploding them). */
+  val higherOrder: Q = Q(
+    "hof1_higher_order",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(list_filter(ws, x -> length(x) > 4)) AS INT) AS n_long_tokens,
+      |  array_to_string(list_transform(ws[1:2], x -> upper(x)), ' ') AS head2_uc,
+      |  CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS total_chars
+      |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        size(expr("filter(ws, x -> length(x) > 4)")).as("n_long_tokens"),
+        concat_ws(" ", expr("transform(slice(ws, 1, 2), x -> upper(x))")).as("head2_uc"),
+        expr("aggregate(ws, 0L, (acc, x) -> acc + length(x))").as("total_chars"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(pivot1, explode1, offset1, regex1, math1, geoMean,
-    percentiles, arrayFuncs, unionAll, windowFrames)
+    percentiles, arrayFuncs, unionAll, windowFrames, higherOrder)
 }
