@@ -195,9 +195,10 @@ object SimQueries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cluster"))
-    // query vector + its 4 closest centroids
-    val q = assigned.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    // query vector + its 4 closest centroids (derived from the raw
+    // table — the assignment lineage is irrelevant to the query row)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), norm(col("embedding")).as("qn"))
     val probed = cents.crossJoin(broadcast(q))
       .withColumn("qc_sim", dot(col("qe"), col("c_vec")) / (col("qn") * col("c_norm")))
       .orderBy(col("qc_sim").desc, col("c_id"))

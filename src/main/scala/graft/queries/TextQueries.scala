@@ -17,6 +17,19 @@ import graft.engine.Tables.t
   */
 object TextQueries {
 
+  /** Distinct 3-word shingles per doc, hashed to 64-bit keys; capped at
+    * the first 1000 shingles — the SAME cap as the t8 oracle's
+    * generate_series bound, which must stay in lockstep. Shared by the
+    * exact-Jaccard (t8) and MinHash (t6) pipelines so the cap and
+    * shingle shape can never diverge between them. */
+  private def shingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, least(size(ws)-3, 999)), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("g")).distinct()
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+
   /** Exact dedup: hash-groupBy on content (keep lowest doc_id). */
   val dedupExact: Q = Q(
     "t1_dedup_exact",
@@ -35,17 +48,19 @@ object TextQueries {
       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
       |  CAST(length(text) AS INT) AS n_chars,
-      |  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-      |    / len(string_split(text, ' ')), 4) AS avg_token_len
+      |  FLOOR(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |    / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS avg_token_len
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val ws = split(col("text"), " ")
+    // floor-based half-up rounding: integer-ratio values can land on
+    // 5th-decimal halves where ROUND diverges across engines (see t4)
     t(s, dir, "documents")
       .select(col("doc_id"),
         size(ws).as("n_tokens"),
         size(array_distinct(ws)).as("n_distinct"),
         length(col("text")).as("n_chars"),
-        round(length(regexp_replace(col("text"), " ", "")).cast(DoubleType) /
-          size(ws), 4).as("avg_token_len"))
+        (floor(length(regexp_replace(col("text"), " ", "")).cast(DoubleType) /
+          size(ws) * 10000 + 0.5) / 10000.0).as("avg_token_len"))
       .orderBy("doc_id")
   }
 
@@ -164,15 +179,9 @@ object TextQueries {
       |JOIN cnt cb ON cb.doc_id = b_id
       |WHERE ROUND(CAST(nb AS DOUBLE) / (ca.n + cb.n - nb), 4) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-    val w = t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
     // shuffle 64-bit shingle hashes, not strings (collision odds over
     // ~3e5 distinct shingles ≈ 2e-9 — far below the gate's noise floor)
-    val sh = w.select(col("doc_id"), explode(
-      expr("transform(sequence(0, least(size(ws)-3, 999)), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
-      .as("g")).distinct()
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val sh = shingles(t(s, dir, "documents"))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("a_id"), col("gh"))
     val b = sh.select(col("doc_id").as("b_id"), col("gh").as("gh2"))
@@ -195,13 +204,8 @@ object TextQueries {
     * oracle (xxhash64 is engine-specific); semantics gated by ScalaTest
     * against t8's exact Jaccard pairs. */
   val minhashLsh: Q = Q.noOracle("t6_minhash_lsh") { (s, dir) =>
-    val w = t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-    val sh = w.select(col("doc_id"), explode(
-      expr("transform(sequence(0, least(size(ws)-3, 999)), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
-      .as("g")).distinct()
-      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+    val sh = shingles(t(s, dir, "documents"))
+      .withColumnRenamed("gh", "g")
     val K = 8
     val sigCols = (0 until K).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i"))
     val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)

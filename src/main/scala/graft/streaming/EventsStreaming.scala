@@ -47,11 +47,12 @@ object EventsStreaming {
 
   /** Custom stateful streaming: gap-based sessionization per user via
     * flatMapGroupsWithState (the `KeyValueGroupedDataset` custom-state
-    * surface). Sessions are flushed at each batch boundary — with the
-    * static fixture arriving as one micro-batch this equals the batch
-    * formulation (`e3_sessions`), which PipelineSpec asserts; in a live
-    * stream the same function holds open sessions in GroupState and a
-    * ProcessingTime timeout flushes them. */
+    * surface). This demo variant deliberately flushes every session at
+    * the batch boundary and keeps no GroupState — correct for the
+    * static fixture arriving as one micro-batch (PipelineSpec asserts
+    * equality with `e3_sessions`), but a session spanning micro-batches
+    * would be split. A production variant must carry the open trailing
+    * session in GroupState and flush it via a timeout. */
   def sessionizeStream(spark: SparkSession, dir: String, name: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
@@ -96,8 +97,11 @@ object EventsStreaming {
 
   /** Streaming deduplication — the ingest-side dedup a training
     * pipeline runs before anything else: dropDuplicates on the event
-    * key over the stream (with a watermark the state stays bounded;
-    * dropDuplicatesWithinWatermark is the unbounded-key variant). */
+    * key over the stream. NB: with the event-time column absent from
+    * the dedup keys, state for these keys is retained indefinitely
+    * (fine for a bounded key domain like user×type); for unbounded
+    * keys use dropDuplicatesWithinWatermark, which evicts by
+    * watermark. */
   def dedupStream(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val q = spark.readStream

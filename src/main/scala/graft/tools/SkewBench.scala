@@ -38,8 +38,9 @@ object SkewBench {
 
     def run(skewOn: Boolean): Double = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
-      // keep AQE from hiding the skew by merging everything into one partition
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", skewOn.toString)
+      // pin coalescing OFF in BOTH arms so the A/B isolates skew-join
+      // splitting (coalescing would otherwise confound the delta)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fact.join(dim.hint("MERGE"), col("k") === col("d_k"))

@@ -28,6 +28,9 @@ object TpcRunner {
     val queries = opts.get("queries")
       .map(_.split(",").toSeq)
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+    val unknown = queries.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — see SparkEntry.queries.keys")
     val printPlan = opts.contains("print-plan")
     val fromMemory = opts.contains("from-memory")
 
