@@ -222,6 +222,24 @@ object RelationalExtrasQueries {
       .orderBy("doc_id")
   }
 
+  /** Unpivot (melt): wide per-part numeric columns to (metric, value)
+    * rows — the inverse of p1_pivot. Oracle uses the portable UNION ALL
+    * formulation of the same reshape. */
+  val unpivot1: Q = Q(
+    "u1_unpivot",
+    """SELECT p_partkey, metric, value FROM (
+      |  SELECT p_partkey, 'retail' AS metric, p_retailprice AS value FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      |) u ORDER BY p_partkey, metric""".stripMargin) { (s, dir) =>
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice").as("retail"),
+        col("p_size").cast("double").as("size"))
+      .unpivot(Array(col("p_partkey")), Array(col("retail"), col("size")),
+        "metric", "value")
+      .orderBy("p_partkey", "metric")
+  }
+
   val all: Seq[Q] = Seq(pivot1, explode1, offset1, regex1, math1, geoMean,
-    percentiles, arrayFuncs, unionAll, windowFrames, higherOrder)
+    percentiles, arrayFuncs, unionAll, windowFrames, higherOrder, unpivot1)
 }
