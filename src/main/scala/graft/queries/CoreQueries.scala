@@ -32,9 +32,9 @@ object CoreQueries {
       |  ${oraMoneySum("l_quantity")} AS sum_qty,
       |  ${oraMoneySum("l_extendedprice")} AS sum_base_price,
       |  $oraRevenueSum AS sum_disc_price,
-      |  ROUND(SUM(${oraCents("l_quantity")})/100.0 / COUNT(*), 4) AS avg_qty,
-      |  ROUND(SUM(${oraCents("l_extendedprice")})/100.0 / COUNT(*), 4) AS avg_price,
-      |  ROUND(SUM(${oraCents("l_discount")})/100.0 / COUNT(*), 4) AS avg_disc,
+      |  ${oraR4(s"SUM(${oraCents("l_quantity")})/100.0 / COUNT(*)")} AS avg_qty,
+      |  ${oraR4(s"SUM(${oraCents("l_extendedprice")})/100.0 / COUNT(*)")} AS avg_price,
+      |  ${oraR4(s"SUM(${oraCents("l_discount")})/100.0 / COUNT(*)")} AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -264,10 +264,10 @@ object CoreQueries {
   /** TPC-H Q14-style: conditional aggregation (CASE inside SUM). */
   val q14Promo: Q = Q(
     "q14_promo_revenue",
-    """SELECT ROUND(100.0 * (SUM(CASE WHEN p_type LIKE 'PROMO%'
+    s"""SELECT ${oraR4("""100.0 * (SUM(CASE WHEN p_type LIKE 'PROMO%'
       |    THEN CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) * CAST(ROUND((1 - l_discount)*100, 0) AS BIGINT)
       |    ELSE 0 END)/10000.0)
-      |  / (SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) * CAST(ROUND((1 - l_discount)*100, 0) AS BIGINT))/10000.0), 4) AS promo_revenue
+      |  / (SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) * CAST(ROUND((1 - l_discount)*100, 0) AS BIGINT))/10000.0)""")} AS promo_revenue
       |FROM lineitem, part
       |WHERE l_partkey = p_partkey
       |  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -277,10 +277,10 @@ object CoreQueries {
         col("l_shipdate") < lit("1996-10-01 00:00:00").cast(TimestampType))
     val p = t(s, dir, "part")
     l.join(p, col("l_partkey") === col("p_partkey"))
-      .agg(round(lit(100.0) *
+      .agg(r4(lit(100.0) *
         (sum(when(col("p_type").like("PROMO%"),
           discPrice4(col("l_extendedprice"), col("l_discount"))).otherwise(lit(0L))) / 10000.0) /
-        (sum(discPrice4(col("l_extendedprice"), col("l_discount"))) / 10000.0), 4)
+        (sum(discPrice4(col("l_extendedprice"), col("l_discount"))) / 10000.0))
         .as("promo_revenue"))
   }
 

@@ -36,10 +36,20 @@ object Num {
   def revenueSum(price: Column, discount: Column): Column =
     sum(discPrice4(price, discount)) / 10000.0
 
+  /** Engine-stable half-up rounding: ROUND(x, k) diverges across
+    * engines when x's shortest decimal repr lands exactly on a
+    * (k+1)-th-decimal half (Spark rounds the string, DuckDB the
+    * binary); floor(x*10^k + 0.5)/10^k is raw double arithmetic and
+    * therefore bit-identical everywhere. Use for any rounded ratio. */
+  def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
+  def r6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000.0
+  def oraR4(x: String): String = s"FLOOR(($x)*10000 + 0.5)/10000"
+  def oraR6(x: String): String = s"FLOOR(($x)*1000000 + 0.5)/1000000"
+
   /** Deterministic average: exact long-cents sum / count, rounded in
     * double. Division of identical operands is IEEE-deterministic. */
   def avgCents(c: Column, n: Column): Column =
-    round(sum(cents(c)) / 100.0 / n, 4)
+    r4(sum(cents(c)) / 100.0 / n)
 
   /** Oracle-side SQL fragments mirroring the helpers above. */
   val oraCents: String => String = x => s"CAST(ROUND(($x)*100, 0) AS BIGINT)"

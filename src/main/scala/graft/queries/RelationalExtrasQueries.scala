@@ -83,7 +83,7 @@ object RelationalExtrasQueries {
       |  CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_price,
       |  CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_price,
       |  p_retailprice * p_retailprice AS price_sq,
-      |  ROUND(LN(p_retailprice), 6) AS ln_price,
+      |  FLOOR(LN(p_retailprice)*1000000 + 0.5)/1000000 AS ln_price,
       |  CAST(p_size % 7 AS INT) AS size_mod
       |FROM part WHERE p_retailprice > 0 ORDER BY p_partkey""".stripMargin) { (s, dir) =>
     t(s, dir, "part")
@@ -94,7 +94,7 @@ object RelationalExtrasQueries {
         floor(col("p_retailprice")).as("floor_price"),
         ceil(col("p_retailprice")).as("ceil_price"),
         (col("p_retailprice") * col("p_retailprice")).as("price_sq"),
-        round(log(col("p_retailprice")), 6).as("ln_price"),
+        Num.r6(log(col("p_retailprice"))).as("ln_price"),
         (col("p_size") % 7).as("size_mod"))
       .orderBy("p_partkey")
   }
@@ -105,7 +105,7 @@ object RelationalExtrasQueries {
   val geoMean: Q = Q(
     "agg1_geomean_udaf",
     """SELECT p_brand,
-      |  ROUND(EXP(AVG(LN(p_retailprice))), 4) AS geo_mean_price,
+      |  FLOOR(EXP(AVG(LN(p_retailprice)))*10000 + 0.5)/10000 AS geo_mean_price,
       |  COUNT(*) AS n
       |FROM part WHERE p_retailprice > 0
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
@@ -115,7 +115,7 @@ object RelationalExtrasQueries {
     t(s, dir, "part")
       .filter(col("p_retailprice") > 0)
       .groupBy("p_brand")
-      .agg(round(geo(col("p_retailprice")), 4).as("geo_mean_price"),
+      .agg(Num.r4(geo(col("p_retailprice"))).as("geo_mean_price"),
         count(lit(1)).as("n"))
       .orderBy("p_brand")
   }
@@ -125,16 +125,16 @@ object RelationalExtrasQueries {
   val percentiles: Q = Q(
     "pc1_percentiles",
     """SELECT o_orderstatus,
-      |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-      |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-      |  ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      |  FLOOR(quantile_cont(o_totalprice, 0.5)*10000 + 0.5)/10000 AS p50,
+      |  FLOOR(quantile_cont(o_totalprice, 0.9)*10000 + 0.5)/10000 AS p90,
+      |  FLOOR(quantile_cont(o_totalprice, 0.99)*10000 + 0.5)/10000 AS p99
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
     t(s, dir, "orders")
       .groupBy("o_orderstatus")
       .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+        Num.r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        Num.r4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+        Num.r4(expr("percentile(o_totalprice, 0.99)")).as("p99"))
       .orderBy("o_orderstatus")
   }
 

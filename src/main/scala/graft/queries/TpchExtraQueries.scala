@@ -19,8 +19,8 @@ object TpchExtraQueries {
   val q8MarketShare: Q = Q(
     "q8_market_share",
     """SELECT o_year,
-      |  ROUND((SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)/10000.0)
-      |    / (SUM(volume)/10000.0), 4) AS mkt_share
+      |  FLOOR(((SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)/10000.0)
+      |    / (SUM(volume)/10000.0))*10000 + 0.5)/10000 AS mkt_share
       |FROM (
       |  SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
       |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
@@ -53,9 +53,9 @@ object TpchExtraQueries {
         discPrice4(col("l_extendedprice"), col("l_discount")).as("volume"),
         col("nation"))
       .groupBy("o_year")
-      .agg(round(
+      .agg(r4(
         (sum(when(col("nation") === "NATION_3", col("volume")).otherwise(0L)) / 10000.0) /
-          (sum(col("volume")) / 10000.0), 4).as("mkt_share"))
+          (sum(col("volume")) / 10000.0)).as("mkt_share"))
       .orderBy("o_year")
   }
 
@@ -118,7 +118,7 @@ object TpchExtraQueries {
     * AVG is exact and order-free in both engines. */
   val q17SmallQty: Q = Q(
     "q17_small_quantity",
-    """SELECT ROUND(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT))/100.0/7.0, 4) AS avg_yearly
+    """SELECT FLOOR((SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT))/100.0/7.0)*10000 + 0.5)/10000 AS avg_yearly
       |FROM lineitem, part
       |WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
       |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
@@ -130,7 +130,7 @@ object TpchExtraQueries {
     l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
       .join(avgQty, col("l_partkey") === col("avg_partkey"))
       .filter(col("l_quantity") < col("qty_threshold"))
-      .agg(round(sum(cents(col("l_extendedprice"))) / 100.0 / 7.0, 4).as("avg_yearly"))
+      .agg(r4(sum(cents(col("l_extendedprice"))) / 100.0 / 7.0).as("avg_yearly"))
   }
 
   /** Q19-style: disjunctive multi-attribute predicates across the join. */
