@@ -19,11 +19,13 @@ object Bench {
     * window, custom join exec, dedup/LSH, ANN, events. */
   private val headline = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q6_forecast_revenue", "q13_customer_distribution", "q18_large_orders",
-    "w1_window_rank", "star_join4", "j_left_outer", "j_residual_filter",
-    "pj_inner", "pj_right_outer",
+    "q6_forecast_revenue", "q9_profit", "q13_customer_distribution",
+    "q18_large_orders", "w1_window_rank", "star_join4",
+    "x1_star_synthetic", // the reference's own Size256-shape workload
+    "j_left_outer", "j_residual_filter", "pj_inner", "pj_right_outer",
     "t1_dedup_exact", "t6_minhash_lsh", "t8_ngram_jaccard",
-    "v1_cosine_topk", "v4_embedding_neardup", "e1_events_hourly")
+    "v1_cosine_topk", "v4_embedding_neardup",
+    "e1_events_hourly", "e3_sessions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
