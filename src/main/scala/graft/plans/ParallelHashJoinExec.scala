@@ -110,8 +110,16 @@ object ParallelHashJoinExec {
       numOutputRows: SQLMetric,
       buildRowsMetric: SQLMetric): Iterator[InternalRow] = {
 
-    val buildKeyProj = UnsafeProjection.create(buildKeys, buildOutput)
-    val probeKeyProj = UnsafeProjection.create(probeKeys, probeOutput)
+    // Normalize float/double keys (-0.0 → 0.0, canonical NaN) exactly as
+    // Spark's NormalizeFloatingNumbers does for native joins — our map
+    // compares raw UnsafeRow bytes, so un-normalized ±0.0 would fail to
+    // match where df.join matches it.
+    val normBuildKeys = buildKeys.map(
+      org.apache.spark.sql.classic.GraftSqlBridge.normalizeFloatingKey)
+    val normProbeKeys = probeKeys.map(
+      org.apache.spark.sql.classic.GraftSqlBridge.normalizeFloatingKey)
+    val buildKeyProj = UnsafeProjection.create(normBuildKeys, buildOutput)
+    val probeKeyProj = UnsafeProjection.create(normProbeKeys, probeOutput)
     // Null-padding makes the padded side's columns nullable even when the
     // child schema says otherwise — the output projection MUST bind
     // against nullability-adjusted attributes, or codegen elides the
@@ -132,7 +140,10 @@ object ParallelHashJoinExec {
     val boundCondition: InternalRow => Boolean = condition match {
       case Some(c) =>
         val pred = Predicate.create(c, joinedOutput)
-        pred.initialize(0)
+        // partition-aware init so nondeterministic conditions (rand())
+        // draw independent streams per partition, as native joins do
+        pred.initialize(Option(org.apache.spark.TaskContext.get())
+          .map(_.partitionId()).getOrElse(0))
         pred.eval _
       case None => (_: InternalRow) => true
     }
@@ -189,7 +200,11 @@ object ParallelHashJoinExec {
     // Outer paths buffer per-probe-row matches (they must know whether
     // any match survived the condition before padding), so they copy.
     val probePhase: Iterator[InternalRow] = joinType match {
-      case Inner =>
+      case Inner | LeftOuter =>
+        // fully lazy, zero-copy; LeftOuter additionally marks matched
+        // build rows for the finalizer (unmatched PROBE rows are never
+        // emitted for these types, so no per-probe buffering is needed)
+        val markMatches = joinType == LeftOuter
         new Iterator[InternalRow] {
           private var probeRow: InternalRow = _
           private var cursor: Int = -1
@@ -201,7 +216,10 @@ object ParallelHashJoinExec {
                 val idx = cursor
                 cursor = nextIdx(idx)
                 joined(rows(idx), probeRow)
-                if (boundCondition(joined)) return true
+                if (boundCondition(joined)) {
+                  if (markMatches) matched.set(idx)
+                  return true
+                }
               }
               if (!probeIter.hasNext) return false
               probeRow = probeIter.next()
@@ -235,8 +253,8 @@ object ParallelHashJoinExec {
           }
           override def next(): InternalRow = throw new NoSuchElementException
         }
-      case _ => // LeftOuter, RightOuter, FullOuter
-        val preserveProbe = joinType == RightOuter || joinType == FullOuter
+      case _ => // RightOuter, FullOuter: must know "any match?" per probe
+        // row before padding, hence the per-row buffer + copies
         probeIter.flatMap { probeRow =>
           var cursor = headFor(probeKeyProj(probeRow))
           var anyMatch = false
@@ -251,7 +269,7 @@ object ParallelHashJoinExec {
             }
             cursor = nextIdx(cursor)
           }
-          if (!anyMatch && preserveProbe) {
+          if (!anyMatch) {
             numOutputRows += 1
             out += resultProj(joined(nullBuildRow, probeRow)).copy()
           }

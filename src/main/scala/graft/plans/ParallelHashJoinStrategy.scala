@@ -105,13 +105,29 @@ object ParallelHashJoinApi {
       rPlan = Project(aliases, rPlan)
     }
 
+    // session-consistent (usually case-insensitive) name resolution,
+    // with explicit errors for missing and ambiguous names
+    val resolver = spark.sessionState.conf.resolver
     def resolve(p: LogicalPlan, name: String): Attribute =
-      p.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"key column $name not in ${p.output.map(_.name).mkString(",")}"))
+      p.output.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"key column $name not in ${p.output.map(_.name).mkString(",")}")
+        case many => throw new IllegalArgumentException(
+          s"key column $name is ambiguous: ${many.mkString(",")}")
+      }
 
+    require(lNames.length == rNames.length && lNames.nonEmpty,
+      s"parallelHashJoin needs equally many non-empty key lists, got " +
+        s"${lNames.length} vs ${rNames.length}")
     val lKeys: Seq[Expression] = lNames.map(resolve(lPlan, _))
     val rKeys: Seq[Expression] = rNames.map(resolve(rPlan, _))
+    lKeys.zip(rKeys).foreach { case (lk, rk) =>
+      require(lk.dataType == rk.dataType,
+        s"join key type mismatch: ${lk.dataType} vs ${rk.dataType} — " +
+          "cast the columns to a common type first (native joins coerce; " +
+          "this API is explicit)")
+    }
     // Resolve the residual condition (attribute references, function
     // lookup, type coercion) by running the analyzer over a scratch
     // Filter-on-Join plan exposing both sides' attributes.

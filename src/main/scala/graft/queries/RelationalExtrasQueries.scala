@@ -240,6 +240,20 @@ object RelationalExtrasQueries {
       .orderBy("p_partkey", "metric")
   }
 
+  /** JSON path extraction over the semi-structured props column. */
+  val json1: Q = Q(
+    "j1_json_extract",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)/100.0 AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), Num.moneySum(col("value")).as("total_value"))
+      .orderBy("k")
+  }
+
   val all: Seq[Q] = Seq(pivot1, explode1, offset1, regex1, math1, geoMean,
-    percentiles, arrayFuncs, unionAll, windowFrames, higherOrder, unpivot1)
+    percentiles, arrayFuncs, unionAll, windowFrames, higherOrder, unpivot1, json1)
 }

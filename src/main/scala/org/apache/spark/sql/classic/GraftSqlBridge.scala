@@ -23,6 +23,12 @@ object GraftSqlBridge {
   /** Wrap a Catalyst expression back into a public Column. */
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Spark's canonical floating-point key normalization (-0.0 → 0.0,
+    * canonical NaN) — the same transform NormalizeFloatingNumbers applies
+    * to native join keys, exposed for the custom join operator. */
+  def normalizeFloatingKey(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
   /** What an extensions object would inject into a session — lets tests
     * verify GraftExtensions wiring without constructing a new session
     * (the session constructor is private even package-locally). */

@@ -125,6 +125,33 @@ class ParallelHashJoinSpec extends AnyFunSuite {
     assert(sorted(pj(l, r, "left_anti", cond)) == Seq(Seq(2, "b")))
   }
 
+  test("negative zero double keys match positive zero, like native joins") {
+    val schema = StructType(Seq(
+      StructField("dk", DoubleType, nullable = true),
+      StructField("v", StringType, nullable = true)))
+    val l = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(0.0, "l0"), Row(1.5, "l1")), 2), schema)
+    val r = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(-0.0, "r0"), Row(1.5, "r1")), 2),
+      StructType(Seq(StructField("dk2", DoubleType, true), StructField("v2", StringType, true))))
+    val got = ParallelHashJoinApi.parallelHashJoin(l, r, Seq("dk"), Seq("dk2"), "inner")
+    assert(got.count() == 2, "0.0 must match -0.0 and 1.5 must match 1.5")
+  }
+
+  test("mismatched key types and arities are rejected loudly") {
+    val l = df(Seq((1, "a")), "lid", "lval")
+    val r = df(Seq((1, "b")), "rid", "rval")
+    intercept[IllegalArgumentException] {
+      ParallelHashJoinApi.parallelHashJoin(l, r, Seq("lid"), Seq("rval"), "inner")
+    }
+    intercept[IllegalArgumentException] {
+      ParallelHashJoinApi.parallelHashJoin(l, r, Seq("lid", "lval"), Seq("rid"), "inner")
+    }
+    intercept[IllegalArgumentException] {
+      ParallelHashJoinApi.parallelHashJoin(l, r, Seq("nope"), Seq("rid"), "inner")
+    }
+  }
+
   test("matches built-in join on random data for all types") {
     val rnd = new scala.util.Random(42)
     val l = df(Seq.fill(200)((Integer.valueOf(rnd.nextInt(30)), "L" + rnd.nextInt(5))), "lid", "lval")
