@@ -36,7 +36,7 @@ object SimQueries {
       |        SUM(ve[i] * ve[i]) AS n1,
       |        SUM(qe[i] * qe[i]) AS n2
       |      FROM d, q, generate_series(1, 64) t(i) GROUP BY vec_id)
-      |SELECT vec_id, ROUND(dot / (SQRT(n1) * SQRT(n2)), 4) AS cos_sim
+      |SELECT vec_id, FLOOR(dot / (SQRT(n1) * SQRT(n2)) * 10000 + 0.5)/10000 AS cos_sim
       |FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
     implicit val sp: SparkSession = s
     val e = t(s, dir, "embeddings")
@@ -45,8 +45,8 @@ object SimQueries {
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(dot(col("embedding"), col("qe")) /
-          (norm(col("embedding")) * col("qn")), 4).as("cos_sim"))
+        Num.r4(dot(col("embedding"), col("qe")) /
+          (norm(col("embedding")) * col("qn"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -78,7 +78,7 @@ object SimQueries {
     withSig.filter(col("vec_id") =!= 0)
       .join(broadcast(q), col("sig") === col("qsig"))
       .select(col("vec_id"), col("sig"),
-        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 4).as("cos_sim"))
+        Num.r4(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -92,18 +92,18 @@ object SimQueries {
       |                generate_series(1, 64) t(i)
       |           GROUP BY vec_id, label)
       |SELECT label, COUNT(*) AS n,
-      |  ROUND(AVG(nrm), 4) AS avg_norm,
-      |  ROUND(MIN(nrm), 4) AS min_norm,
-      |  ROUND(MAX(nrm), 4) AS max_norm
+      |  FLOOR(AVG(nrm)*10000 + 0.5)/10000 AS avg_norm,
+      |  FLOOR(MIN(nrm)*10000 + 0.5)/10000 AS min_norm,
+      |  FLOOR(MAX(nrm)*10000 + 0.5)/10000 AS max_norm
       |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
     implicit val sp: SparkSession = s
     t(s, dir, "embeddings")
       .select(col("label"), norm(col("embedding")).as("nrm"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
-        round(avg(col("nrm")), 4).as("avg_norm"),
-        round(min(col("nrm")), 4).as("min_norm"),
-        round(max(col("nrm")), 4).as("max_norm"))
+        Num.r4(avg(col("nrm"))).as("avg_norm"),
+        Num.r4(min(col("nrm"))).as("min_norm"),
+        Num.r4(max(col("nrm"))).as("max_norm"))
       .orderBy("label")
   }
 
@@ -127,8 +127,8 @@ object SimQueries {
       |s AS (SELECT a_id, b_id, SUM(va[i] * vb[i]) AS dot,
       |        SUM(va[i] * va[i]) AS n1, SUM(vb[i] * vb[i]) AS n2
       |      FROM p, generate_series(1, 64) t(i) GROUP BY a_id, b_id)
-      |SELECT a_id, b_id, ROUND(dot / (SQRT(n1) * SQRT(n2)), 4) AS cos_sim
-      |FROM s WHERE ROUND(dot / (SQRT(n1) * SQRT(n2)), 4) >= 0.45
+      |SELECT a_id, b_id, FLOOR(dot / (SQRT(n1) * SQRT(n2)) * 10000 + 0.5)/10000 AS cos_sim
+      |FROM s WHERE FLOOR(dot / (SQRT(n1) * SQRT(n2)) * 10000 + 0.5)/10000 >= 0.45
       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
     val sp = s
     import sp.implicits._
@@ -156,9 +156,9 @@ object SimQueries {
           val vj = vecsL(j)
           var d = 0.0; var k = 0
           while (k < vi.length) { d += vi(k).toDouble * vj(k).toDouble; k += 1 }
-          // same rounding as Spark's round(): shortest-repr HALF_UP
-          val cos = java.math.BigDecimal.valueOf(d / (normsL(i) * normsL(j)))
-            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          // same floor-based half-up rounding as the oracle (raw double
+          // arithmetic, bit-identical across engines)
+          val cos = math.floor(d / (normsL(i) * normsL(j)) * 10000 + 0.5) / 10000.0
           if (cos >= 0.45) Some((idsL(i), idsL(j), cos)) else None
         }
       }
@@ -209,7 +209,7 @@ object SimQueries {
       .join(broadcast(probed), col("cluster") === col("probe_cluster"), "left_semi")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cluster"),
-        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 4).as("cos_sim"))
+        Num.r4(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
