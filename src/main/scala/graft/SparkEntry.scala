@@ -14,7 +14,8 @@ object SparkEntry {
 
   private def packs: Seq[Q] =
     CoreQueries.all ++ TpchExtraQueries.all ++ JoinQueries.all ++
-      ParallelJoinQueries.all ++ TextQueries.all ++ SimQueries.all ++
+      ParallelJoinQueries.all ++ ParallelSqlJoinQueries.all ++
+      TextQueries.all ++ SimQueries.all ++
       MultimodalQueries.all ++ SyntheticQueries.all ++
       RelationalExtrasQueries.all ++ SessionQueries.all
 

@@ -37,16 +37,31 @@ object ParallelHashJoinStrategy extends SparkStrategy {
     case _ => BuildRight // LeftOuter, LeftSemi, LeftAnti
   }
 
+  /** The `impl` knob dispatch shared by the explicit-node and the
+    * transparent (auto) paths. */
+  private def planJoin(
+      leftKeys: Seq[Expression], rightKeys: Seq[Expression], joinType: JoinType,
+      condition: Option[Expression], left: LogicalPlan, right: LogicalPlan): Seq[SparkPlan] =
+    SQLConf.get.getConfString(implConfKey, "chain") match {
+      case "codegen" =>
+        ShuffledHashJoinExec(leftKeys, rightKeys, joinType,
+          buildSideFor(joinType), condition,
+          planLater(left), planLater(right)) :: Nil
+      case _ =>
+        ParallelHashJoinExec(leftKeys, rightKeys, joinType, condition,
+          planLater(left), planLater(right)) :: Nil
+    }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: ParallelHashJoin =>
-      SQLConf.get.getConfString(implConfKey, "chain") match {
-        case "codegen" =>
-          ShuffledHashJoinExec(j.leftKeys, j.rightKeys, j.joinType,
-            buildSideFor(j.joinType), j.condition,
-            planLater(j.left), planLater(j.right)) :: Nil
-        case _ =>
-          ParallelHashJoinExec(j.leftKeys, j.rightKeys, j.joinType, j.condition,
-            planLater(j.left), planLater(j.right)) :: Nil
+      planJoin(j.leftKeys, j.rightKeys, j.joinType, j.condition, j.left, j.right)
+    // Transparent path (reference's UseParallelHashJoinRule applied to
+    // ordinary SQL/DataFrame joins): conf-gated, guards in AutoParallelJoin.
+    case j: Join if AutoParallelJoin.mode(SQLConf.get) != AutoParallelJoin.Off =>
+      val required = AutoParallelJoin.mode(SQLConf.get) == AutoParallelJoin.Required
+      AutoParallelJoin.extract(j, ignoreBroadcast = required, SQLConf.get) match {
+        case Some((lk, rk, jt, cond)) => planJoin(lk, rk, jt, cond, j.left, j.right)
+        case None => Nil
       }
     case _ => Nil
   }
