@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.physical._
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, GraftSpillableRowBuffer, SparkPlan}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Physical shared-build hash join.
@@ -36,6 +36,16 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   *  - NULL keys never match (`use_parallel_hash_join_rule.rs:87-89`),
   *    but null-keyed build rows still surface as unmatched in
   *    outer/anti results.
+  *
+  * Memory posture (beyond the reference, whose build map is unbounded —
+  * `concurrent_self_hash_join_map.rs` grows until OOM): the per-partition
+  * build buffer is byte-tracked against
+  * `spark.graft.parallelHashJoin.buildSpillThreshold`; above it the
+  * operator degrades to a chunked "grace" hash join — both sides land in
+  * spill-capable row buffers (Spark's SMJ/Window machinery), then the
+  * build side is processed one in-memory chunk at a time with the probe
+  * side re-scanned per chunk, probe-unmatched tracking deferred to a
+  * global pass. Same results for every join type; bounded memory.
   */
 case class ParallelHashJoinExec(
     leftKeys: Seq[Expression],
@@ -47,7 +57,8 @@ case class ParallelHashJoinExec(
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
-    "buildRows" -> SQLMetrics.createMetric(sparkContext, "build side rows"))
+    "buildRows" -> SQLMetrics.createMetric(sparkContext, "build side rows"),
+    "buildChunks" -> SQLMetrics.createMetric(sparkContext, "build chunks (>1 = spill fallback)"))
 
   override def output: Seq[Attribute] =
     ParallelHashJoin.outputFor(joinType, left.output, right.output)
@@ -75,6 +86,7 @@ case class ParallelHashJoinExec(
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val buildRowsMetric = longMetric("buildRows")
+    val buildChunksMetric = longMetric("buildChunks")
     val buildOutput = left.output
     val probeOutput = right.output
     val buildKeys = leftKeys
@@ -82,20 +94,78 @@ case class ParallelHashJoinExec(
     val jt = joinType
     val cond = condition
     val outAttrs = output
+    val spillThreshold = conf.getConfString(
+      ParallelHashJoinExec.spillThresholdKey,
+      ParallelHashJoinExec.spillThresholdDefault).toLong
     left.execute().zipPartitions(right.execute()) { (buildIter, probeIter) =>
       ParallelHashJoinExec.joinPartition(
         buildIter, probeIter, buildOutput, probeOutput, buildKeys, probeKeys,
-        jt, cond, outAttrs, numOutputRows, buildRowsMetric)
+        jt, cond, outAttrs, spillThreshold,
+        numOutputRows, buildRowsMetric, buildChunksMetric)
     }
   }
 }
 
 object ParallelHashJoinExec {
 
+  /** Per-partition build-side byte budget before the chunked spill
+    * fallback engages. 256 MB default: at 32 shuffle partitions that
+    * bounds resident build state well under executor memory, and at
+    * cluster scale the budget is per-task regardless of input size. */
+  val spillThresholdKey = "spark.graft.parallelHashJoin.buildSpillThreshold"
+  val spillThresholdDefault: String = (256L * 1024 * 1024).toString
+
+  /** Build-side chain-layout hash map: key → head row index, int next[]
+    * chain — no per-row boxing, no per-key buffers; the reference's
+    * index-chain map shape (`concurrent_self_hash_join_map.rs`
+    * append_block) in its single-writer per-partition form. */
+  private final class ChainMap(keyProj: UnsafeProjection) {
+    val rows = new mutable.ArrayBuffer[InternalRow]()
+    private val keyHead = new java.util.HashMap[UnsafeRow, Integer]()
+    private var nextIdx = new Array[Int](1024)
+
+    def size: Int = rows.length
+
+    def clear(): Unit = {
+      rows.clear()
+      keyHead.clear()
+    }
+
+    /** `row` must already be owned by the caller (copied). */
+    def append(row: InternalRow): Unit = {
+      val idx = rows.length
+      rows += row
+      if (nextIdx.length <= idx) nextIdx = java.util.Arrays.copyOf(nextIdx, nextIdx.length * 2)
+      val key = keyProj(row)
+      if (!key.anyNull) {
+        val prevHead = keyHead.get(key)
+        if (prevHead == null) {
+          keyHead.put(key.copy(), idx)
+          nextIdx(idx) = -1
+        } else {
+          // entry exists: HashMap keeps the stored key object, so the
+          // reused projection row is safe to pass here
+          keyHead.put(key, idx)
+          nextIdx(idx) = prevHead.intValue()
+        }
+      }
+    }
+
+    def next(i: Int): Int = nextIdx(i)
+
+    def headFor(key: UnsafeRow): Int =
+      if (key.anyNull) -1
+      else {
+        val h = keyHead.get(key)
+        if (h == null) -1 else h.intValue()
+      }
+  }
+
   /** One partition's build-then-probe, mirroring the reference's
     * `execute_streaming_join` (`parallel_hash_join_executor.rs:101-121`):
     * fully consume the build side into a hash map, then stream the probe
-    * side, then run the unmatched-rows finalizer. */
+    * side, then run the unmatched-rows finalizer. Above the byte budget
+    * the same contract runs chunk-by-chunk (see class doc). */
   // noinspection ScalaStyle
   private[plans] def joinPartition(
       buildIter: Iterator[InternalRow],
@@ -107,8 +177,10 @@ object ParallelHashJoinExec {
       joinType: JoinType,
       condition: Option[Expression],
       outAttrs: Seq[Attribute],
+      spillThresholdBytes: Long,
       numOutputRows: SQLMetric,
-      buildRowsMetric: SQLMetric): Iterator[InternalRow] = {
+      buildRowsMetric: SQLMetric,
+      buildChunksMetric: SQLMetric): Iterator[InternalRow] = {
 
     // Normalize float/double keys (-0.0 → 0.0, canonical NaN) exactly as
     // Spark's NormalizeFloatingNumbers does for native joins — our map
@@ -148,156 +220,290 @@ object ParallelHashJoinExec {
       case None => (_: InternalRow) => true
     }
 
-    // --- build phase: one pass, rows buffered, non-null keys indexed.
-    // Chain layout (key → head row-idx, int next[] chain): no per-row
-    // boxing, no per-key buffers — the reference's index-chain map shape
-    // (`concurrent_self_hash_join_map.rs` append_block) in its
-    // single-writer per-partition form. ---
-    val rows = new mutable.ArrayBuffer[InternalRow]()
-    val keyHead = new java.util.HashMap[UnsafeRow, Integer]()
-    var nextIdx = new Array[Int](1024)
-    while (buildIter.hasNext) {
-      val row = buildIter.next().copy()
-      val idx = rows.length
-      rows += row
-      if (nextIdx.length <= idx) nextIdx = java.util.Arrays.copyOf(nextIdx, nextIdx.length * 2)
-      val key = buildKeyProj(row)
-      if (!key.anyNull) {
-        val prevHead = keyHead.get(key)
-        if (prevHead == null) {
-          keyHead.put(key.copy(), idx)
-          nextIdx(idx) = -1
-        } else {
-          // entry exists: HashMap keeps the stored key object, so the
-          // reused projection row is safe to pass here
-          keyHead.put(key, idx)
-          nextIdx(idx) = prevHead.intValue()
-        }
-      }
-    }
-    buildRowsMetric += rows.length
-
-    @inline def headFor(key: UnsafeRow): Int =
-      if (key.anyNull) -1
-      else {
-        val h = keyHead.get(key)
-        if (h == null) -1 else h.intValue()
-      }
-
+    val chain = new ChainMap(buildKeyProj)
     val trackBuildMatches = joinType match {
       case LeftOuter | FullOuter | LeftSemi | LeftAnti => true
       case _ => false
     }
-    val matched = if (trackBuildMatches) new java.util.BitSet(rows.length) else null
     val nullBuildRow = new GenericInternalRow(buildOutput.length)
     val nullProbeRow = new GenericInternalRow(probeOutput.length)
     val joined = new JoinedRow
 
-    // --- probe phase: streamed ---
-    // Inner: fully lazy, zero-copy (projection rows are consumed before
-    // the next element is produced — standard SparkPlan iterator
-    // contract). Semi/anti: allocation-free marking pass, no output.
-    // Outer paths buffer per-probe-row matches (they must know whether
-    // any match survived the condition before padding), so they copy.
-    val probePhase: Iterator[InternalRow] = joinType match {
-      case Inner | LeftOuter =>
-        // fully lazy, zero-copy; LeftOuter additionally marks matched
-        // build rows for the finalizer (unmatched PROBE rows are never
-        // emitted for these types, so no per-probe buffering is needed)
-        val markMatches = joinType == LeftOuter
-        new Iterator[InternalRow] {
-          private var probeRow: InternalRow = _
-          private var cursor: Int = -1
-          private var pending = false
-
-          private def advance(): Boolean = {
-            while (true) {
-              while (cursor != -1) {
-                val idx = cursor
-                cursor = nextIdx(idx)
-                joined(rows(idx), probeRow)
-                if (boundCondition(joined)) {
-                  if (markMatches) matched.set(idx)
-                  return true
-                }
-              }
-              if (!probeIter.hasNext) return false
-              probeRow = probeIter.next()
-              cursor = headFor(probeKeyProj(probeRow))
-            }
-            false
-          }
-
-          override def hasNext: Boolean = pending || { pending = advance(); pending }
-          override def next(): InternalRow = {
-            if (!hasNext) throw new NoSuchElementException
-            pending = false
-            numOutputRows += 1
-            resultProj(joined)
-          }
-        }
-      case LeftSemi | LeftAnti =>
-        // marking pass only; emits nothing (finalizer emits build rows)
-        new Iterator[InternalRow] {
-          override def hasNext: Boolean = {
-            while (probeIter.hasNext) {
-              val probeRow = probeIter.next()
-              var cursor = headFor(probeKeyProj(probeRow))
-              while (cursor != -1) {
-                joined(rows(cursor), probeRow)
-                if (boundCondition(joined)) matched.set(cursor)
-                cursor = nextIdx(cursor)
-              }
-            }
-            false
-          }
-          override def next(): InternalRow = throw new NoSuchElementException
-        }
-      case _ => // RightOuter, FullOuter: must know "any match?" per probe
-        // row before padding, hence the per-row buffer + copies
-        probeIter.flatMap { probeRow =>
-          var cursor = headFor(probeKeyProj(probeRow))
-          var anyMatch = false
-          val out = new mutable.ArrayBuffer[InternalRow](4)
-          while (cursor != -1) {
-            joined(rows(cursor), probeRow)
-            if (boundCondition(joined)) {
-              anyMatch = true
-              if (matched != null) matched.set(cursor)
-              numOutputRows += 1
-              out += resultProj(joined).copy()
-            }
-            cursor = nextIdx(cursor)
-          }
-          if (!anyMatch) {
-            numOutputRows += 1
-            out += resultProj(joined(nullBuildRow, probeRow)).copy()
-          }
-          out
-        }
+    // --- build phase: one pass, rows buffered, non-null keys indexed,
+    // bytes tracked against the spill budget ---
+    val toUnsafeBuild = UnsafeProjection.create(buildOutput.map(_.dataType).toArray)
+    def asUnsafe(r: InternalRow, proj: UnsafeProjection): UnsafeRow = r match {
+      case u: UnsafeRow => u
+      case other => proj(other)
+    }
+    var buildBytes = 0L
+    var buildStore: GraftSpillableRowBuffer = null
+    while (buildIter.hasNext && buildStore == null) {
+      val row = buildIter.next()
+      buildBytes += (row match {
+        case u: UnsafeRow => u.getSizeInBytes.toLong
+        case _ => 16L + 8L * buildOutput.length
+      })
+      if (buildBytes > spillThresholdBytes) {
+        // over budget: migrate what's buffered into a spill-capable store
+        // and keep consuming there — the chunked path takes over below
+        buildStore = new GraftSpillableRowBuffer()
+        chain.rows.foreach(r => buildStore.add(asUnsafe(r, toUnsafeBuild)))
+        chain.clear()
+        buildStore.add(asUnsafe(row, toUnsafeBuild))
+      } else {
+        chain.append(row.copy())
+      }
+    }
+    if (buildStore != null) {
+      while (buildIter.hasNext) buildStore.add(asUnsafe(buildIter.next(), toUnsafeBuild))
+      buildRowsMetric += buildStore.length
+    } else {
+      buildRowsMetric += chain.size
     }
 
-    // --- finalizer: unmatched build rows (runs once probe is drained),
-    // the per-partition analog of the reference's last-owner finalizer ---
-    def finisher(): Iterator[InternalRow] = joinType match {
+    /** Unmatched/matched build-row emitters shared by both paths; the
+      * bitset covers exactly the rows currently resident in `chain`. */
+    def buildFinisher(matched: java.util.BitSet): Iterator[InternalRow] = joinType match {
       case LeftOuter | FullOuter =>
-        Iterator.range(0, rows.length).filter(i => !matched.get(i)).map { i =>
+        Iterator.range(0, chain.size).filter(i => !matched.get(i)).map { i =>
           numOutputRows += 1
-          resultProj(joined(rows(i), nullProbeRow))
+          resultProj(joined(chain.rows(i), nullProbeRow))
         }
       case LeftSemi =>
-        Iterator.range(0, rows.length).filter(matched.get).map { i =>
+        Iterator.range(0, chain.size).filter(matched.get).map { i =>
           numOutputRows += 1
-          resultProj(rows(i))
+          resultProj(chain.rows(i))
         }
       case LeftAnti =>
-        Iterator.range(0, rows.length).filter(i => !matched.get(i)).map { i =>
+        Iterator.range(0, chain.size).filter(i => !matched.get(i)).map { i =>
           numOutputRows += 1
-          resultProj(rows(i))
+          resultProj(chain.rows(i))
         }
       case _ => Iterator.empty
     }
 
-    probePhase ++ finisher()
+    if (buildStore == null) {
+      // ===== fast path: whole build side resident in one chain map =====
+      buildChunksMetric += 1
+      val matched = if (trackBuildMatches) new java.util.BitSet(chain.size) else null
+
+      // --- probe phase: streamed ---
+      // Inner: fully lazy, zero-copy (projection rows are consumed before
+      // the next element is produced — standard SparkPlan iterator
+      // contract). Semi/anti: allocation-free marking pass, no output.
+      // Outer paths buffer per-probe-row matches (they must know whether
+      // any match survived the condition before padding), so they copy.
+      val probePhase: Iterator[InternalRow] = joinType match {
+        case Inner | LeftOuter =>
+          // fully lazy, zero-copy; LeftOuter additionally marks matched
+          // build rows for the finalizer (unmatched PROBE rows are never
+          // emitted for these types, so no per-probe buffering is needed)
+          val markMatches = joinType == LeftOuter
+          new Iterator[InternalRow] {
+            private var probeRow: InternalRow = _
+            private var cursor: Int = -1
+            private var pending = false
+
+            private def advance(): Boolean = {
+              while (true) {
+                while (cursor != -1) {
+                  val idx = cursor
+                  cursor = chain.next(idx)
+                  joined(chain.rows(idx), probeRow)
+                  if (boundCondition(joined)) {
+                    if (markMatches) matched.set(idx)
+                    return true
+                  }
+                }
+                if (!probeIter.hasNext) return false
+                probeRow = probeIter.next()
+                cursor = chain.headFor(probeKeyProj(probeRow))
+              }
+              false
+            }
+
+            override def hasNext: Boolean = pending || { pending = advance(); pending }
+            override def next(): InternalRow = {
+              if (!hasNext) throw new NoSuchElementException
+              pending = false
+              numOutputRows += 1
+              resultProj(joined)
+            }
+          }
+        case LeftSemi | LeftAnti =>
+          // marking pass only; emits nothing (finalizer emits build rows)
+          new Iterator[InternalRow] {
+            override def hasNext: Boolean = {
+              while (probeIter.hasNext) {
+                val probeRow = probeIter.next()
+                var cursor = chain.headFor(probeKeyProj(probeRow))
+                while (cursor != -1) {
+                  joined(chain.rows(cursor), probeRow)
+                  if (boundCondition(joined)) matched.set(cursor)
+                  cursor = chain.next(cursor)
+                }
+              }
+              false
+            }
+            override def next(): InternalRow = throw new NoSuchElementException
+          }
+        case _ => // RightOuter, FullOuter: must know "any match?" per probe
+          // row before padding, hence the per-row buffer + copies
+          probeIter.flatMap { probeRow =>
+            var cursor = chain.headFor(probeKeyProj(probeRow))
+            var anyMatch = false
+            val out = new mutable.ArrayBuffer[InternalRow](4)
+            while (cursor != -1) {
+              joined(chain.rows(cursor), probeRow)
+              if (boundCondition(joined)) {
+                anyMatch = true
+                if (matched != null) matched.set(cursor)
+                numOutputRows += 1
+                out += resultProj(joined).copy()
+              }
+              cursor = chain.next(cursor)
+            }
+            if (!anyMatch) {
+              numOutputRows += 1
+              out += resultProj(joined(nullBuildRow, probeRow)).copy()
+            }
+            out
+          }
+      }
+
+      // --- finalizer: unmatched build rows (runs once probe is drained),
+      // the per-partition analog of the reference's last-owner finalizer ---
+      probePhase ++ buildFinisher(matched)
+    } else {
+      // ===== chunked fallback ("grace" hash join) =====
+      // Build side exceeds the byte budget: process it one chunk at a
+      // time, re-scanning the (spill-buffered) probe side per chunk.
+      // Build-row match state is chunk-local (chunks are disjoint);
+      // probe-row match state spans chunks, so RightOuter/FullOuter
+      // padding runs in one global pass at the end.
+      val toUnsafeProbe = UnsafeProjection.create(probeOutput.map(_.dataType).toArray)
+      val probeStore = new GraftSpillableRowBuffer()
+      while (probeIter.hasNext) probeStore.add(asUnsafe(probeIter.next(), toUnsafeProbe))
+
+      val probeMatched = joinType match {
+        case RightOuter | FullOuter => new java.util.BitSet(probeStore.length)
+        case _ => null
+      }
+      val buildStoreIter = buildStore.iterator
+      var chunkMatched: java.util.BitSet = null
+
+      def loadChunk(): Boolean = {
+        if (!buildStoreIter.hasNext) return false
+        chain.clear()
+        var chunkBytes = 0L
+        while (buildStoreIter.hasNext && chunkBytes < spillThresholdBytes) {
+          val r = buildStoreIter.next()
+          chunkBytes += r.getSizeInBytes
+          chain.append(r.copy()) // store iterator reuses its row buffer
+        }
+        chunkMatched = if (trackBuildMatches) new java.util.BitSet(chain.size) else null
+        buildChunksMetric += 1
+        true
+      }
+
+      def probeChunk(): Iterator[InternalRow] = joinType match {
+        case LeftSemi | LeftAnti =>
+          // marking pass only, as in the fast path
+          new Iterator[InternalRow] {
+            private val pIter = probeStore.iterator
+            override def hasNext: Boolean = {
+              while (pIter.hasNext) {
+                val probeRow = pIter.next()
+                var cursor = chain.headFor(probeKeyProj(probeRow))
+                while (cursor != -1) {
+                  joined(chain.rows(cursor), probeRow)
+                  if (boundCondition(joined)) chunkMatched.set(cursor)
+                  cursor = chain.next(cursor)
+                }
+              }
+              false
+            }
+            override def next(): InternalRow = throw new NoSuchElementException
+          }
+        case _ =>
+          // Inner/LeftOuter/RightOuter/FullOuter all emit matches lazily;
+          // probe padding is deferred to the global pass, so unlike the
+          // fast path RightOuter/FullOuter need no per-row buffering here.
+          val markBuild = trackBuildMatches
+          new Iterator[InternalRow] {
+            private val pIter = probeStore.iterator
+            private var pIdx = -1
+            private var probeRow: InternalRow = _
+            private var cursor: Int = -1
+            private var pending = false
+
+            private def advance(): Boolean = {
+              while (true) {
+                while (cursor != -1) {
+                  val idx = cursor
+                  cursor = chain.next(idx)
+                  joined(chain.rows(idx), probeRow)
+                  if (boundCondition(joined)) {
+                    if (markBuild) chunkMatched.set(idx)
+                    if (probeMatched != null) probeMatched.set(pIdx)
+                    return true
+                  }
+                }
+                if (!pIter.hasNext) return false
+                probeRow = pIter.next()
+                pIdx += 1
+                cursor = chain.headFor(probeKeyProj(probeRow))
+              }
+              false
+            }
+
+            override def hasNext: Boolean = pending || { pending = advance(); pending }
+            override def next(): InternalRow = {
+              if (!hasNext) throw new NoSuchElementException
+              pending = false
+              numOutputRows += 1
+              resultProj(joined)
+            }
+          }
+      }
+
+      def globalFinisher(): Iterator[InternalRow] = joinType match {
+        case RightOuter | FullOuter =>
+          val pIter = probeStore.iterator
+          var pIdx = -1
+          pIter.filter { _ => pIdx += 1; !probeMatched.get(pIdx) }.map { probeRow =>
+            numOutputRows += 1
+            resultProj(joined(nullBuildRow, probeRow))
+          }
+        case _ => Iterator.empty
+      }
+
+      new Iterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        private var globalDone = false
+
+        @annotation.tailrec
+        override def hasNext: Boolean =
+          cur.hasNext || {
+            if (globalDone) false
+            else if (loadChunk()) {
+              // chunkFinisher is evaluated lazily, after the probe pass
+              // has populated chunkMatched (Iterator.++ is by-name)
+              cur = probeChunk() ++ buildFinisher(chunkMatched)
+              hasNext
+            } else {
+              globalDone = true
+              cur = globalFinisher()
+              cur.hasNext
+            }
+          }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          cur.next()
+        }
+      }
+    }
   }
 }
