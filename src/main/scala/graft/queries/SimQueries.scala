@@ -110,15 +110,17 @@ object SimQueries {
   /** Embedding-cosine near-duplicate pairs (threshold on the rounded
     * score so both engines agree at the boundary).
     *
-    * Exact all-pairs is the one workload where a hand-written partition
-    * kernel beats any join formulation: a nested-loop join materializes
-    * both 64-float arrays into a fresh row per emitted pair (measured
-    * 7.5 s at 2k×2k even with codegen'd dot), while broadcasting the
-    * matrix once and streaming row-ranges does the same flops with zero
-    * per-pair row construction. The broadcast bound (all vectors
-    * resident per executor) is inherent to *exact* quadratic dedup —
-    * beyond ~1M vectors the honest answer is v2's LSH bucketing, which
-    * applies the same threshold to candidate pairs only. */
+    * Exact all-pairs, distributed: triangle-blocked self-pairing. Each
+    * vector lands in block `vec_id % B`; each of the B·(B+1)/2 block
+    * pairs (p ≤ q) is one shuffle group whose task sees exactly two
+    * blocks and runs the tight pairwise kernel (double-accumulated dot,
+    * identical loop order to the oracle, so scores are bit-exact).
+    * Replication factor is B, task memory is 2·N/B vectors, and nothing
+    * ever touches the driver — the O(N²) flops inherent to *exact*
+    * quadratic dedup spread over O(B²) tasks. At 100 TB, B grows with
+    * the corpus (B ≈ N·vecBytes / targetBlockBytes); beyond ~1M vectors
+    * the honest answer is v2's LSH bucketing, which applies the same
+    * threshold to candidate pairs only. */
   val nearDup: Q = Q(
     "v4_embedding_neardup",
     """WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -126,43 +128,66 @@ object SimQueries {
       |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
       |s AS (SELECT a_id, b_id, SUM(va[i] * vb[i]) AS dot,
       |        SUM(va[i] * va[i]) AS n1, SUM(vb[i] * vb[i]) AS n2
-      |      FROM p, generate_series(1, 64) t(i) GROUP BY a_id, b_id)
-      |SELECT a_id, b_id, FLOOR(dot / (SQRT(n1) * SQRT(n2)) * 10000 + 0.5)/10000 AS cos_sim
-      |FROM s WHERE FLOOR(dot / (SQRT(n1) * SQRT(n2)) * 10000 + 0.5)/10000 >= 0.45
+      |      FROM p, generate_series(1, 64) t(i) GROUP BY a_id, b_id),
+      |sel AS (SELECT a_id, b_id, FLOOR(dot / (SQRT(n1) * SQRT(n2)) * 10000 + 0.5)/10000 AS cos_sim
+      |        FROM s)
+      |SELECT a_id, b_id, cos_sim FROM sel WHERE cos_sim >= 0.45
       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
     val sp = s
     import sp.implicits._
-    val rows = t(s, dir, "embeddings")
+    val numBlocks = 8
+    val base = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-      .collect()
-      .sortBy(_._1)
-    val ids = rows.map(_._1)
-    val vecs = rows.map(_._2)
-    val norms = vecs.map { v =>
-      var ss = 0.0; var i = 0
-      while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
-      math.sqrt(ss)
+    // replicate each row to every block pair it participates in:
+    // tag 0 = same-block group, 1 = left block of (p,q), 2 = right block
+    val tagged = base.flatMap { case (id, vec) =>
+      val b = (id % numBlocks).toInt
+      Iterator.single((b, b, 0.toByte, id, vec)) ++
+        Iterator.range(b + 1, numBlocks).map(q => (b, q, 1.toByte, id, vec)) ++
+        Iterator.range(0, b).map(p => (p, b, 2.toByte, id, vec))
     }
-    val bIds = s.sparkContext.broadcast(ids)
-    val bVecs = s.sparkContext.broadcast(vecs)
-    val bNorms = s.sparkContext.broadcast(norms)
-    s.range(0, ids.length, 1, 64).as[Long].mapPartitions { rowIdx =>
-      val idsL = bIds.value; val vecsL = bVecs.value; val normsL = bNorms.value
-      rowIdx.flatMap { ai =>
-        val i = ai.toInt
-        val vi = vecsL(i)
-        (i + 1 until idsL.length).iterator.flatMap { j =>
-          val vj = vecsL(j)
-          var d = 0.0; var k = 0
-          while (k < vi.length) { d += vi(k).toDouble * vj(k).toDouble; k += 1 }
-          // same floor-based half-up rounding as the oracle (raw double
-          // arithmetic, bit-identical across engines)
-          val cos = math.floor(d / (normsL(i) * normsL(j)) * 10000 + 0.5) / 10000.0
-          if (cos >= 0.45) Some((idsL(i), idsL(j), cos)) else None
+    def dotd(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var k = 0
+      while (k < x.length) { d += x(k).toDouble * y(k).toDouble; k += 1 }
+      d
+    }
+    def nrm(x: Array[Float]): Double = math.sqrt(dotd(x, x))
+    // same floor-based half-up rounding as the oracle (raw double
+    // arithmetic, bit-identical across engines)
+    def score(a: (Long, Array[Float], Double), b: (Long, Array[Float], Double)) =
+      math.floor(dotd(a._2, b._2) / (a._3 * b._3) * 10000 + 0.5) / 10000.0
+    val pairs = tagged
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Byte, Long, Array[Float])]) =>
+        val (p, q) = key
+        val aSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        val bSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        rows.foreach { case (_, _, tag, id, vec) =>
+          val entry = (id, vec, nrm(vec))
+          if (tag == 0.toByte || tag == 1.toByte) aSide += entry
+          if (tag == 2.toByte) bSide += entry
+        }
+        if (p == q) {
+          // within-block: ordered pairs by vec_id
+          val sorted = aSide.sortBy(_._1)
+          for {
+            i <- sorted.indices.iterator
+            j <- (i + 1 until sorted.length).iterator
+            cos = score(sorted(i), sorted(j))
+            if cos >= 0.45
+          } yield (sorted(i)._1, sorted(j)._1, cos)
+        } else {
+          // cross-block: full A×B, pair reported (smaller id, larger id)
+          for {
+            a <- aSide.iterator
+            b <- bSide.iterator
+            cos = score(a, b)
+            if cos >= 0.45
+          } yield if (a._1 < b._1) (a._1, b._1, cos) else (b._1, a._1, cos)
         }
       }
-    }.toDF("a_id", "b_id", "cos_sim")
+    pairs.toDF("a_id", "b_id", "cos_sim")
       .orderBy("a_id", "b_id")
   }
 
