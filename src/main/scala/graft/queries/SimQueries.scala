@@ -191,50 +191,115 @@ object SimQueries {
       .orderBy("a_id", "b_id")
   }
 
-  /** ANN via IVF-flat: a coarse quantizer (16 strided centroids) maps
-    * every vector to its nearest-centroid cluster; a query probes the 4
-    * closest clusters and re-ranks exactly. The 100 TB shape: clustering
-    * is one broadcast-join pass (centroids are tiny), the inverted index
-    * is just a cluster-keyed partitioning of the corpus, and the probe
-    * touches nprobe/k of the data. No SQL oracle; PipelineSpec checks
-    * score consistency and recall against the exact baseline. */
+  /** ANN via IVF-flat: a coarse quantizer (k=16 centroids, Lloyd-refined)
+    * maps every vector to its nearest-centroid cluster; a query probes
+    * the 4 closest clusters and re-ranks exactly. The 100 TB shape:
+    * seeding is a hash-strided distributed filter (~2k candidate rows,
+    * never the corpus), each Lloyd iteration is one map + per-cluster
+    * mean with only the k centroid rows collected to the driver (the
+    * standard k-means driver state), the inverted index is just a
+    * cluster-keyed partitioning of the corpus, and the probe touches
+    * nprobe/k of the data. No SQL oracle (kernel semantics); PipelineSpec
+    * checks score consistency and recall against the exact baseline. */
   val annIvf: Q = Q.noOracle("v5_ann_ivf") { (s, dir) =>
     implicit val sp: SparkSession = s
-    val e = t(s, dir, "embeddings")
+    import sp.implicits._
     val k = 16
-    // deterministic strided coarse centroids (vec_id ascending, every n/k-th)
-    val idsSorted = e.select(col("vec_id")).orderBy("vec_id")
-      .limit(1000000).collect().map(_.getLong(0))
-    val stride = math.max(1, idsSorted.length / k)
-    val centroidIds = idsSorted.zipWithIndex.filter(_._2 % stride == 0).map(_._1).take(k)
-    val cents = e.filter(col("vec_id").isin(centroidIds: _*))
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
-        norm(col("embedding")).as("c_norm"))
-    // assignment: nearest centroid by cosine (broadcast join + rank-1)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_id"))
-    val assigned = e
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("c_sim", dot(col("embedding"), col("c_vec")) / (col("nrm") * col("c_norm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cluster"))
-    // query vector + its 4 closest centroids (derived from the raw
-    // table — the assignment lineage is irrelevant to the query row)
+    val nprobe = 4
+    val lloydIters = 3
+    val e = t(s, dir, "embeddings")
+    val vecs = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+
+    def dotd(x: Array[Double], y: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < y.length) { d += x(i) * y(i).toDouble; i += 1 }
+      d
+    }
+    def normd(x: Array[Double]): Double = {
+      var ss = 0.0; var i = 0
+      while (i < x.length) { ss += x(i) * x(i); i += 1 }
+      math.sqrt(ss)
+    }
+    def normf(x: Array[Float]): Double = {
+      var ss = 0.0; var i = 0
+      while (i < x.length) { ss += x(i).toDouble * x(i).toDouble; i += 1 }
+      math.sqrt(ss)
+    }
+    /** nearest centroid by cosine, ties to the lower cluster index */
+    def nearest(cents: Array[(Array[Double], Double)], v: Array[Float]): Int = {
+      val vn = normf(v)
+      var best = -1; var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val sim = dotd(cents(c)._1, v) / (cents(c)._2 * vn)
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      best
+    }
+
+    // --- seeding: deterministic hash stride over the corpus (a filter,
+    // not a global sort); only ~2k candidate rows are ordered and only
+    // k reach the driver ---
+    val n = vecs.count()
+    val strideMod = math.max(1L, n / (2L * k))
+    val seeds = e.select(col("vec_id"), col("embedding"))
+      .filter(pmod(xxhash64(col("vec_id")), lit(strideMod)) === 0)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .as[(Long, Array[Float])]
+      .collect()
+    var cents: Array[(Array[Double], Double)] = seeds.map { case (_, v) =>
+      val d = v.map(_.toDouble)
+      (d, normd(d))
+    }
+
+    // --- Lloyd refinement: per-cluster deterministic mean (groups
+    // iterated in vec_id order), k rows back to the driver per round ---
+    for (_ <- 0 until lloydIters) {
+      val bc = s.sparkContext.broadcast(cents)
+      val means = vecs
+        .map { case (id, v) => (nearest(bc.value, v), id, v) }
+        .groupByKey(_._1)
+        .mapGroups { (c: Int, it: Iterator[(Int, Long, Array[Float])]) =>
+          val rows = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+          val dim = rows.head._2.length
+          val acc = new Array[Double](dim)
+          rows.foreach { case (_, v) =>
+            var i = 0; while (i < dim) { acc(i) += v(i).toDouble; i += 1 }
+          }
+          (c, acc.map(_ / rows.length))
+        }
+        .collect()
+        .toMap
+      cents = cents.indices.map { c =>
+        means.get(c) match {
+          case Some(m) => (m, normd(m)) // refined centroid
+          case None => cents(c) // empty cluster keeps its seed
+        }
+      }.toArray
+    }
+
+    // --- inverted index: cluster-keyed corpus; probe = nprobe closest
+    // centroids to the query, picked on the driver over k rows ---
+    val bc = s.sparkContext.broadcast(cents)
+    val assigned = vecs
+      .map { case (id, v) => (id, v, nearest(bc.value, v)) }
+      .toDF("vec_id", "embedding", "cluster")
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"), norm(col("embedding")).as("qn"))
-    val probed = cents.crossJoin(broadcast(q))
-      .withColumn("qc_sim", dot(col("qe"), col("c_vec")) / (col("qn") * col("c_norm")))
-      .orderBy(col("qc_sim").desc, col("c_id"))
-      .limit(4)
-      .select(col("c_id").as("probe_cluster"))
+    val qVec = q.as[(Array[Float], Double)].head()._1
+    val probeClusters = cents.zipWithIndex
+      .map { case ((cv, cn), ci) => (dotd(cv, qVec) / (cn * normf(qVec)), ci) }
+      .sortBy { case (sim, ci) => (-sim, ci) }
+      .take(nprobe)
+      .map(_._2.toLong)
     // candidates = vectors in probed clusters; exact re-rank
     assigned.filter(col("vec_id") =!= 0)
-      .join(broadcast(probed), col("cluster") === col("probe_cluster"), "left_semi")
+      .filter(col("cluster").isin(probeClusters: _*))
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("cluster"),
-        Num.r4(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cos_sim"))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        Num.r4(dot(col("embedding"), col("qe")) / (norm(col("embedding")) * col("qn"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
