@@ -23,6 +23,7 @@ object Bench {
     "q18_large_orders", "w1_window_rank", "star_join4",
     "x1_star_synthetic", // the reference's own Size256-shape workload
     "j_left_outer", "j_residual_filter", "pj_inner", "pj_right_outer",
+    "pjsql_three_way", // transparent SQL→custom-exec path
     "t1_dedup_exact", "t6_minhash_lsh", "t8_ngram_jaccard",
     "v1_cosine_topk", "v4_embedding_neardup",
     "e1_events_hourly", "e3_sessions")
@@ -65,8 +66,18 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query must invalidate the run visibly, not shrink the
+    // total: sentinels are excluded from the sum and listed in `failed`
+    val (ok, bad) = results.partition(_._2 >= 0.0)
+    val total = ok.map(_._2).sum
+    val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // the same line to a stable file so the driver's parser never has to
+    // fish it out of sbt log decorations
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_output.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     spark.stop()
   }
 }

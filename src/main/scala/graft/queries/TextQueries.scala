@@ -159,37 +159,53 @@ object TextQueries {
 
   /** N-gram Jaccard near-dup pairs: distinct 3-word shingles, blocked
     * self-join on shared shingle, |A∩B| / |A∪B| ≥ 0.5. The shared-shingle
-    * join IS the blocking — no cross product ever materializes.
-    * Both engines cap at the first 1000 shingles per document (the
-    * oracle's generate_series bound and the Spark `least` below must
-    * stay in lockstep). */
+    * join IS the blocking — no cross product ever materializes — and a
+    * document-frequency cap (shingles in > 100 docs are dropped before
+    * the join) bounds the worst key: without it one stop-shingle in k
+    * docs contributes k² candidate rows, the classic blocked-join skew
+    * tail. Both engines apply the same 1000-shingles-per-doc and DF-100
+    * caps (oracle CTEs in lockstep), and both round with the floor
+    * half-up idiom — ROUND(x,4) diverges across engines on 5th-decimal
+    * halves, which integer-ratio Jaccards land on. */
   val ngramJaccard: Q = Q(
     "t8_ngram_jaccard",
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
       |       FROM w, generate_series(1, 1000) t(i) WHERE i <= len(ws) - 2),
-      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |keep AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 100),
+      |shk AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep ON sh.g = keep.g),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shk GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS nb
-      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          FROM shk a JOIN shk b ON a.g = b.g AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2)
       |SELECT a_id, b_id,
-      |  ROUND(CAST(nb AS DOUBLE) / (ca.n + cb.n - nb), 4) AS jaccard
+      |  ${Num.oraR4("CAST(nb AS DOUBLE) / (ca.n + cb.n - nb)")} AS jaccard
       |FROM inter
       |JOIN cnt ca ON ca.doc_id = a_id
       |JOIN cnt cb ON cb.doc_id = b_id
-      |WHERE ROUND(CAST(nb AS DOUBLE) / (ca.n + cb.n - nb), 4) >= 0.5
+      |WHERE ${Num.oraR4("CAST(nb AS DOUBLE) / (ca.n + cb.n - nb)")} >= 0.5
       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
     // shuffle 64-bit shingle hashes, not strings (collision odds over
     // ~3e5 distinct shingles ≈ 2e-9 — far below the gate's noise floor)
     val sh = shingles(t(s, dir, "documents"))
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("a_id"), col("gh"))
-    val b = sh.select(col("doc_id").as("b_id"), col("gh").as("gh2"))
+    // DF cap as a count-over-window: rides the same gh shuffle the
+    // blocking join needs, no separate keep-list join. The capped
+    // shingle table feeds four branches (cnt, both join sides, and the
+    // window itself), so persist it — one shingling pass, not four
+    // recomputations of the explode+distinct lineage.
+    val shk = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("gh")))
+      .filter(col("df") <= 100).drop("df")
+      .persist()
+    val cnt = shk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = shk.select(col("doc_id").as("a_id"), col("gh"))
+    val b = shk.select(col("doc_id").as("b_id"), col("gh").as("gh2"))
     val inter = a.join(b, col("gh") === col("gh2") && col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("nb"))
     val ca = cnt.select(col("doc_id").as("ca_id"), col("n").as("na"))
     val cb = cnt.select(col("doc_id").as("cb_id"), col("n").as("nbb"))
-    val jac = round(col("nb").cast(DoubleType) / (col("na") + col("nbb") - col("nb")), 4)
+    val jac = Num.r4(col("nb").cast(DoubleType) / (col("na") + col("nbb") - col("nb")))
     inter.join(ca, col("a_id") === col("ca_id"))
       .join(cb, col("b_id") === col("cb_id"))
       .select(col("a_id"), col("b_id"), jac.as("jaccard"))
