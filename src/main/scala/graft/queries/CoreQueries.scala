@@ -379,22 +379,29 @@ object CoreQueries {
   }
 
   /** TPC-H Q22-style: scalar subquery threshold + NOT EXISTS anti join
-    * (anti restricted to big orders so the result is non-empty). */
+    * (anti restricted to big orders so the result is non-empty).
+    * The AVG threshold is compared in exact integer cents
+    * (bal·n > Σcents, the repo playbook's long-cents discipline) — a raw
+    * double AVG differs between engines by summation order, and one ulp
+    * flips boundary customers in or out. */
   val q22Acctbal: Q = Q(
     "q22_global_sales",
     s"""SELECT c_nationkey, COUNT(*) AS numcust,
       |  ${oraMoneySum("c_acctbal")} AS totacctbal
       |FROM customer
-      |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |WHERE ${oraCents("c_acctbal")} *
+      |    (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0) >
+      |    (SELECT SUM(${oraCents("c_acctbal")}) FROM customer WHERE c_acctbal > 0.0)
       |  AND NOT EXISTS (SELECT 1 FROM orders
       |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
     val c = t(s, dir, "customer")
-    val avgBal = c.filter(col("c_acctbal") > 0.0)
-      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val balAgg = c.filter(col("c_acctbal") > 0.0)
+      .agg(sum(Num.cents(col("c_acctbal"))).as("sum_cents"),
+        count(lit(1)).as("n_bal"))
     val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
-    c.join(broadcast(avgBal))
-      .filter(col("c_acctbal") > col("avg_bal"))
+    c.join(broadcast(balAgg))
+      .filter(Num.cents(col("c_acctbal")) * col("n_bal") > col("sum_cents"))
       .join(bigOrders, col("o_custkey") === col("c_custkey"), "left_anti")
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("numcust"), moneySum(col("c_acctbal")).as("totacctbal"))
@@ -510,17 +517,22 @@ object CoreQueries {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
-  /** Scalar subquery in a filter. */
+  /** Scalar subquery in a filter. The 1.05·AVG threshold compares in
+    * exact integer cents (price·n·100 > 105·Σcents) so no engine's
+    * double summation order decides boundary rows. */
   val sub1Scalar: Q = Q(
     "sub1_scalar_subquery",
-    """SELECT p_partkey, p_name, p_retailprice
+    s"""SELECT p_partkey, p_name, p_retailprice
       |FROM part
-      |WHERE p_retailprice > 1.05 * (SELECT AVG(p_retailprice) FROM part)
+      |WHERE ${oraCents("p_retailprice")} * (SELECT COUNT(*) FROM part) * 100 >
+      |  105 * (SELECT SUM(${oraCents("p_retailprice")}) FROM part)
       |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
     val p = t(s, dir, "part")
-    val avgP = p.agg(avg(col("p_retailprice")).as("avg_price"))
-    p.join(broadcast(avgP))
-      .filter(col("p_retailprice") > lit(1.05) * col("avg_price"))
+    val priceAgg = p.agg(sum(Num.cents(col("p_retailprice"))).as("sum_cents"),
+      count(lit(1)).as("n_p"))
+    p.join(broadcast(priceAgg))
+      .filter(Num.cents(col("p_retailprice")) * col("n_p") * 100 >
+        lit(105) * col("sum_cents"))
       .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
       .orderBy("p_partkey")
   }
