@@ -52,20 +52,43 @@ object SimQueries {
   }
 
   /** ANN via random-hyperplane LSH: 8 deterministic pseudo-hyperplanes
-    * (xxhash64-seeded ±1 weights), 8-bit signature, candidates = same
+    * (md5-derived ±1 weights), 8-bit signature, candidates = same
     * bucket as the query, re-ranked by exact cosine. The scale path:
     * bucket cardinality ~ N/256, and the signature is computed in one
-    * pass per row. No SQL oracle (xxhash64-derived planes); gated by
-    * ScalaTest consistency checks against v1. */
-  val annLsh: Q = Q.noOracle("v2_ann_lsh") { (s, dir) =>
+    * pass per row. md5 weights make the pipeline SQL-replayable — the
+    * oracle recomputes signatures, bucket-filters, and re-ranks exactly,
+    * moving v2 from rows-only to the hash-exact gate (plus the ScalaTest
+    * consistency checks against v1). */
+  val annLsh: Q = Q(
+    "v2_ann_lsh",
+    """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |proj AS (SELECT vec_id, p,
+      |    SUM(ve[j] * (CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(j-1 AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+      |                 THEN 1.0 ELSE -1.0 END)) AS s
+      |  FROM d, generate_series(0, 7) pp(p), generate_series(1, 64) jj(j)
+      |  GROUP BY vec_id, p),
+      |sig AS (SELECT vec_id,
+      |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM proj GROUP BY vec_id),
+      |q AS (SELECT d.ve AS qe, sig.sig AS qsig FROM d JOIN sig USING (vec_id) WHERE vec_id = 0),
+      |c AS (SELECT d.vec_id, d.ve, sig.sig FROM d JOIN sig USING (vec_id) WHERE vec_id <> 0),
+      |sc AS (SELECT c.vec_id, c.sig, SUM(c.ve[j] * q.qe[j]) AS dot,
+      |         SUM(c.ve[j] * c.ve[j]) AS n1, SUM(q.qe[j] * q.qe[j]) AS n2
+      |       FROM c, q, generate_series(1, 64) t(j)
+      |       WHERE c.sig = q.qsig
+      |       GROUP BY c.vec_id, c.sig)
+      |SELECT vec_id, sig, FLOOR(dot / (SQRT(n1) * SQRT(n2)) * 10000 + 0.5)/10000 AS cos_sim
+      |FROM sc ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
     implicit val sp: SparkSession = s
     val e = t(s, dir, "embeddings")
-    // signature bit p = sign(sum_i w(p,i) * v_i), w(p,i) = ±1 from xxhash64
+    // signature bit p = sign(sum_i w(p,i) * v_i), w(p,i) = ±1 from md5
     def sigExpr(vec: String): Column = {
       val bits = (0 until 8).map { p =>
         val proj = expr(
           s"""aggregate(zip_with($vec, sequence(0, size($vec) - 1),
-             |  (x, i) -> CAST(x AS DOUBLE) * (CAST(xxhash64($p * 4096 + i) & 2 AS DOUBLE) - 1.0)),
+             |  (x, i) -> CAST(x AS DOUBLE) *
+             |    (CASE WHEN CAST(conv(substr(md5(concat('$p', '_', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0
+             |     THEN 1.0 ELSE -1.0 END)),
              |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
         when(proj > 0, lit(1 << p)).otherwise(lit(0))
       }
@@ -77,7 +100,7 @@ object SimQueries {
       .select(col("embedding").as("qe"), col("sig").as("qsig"), col("nrm").as("qn"))
     withSig.filter(col("vec_id") =!= 0)
       .join(broadcast(q), col("sig") === col("qsig"))
-      .select(col("vec_id"), col("sig"),
+      .select(col("vec_id"), col("sig").cast(LongType).as("sig"),
         Num.r4(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)

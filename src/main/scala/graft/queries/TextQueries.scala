@@ -22,13 +22,23 @@ object TextQueries {
     * generate_series bound, which must stay in lockstep. Shared by the
     * exact-Jaccard (t8) and MinHash (t6) pipelines so the cap and
     * shingle shape can never diverge between them. */
-  private def shingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private def shingleStrings(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(
         expr("transform(sequence(0, least(size(ws)-3, 999)), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
         .as("g")).distinct()
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+
+  private def shingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    shingleStrings(docs).select(col("doc_id"), xxhash64(col("g")).as("gh"))
+
+  /** Engine-portable 60-bit hash: first 15 hex chars of md5, as BIGINT.
+    * Spark `conv(substr(md5(x),1,15),16,10)` ≡ DuckDB
+    * `('0x'||substr(md5(x),1,15))::BIGINT` — the key that lets the LSH
+    * family (t6/t7/v2) be replayed by the SQL oracle instead of sitting
+    * in the rows-only bucket. */
+  private[queries] def mdHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** Exact dedup: hash-groupBy on content (keep lowest doc_id). */
   val dedupExact: Q = Q(
@@ -214,49 +224,89 @@ object TextQueries {
   }
 
   /** MinHash + LSH near-dup candidates: k=8 signature over 3-word
-    * shingles (xxhash64 under k seeds), 4 bands × 2 rows; pairs sharing
-    * any band bucket, scored by signature agreement ≥ 0.5. The shuffle
-    * key is (band, bucket-hash) — subquadratic at corpus scale. No SQL
-    * oracle (xxhash64 is engine-specific); semantics gated by ScalaTest
-    * against t8's exact Jaccard pairs. */
-  val minhashLsh: Q = Q.noOracle("t6_minhash_lsh") { (s, dir) =>
-    val sh = shingles(t(s, dir, "documents"))
-      .withColumnRenamed("gh", "g")
+    * shingles (md5-derived 60-bit hashes under k seeds), 4 bands × 2
+    * rows; pairs sharing any band bucket, scored by signature agreement
+    * ≥ 0.5. The shuffle key is (band, h_even, h_odd) — subquadratic at
+    * corpus scale — and the band rows come from ONE posexplode pass over
+    * the cached signature table, not a 4-way union re-deriving it.
+    * md5 hashing makes the whole pipeline SQL-replayable: the oracle
+    * recomputes signatures and bands exactly (candidate generation as an
+    * OR of band equalities — same set as the bucket join). */
+  val minhashLsh: Q = {
     val K = 8
-    val sigCols = (0 until K).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i"))
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    // 4 bands × 2 hashes: bucket key per band
-    val bands = (0 until 4).map { bnd =>
-      sig.select(col("doc_id"), lit(bnd).as("band"),
-        xxhash64(col(s"h${2 * bnd}"), col(s"h${2 * bnd + 1}")).as("bucket"))
-    }.reduce(_ union _)
-    val l = bands.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
-    val r = bands.select(col("band").as("band2"), col("bucket").as("bucket2"), col("doc_id").as("b_id"))
-    val cand = l.join(r, col("band") === col("band2") &&
-        col("bucket") === col("bucket2") && col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    // verify candidates by full-signature agreement (estimated jaccard)
-    val sa = sig.select(col("doc_id").as("a_id") +: (0 until K).map(i => col(s"h$i").as(s"a$i")): _*)
-    val sb = sig.select(col("doc_id").as("b_id") +: (0 until K).map(i => col(s"h$i").as(s"b$i")): _*)
-    val agree = (0 until K).map(i =>
-      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
-    cand.join(sa, "a_id").join(sb, "b_id")
-      .select(col("a_id"), col("b_id"),
-        round(agree.cast(DoubleType) / K, 4).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
-      .orderBy("a_id", "b_id")
+    val oracleAgree = (0 until K)
+      .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    val oracleSigCols = (0 until K)
+      .map(i => s"MAX(CASE WHEN i = $i THEN h END) AS h$i").mkString(",\n        ")
+    val oracleBands = (0 until 4)
+      .map(b => s"(sa.h${2 * b} = sb.h${2 * b} AND sa.h${2 * b + 1} = sb.h${2 * b + 1})")
+      .mkString(" OR ")
+    Q(
+      "t6_minhash_lsh",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |       FROM w, generate_series(1, 1000) t(i) WHERE i <= len(ws) - 2),
+        |mh AS (SELECT doc_id, i,
+        |         MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, 15))::BIGINT) AS h
+        |       FROM sh, generate_series(0, ${K - 1}) s(i) GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id,
+        |        $oracleSigCols
+        |        FROM mh GROUP BY doc_id)
+        |SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
+        |  ${Num.oraR4(s"($oracleAgree) / ${K}.0")} AS est_jaccard
+        |FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id AND ($oracleBands)
+        |WHERE ${Num.oraR4(s"($oracleAgree) / ${K}.0")} >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val sh = shingleStrings(t(s, dir, "documents"))
+      val sigCols = (0 until K).map(i =>
+        min(mdHash(concat(lit(s"$i:"), col("g")))).as(s"h$i"))
+      val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
+      // one posexplode pass → (doc_id, band, h_even, h_odd)
+      val bandArr = array((0 until 4).map(b =>
+        struct(col(s"h${2 * b}").as("he"), col(s"h${2 * b + 1}").as("ho"))): _*)
+      val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
+        .select(col("doc_id"), col("band"), col("bh.he"), col("bh.ho"))
+      val l = bands.select(col("band"), col("he"), col("ho"), col("doc_id").as("a_id"))
+      val r = bands.select(col("band").as("band2"), col("he").as("he2"),
+        col("ho").as("ho2"), col("doc_id").as("b_id"))
+      val cand = l.join(r, col("band") === col("band2") &&
+          col("he") === col("he2") && col("ho") === col("ho2") &&
+          col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      // verify candidates by full-signature agreement (estimated jaccard)
+      val sa = sig.select(col("doc_id").as("a_id") +: (0 until K).map(i => col(s"h$i").as(s"a$i")): _*)
+      val sb = sig.select(col("doc_id").as("b_id") +: (0 until K).map(i => col(s"h$i").as(s"b$i")): _*)
+      val agree = (0 until K).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .select(col("a_id"), col("b_id"),
+          Num.r4(agree.cast(DoubleType) / K).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("a_id", "b_id")
+    }
   }
 
   /** SimHash: 32-bit signature from token hashes (per-bit ±1 vote).
-    * Near-dup pairs = signatures within Hamming distance ≤ 6, found by
-    * exact-match blocking on 4 signature quarters (any pair within
-    * distance 6 must agree exactly on ≥1 quarter at 32 bits... using 8
-    * bands of 4 bits for recall). No SQL oracle (xxhash64). */
-  val simhash: Q = Q.noOracle("t7_simhash") { (s, dir) =>
+    * Token hash = first 60 bits of md5, which both engines compute
+    * identically (`conv(substr(md5,1,15),16,10)` here,
+    * `('0x'||substr(md5,1,15))::BIGINT` in DuckDB) — that makes the
+    * whole signature SQL-replayable, so this moved from rows-only to the
+    * hash-exact gate. */
+  val simhash: Q = Q(
+    "t7_simhash",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      |      FROM tok WHERE len(tok) > 0),
+      |votes AS (SELECT doc_id, i,
+      |            SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |          FROM h, generate_series(0, 31) t(i) GROUP BY doc_id, i)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val tok = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", mdHash(col("tok")))
     val B = 32
     val voteCols = (0 until B).map(i =>
       sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1).otherwise(-1)).as(s"v$i"))
