@@ -12,8 +12,15 @@ import graft.engine.Tables
   * `:271-287` JSON+CSV outputs; `:386-412` optional in-memory load):
   *
   *   runMain graft.tools.TpcRunner --data-path /root/testdata/sf0.1 \
-  *     [--queries q1_pricing_summary,star_join4] [--iterations 3] \
+  *     [--queries q1_pricing_summary,star_join4] [--exclude q3_...,...] \
+  *     [--config graft.conf] [--iterations 3] \
   *     [--concurrency 32] [--print-plan] [--from-memory] [--out DIR]
+  *
+  * `--exclude` drops queries from the run set and `--config` loads
+  * `key=value` lines (`#` comments skipped, malformed lines warned) —
+  * the reference CLI's surface (`/root/reference/tpc/src/main.rs:160-177`
+  * config file; its `--exclude` query filter). Applied config is echoed
+  * into `results.json` like the reference's `results.config` map.
   *
   * Per query: every iteration timed (plan+execute, noop sink), plans
   * optionally printed; results land in `results.json` and `results.csv`.
@@ -25,14 +32,36 @@ object TpcRunner {
     val iterations = opts.getOrElse("iterations", "3").toInt
     val concurrency = opts.getOrElse("concurrency", "32")
     val outDir = opts.getOrElse("out", "/tmp/graft_tpc")
+    val exclude = opts.get("exclude").map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val unknownExcludes = exclude.filterNot(SparkEntry.queries.contains)
+    require(unknownExcludes.isEmpty,
+      s"unknown --exclude queries: ${unknownExcludes.mkString(", ")}")
     val queries = opts.get("queries")
       .map(_.split(",").toSeq)
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+      .filterNot(exclude)
     val unknown = queries.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty,
       s"unknown queries: ${unknown.mkString(", ")} — see SparkEntry.queries.keys")
     val printPlan = opts.contains("print-plan")
     val fromMemory = opts.contains("from-memory")
+    // key=value config file, reference CLI semantics: '#' comments
+    // skipped, non key=value lines warned and ignored
+    val fileConf: Seq[(String, String)] = opts.get("config").toSeq.flatMap { path =>
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(Paths.get(path))).asScala.toSeq
+        .filterNot(l => l.trim.isEmpty || l.trim.startsWith("#"))
+        .flatMap { line =>
+          line.split("=", 2) match {
+            case Array(k, v) => Some(k.trim -> v.trim)
+            case _ =>
+              println(s"Warning! Skipping config entry $line")
+              None
+          }
+        }
+    }
+    // a pre-existing session (tests, shells) is reused and must survive
+    val ownsSession = SparkSession.getDefaultSession.isEmpty
 
     val spark = SparkSession.builder()
       .master(s"local[$concurrency]")
@@ -42,6 +71,14 @@ object TpcRunner {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val appliedConf = fileConf.flatMap { case (k, v) =>
+      try { spark.conf.set(k, v); Some(k -> v) }
+      catch {
+        case e: Exception =>
+          println(s"Warning! Could not apply config $k=$v: ${e.getMessage}")
+          None
+      }
+    }
 
     if (fromMemory) Tables.names.foreach { n =>
       Tables.t(spark, dataPath, n).cache().count() // materialize, as the reference's --from-memory
@@ -63,16 +100,18 @@ object TpcRunner {
     }
 
     Files.createDirectories(Paths.get(outDir))
+    val confJson = appliedConf.map { case (k, v) => s""""$k": "$v"""" }
+      .mkString("{", ",", "}")
     val json = rows.map { case (n, ts) =>
       s""""$n": {"ms": [${ts.map(t => f"$t%.1f").mkString(",")}]}"""
-    }.mkString("{", ",", "}")
+    }.mkString("""{"config": """ + confJson + ", ", ",", "}")
     Files.writeString(Paths.get(s"$outDir/results.json"), json)
     val csv = "query,iteration,ms\n" + rows.flatMap { case (n, ts) =>
       ts.zipWithIndex.map { case (t, i) => f"$n,${i + 1},$t%.1f" }
     }.mkString("\n")
     Files.writeString(Paths.get(s"$outDir/results.csv"), csv)
     println(s"results written to $outDir/results.{json,csv}")
-    spark.stop()
+    if (ownsSession) spark.stop()
   }
 
   @annotation.tailrec
