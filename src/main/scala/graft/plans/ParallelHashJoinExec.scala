@@ -5,9 +5,10 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, GenerateUnsafeProjection}
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.physical._
-import org.apache.spark.sql.execution.{BinaryExecNode, GraftSpillableRowBuffer, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, GraftSpillableRowBuffer, SparkPlan}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Physical shared-build hash join.
@@ -53,7 +54,7 @@ case class ParallelHashJoinExec(
     joinType: JoinType,
     condition: Option[Expression],
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -104,6 +105,135 @@ case class ParallelHashJoinExec(
         numOutputRows, buildRowsMetric, buildChunksMetric)
     }
   }
+
+  // ===== whole-stage codegen (reference O3-O9's codegen'd build/probe
+  // variants, realized as Spark codegen instead of Rust monomorphization;
+  // the probe loop fuses into the downstream pipeline like Spark's own
+  // shuffled-hash join) =====
+
+  /** Inner-only for now: the streaming probe pipeline cannot re-scan its
+    * input, so the chunked spill fallback (and the outer/semi finalizers)
+    * stay on the interpreted doExecute path. The generated build helper
+    * logs when the byte budget is exceeded instead of chunking — the same
+    * unbounded-build posture as Spark's codegen'd ShuffledHashJoinExec. */
+  override def supportCodegen: Boolean =
+    joinType == Inner &&
+      conf.getConfString(ParallelHashJoinExec.codegenEnabledKey, "true").toBoolean
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    right.execute() :: left.execute() :: Nil
+
+  override def needCopyResult: Boolean = true
+
+  override protected def canCheckLimitNotReached: Boolean = true
+
+  /** Executor-side build for the generated probe loop. Threshold is
+    * baked in at codegen time (driver side) because `conf` is not
+    * available on executors. */
+  def buildChainForCodegen(
+      buildIter: Iterator[InternalRow], thresholdBytes: Long): GraftChainMap = {
+    val keyProj = UnsafeProjection.create(
+      leftKeys.map(org.apache.spark.sql.classic.GraftSqlBridge.normalizeFloatingKey),
+      left.output)
+    val map = new GraftChainMap(keyProj)
+    val buildRowsMetric = longMetric("buildRows")
+    longMetric("buildChunks") += 1
+    var bytes = 0L
+    var warned = false
+    while (buildIter.hasNext) {
+      val row = buildIter.next()
+      bytes += (row match {
+        case u: UnsafeRow => u.getSizeInBytes.toLong
+        case _ => 16L + 8L * left.output.length
+      })
+      if (bytes > thresholdBytes && !warned) {
+        logWarning("parallel hash join build side exceeds " +
+          s"$thresholdBytes bytes under codegen; the codegen path cannot " +
+          "chunk a streaming probe - disable " +
+          s"${ParallelHashJoinExec.codegenEnabledKey} to get the spilling path")
+        warned = true
+      }
+      map.append(row.copy())
+    }
+    buildRowsMetric += map.size
+    map
+  }
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val thisPlan = ctx.addReferenceObj("plan", this)
+    val spillThreshold = conf.getConfString(
+      ParallelHashJoinExec.spillThresholdKey,
+      ParallelHashJoinExec.spillThresholdDefault).toLong
+    val streamedInput = ctx.addMutableState("scala.collection.Iterator",
+      "graftStreamedInput", v => s"$v = inputs[0];", forceInline = true)
+    val buildInput = ctx.addMutableState("scala.collection.Iterator",
+      "graftBuildInput", v => s"$v = inputs[1];", forceInline = true)
+    val mapTerm = ctx.addMutableState("graft.plans.GraftChainMap", "graftChainMap",
+      v => s"$v = $thisPlan.buildChainForCodegen($buildInput, ${spillThreshold}L);",
+      forceInline = true)
+
+    // evaluate the streamed (probe) columns from the input row
+    val streamedRow = ctx.freshName("graftStreamedRow")
+    ctx.INPUT_ROW = streamedRow
+    ctx.currentVars = null
+    val streamVars = right.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val streamEval = evaluateVariables(streamVars)
+
+    // probe key as an UnsafeRow (same float normalization as the map)
+    ctx.currentVars = streamVars
+    val keyExprs = rightKeys
+      .map(org.apache.spark.sql.classic.GraftSqlBridge.normalizeFloatingKey)
+      .map(BindReferences.bindReference(_, right.output))
+    val keyEv = GenerateUnsafeProjection.createCode(ctx, keyExprs)
+
+    // build-side columns from the matched chain row
+    val buildRow = ctx.freshName("graftBuildRow")
+    ctx.INPUT_ROW = buildRow
+    ctx.currentVars = null
+    val buildVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val buildEval = evaluateVariables(buildVars)
+
+    // residual condition over the joined variables (hash lookup already
+    // guarantees key equality via UnsafeRow equals)
+    val (condOpen, condClose) = condition.map { c =>
+      ctx.currentVars = buildVars ++ streamVars
+      ctx.INPUT_ROW = null
+      val bound = BindReferences.bindReference(c, AttributeSeq(left.output ++ right.output))
+      val ev = bound.genCode(ctx)
+      (s"""
+          |${ev.code}
+          |if (!${ev.isNull} && ${ev.value}) {""".stripMargin, "}")
+    }.getOrElse(("", ""))
+
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val idxTerm = ctx.freshName("graftIdx")
+    val consumeCode = consume(ctx, buildVars ++ streamVars)
+
+    s"""
+       |while ($limitNotReachedCond $streamedInput.hasNext()) {
+       |  InternalRow $streamedRow = (InternalRow) $streamedInput.next();
+       |  $streamEval
+       |  ${keyEv.code}
+       |  if (!${keyEv.value}.anyNull()) {
+       |    int $idxTerm = $mapTerm.headFor(${keyEv.value});
+       |    while ($idxTerm != -1) {
+       |      InternalRow $buildRow = $mapTerm.rowAt($idxTerm);
+       |      $idxTerm = $mapTerm.next($idxTerm);
+       |      $buildEval
+       |      $condOpen
+       |      $numOutput.add(1);
+       |      $consumeCode
+       |      $condClose
+       |    }
+       |  }
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
 }
 
 object ParallelHashJoinExec {
@@ -115,51 +245,9 @@ object ParallelHashJoinExec {
   val spillThresholdKey = "spark.graft.parallelHashJoin.buildSpillThreshold"
   val spillThresholdDefault: String = (256L * 1024 * 1024).toString
 
-  /** Build-side chain-layout hash map: key → head row index, int next[]
-    * chain — no per-row boxing, no per-key buffers; the reference's
-    * index-chain map shape (`concurrent_self_hash_join_map.rs`
-    * append_block) in its single-writer per-partition form. */
-  private final class ChainMap(keyProj: UnsafeProjection) {
-    val rows = new mutable.ArrayBuffer[InternalRow]()
-    private val keyHead = new java.util.HashMap[UnsafeRow, Integer]()
-    private var nextIdx = new Array[Int](1024)
-
-    def size: Int = rows.length
-
-    def clear(): Unit = {
-      rows.clear()
-      keyHead.clear()
-    }
-
-    /** `row` must already be owned by the caller (copied). */
-    def append(row: InternalRow): Unit = {
-      val idx = rows.length
-      rows += row
-      if (nextIdx.length <= idx) nextIdx = java.util.Arrays.copyOf(nextIdx, nextIdx.length * 2)
-      val key = keyProj(row)
-      if (!key.anyNull) {
-        val prevHead = keyHead.get(key)
-        if (prevHead == null) {
-          keyHead.put(key.copy(), idx)
-          nextIdx(idx) = -1
-        } else {
-          // entry exists: HashMap keeps the stored key object, so the
-          // reused projection row is safe to pass here
-          keyHead.put(key, idx)
-          nextIdx(idx) = prevHead.intValue()
-        }
-      }
-    }
-
-    def next(i: Int): Int = nextIdx(i)
-
-    def headFor(key: UnsafeRow): Int =
-      if (key.anyNull) -1
-      else {
-        val h = keyHead.get(key)
-        if (h == null) -1 else h.intValue()
-      }
-  }
+  /** Gate for the whole-stage-codegen inner-join path (`false` falls
+    * back to the interpreted, spill-capable doExecute). */
+  val codegenEnabledKey = "spark.graft.parallelHashJoin.codegenEnabled"
 
   /** One partition's build-then-probe, mirroring the reference's
     * `execute_streaming_join` (`parallel_hash_join_executor.rs:101-121`):
@@ -220,7 +308,7 @@ object ParallelHashJoinExec {
       case None => (_: InternalRow) => true
     }
 
-    val chain = new ChainMap(buildKeyProj)
+    val chain = new GraftChainMap(buildKeyProj)
     val trackBuildMatches = joinType match {
       case LeftOuter | FullOuter | LeftSemi | LeftAnti => true
       case _ => false
@@ -248,7 +336,11 @@ object ParallelHashJoinExec {
         // over budget: migrate what's buffered into a spill-capable store
         // and keep consuming there — the chunked path takes over below
         buildStore = new GraftSpillableRowBuffer()
-        chain.rows.foreach(r => buildStore.add(asUnsafe(r, toUnsafeBuild)))
+        var i = 0
+        while (i < chain.size) {
+          buildStore.add(asUnsafe(chain.rowAt(i), toUnsafeBuild))
+          i += 1
+        }
         chain.clear()
         buildStore.add(asUnsafe(row, toUnsafeBuild))
       } else {
@@ -268,17 +360,17 @@ object ParallelHashJoinExec {
       case LeftOuter | FullOuter =>
         Iterator.range(0, chain.size).filter(i => !matched.get(i)).map { i =>
           numOutputRows += 1
-          resultProj(joined(chain.rows(i), nullProbeRow))
+          resultProj(joined(chain.rowAt(i), nullProbeRow))
         }
       case LeftSemi =>
         Iterator.range(0, chain.size).filter(matched.get).map { i =>
           numOutputRows += 1
-          resultProj(chain.rows(i))
+          resultProj(chain.rowAt(i))
         }
       case LeftAnti =>
         Iterator.range(0, chain.size).filter(i => !matched.get(i)).map { i =>
           numOutputRows += 1
-          resultProj(chain.rows(i))
+          resultProj(chain.rowAt(i))
         }
       case _ => Iterator.empty
     }
@@ -310,7 +402,7 @@ object ParallelHashJoinExec {
                 while (cursor != -1) {
                   val idx = cursor
                   cursor = chain.next(idx)
-                  joined(chain.rows(idx), probeRow)
+                  joined(chain.rowAt(idx), probeRow)
                   if (boundCondition(joined)) {
                     if (markMatches) matched.set(idx)
                     return true
@@ -339,7 +431,7 @@ object ParallelHashJoinExec {
                 val probeRow = probeIter.next()
                 var cursor = chain.headFor(probeKeyProj(probeRow))
                 while (cursor != -1) {
-                  joined(chain.rows(cursor), probeRow)
+                  joined(chain.rowAt(cursor), probeRow)
                   if (boundCondition(joined)) matched.set(cursor)
                   cursor = chain.next(cursor)
                 }
@@ -355,7 +447,7 @@ object ParallelHashJoinExec {
             var anyMatch = false
             val out = new mutable.ArrayBuffer[InternalRow](4)
             while (cursor != -1) {
-              joined(chain.rows(cursor), probeRow)
+              joined(chain.rowAt(cursor), probeRow)
               if (boundCondition(joined)) {
                 anyMatch = true
                 if (matched != null) matched.set(cursor)
@@ -417,7 +509,7 @@ object ParallelHashJoinExec {
                 val probeRow = pIter.next()
                 var cursor = chain.headFor(probeKeyProj(probeRow))
                 while (cursor != -1) {
-                  joined(chain.rows(cursor), probeRow)
+                  joined(chain.rowAt(cursor), probeRow)
                   if (boundCondition(joined)) chunkMatched.set(cursor)
                   cursor = chain.next(cursor)
                 }
@@ -443,7 +535,7 @@ object ParallelHashJoinExec {
                 while (cursor != -1) {
                   val idx = cursor
                   cursor = chain.next(idx)
-                  joined(chain.rows(idx), probeRow)
+                  joined(chain.rowAt(idx), probeRow)
                   if (boundCondition(joined)) {
                     if (markBuild) chunkMatched.set(idx)
                     if (probeMatched != null) probeMatched.set(pIdx)

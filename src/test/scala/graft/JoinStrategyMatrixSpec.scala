@@ -116,6 +116,36 @@ class JoinStrategyMatrixSpec extends AnyFunSuite {
     }
   }
 
+  test("inner joins run inside WholeStageCodegen with same results") {
+    val d = ParallelHashJoinApi.parallelHashJoin(
+      part, li, Seq("p_partkey"), Seq("l_partkey"), "inner")
+    assert(collected(d) == golden("inner"))
+    val plan = finalPlan(d)
+    val wscg = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wscg.exists(_.collectFirst {
+      case p: ParallelHashJoinExec => p
+    }.isDefined), "expected ParallelHashJoinExec fused into a codegen stage")
+    // the residual-condition codegen path
+    val dc = ParallelHashJoinApi.parallelHashJoin(
+      part, li, Seq("p_partkey"), Seq("l_partkey"), "inner",
+      Some(col("p_size") > 25))
+    val expected = collected(part.join(li,
+      col("p_partkey") === col("l_partkey") && col("p_size") > 25))
+    assert(collected(dc) == expected)
+    // knob off → interpreted path, same results, exec not fused
+    withConf(ParallelHashJoinExec.codegenEnabledKey -> "false") {
+      val di = ParallelHashJoinApi.parallelHashJoin(
+        part, li, Seq("p_partkey"), Seq("l_partkey"), "inner")
+      assert(collected(di) == golden("inner"))
+      val fused = finalPlan(di).collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.exists(_.collectFirst { case p: ParallelHashJoinExec => p }.isDefined)
+      assert(!fused, "knob off must keep the exec out of codegen stages")
+    }
+  }
+
   test("codegen impl knob plans Spark's shuffled-hash exec with same results") {
     withConf(graft.plans.ParallelHashJoinStrategy.implConfKey -> "codegen") {
       for (jt <- joinTypes) {

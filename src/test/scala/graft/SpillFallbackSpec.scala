@@ -70,8 +70,10 @@ class SpillFallbackSpec extends AnyFunSuite {
 
   test("forced-low spill threshold matches built-in results for all join types") {
     // AQE off → deterministic 4 shuffle partitions, so the chunk metric
-    // is comparable against the partition count
+    // is comparable against the partition count; codegen off because the
+    // chunked spill path lives on the interpreted doExecute
     withConf(ParallelHashJoinExec.spillThresholdKey -> "512",
+      ParallelHashJoinExec.codegenEnabledKey -> "false",
       "spark.sql.adaptive.enabled" -> "false") {
       for (jt <- joinTypes) {
         val d = ParallelHashJoinApi.parallelHashJoin(
@@ -96,7 +98,8 @@ class SpillFallbackSpec extends AnyFunSuite {
   }
 
   test("default threshold stays on the single-chunk fast path") {
-    withConf("spark.sql.adaptive.enabled" -> "false") {
+    withConf("spark.sql.adaptive.enabled" -> "false",
+      ParallelHashJoinExec.codegenEnabledKey -> "false") {
       val d = ParallelHashJoinApi.parallelHashJoin(
         part, li, Seq("p_partkey"), Seq("l_partkey"), "inner")
       assert(collected(d) == golden("inner"))
