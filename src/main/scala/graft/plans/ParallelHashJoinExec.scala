@@ -111,13 +111,16 @@ case class ParallelHashJoinExec(
   // the probe loop fuses into the downstream pipeline like Spark's own
   // shuffled-hash join) =====
 
-  /** Inner-only for now: the streaming probe pipeline cannot re-scan its
-    * input, so the chunked spill fallback (and the outer/semi finalizers)
-    * stay on the interpreted doExecute path. The generated build helper
-    * logs when the byte budget is exceeded instead of chunking — the same
-    * unbounded-build posture as Spark's codegen'd ShuffledHashJoinExec. */
+  /** Inner + RightOuter (the probe-side-padded type, streamable without
+    * a finalizer). The build-side-finalizer types (left outer/semi/anti,
+    * full outer) and the chunked spill fallback need to re-visit state
+    * after the probe drains, which a streaming codegen pipeline cannot —
+    * they stay on the interpreted doExecute path. The generated build
+    * helper logs when the byte budget is exceeded instead of chunking —
+    * the same unbounded-build posture as Spark's codegen'd
+    * ShuffledHashJoinExec. */
   override def supportCodegen: Boolean =
-    joinType == Inner &&
+    (joinType == Inner || joinType == RightOuter) &&
       conf.getConfString(ParallelHashJoinExec.codegenEnabledKey, "true").toBoolean
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
@@ -188,48 +191,117 @@ case class ParallelHashJoinExec(
       .map(BindReferences.bindReference(_, right.output))
     val keyEv = GenerateUnsafeProjection.createCode(ctx, keyExprs)
 
-    // build-side columns from the matched chain row
-    val buildRow = ctx.freshName("graftBuildRow")
-    ctx.INPUT_ROW = buildRow
-    ctx.currentVars = null
-    val buildVars = left.output.zipWithIndex.map { case (a, i) =>
-      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
-    }
-    val buildEval = evaluateVariables(buildVars)
-
-    // residual condition over the joined variables (hash lookup already
-    // guarantees key equality via UnsafeRow equals)
-    val (condOpen, condClose) = condition.map { c =>
-      ctx.currentVars = buildVars ++ streamVars
-      ctx.INPUT_ROW = null
-      val bound = BindReferences.bindReference(c, AttributeSeq(left.output ++ right.output))
-      val ev = bound.genCode(ctx)
-      (s"""
-          |${ev.code}
-          |if (!${ev.isNull} && ${ev.value}) {""".stripMargin, "}")
-    }.getOrElse(("", ""))
-
     val numOutput = metricTerm(ctx, "numOutputRows")
     val idxTerm = ctx.freshName("graftIdx")
-    val consumeCode = consume(ctx, buildVars ++ streamVars)
+    val buildRow = ctx.freshName("graftBuildRow")
+
+    val body = joinType match {
+      case Inner =>
+        // build-side columns from the matched chain row
+        ctx.INPUT_ROW = buildRow
+        ctx.currentVars = null
+        val buildVars = left.output.zipWithIndex.map { case (a, i) =>
+          BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+        }
+        val buildEval = evaluateVariables(buildVars)
+        // residual condition over the joined variables (hash lookup
+        // already guarantees key equality via UnsafeRow equals)
+        val (condOpen, condClose) = condition.map { c =>
+          ctx.currentVars = buildVars ++ streamVars
+          ctx.INPUT_ROW = null
+          val bound = BindReferences.bindReference(c, AttributeSeq(left.output ++ right.output))
+          val ev = bound.genCode(ctx)
+          (s"""
+              |${ev.code}
+              |if (!${ev.isNull} && ${ev.value}) {""".stripMargin, "}")
+        }.getOrElse(("", ""))
+        val consumeCode = consume(ctx, buildVars ++ streamVars)
+        s"""
+           |${keyEv.code}
+           |if (!${keyEv.value}.anyNull()) {
+           |  int $idxTerm = $mapTerm.headFor(${keyEv.value});
+           |  while ($idxTerm != -1) {
+           |    InternalRow $buildRow = $mapTerm.rowAt($idxTerm);
+           |    $idxTerm = $mapTerm.next($idxTerm);
+           |    $buildEval
+           |    $condOpen
+           |    $numOutput.add(1);
+           |    $consumeCode
+           |    $condClose
+           |  }
+           |}
+         """.stripMargin
+
+      case RightOuter =>
+        // Spark's codegenOuter shape: the loop's final iteration emits
+        // the null-padded row when no match survived the condition.
+        ctx.INPUT_ROW = buildRow
+        ctx.currentVars = null
+        val buildVars = left.output.zipWithIndex.map { case (a, i) =>
+          val ev = BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+          // default to NULL when probing past the last match (pad row)
+          val isNull = ctx.freshName("graftIsNull")
+          val value = ctx.freshName("graftValue")
+          import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+          val javaType = CodeGenerator.javaType(a.dataType)
+          val newCode =
+            s"""
+               |boolean $isNull = true;
+               |$javaType $value = ${CodeGenerator.defaultValue(a.dataType)};
+               |if ($buildRow != null) {
+               |  ${ev.code}
+               |  $isNull = ${ev.isNull};
+               |  $value = ${ev.value};
+               |}
+             """.stripMargin
+          import org.apache.spark.sql.catalyst.expressions.codegen.{Block, JavaCode}
+          import Block._
+          ExprCode(code"$newCode",
+            JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+        }
+        val buildEval = evaluateVariables(buildVars)
+        val passed = ctx.freshName("graftPassed")
+        val condEval = condition.map { c =>
+          ctx.currentVars = buildVars ++ streamVars
+          ctx.INPUT_ROW = null
+          val bound = BindReferences.bindReference(c, AttributeSeq(left.output ++ right.output))
+          val ev = bound.genCode(ctx)
+          s"""
+             |boolean $passed = true;
+             |if ($buildRow != null) {
+             |  ${ev.code}
+             |  $passed = !${ev.isNull} && ${ev.value};
+             |}
+           """.stripMargin
+        }.getOrElse(s"boolean $passed = true;")
+        val found = ctx.freshName("graftFound")
+        val consumeCode = consume(ctx, buildVars ++ streamVars)
+        s"""
+           |${keyEv.code}
+           |int $idxTerm = ${keyEv.value}.anyNull() ? -1 : $mapTerm.headFor(${keyEv.value});
+           |boolean $found = false;
+           |// last iteration pads with nulls when no match survived
+           |while ($idxTerm != -1 || !$found) {
+           |  InternalRow $buildRow = $idxTerm != -1 ? $mapTerm.rowAt($idxTerm) : null;
+           |  if ($idxTerm != -1) $idxTerm = $mapTerm.next($idxTerm);
+           |  $buildEval
+           |  $condEval
+           |  if ($passed) {
+           |    $found = true;
+           |    $numOutput.add(1);
+           |    $consumeCode
+           |  }
+           |}
+         """.stripMargin
+
+      case t => throw new IllegalStateException(s"codegen unsupported for $t")
+    }
 
     s"""
        |while ($limitNotReachedCond $streamedInput.hasNext()) {
        |  InternalRow $streamedRow = (InternalRow) $streamedInput.next();
        |  $streamEval
-       |  ${keyEv.code}
-       |  if (!${keyEv.value}.anyNull()) {
-       |    int $idxTerm = $mapTerm.headFor(${keyEv.value});
-       |    while ($idxTerm != -1) {
-       |      InternalRow $buildRow = $mapTerm.rowAt($idxTerm);
-       |      $idxTerm = $mapTerm.next($idxTerm);
-       |      $buildEval
-       |      $condOpen
-       |      $numOutput.add(1);
-       |      $consumeCode
-       |      $condClose
-       |    }
-       |  }
+       |  $body
        |  if (shouldStop()) return;
        |}
      """.stripMargin
