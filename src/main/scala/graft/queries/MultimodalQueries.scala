@@ -38,22 +38,40 @@ object MultimodalQueries {
   }
 
   /** Batched fake-decode over binary payloads. The decode itself is a
-    * clearly-marked deterministic stub (hash-derived dimensions); the
+    * clearly-marked deterministic stub (md5-derived dimensions — which
+    * also makes it SQL-replayable, so the DuckDB oracle gates it); the
     * iterator shape is exactly what a JNI/FFI decoder integration needs:
-    * one expensive init per partition, streamed rows, typed output. */
-  val decodeStub: Q = Q.noOracle("m2_decode_stub") { (s, dir) =>
+    * one expensive init per partition (here the MessageDigest instance,
+    * standing in for decoder/codec state), streamed rows, typed output. */
+  val decodeStub: Q = Q(
+    "m2_decode_stub",
+    """WITH h AS (SELECT doc_id,
+      |    CAST(octet_length(encode(text)) AS INT) AS byte_len,
+      |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+      |  FROM documents)
+      |SELECT doc_id, byte_len,
+      |  CAST(h % 1920 + 1 AS INT) AS width,
+      |  CAST((h // 1920) % 1080 + 1 AS INT) AS height,
+      |  CAST(h % 30 + 1 AS INT) AS n_frames,
+      |  CASE WHEN h % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val sp = s
     import sp.implicits._
     t(s, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // [decoder init would happen here, once per partition]
+        // decoder init happens once per partition (a real integration
+        // would open the codec/JNI context here)
+        val digest = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
           // STUB: a real implementation decodes `bytes` with an image
           // library; dimensions here are deterministic functions of the
-          // payload so the pipeline is testable end-to-end.
-          val h = java.util.Arrays.hashCode(bytes).toLong & 0x7fffffffL
+          // payload (first 60 bits of its md5) so the pipeline is
+          // testable end-to-end AND replayable by the SQL oracle.
+          digest.reset()
+          val hex = digest.digest(bytes).map("%02x".format(_)).mkString
+          val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
           MediaMeta(
             doc_id = id,
             byte_len = bytes.length,
