@@ -395,7 +395,84 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing: documents concatenated in doc_id order into
+    * fixed-capacity bins (4096 chars), per source shard — the standard
+    * pre-training packing pass. Per-shard windows keep it distributed:
+    * PARTITION BY source means each shard's running sum is one task,
+    * never a global single-partition sort. Bin id is the integer
+    * prefix-sum division, exact in both engines. */
+  val seqPacking: Q = Q(
+    "t13_seq_packing",
+    s"""WITH o AS (SELECT source, doc_id, n_chars,
+      |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+      |  FROM documents),
+      |b AS (SELECT source, n_chars, CAST((prefix - n_chars) // 4096 AS BIGINT) AS bin FROM o)
+      |SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  ${Num.oraR4("CAST(SUM(n_chars) AS DOUBLE) / 4096")} AS fill_ratio
+      |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("prefix", sum(col("n_chars")).over(w))
+      .withColumn("bin", expr("(prefix - n_chars) div 4096"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        Num.r4(sum(col("n_chars")).cast(DoubleType) / 4096).as("fill_ratio"))
+      .orderBy("source", "bin")
+  }
+
+  /** Train/test contamination: for each test document (t9's md5 content
+    * split), the fraction of its 3-word shingles that appear anywhere in
+    * the train split. The cross-set analog of t8's pairwise Jaccard —
+    * the check a training pipeline runs before trusting held-out data.
+    * Shuffles 60-bit shingle hashes; the train shingle set is a
+    * distinct-deduped build side, never a cross product. */
+  val contamination: Q = Q(
+    "t14_contamination",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |       FROM w, generate_series(1, 1000) t(i) WHERE i <= len(ws) - 2),
+      |lbl AS (SELECT doc_id,
+      |    CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+      |         THEN 'train' ELSE 'test' END AS split
+      |  FROM documents),
+      |tr AS (SELECT DISTINCT g FROM sh JOIN lbl USING (doc_id) WHERE split = 'train'),
+      |te AS (SELECT sh.doc_id, sh.g FROM sh JOIN lbl USING (doc_id) WHERE split = 'test'),
+      |hit AS (SELECT te.doc_id, COUNT(*) AS n_sh,
+      |          SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      |        FROM te LEFT JOIN tr ON te.g = tr.g GROUP BY te.doc_id)
+      |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+      |  CAST(n_hit AS BIGINT) AS n_in_train,
+      |  ${Num.oraR4("CAST(n_hit AS DOUBLE) / n_sh")} AS contamination
+      |FROM hit ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val split = docs.select(col("doc_id"),
+      when(substring(md5(col("text")), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
+        .otherwise("test").as("split"))
+    // 60-bit hashes on the shuffle, as in t8 (collision odds negligible
+    // against the gate's noise floor)
+    val sh = shingleStrings(docs).select(col("doc_id"), mdHash(col("g")).as("gh"))
+    val withSplit = sh.join(split, "doc_id")
+    val trainSh = withSplit.filter(col("split") === "train")
+      .select(col("gh").as("tgh")).distinct()
+    withSplit.filter(col("split") === "test")
+      .join(trainSh, col("gh") === col("tgh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("tgh").isNotNull, 1).otherwise(0)).as("n_in_train"))
+      .select(col("doc_id"), col("n_shingles"), col("n_in_train"),
+        Num.r4(col("n_in_train").cast(DoubleType) / col("n_shingles")).as("contamination"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, tokenStats, langId, quality,
     fingerprint, ngramJaccard, minhashLsh, simhash,
-    trainTestSplit, vocab, lengthBuckets, bpeTokens)
+    trainTestSplit, vocab, lengthBuckets, bpeTokens,
+    seqPacking, contamination)
 }
