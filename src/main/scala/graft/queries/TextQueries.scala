@@ -456,9 +456,10 @@ object TextQueries {
         .isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
         .otherwise("test").as("split"))
     // 60-bit hashes on the shuffle, as in t8 (collision odds negligible
-    // against the gate's noise floor)
+    // against the gate's noise floor); persisted because both the train
+    // set and the test probe branch off it — one shingling pass, not two
     val sh = shingleStrings(docs).select(col("doc_id"), mdHash(col("g")).as("gh"))
-    val withSplit = sh.join(split, "doc_id")
+    val withSplit = sh.join(split, "doc_id").persist()
     val trainSh = withSplit.filter(col("split") === "train")
       .select(col("gh").as("tgh")).distinct()
     withSplit.filter(col("split") === "test")
