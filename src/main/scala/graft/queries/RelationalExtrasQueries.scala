@@ -254,6 +254,47 @@ object RelationalExtrasQueries {
       .orderBy("k")
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch per group: unlike HLL
+    * (whose register layout is engine-specific, so `q17_approx_distinct`
+    * stays rows-only), KMV over a shared hash function is bit-identical
+    * everywhere — estimate = (k-1)·2^60 / h_k over the k smallest
+    * distinct 60-bit md5 hashes. The sketch state (k smallest hashes) is
+    * mergeable, which is what a 1000-executor rollup needs; the exact
+    * count rides along to show the error. */
+  val kmvDistinct: Q = {
+    val k = 64
+    Q(
+      "agg2_kmv_distinct",
+      s"""WITH h AS (SELECT DISTINCT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h,
+        |        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |      FROM h),
+        |kth AS (SELECT l_returnflag, MAX(CASE WHEN rn = $k THEN h END) AS hk,
+        |          COUNT(*) AS n_distinct
+        |        FROM r GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n_distinct AS BIGINT) AS exact_distinct,
+        |  ${Num.oraR4(s"($k - 1) * CAST(POW(2, 60) AS DOUBLE) / hk")} AS kmv_estimate
+        |FROM kth ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val w = Window.partitionBy("l_returnflag").orderBy("h")
+      h.withColumn("rn", row_number().over(w))
+        .groupBy("l_returnflag")
+        .agg(max(when(col("rn") === k, col("h"))).as("hk"),
+          count(lit(1)).as("exact_distinct"))
+        .select(col("l_returnflag"), col("exact_distinct"),
+          Num.r4(lit(k - 1) * pow(lit(2), lit(60)) / col("hk")).as("kmv_estimate"))
+        .orderBy("l_returnflag")
+    }
+  }
+
   val all: Seq[Q] = Seq(pivot1, explode1, offset1, regex1, math1, geoMean,
-    percentiles, arrayFuncs, unionAll, windowFrames, higherOrder, unpivot1, json1)
+    percentiles, arrayFuncs, unionAll, windowFrames, higherOrder, unpivot1, json1,
+    kmvDistinct)
 }
