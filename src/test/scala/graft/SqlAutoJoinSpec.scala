@@ -155,6 +155,18 @@ class SqlAutoJoinSpec extends AnyFunSuite {
     assert(finalPlan(d).count(_.isInstanceOf[ParallelHashJoinExec]) == 2)
   }
 
+  test("DataFrame-API joins also convert under the auto conf") {
+    withConf(AutoParallelJoin.autoConfKey -> "required") {
+      val nation = graft.engine.Tables.t(spark, dir, "nation")
+      val region = graft.engine.Tables.t(spark, dir, "region")
+      val d = nation.join(region,
+        nation("n_regionkey") === region("r_regionkey"))
+      assert(finalPlan(d).exists(_.isInstanceOf[ParallelHashJoinExec]),
+        "df.join must plan through the custom exec too")
+      assert(d.count() == 25)
+    }
+  }
+
   test("parallelSql refuses a statement with nothing to convert") {
     intercept[IllegalArgumentException] {
       AutoParallelJoin.parallelSql(spark, "SELECT 1 AS one")
