@@ -57,6 +57,38 @@ class JoinPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("chunked spill path equals built-in join on arbitrary tables, all types") {
+    // a few-byte budget forces the grace path (multiple chunks per
+    // partition) even on these tiny tables; codegen off because the
+    // chunked fallback lives on the interpreted doExecute
+    val saved = Seq(graft.plans.ParallelHashJoinExec.spillThresholdKey,
+      graft.plans.ParallelHashJoinExec.codegenEnabledKey)
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(graft.plans.ParallelHashJoinExec.spillThresholdKey, "64")
+    spark.conf.set(graft.plans.ParallelHashJoinExec.codegenEnabledKey, "false")
+    try {
+      import org.apache.spark.sql.functions.col
+      for (seed <- 200L to 208L) {
+        val lRows = sample(tableGen, seed)
+        val rRows = sample(tableGen, seed + 1000)
+        val l = df(lRows, "lk", "lv")
+        val r = df(rRows, "rk", "rv")
+        for (jt <- Seq("inner", "left_outer", "right_outer", "full_outer", "left_semi", "left_anti")) {
+          val got = ParallelHashJoinApi.parallelHashJoin(l, r, Seq("lk"), Seq("rk"), jt)
+          val want = l.join(r, l("lk") === r("rk"), jt)
+          assert(sorted(got) == sorted(want), s"spill seed=$seed $jt, l=$lRows, r=$rRows")
+          val gotC = ParallelHashJoinApi.parallelHashJoin(l, r, Seq("lk"), Seq("rk"), jt,
+            Some(col("lv") < col("rv")))
+          val wantC = l.join(r, l("lk") === r("rk") && col("lv") < col("rv"), jt)
+          assert(sorted(gotC) == sorted(wantC), s"spill+cond seed=$seed $jt")
+        }
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("custom join with residual condition equals built-in, property-based") {
     import org.apache.spark.sql.functions.col
     for (seed <- 100L to 107L) {
