@@ -100,12 +100,22 @@ object TpcRunner {
     }
 
     Files.createDirectories(Paths.get(outDir))
-    val confJson = appliedConf.map { case (k, v) => s""""$k": "$v"""" }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val confJson = appliedConf.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
       .mkString("{", ",", "}")
-    val json = rows.map { case (n, ts) =>
-      s""""$n": {"ms": [${ts.map(t => f"$t%.1f").mkString(",")}]}"""
-    }.mkString("""{"config": """ + confJson + ", ", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/results.json"), json)
+    // config is just another element, so an empty run set still yields
+    // valid JSON (no dangling separator)
+    val entries = s""""config": $confJson""" +: rows.map { case (n, ts) =>
+      s"""${jstr(n)}: {"ms": [${ts.map(t => f"$t%.1f").mkString(",")}]}"""
+    }
+    Files.writeString(Paths.get(s"$outDir/results.json"),
+      entries.mkString("{", ",", "}"))
     val csv = "query,iteration,ms\n" + rows.flatMap { case (n, ts) =>
       ts.zipWithIndex.map { case (t, i) => f"$n,${i + 1},$t%.1f" }
     }.mkString("\n")

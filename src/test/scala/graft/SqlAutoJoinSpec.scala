@@ -64,6 +64,7 @@ class SqlAutoJoinSpec extends AnyFunSuite {
   private lazy val golden = spark.sql(joinSql).collect().toSeq
 
   test("auto=required plans plain SQL joins through ParallelHashJoinExec") {
+    golden // force OUTSIDE withConf: must come from Spark's built-in join
     withConf(AutoParallelJoin.autoConfKey -> "required") {
       val d = spark.sql(joinSql)
       assert(finalPlan(d).exists(_.isInstanceOf[ParallelHashJoinExec]),

@@ -53,6 +53,18 @@ class TpcRunnerSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
 
+  test("an empty run set still writes valid JSON") {
+    val out = Files.createTempDirectory("graft_tpc_empty").toString
+    TpcRunner.main(Array(
+      "--data-path", "/root/testdata/sf0.001",
+      "--queries", "pj_inner", "--exclude", "pj_inner",
+      "--iterations", "1", "--concurrency", "4", "--out", out))
+    val json = Files.readString(Paths.get(s"$out/results.json"))
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(json).toDS)
+    assert(!parsed.columns.contains("_corrupt_record"), s"invalid JSON: $json")
+  }
+
   test("--exclude rejects unknown query names") {
     intercept[IllegalArgumentException] {
       TpcRunner.main(Array("--data-path", "/root/testdata/sf0.001",
