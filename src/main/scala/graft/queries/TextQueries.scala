@@ -203,10 +203,11 @@ object TextQueries {
     // shingle table feeds four branches (cnt, both join sides, and the
     // window itself), so persist it — one shingling pass, not four
     // recomputations of the explode+distinct lineage.
-    val shk = QueryCache.persistFresh("t8_shingles", sh
+    val shk = sh
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("gh")))
-      .filter(col("df") <= 100).drop("df"))
+      .filter(col("df") <= 100).drop("df")
+      .persist()
     val cnt = shk.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = shk.select(col("doc_id").as("a_id"), col("gh"))
     val b = shk.select(col("doc_id").as("b_id"), col("gh").as("gh2"))
@@ -259,8 +260,7 @@ object TextQueries {
       val sh = shingleStrings(t(s, dir, "documents"))
       val sigCols = (0 until K).map(i =>
         min(mdHash(concat(lit(s"$i:"), col("g")))).as(s"h$i"))
-      val sig = QueryCache.persistFresh("t6_signatures",
-        sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*))
+      val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
       // one posexplode pass → (doc_id, band, h_even, h_odd)
       val bandArr = array((0 until 4).map(b =>
         struct(col(s"h${2 * b}").as("he"), col(s"h${2 * b + 1}").as("ho"))): _*)
@@ -459,8 +459,7 @@ object TextQueries {
     // against the gate's noise floor); persisted because both the train
     // set and the test probe branch off it — one shingling pass, not two
     val sh = shingleStrings(docs).select(col("doc_id"), mdHash(col("g")).as("gh"))
-    val withSplit = QueryCache.persistFresh("t14_shingle_splits",
-      sh.join(split, "doc_id"))
+    val withSplit = sh.join(split, "doc_id").persist()
     val trainSh = withSplit.filter(col("split") === "train")
       .select(col("gh").as("tgh")).distinct()
     withSplit.filter(col("split") === "test")
