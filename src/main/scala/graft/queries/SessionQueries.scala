@@ -97,5 +97,48 @@ object SessionQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(sessions, nullSafeJoin, sessionWindow)
+  /** Backward as-of join: each purchase attaches the most recent
+    * at-or-before click of the same user — the temporal-nearest join
+    * kdb/Flink pipelines use for feature attribution. Spark lacks a
+    * native ASOF; the scalable formulation is union + running MAX over a
+    * (user, time)-ordered window: one shuffle on user_id, no range
+    * cross-product, works at any key cardinality. Ties at equal
+    * timestamps order the reference stream first (at-or-before
+    * semantics); the oracle uses the identical formulation. `ts` is
+    * nanosecond int64 on the Spark side (nanosAsLong) and TIMESTAMP in
+    * DuckDB — both compared in microseconds per the repo playbook. */
+  val asofJoin: Q = Q(
+    "e5_asof_join",
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),
+      |u AS (SELECT user_id, ts_us, 1 AS is_ref, ts_us AS ref_ts, NULL::BIGINT AS pid
+      |      FROM e WHERE event_type = 'click'
+      |      UNION ALL
+      |      SELECT user_id, ts_us, 0, NULL, event_id FROM e WHERE event_type = 'purchase'),
+      |w AS (SELECT user_id, ts_us, is_ref, pid,
+      |        MAX(ref_ts) OVER (PARTITION BY user_id ORDER BY ts_us, is_ref DESC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
+      |      FROM u)
+      |SELECT pid AS event_id, user_id, ts_us AS purchase_us, asof_ts AS click_us
+      |FROM w WHERE is_ref = 0 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events")
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"))
+    val refs = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), lit(1).as("is_ref"),
+        col("ts_us").as("ref_ts"), lit(null).cast("long").as("pid"))
+    val probes = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(0).as("is_ref"),
+        lit(null).cast("long").as("ref_ts"), col("event_id").as("pid"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("is_ref").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    refs.unionByName(probes)
+      .withColumn("asof_ts", max(col("ref_ts")).over(w))
+      .filter(col("is_ref") === 0)
+      .select(col("pid").as("event_id"), col("user_id"),
+        col("ts_us").as("purchase_us"), col("asof_ts").as("click_us"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(sessions, nullSafeJoin, sessionWindow, asofJoin)
 }
