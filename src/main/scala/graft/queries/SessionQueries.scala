@@ -140,5 +140,43 @@ object SessionQueries {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(sessions, nullSafeJoin, sessionWindow, asofJoin)
+  /** Banded range join: errors joined to same-user clicks within ±1 day.
+    * A naive range predicate plans a nested-loop/cartesian per user; the
+    * scalable formulation bins time at the band width — each click lands
+    * in ONE bin, each error probes its 3 adjacent bins, the join is pure
+    * equi on (user, bin), and the exact |Δt| filter runs on the matched
+    * pairs only. Shuffle volume is 3× the probe side, never a cross
+    * product; each pair is seen exactly once (the click's own bin is
+    * among the 3 probed). Oracle states the same semantics as a direct
+    * range predicate, which DuckDB can afford at gate scale. */
+  val rangeJoin: Q = Q(
+    "e6_range_join",
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),
+      |err AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'error'),
+      |clk AS (SELECT user_id, ts_us AS c_ts FROM e WHERE event_type = 'click')
+      |SELECT err.event_id, err.user_id, CAST(COUNT(*) AS BIGINT) AS n_nearby_clicks
+      |FROM err JOIN clk
+      |  ON err.user_id = clk.user_id AND abs(err.ts_us - clk.c_ts) <= 86400000000
+      |GROUP BY err.event_id, err.user_id ORDER BY err.event_id""".stripMargin) { (s, dir) =>
+    val bandUs = 86400000000L // 1 day in microseconds = the bin width
+    val e = t(s, dir, "events")
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"))
+    val clk = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"),
+        expr(s"(ts_us div ${bandUs}L)").as("c_bin"))
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+      .withColumn("bin", explode(array(
+        expr(s"ts_us div ${bandUs}L - 1"),
+        expr(s"ts_us div ${bandUs}L"),
+        expr(s"ts_us div ${bandUs}L + 1"))))
+    err.join(clk, col("user_id") === col("c_user") && col("bin") === col("c_bin"))
+      .filter(abs(col("ts_us") - col("c_ts")) <= bandUs)
+      .groupBy("event_id", "user_id")
+      .agg(count(lit(1)).as("n_nearby_clicks"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(sessions, nullSafeJoin, sessionWindow, asofJoin, rangeJoin)
 }
