@@ -472,8 +472,37 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified downsampling: per-language keep rates
+    * applied through a content-hash bucket (md5 mod 100), so the sample
+    * is identical across engines, machines, and re-ingests — `rand()`
+    * sampling is not reproducible and leaks across reshuffles, the same
+    * reason t9's split hashes content. Pure per-row filter: scales as a
+    * scan. */
+  val stratifiedSample: Q = Q(
+    "t15_stratified_sample",
+    """WITH b AS (SELECT doc_id, lang, n_chars,
+      |    ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS bucket
+      |  FROM documents),
+      |kept AS (SELECT * FROM b
+      |  WHERE bucket < CASE WHEN lang = 'en' THEN 100
+      |                      WHEN lang = 'de' THEN 50 ELSE 25 END)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM kept GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val rate = when(col("lang") === "en", 100)
+      .when(col("lang") === "de", 50).otherwise(25)
+    t(s, dir, "documents")
+      .withColumn("bucket", pmod(mdHash(col("text")), lit(100)))
+      .filter(col("bucket") < rate)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, tokenStats, langId, quality,
     fingerprint, ngramJaccard, minhashLsh, simhash,
     trainTestSplit, vocab, lengthBuckets, bpeTokens,
-    seqPacking, contamination)
+    seqPacking, contamination, stratifiedSample)
 }
