@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through raw instead of via sbt's logger:
+// the driver greps the run log for Bench's ONE JSON line, and the
+// logger's "[info] " prefix broke that parse in rounds 1-3
+// (BENCH_r0{1,2,3}.json all show `parsed: null`).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

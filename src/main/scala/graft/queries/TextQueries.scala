@@ -198,21 +198,26 @@ object TextQueries {
     // shuffle 64-bit shingle hashes, not strings (collision odds over
     // ~3e5 distinct shingles ≈ 2e-9 — far below the gate's noise floor)
     val sh = shingles(t(s, dir, "documents"))
-    // DF cap as a count-over-window: rides the same gh shuffle the
-    // blocking join needs, no separate keep-list join. The capped
-    // shingle table feeds four branches (cnt, both join sides, and the
-    // window itself), so persist it — one shingling pass, not four
-    // recomputations of the explode+distinct lineage.
-    val shk = sh
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("gh")))
-      .filter(col("df") <= 100).drop("df")
+    // One shuffle by shingle hash builds the inverted index (shingle →
+    // doc list); the DF cap is just a list-size filter on it. Pairs are
+    // expanded in-place per posting list (≤ C(100,2) per shingle — the
+    // cap bounds the blowup), which replaces the round-3 shape of a
+    // count-over-window PLUS a self-join on the same key: same
+    // semantics, one wide shuffle instead of three.
+    val kept = sh.groupBy("gh").agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= 100)
       .persist()
-    val cnt = shk.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = shk.select(col("doc_id").as("a_id"), col("gh"))
-    val b = shk.select(col("doc_id").as("b_id"), col("gh").as("gh2"))
-    val inter = a.join(b, col("gh") === col("gh2") && col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("nb"))
+    // per-doc surviving-shingle count: singleton lists still count here,
+    // they just produce no pairs below
+    val cnt = kept.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = kept.filter(size(col("ds")) >= 2).select(explode(expr(
+      """flatten(transform(sequence(0, size(ds) - 2),
+        |  i -> transform(sequence(i + 1, size(ds) - 1),
+        |    j -> struct(least(ds[i], ds[j]) AS a, greatest(ds[i], ds[j]) AS b))))""".stripMargin))
+      .as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+    val inter = pairs.groupBy("a_id", "b_id").agg(count(lit(1)).as("nb"))
     val ca = cnt.select(col("doc_id").as("ca_id"), col("n").as("na"))
     val cb = cnt.select(col("doc_id").as("cb_id"), col("n").as("nbb"))
     val jac = Num.r4(col("nb").cast(DoubleType) / (col("na") + col("nbb") - col("nb")))
@@ -224,20 +229,32 @@ object TextQueries {
   }
 
   /** MinHash + LSH near-dup candidates: k=8 signature over 3-word
-    * shingles (md5-derived 60-bit hashes under k seeds), 4 bands × 2
-    * rows; pairs sharing any band bucket, scored by signature agreement
-    * ≥ 0.5. The shuffle key is (band, h_even, h_odd) — subquadratic at
-    * corpus scale — and the band rows come from ONE posexplode pass over
-    * the cached signature table, not a 4-way union re-deriving it.
-    * md5 hashing makes the whole pipeline SQL-replayable: the oracle
-    * recomputes signatures and bands exactly (candidate generation as an
-    * OR of band equalities — same set as the bucket join). */
+    * shingles, 4 bands × 2 rows; pairs sharing any band bucket, scored
+    * by signature agreement ≥ 0.5. The shuffle key is
+    * (band, h_even, h_odd) — subquadratic at corpus scale — and the band
+    * rows come from ONE posexplode pass over the cached signature table.
+    *
+    * Permutation family: ONE md5 per shingle (its first 60 bits split
+    * into two 30-bit halves h1/h2), then k affine rehashes
+    * `(a_i*h1 + b_i*h2 + c_i) mod (2^61-1)`. Products stay under 2^61 so
+    * the arithmetic is overflow-free 64-bit in both engines, which keeps
+    * the pipeline SQL-replayable — and it is 8× cheaper than the
+    * round-3 version that ran a full md5 per (seed, shingle) pair
+    * (t6 bench 5.7 s → back near its pre-oracle 1.1 s). */
   val minhashLsh: Q = {
     val K = 8
+    val M61 = (1L << 61) - 1 // Mersenne prime 2^61-1
+    // fixed per-permutation multipliers/offsets, all < 2^31
+    val seeds: Seq[(Long, Long, Long)] = (0 until K).map { i =>
+      ((i + 1) * 1000000007L % 2147483647L,
+       (i + 1) * 998244353L % 2147483647L,
+       (i + 1) * 777767777L % 2147483647L)
+    }
     val oracleAgree = (0 until K)
       .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
-    val oracleSigCols = (0 until K)
-      .map(i => s"MAX(CASE WHEN i = $i THEN h END) AS h$i").mkString(",\n        ")
+    val oracleSigCols = seeds.zipWithIndex.map { case ((a, b, c), i) =>
+      s"MIN((($a * h1) + ($b * h2) + $c) % $M61) AS h$i"
+    }.mkString(",\n        ")
     val oracleBands = (0 until 4)
       .map(b => s"(sa.h${2 * b} = sb.h${2 * b} AND sa.h${2 * b + 1} = sb.h${2 * b + 1})")
       .mkString(" OR ")
@@ -246,21 +263,24 @@ object TextQueries {
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
         |       FROM w, generate_series(1, 1000) t(i) WHERE i <= len(ws) - 2),
-        |mh AS (SELECT doc_id, i,
-        |         MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, 15))::BIGINT) AS h
-        |       FROM sh, generate_series(0, ${K - 1}) s(i) GROUP BY doc_id, i),
+        |hh AS (SELECT doc_id, (h >> 30) AS h1, (h & 1073741823) AS h2 FROM
+        |         (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM sh)),
         |sig AS (SELECT doc_id,
         |        $oracleSigCols
-        |        FROM mh GROUP BY doc_id)
+        |        FROM hh GROUP BY doc_id)
         |SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
         |  ${Num.oraR4(s"($oracleAgree) / ${K}.0")} AS est_jaccard
         |FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id AND ($oracleBands)
         |WHERE ${Num.oraR4(s"($oracleAgree) / ${K}.0")} >= 0.5
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val sh = shingleStrings(t(s, dir, "documents"))
-      val sigCols = (0 until K).map(i =>
-        min(mdHash(concat(lit(s"$i:"), col("g")))).as(s"h$i"))
-      val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
+      val hh = shingleStrings(t(s, dir, "documents"))
+        .select(col("doc_id"), mdHash(col("g")).as("h"))
+        .select(col("doc_id"), shiftright(col("h"), 30).as("h1"),
+          col("h").bitwiseAND(lit((1L << 30) - 1)).as("h2"))
+      val sigCols = seeds.zipWithIndex.map { case ((a, b, c), i) =>
+        min((lit(a) * col("h1") + lit(b) * col("h2") + lit(c)) % lit(M61)).as(s"h$i")
+      }
+      val sig = hh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
       // one posexplode pass → (doc_id, band, h_even, h_odd)
       val bandArr = array((0 until 4).map(b =>
         struct(col(s"h${2 * b}").as("he"), col(s"h${2 * b + 1}").as("ho"))): _*)
