@@ -327,5 +327,40 @@ object SimQueries {
       .limit(10)
   }
 
-  val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup, annIvf)
+  /** Int8 embedding quantization (the 4× storage/bandwidth cut an ANN
+    * index wants at 100 TB): per-vector min/max affine scale to [0,255],
+    * validated by two exact integer checksums (plain sum and
+    * position-weighted sum of the quantized codes). Pure per-row HOF
+    * pass — no shuffle, no UDF; the cast float→double and the affine
+    * arithmetic are IEEE-identical in both engines so the BIGINT
+    * checksums are bit-exact. Constant vectors (mx = mn) quantize to
+    * all-zero codes by convention, guarded in both engines. */
+  val quantize: Q = Q(
+    "v6_embedding_quant",
+    """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM d),
+      |q AS (SELECT vec_id, mn, mx,
+      |        CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+      |             ELSE CAST(FLOOR((v[i] - mn) / ((mx - mn) / 255.0) + 0.5) AS BIGINT)
+      |        END AS qi, i
+      |      FROM m, generate_series(1, 64) t(i)),
+      |agg AS (SELECT vec_id, mn, mx, CAST(SUM(qi) AS BIGINT) AS q_sum,
+      |          CAST(SUM(qi * i) AS BIGINT) AS q_cksum
+      |        FROM q GROUP BY 1, 2, 3)
+      |SELECT vec_id, mn, mx, q_sum, q_cksum FROM agg ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("qarr", expr(
+        """transform(v, x -> IF(mx = mn, CAST(0 AS BIGINT),
+          |  CAST(floor((x - mn) / ((mx - mn) / 255.0) + 0.5) AS BIGINT)))""".stripMargin))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        expr("aggregate(qarr, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+        expr("""aggregate(transform(qarr, (x, i) -> x * CAST(i + 1 AS BIGINT)),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin).as("q_cksum"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup, annIvf, quantize)
 }

@@ -521,8 +521,121 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** CCNet-style sub-document dedup: split each doc into DISJOINT
+    * 8-word blocks (the "paragraph" unit in this corpus — the text has
+    * no newlines), count how many of a doc's blocks also occur in some
+    * OTHER doc, and report the duplicate-block fraction. This is the
+    * boilerplate-removal primitive large corpus pipelines run before
+    * near-dup detection; unlike t8's overlapping shingles it is linear
+    * in corpus size (one block per 8 words, one shuffle on the block
+    * key). Block cap 125 (= the same 1000-word budget as the t6/t8
+    * shingle cap), in lockstep with the oracle's generate_series bound. */
+  val blockDedup: Q = {
+    val blkConcat = (1 to 8).map(k => s"ws[i*8+$k]").mkString(" || ' ' || ")
+    Q(
+      "t16_block_dedup",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, $blkConcat AS blk
+        |      FROM w, generate_series(0, 124) t(i) WHERE (i+1)*8 <= len(ws)),
+        |df AS (SELECT blk, COUNT(DISTINCT doc_id) AS d FROM b GROUP BY blk),
+        |pd AS (SELECT b.doc_id, COUNT(*) AS n_blocks,
+        |         SUM(CASE WHEN df.d > 1 THEN 1 ELSE 0 END) AS dup_blocks
+        |       FROM b JOIN df ON b.blk = df.blk GROUP BY b.doc_id)
+        |SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+        |  CAST(dup_blocks AS BIGINT) AS dup_blocks,
+        |  ${Num.oraR4("dup_blocks * 1.0 / n_blocks")} AS dup_frac
+        |FROM pd ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val blk = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, least(size(ws) div 8 - 1, 124)),
+            |  i -> concat_ws(' ', slice(ws, i*8+1, 8)))""".stripMargin)).as("blk"))
+      val df = blk.groupBy("blk").agg(countDistinct(col("doc_id")).as("d"))
+      blk.join(df, "blk")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("d") > 1, 1L).otherwise(0L)).as("dup_blocks"))
+        .select(col("doc_id"), col("n_blocks"), col("dup_blocks"),
+          Num.r4(col("dup_blocks").cast(DoubleType) / col("n_blocks")).as("dup_frac"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Gopher-style repetition filter: per-doc top-token frequency ratio
+    * and distinct-token ratio; docs whose single most frequent token
+    * exceeds 15% of all tokens are flagged repetitive. Pure
+    * groupBy(doc, token) → groupBy(doc): two partial-agg shuffles keyed
+    * by doc, no joins — scales as a scan. */
+  val repetitionScore: Q = Q(
+    "t17_repetition_score",
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |c AS (SELECT doc_id, tk, COUNT(*) AS n FROM tok WHERE len(tk) > 0 GROUP BY 1, 2),
+      |d AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |        CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(n) AS BIGINT) AS top_n
+      |      FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_distinct, top_n,
+      |  ${Num.oraR4("top_n * 1.0 / n_tokens")} AS top_ratio,
+      |  ${Num.oraR4("n_distinct * 1.0 / n_tokens")} AS distinct_ratio,
+      |  CASE WHEN ${Num.oraR4("top_n * 1.0 / n_tokens")} >= 0.15 THEN 1 ELSE 0 END AS repetitive
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .filter(length(col("tk")) > 0)
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("n"))
+    val topRatio = Num.r4(col("top_n").cast(DoubleType) / col("n_tokens"))
+    c.groupBy("doc_id")
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_n"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_n"),
+        topRatio.as("top_ratio"),
+        Num.r4(col("n_distinct").cast(DoubleType) / col("n_tokens")).as("distinct_ratio"),
+        when(topRatio >= 0.15, 1).otherwise(0).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  /** Unigram-LM quality score: corpus-level token frequencies give each
+    * token a surprisal -ln(count/total); a doc's score is its mean token
+    * surprisal (low = made of the corpus's most common tokens, i.e.
+    * boilerplate — the importance-sampling signal LM pipelines filter
+    * on). The surprisal is fixed-pointed to micro-nats PER VOCAB ENTRY
+    * (~tens of values), so the per-doc aggregation is exact integer
+    * math — double `ln` is evaluated once per distinct token, not once
+    * per token instance, and the doc sums can never drift between
+    * engines. Vocab is broadcast (tiny); tokens shuffle once by doc. */
+  val unigramLogprob: Q = Q(
+    "t18_unigram_logprob",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |tk2 AS (SELECT doc_id, tk FROM tok WHERE len(tk) > 0),
+      |v AS (SELECT tk, COUNT(*) AS cnt FROM tk2 GROUP BY tk),
+      |tot AS (SELECT SUM(cnt) AS tot FROM v),
+      |li AS (SELECT tk, CAST(FLOOR(LN(tot * 1.0 / cnt) * 1000000 + 0.5) AS BIGINT) AS l
+      |       FROM v, tot),
+      |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, CAST(SUM(l) AS BIGINT) AS s
+      |      FROM tk2 JOIN li ON tk2.tk = li.tk GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  FLOOR(s * 1.0 / n_tokens / 1000000 * 10000 + 0.5) / 10000 AS avg_surprisal
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .filter(length(col("tk")) > 0)
+    val vocab = tok.groupBy("tk").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("tot"))
+    val li = vocab.crossJoin(broadcast(total))
+      .select(col("tk"),
+        floor(log(col("tot").cast(DoubleType) / col("cnt")) * 1000000 + 0.5)
+          .cast(LongType).as("l"))
+    tok.join(broadcast(li), "tk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("l")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        Num.r4(col("s").cast(DoubleType) / col("n_tokens") / 1000000).as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, tokenStats, langId, quality,
     fingerprint, ngramJaccard, minhashLsh, simhash,
     trainTestSplit, vocab, lengthBuckets, bpeTokens,
-    seqPacking, contamination, stratifiedSample)
+    seqPacking, contamination, stratifiedSample,
+    blockDedup, repetitionScore, unigramLogprob)
 }
