@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
   * append_block) in its single-writer per-partition form. Public (not
   * nested) because whole-stage-generated Java calls `headFor`/`rowAt`/
   * `next` directly in the probe loop. */
-final class GraftChainMap(keyProj: UnsafeProjection) {
+final class GraftChainMap(keyProj: UnsafeProjection) extends GraftBuildMap {
   private val rowsBuf = new mutable.ArrayBuffer[InternalRow]()
   private val keyHead = new java.util.HashMap[UnsafeRow, Integer]()
   private var nextIdx = new Array[Int](1024)

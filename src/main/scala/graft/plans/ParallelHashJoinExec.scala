@@ -98,10 +98,12 @@ case class ParallelHashJoinExec(
     val spillThreshold = conf.getConfString(
       ParallelHashJoinExec.spillThresholdKey,
       ParallelHashJoinExec.spillThresholdDefault).toLong
+    val mapImpl = conf.getConfString(
+      ParallelHashJoinExec.mapImplKey, ParallelHashJoinExec.mapImplDefault)
     left.execute().zipPartitions(right.execute()) { (buildIter, probeIter) =>
       ParallelHashJoinExec.joinPartition(
         buildIter, probeIter, buildOutput, probeOutput, buildKeys, probeKeys,
-        jt, cond, outAttrs, spillThreshold,
+        jt, cond, outAttrs, spillThreshold, mapImpl,
         numOutputRows, buildRowsMetric, buildChunksMetric)
     }
   }
@@ -134,11 +136,12 @@ case class ParallelHashJoinExec(
     * baked in at codegen time (driver side) because `conf` is not
     * available on executors. */
   def buildChainForCodegen(
-      buildIter: Iterator[InternalRow], thresholdBytes: Long): GraftChainMap = {
+      buildIter: Iterator[InternalRow], thresholdBytes: Long,
+      mapImpl: String): GraftBuildMap = {
     val keyProj = UnsafeProjection.create(
       leftKeys.map(org.apache.spark.sql.classic.GraftSqlBridge.normalizeFloatingKey),
       left.output)
-    val map = new GraftChainMap(keyProj)
+    val map = ParallelHashJoinExec.newBuildMap(mapImpl, keyProj)
     val buildRowsMetric = longMetric("buildRows")
     longMetric("buildChunks") += 1
     var bytes = 0L
@@ -171,8 +174,11 @@ case class ParallelHashJoinExec(
       "graftStreamedInput", v => s"$v = inputs[0];", forceInline = true)
     val buildInput = ctx.addMutableState("scala.collection.Iterator",
       "graftBuildInput", v => s"$v = inputs[1];", forceInline = true)
-    val mapTerm = ctx.addMutableState("graft.plans.GraftChainMap", "graftChainMap",
-      v => s"$v = $thisPlan.buildChainForCodegen($buildInput, ${spillThreshold}L);",
+    val mapImpl = conf.getConfString(
+      ParallelHashJoinExec.mapImplKey, ParallelHashJoinExec.mapImplDefault)
+    val mapTerm = ctx.addMutableState("graft.plans.GraftBuildMap", "graftChainMap",
+      v => s"$v = $thisPlan.buildChainForCodegen($buildInput, ${spillThreshold}L, " +
+        s""""$mapImpl");""",
       forceInline = true)
 
     // evaluate the streamed (probe) columns from the input row
@@ -321,6 +327,20 @@ object ParallelHashJoinExec {
     * back to the interpreted, spill-capable doExecute). */
   val codegenEnabledKey = "spark.graft.parallelHashJoin.codegenEnabled"
 
+  /** Build-map layout knob — the analog of the reference's build-side
+    * version1..10 A/B family for the map itself: `chain` (boxed
+    * HashMap of key → chain head, version1's shape) or `open`
+    * (open-addressing slot table, version10's shape — see
+    * `GraftOpenMap`). Orthogonal to the `impl` exec knob. */
+  val mapImplKey = "spark.graft.parallelHashJoin.map"
+  val mapImplDefault = "chain"
+
+  private[plans] def newBuildMap(impl: String, keyProj: UnsafeProjection): GraftBuildMap =
+    impl match {
+      case "open" => new GraftOpenMap(keyProj)
+      case _ => new GraftChainMap(keyProj)
+    }
+
   /** One partition's build-then-probe, mirroring the reference's
     * `execute_streaming_join` (`parallel_hash_join_executor.rs:101-121`):
     * fully consume the build side into a hash map, then stream the probe
@@ -338,6 +358,7 @@ object ParallelHashJoinExec {
       condition: Option[Expression],
       outAttrs: Seq[Attribute],
       spillThresholdBytes: Long,
+      mapImpl: String,
       numOutputRows: SQLMetric,
       buildRowsMetric: SQLMetric,
       buildChunksMetric: SQLMetric): Iterator[InternalRow] = {
@@ -380,7 +401,7 @@ object ParallelHashJoinExec {
       case None => (_: InternalRow) => true
     }
 
-    val chain = new GraftChainMap(buildKeyProj)
+    val chain: GraftBuildMap = newBuildMap(mapImpl, buildKeyProj)
     val trackBuildMatches = joinType match {
       case LeftOuter | FullOuter | LeftSemi | LeftAnti => true
       case _ => false
