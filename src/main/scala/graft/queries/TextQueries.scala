@@ -241,69 +241,132 @@ object TextQueries {
     * the pipeline SQL-replayable — and it is 8× cheaper than the
     * round-3 version that ran a full md5 per (seed, shingle) pair
     * (t6 bench 5.7 s → back near its pre-oracle 1.1 s). */
-  val minhashLsh: Q = {
-    val K = 8
-    val M61 = (1L << 61) - 1 // Mersenne prime 2^61-1
-    // fixed per-permutation multipliers/offsets, all < 2^31
-    val seeds: Seq[(Long, Long, Long)] = (0 until K).map { i =>
-      ((i + 1) * 1000000007L % 2147483647L,
-       (i + 1) * 998244353L % 2147483647L,
-       (i + 1) * 777767777L % 2147483647L)
-    }
-    val oracleAgree = (0 until K)
+  private val lshK = 8
+  private val lshM61 = (1L << 61) - 1 // Mersenne prime 2^61-1
+  // fixed per-permutation multipliers/offsets, all < 2^31
+  private val lshSeeds: Seq[(Long, Long, Long)] = (0 until lshK).map { i =>
+    ((i + 1) * 1000000007L % 2147483647L,
+     (i + 1) * 998244353L % 2147483647L,
+     (i + 1) * 777767777L % 2147483647L)
+  }
+
+  /** Oracle CTE block ending in `pairs(a_id, b_id, est_jaccard)` — the
+    * exact SQL replay of [[lshPairs]], shared by the t6 and t19 oracles
+    * so the edge set can never diverge between them. */
+  private val lshOracleCtes: String = {
+    val oracleAgree = (0 until lshK)
       .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
-    val oracleSigCols = seeds.zipWithIndex.map { case ((a, b, c), i) =>
-      s"MIN((($a * h1) + ($b * h2) + $c) % $M61) AS h$i"
+    val oracleSigCols = lshSeeds.zipWithIndex.map { case ((a, b, c), i) =>
+      s"MIN((($a * h1) + ($b * h2) + $c) % $lshM61) AS h$i"
     }.mkString(",\n        ")
     val oracleBands = (0 until 4)
       .map(b => s"(sa.h${2 * b} = sb.h${2 * b} AND sa.h${2 * b + 1} = sb.h${2 * b + 1})")
       .mkString(" OR ")
-    Q(
-      "t6_minhash_lsh",
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
-        |       FROM w, generate_series(1, 1000) t(i) WHERE i <= len(ws) - 2),
-        |hh AS (SELECT doc_id, (h >> 30) AS h1, (h & 1073741823) AS h2 FROM
-        |         (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM sh)),
-        |sig AS (SELECT doc_id,
-        |        $oracleSigCols
-        |        FROM hh GROUP BY doc_id)
-        |SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
-        |  ${Num.oraR4(s"($oracleAgree) / ${K}.0")} AS est_jaccard
-        |FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id AND ($oracleBands)
-        |WHERE ${Num.oraR4(s"($oracleAgree) / ${K}.0")} >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val hh = shingleStrings(t(s, dir, "documents"))
-        .select(col("doc_id"), mdHash(col("g")).as("h"))
-        .select(col("doc_id"), shiftright(col("h"), 30).as("h1"),
-          col("h").bitwiseAND(lit((1L << 30) - 1)).as("h2"))
-      val sigCols = seeds.zipWithIndex.map { case ((a, b, c), i) =>
-        min((lit(a) * col("h1") + lit(b) * col("h2") + lit(c)) % lit(M61)).as(s"h$i")
-      }
-      val sig = hh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
-      // one posexplode pass → (doc_id, band, h_even, h_odd)
-      val bandArr = array((0 until 4).map(b =>
-        struct(col(s"h${2 * b}").as("he"), col(s"h${2 * b + 1}").as("ho"))): _*)
-      val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
-        .select(col("doc_id"), col("band"), col("bh.he"), col("bh.ho"))
-      val l = bands.select(col("band"), col("he"), col("ho"), col("doc_id").as("a_id"))
-      val r = bands.select(col("band").as("band2"), col("he").as("he2"),
-        col("ho").as("ho2"), col("doc_id").as("b_id"))
-      val cand = l.join(r, col("band") === col("band2") &&
-          col("he") === col("he2") && col("ho") === col("ho2") &&
-          col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-      // verify candidates by full-signature agreement (estimated jaccard)
-      val sa = sig.select(col("doc_id").as("a_id") +: (0 until K).map(i => col(s"h$i").as(s"a$i")): _*)
-      val sb = sig.select(col("doc_id").as("b_id") +: (0 until K).map(i => col(s"h$i").as(s"b$i")): _*)
-      val agree = (0 until K).map(i =>
-        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
-      cand.join(sa, "a_id").join(sb, "b_id")
-        .select(col("a_id"), col("b_id"),
-          Num.r4(agree.cast(DoubleType) / K).as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.5)
-        .orderBy("a_id", "b_id")
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |       FROM w, generate_series(1, 1000) t(i) WHERE i <= len(ws) - 2),
+      |hh AS (SELECT doc_id, (h >> 30) AS h1, (h & 1073741823) AS h2 FROM
+      |         (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM sh)),
+      |sig AS (SELECT doc_id,
+      |        $oracleSigCols
+      |        FROM hh GROUP BY doc_id),
+      |pairs AS (SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
+      |    ${Num.oraR4(s"($oracleAgree) / ${lshK}.0")} AS est_jaccard
+      |  FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id AND ($oracleBands)
+      |  WHERE ${Num.oraR4(s"($oracleAgree) / ${lshK}.0")} >= 0.5)""".stripMargin
+  }
+
+  /** MinHash+LSH near-dup pairs (unordered): signature build, one
+    * posexplode band pass, bucket-join candidates, full-signature
+    * verification. Shared by t6 (pair listing) and t19 (connected
+    * components over these pairs as edges). */
+  private[queries] def lshPairs(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val hh = shingleStrings(t(s, dir, "documents"))
+      .select(col("doc_id"), mdHash(col("g")).as("h"))
+      .select(col("doc_id"), shiftright(col("h"), 30).as("h1"),
+        col("h").bitwiseAND(lit((1L << 30) - 1)).as("h2"))
+    val sigCols = lshSeeds.zipWithIndex.map { case ((a, b, c), i) =>
+      min((lit(a) * col("h1") + lit(b) * col("h2") + lit(c)) % lit(lshM61)).as(s"h$i")
     }
+    val sig = hh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
+    // one posexplode pass → (doc_id, band, h_even, h_odd)
+    val bandArr = array((0 until 4).map(b =>
+      struct(col(s"h${2 * b}").as("he"), col(s"h${2 * b + 1}").as("ho"))): _*)
+    val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
+      .select(col("doc_id"), col("band"), col("bh.he"), col("bh.ho"))
+    val l = bands.select(col("band"), col("he"), col("ho"), col("doc_id").as("a_id"))
+    val r = bands.select(col("band").as("band2"), col("he").as("he2"),
+      col("ho").as("ho2"), col("doc_id").as("b_id"))
+    val cand = l.join(r, col("band") === col("band2") &&
+        col("he") === col("he2") && col("ho") === col("ho2") &&
+        col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // verify candidates by full-signature agreement (estimated jaccard)
+    val sa = sig.select(col("doc_id").as("a_id") +: (0 until lshK).map(i => col(s"h$i").as(s"a$i")): _*)
+    val sb = sig.select(col("doc_id").as("b_id") +: (0 until lshK).map(i => col(s"h$i").as(s"b$i")): _*)
+    val agree = (0 until lshK).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        Num.r4(agree.cast(DoubleType) / lshK).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+  }
+
+  val minhashLsh: Q = Q(
+    "t6_minhash_lsh",
+    s"""WITH $lshOracleCtes
+      |SELECT a_id, b_id, est_jaccard FROM pairs
+      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    lshPairs(s, dir).orderBy("a_id", "b_id")
+  }
+
+  /** Near-dup CLUSTERS: connected components over the t6 LSH pair graph
+    * by distributed min-label propagation — each iteration joins the
+    * symmetric edge list to the current labels, takes the per-node
+    * minimum neighbor label, and repeats to fixpoint (O(component
+    * diameter) rounds, every round a pure shuffle join — the
+    * small-star/large-star family's simplest member, scale-safe because
+    * nothing ever leaves the cluster). The canonical keeper per cluster
+    * is the minimum doc_id — the dedup decision a corpus pipeline
+    * actually ships. Oracle replays the same edges (shared CTE block)
+    * and closes them with a recursive CTE. */
+  val neardupComponents: Q = Q(
+    "t19_neardup_components",
+    s"""WITH RECURSIVE $lshOracleCtes,
+      |eb AS (SELECT a_id AS s, b_id AS d FROM pairs
+      |       UNION ALL SELECT b_id, a_id FROM pairs),
+      |r AS (
+      |  SELECT doc_id, doc_id AS comp FROM documents
+      |  UNION
+      |  SELECT eb.d AS doc_id, r.comp FROM r JOIN eb ON eb.s = r.doc_id
+      |)
+      |SELECT doc_id, MIN(comp) AS comp_id,
+      |  CASE WHEN MIN(comp) = doc_id THEN 1 ELSE 0 END AS is_canonical
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val e = lshPairs(s, dir).select(col("a_id"), col("b_id"))
+    val eb = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).persist()
+    var labels = t(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("comp")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = eb.join(labels, eb("a_id") === labels("doc_id"))
+        .groupBy(eb("b_id").as("dst")).agg(min(col("comp")).as("nbr"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+        .select(labels("doc_id"),
+          least(labels("comp"), coalesce(col("nbr"), labels("comp"))).as("comp"))
+        .persist()
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("comp").as("comp_id"),
+      when(col("comp") === col("doc_id"), 1).otherwise(0).as("is_canonical"))
+      .orderBy("doc_id")
   }
 
   /** SimHash: 32-bit signature from token hashes (per-bit ±1 vote).
@@ -637,5 +700,5 @@ object TextQueries {
     fingerprint, ngramJaccard, minhashLsh, simhash,
     trainTestSplit, vocab, lengthBuckets, bpeTokens,
     seqPacking, contamination, stratifiedSample,
-    blockDedup, repetitionScore, unigramLogprob)
+    blockDedup, repetitionScore, unigramLogprob, neardupComponents)
 }
