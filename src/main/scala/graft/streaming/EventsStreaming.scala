@@ -121,6 +121,62 @@ object EventsStreaming {
     spark.table(name)
   }
 
+  /** Stream-stream inner join with an event-time range constraint: each
+    * purchase joins the clicks of the same user from the preceding
+    * 30 minutes (attribution). Both sides carry watermarks, and the
+    * range predicate bounds the buffered state — Spark evicts a side's
+    * rows once the other side's watermark passes the constraint, which
+    * is exactly the posture an unbounded two-stream join needs at
+    * scale. Returns the memory-sink table. */
+  def clickAttributionStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tpe: String, pre: String): DataFrame = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${pre}_user"),
+        col("event_id").as(s"${pre}_id"),
+        timestamp_micros(expr("ts div 1000")).as(s"${pre}_ts"))
+      .withWatermark(s"${pre}_ts", "1 hour")
+    val clicks = side("click", "c")
+    val purchases = side("purchase", "p")
+    val q = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("p_user").as("user_id"), col("p_id").as("purchase_id"),
+        col("c_id").as("click_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("lag_s"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** The batch formulation of [[clickAttributionStream]] — the equality
+    * baseline for the stream-stream join test. */
+  def clickAttributionBatch(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    def side(tpe: String, pre: String): DataFrame = ev
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${pre}_user"),
+        col("event_id").as(s"${pre}_id"),
+        timestamp_micros(expr("ts div 1000")).as(s"${pre}_ts"))
+    side("purchase", "p").join(side("click", "c"),
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("p_user").as("user_id"), col("p_id").as("purchase_id"),
+        col("c_id").as("click_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("lag_s"))
+  }
+
   /** Run the streaming query to completion against the static fixture
     * (memory sink, complete mode) and return the materialized result —
     * used by tests to prove batch/stream agreement. */

@@ -80,6 +80,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@10 too low: $recall")
   }
 
+  test("stream-stream interval join matches the batch formulation") {
+    val streamed = EventsStreaming.clickAttributionStream(spark, dir, "stream_attr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = EventsStreaming.clickAttributionBatch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty, "attribution join produced no rows")
+    assert(streamed == batch)
+  }
+
   test("stateful streaming sessionization matches the batch formulation") {
     val streamed = EventsStreaming.sessionizeStream(spark, dir, "stream_sessions")
       .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSeq
