@@ -25,6 +25,7 @@ object Bench {
     "j_left_outer", "j_residual_filter", "pj_inner", "pj_right_outer",
     "pjsql_three_way", // transparent SQL→custom-exec path
     "t1_dedup_exact", "t6_minhash_lsh", "t8_ngram_jaccard",
+    "t16_block_dedup", "t19_neardup_components",
     "v1_cosine_topk", "v4_embedding_neardup",
     "e1_events_hourly", "e3_sessions")
 

@@ -15,6 +15,9 @@ case class MediaMeta(
     n_frames: Int,
     format: String)
 
+/** One sampled frame from a media payload (m3 output row). */
+case class FrameOut(doc_id: Long, frame_idx: Int, frame_md5: String)
+
 /** Multimodal columns: media as opaque `binary` payloads with typed
   * metadata. The pattern at 100 TB: payloads stay columnar in parquet,
   * decode/feature-extract runs as a batched per-partition pass
@@ -85,5 +88,49 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(binaryMeta, decodeStub)
+  /** Frame sampling: the one-to-many decode shape (a video payload
+    * explodes into its sampled frames). Every 7th frame of the stub
+    * decoder's frame count is emitted with a per-frame content hash —
+    * all md5-derived, so the row explosion is SQL-replayable. The
+    * partition iterator flatMaps (one input row → n output rows)
+    * with decoder state initialized once per partition, which is the
+    * exact shape a real ffmpeg/JNI frame extractor needs; output rows
+    * stream without buffering the whole partition. */
+  val frameSample: Q = Q(
+    "m3_frame_sample",
+    """WITH h AS (SELECT doc_id, md5(text) AS ph,
+      |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+      |  FROM documents)
+      |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+      |  md5(ph || ':' || CAST(i AS VARCHAR)) AS frame_md5
+      |FROM h, generate_series(0, 29) t(i)
+      |WHERE i % 7 = 0 AND i < h % 30 + 1
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    val sp = s
+    import sp.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+        it.flatMap { case (id, bytes) =>
+          // STUB decode: frame count from the payload hash (as m2); a
+          // real extractor would pull every 7th frame from the codec
+          digest.reset()
+          val ph = hex(digest.digest(bytes))
+          val h = java.lang.Long.parseLong(ph.substring(0, 15), 16)
+          val nFrames = (h % 30).toInt + 1
+          (0 until nFrames by 7).iterator.map { i =>
+            digest.reset()
+            val fh = hex(digest.digest(s"$ph:$i".getBytes("UTF-8")))
+            FrameOut(id, i, fh)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val all: Seq[Q] = Seq(binaryMeta, decodeStub, frameSample)
 }

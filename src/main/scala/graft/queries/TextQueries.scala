@@ -347,8 +347,17 @@ object TextQueries {
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val e = lshPairs(s, dir).select(col("a_id"), col("b_id"))
     val eb = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).persist()
-    var labels = t(s, dir, "documents")
-      .select(col("doc_id"), col("doc_id").as("comp")).persist()
+    // Iterate ONLY over nodes that have at least one edge — the corpus
+    // is overwhelmingly singletons, which need no propagation at all
+    // (they rejoin below). Each round's result is localCheckpoint-ed:
+    // without lineage truncation the logical plan embeds TWO copies of
+    // the previous round's plan (labels + the nbrMin branch), so
+    // analysis/planning cost doubles per round even with the data
+    // cached — the standard failure mode of iterative DataFrame
+    // algorithms, and the standard fix (GraphFrames does the same).
+    var labels = eb.select(col("a_id").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("comp"))
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -356,16 +365,22 @@ object TextQueries {
         .groupBy(eb("b_id").as("dst")).agg(min(col("comp")).as("nbr"))
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
         .select(labels("doc_id"),
-          least(labels("comp"), coalesce(col("nbr"), labels("comp"))).as("comp"))
-        .persist()
-      changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels.unpersist()
-      labels = next
+          least(labels("comp"), coalesce(col("nbr"), labels("comp"))).as("comp"),
+          (coalesce(col("nbr"), labels("comp")) < labels("comp"))
+            .cast(LongType).as("chg"))
+        .localCheckpoint(true)
+      changed = Option(next.agg(sum(col("chg"))).first.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      labels = next.select("doc_id", "comp")
       iter += 1
     }
-    labels.select(col("doc_id"), col("comp").as("comp_id"),
-      when(col("comp") === col("doc_id"), 1).otherwise(0).as("is_canonical"))
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "lid"),
+        col("doc_id") === col("lid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp_id"),
+        when(coalesce(col("comp"), col("doc_id")) === col("doc_id"), 1)
+          .otherwise(0).as("is_canonical"))
       .orderBy("doc_id")
   }
 
