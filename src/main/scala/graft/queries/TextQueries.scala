@@ -623,12 +623,15 @@ object TextQueries {
         |  CAST(dup_blocks AS BIGINT) AS dup_blocks,
         |  ${Num.oraR4("dup_blocks * 1.0 / n_blocks")} AS dup_frac
         |FROM pd ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // persisted: the block table feeds both the DF branch and the join
+      // probe side — one shingling pass, not two (same discipline as t8)
       val blk = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 8)
         .select(col("doc_id"), explode(expr(
           """transform(sequence(0, least(size(ws) div 8 - 1, 124)),
             |  i -> concat_ws(' ', slice(ws, i*8+1, 8)))""".stripMargin)).as("blk"))
+        .persist()
       val df = blk.groupBy("blk").agg(countDistinct(col("doc_id")).as("d"))
       blk.join(df, "blk")
         .groupBy("doc_id")
