@@ -88,6 +88,27 @@ class OpenMapSpec extends AnyFunSuite {
     }
   }
 
+  test("null join keys never match through the open map") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType => LT, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", LT, nullable = true),
+      StructField("v", LT, nullable = false)))
+    def df(rows: Seq[(java.lang.Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), schema)
+    val a = df(Seq((1L: java.lang.Long, 10L), (null, 11L), (2L: java.lang.Long, 12L)))
+    val b = df(Seq((1L: java.lang.Long, 20L), (null, 21L), (3L: java.lang.Long, 22L)))
+      .withColumnRenamed("k", "k2").withColumnRenamed("v", "v2")
+    withConf(ParallelHashJoinExec.mapImplKey -> "open",
+      ParallelHashJoinExec.codegenEnabledKey -> "false") {
+      for (jt <- Seq("inner", "left_outer", "full_outer", "left_anti")) {
+        val expected = collected(a.join(b, col("k") === col("k2"), jt))
+        val got = collected(ParallelHashJoinApi.parallelHashJoin(
+          a, b, Seq("k"), Seq("k2"), jt))
+        assert(got == expected, s"null-key semantics for $jt")
+      }
+    }
+  }
+
   test("growth past the initial capacity keeps every chain intact") {
     // 10k distinct keys forces several generational growths from the
     // 512-slot initial table; 3 rows per key exercises the chains

@@ -29,6 +29,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall too low; exact=$exact lsh=$lsh")
   }
 
+  test("near-dup components are consistent with the LSH pair graph") {
+    val pairs = TextQueries.minhashLsh.fn(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = TextQueries.neardupComponents.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val compOf = comp.map(c => c._1 -> c._2).toMap
+    // every pair must land in one component
+    pairs.foreach { case (a, b) =>
+      assert(compOf(a) == compOf(b), s"pair ($a,$b) split across components")
+    }
+    // the component id is its minimum member, and exactly that member
+    // is flagged canonical
+    comp.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"component $cid labeled above its min")
+      assert(members.count(_._3 == 1) == 1, s"component $cid canonical count")
+      assert(members.find(_._1 == cid).get._3 == 1, s"component $cid min not canonical")
+    }
+    // clusters exist in the fixture and every doc is labeled
+    assert(pairs.nonEmpty && comp.length == comp.map(_._1).distinct.length)
+  }
+
   test("simhash is deterministic and near-dups collide") {
     val a = TextQueries.simhash.fn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val b = TextQueries.simhash.fn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
