@@ -714,9 +714,62 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Count-Min sketch frequency estimation: d=4 md5-derived hash rows ×
+    * w=256 counters, built as four tiny (256-row) groupBy tables — the
+    * mergeable-sketch shape (counters add across partitions/shards,
+    * which is what makes CMS the 100 TB way to track token/url/ngram
+    * frequencies without a full vocabulary shuffle). The top-20 exact
+    * tokens are then estimated from the sketch via four broadcast
+    * joins; CMS guarantees est_n >= exact_n. Deterministic hashing
+    * makes the whole sketch SQL-replayable — unlike a native HLL, the
+    * oracle rebuilds bit-identical counters. */
+  val countMin: Q = {
+    val D = 4
+    val W = 256
+    def oraBucket(i: Int, tok: String) =
+      s"((('0x' || substr(md5('$i:' || $tok), 1, 15))::BIGINT) % $W)"
+    val counterCtes = (0 until D).map(i =>
+      s"c$i AS (SELECT ${oraBucket(i, "tk")} AS b, COUNT(*) AS c FROM tk2 GROUP BY 1)")
+      .mkString(",\n      ")
+    val joins = (0 until D).map(i =>
+      s"JOIN c$i ON ${oraBucket(i, "t.tk")} = c$i.b").mkString("\n      ")
+    Q(
+      "t20_count_min_sketch",
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+        |tk2 AS (SELECT tk FROM tok WHERE len(tk) > 0),
+        |cnt AS (SELECT tk, COUNT(*) AS exact_n FROM tk2 GROUP BY tk),
+        |top AS (SELECT tk, CAST(exact_n AS BIGINT) AS exact_n FROM cnt
+        |        ORDER BY exact_n DESC, tk LIMIT 20),
+        |$counterCtes
+        |SELECT t.tk, t.exact_n,
+        |  CAST(LEAST(${(0 until D).map(i => s"c$i.c").mkString(", ")}) AS BIGINT) AS est_n
+        |FROM top t
+        |$joins
+        |ORDER BY exact_n DESC, tk""".stripMargin) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tk"))
+        .filter(length(col("tk")) > 0)
+        .persist()
+      def bucket(i: Int, c: org.apache.spark.sql.Column) =
+        pmod(mdHash(concat(lit(s"$i:"), c)), lit(W))
+      val top = tok.groupBy("tk").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tk")).limit(20)
+      var est = top
+      for (i <- 0 until D) {
+        val counters = tok.select(bucket(i, col("tk")).as(s"b$i"))
+          .groupBy(s"b$i").agg(count(lit(1)).as(s"c$i"))
+        est = est.join(broadcast(counters),
+          bucket(i, col("tk")) === col(s"b$i")).drop(s"b$i")
+      }
+      est.select(col("tk"), col("exact_n"),
+        least((0 until D).map(i => col(s"c$i")): _*).as("est_n"))
+        .orderBy(col("exact_n").desc, col("tk"))
+    }
+  }
+
   val all: Seq[Q] = Seq(dedupExact, tokenStats, langId, quality,
     fingerprint, ngramJaccard, minhashLsh, simhash,
     trainTestSplit, vocab, lengthBuckets, bpeTokens,
     seqPacking, contamination, stratifiedSample,
-    blockDedup, repetitionScore, unigramLogprob, neardupComponents)
+    blockDedup, repetitionScore, unigramLogprob, neardupComponents, countMin)
 }
