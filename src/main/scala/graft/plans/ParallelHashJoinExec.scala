@@ -54,7 +54,8 @@ case class ParallelHashJoinExec(
     joinType: JoinType,
     condition: Option[Expression],
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
+    right: SparkPlan,
+    probePreserving: Boolean = false) extends BinaryExecNode with CodegenSupport {
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -62,7 +63,7 @@ case class ParallelHashJoinExec(
     "buildChunks" -> SQLMetrics.createMetric(sparkContext, "build chunks (>1 = spill fallback)"))
 
   override def output: Seq[Attribute] =
-    ParallelHashJoin.outputFor(joinType, left.output, right.output)
+    ParallelHashJoin.outputFor(joinType, left.output, right.output, probePreserving)
 
   /** Both sides clustered on the join keys — Spark co-partitions them
     * (the distributed analog of the reference's shared build map). */
@@ -74,6 +75,7 @@ case class ParallelHashJoinExec(
     * EnforceDistribution after claiming RoundRobin). */
   override def outputPartitioning: Partitioning = joinType match {
     case Inner => PartitioningCollection(Seq(left.outputPartitioning, right.outputPartitioning))
+    case LeftSemi | LeftAnti if probePreserving => right.outputPartitioning
     case LeftOuter | LeftSemi | LeftAnti => left.outputPartitioning
     case RightOuter => right.outputPartitioning
     case FullOuter => UnknownPartitioning(left.outputPartitioning.numPartitions)
@@ -103,7 +105,7 @@ case class ParallelHashJoinExec(
     left.execute().zipPartitions(right.execute()) { (buildIter, probeIter) =>
       ParallelHashJoinExec.joinPartition(
         buildIter, probeIter, buildOutput, probeOutput, buildKeys, probeKeys,
-        jt, cond, outAttrs, spillThreshold, mapImpl,
+        jt, cond, outAttrs, spillThreshold, mapImpl, probePreserving,
         numOutputRows, buildRowsMetric, buildChunksMetric)
     }
   }
@@ -122,7 +124,8 @@ case class ParallelHashJoinExec(
     * the same unbounded-build posture as Spark's codegen'd
     * ShuffledHashJoinExec. */
   override def supportCodegen: Boolean =
-    (joinType == Inner || joinType == RightOuter) &&
+    (joinType == Inner || joinType == RightOuter ||
+      (probePreserving && (joinType == LeftSemi || joinType == LeftAnti))) &&
       conf.getConfString(ParallelHashJoinExec.codegenEnabledKey, "true").toBoolean
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
@@ -300,6 +303,47 @@ case class ParallelHashJoinExec(
            |}
          """.stripMargin
 
+      case LeftSemi | LeftAnti if probePreserving =>
+        // probe-preserving semi/anti: stream probe rows; the build side
+        // is only touched to find one surviving match
+        ctx.INPUT_ROW = buildRow
+        ctx.currentVars = null
+        val buildVars = left.output.zipWithIndex.map { case (a, i) =>
+          BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+        }
+        val buildEval = evaluateVariables(buildVars)
+        val (condOpen, condClose) = condition.map { c =>
+          ctx.currentVars = buildVars ++ streamVars
+          ctx.INPUT_ROW = null
+          val bound = BindReferences.bindReference(c, AttributeSeq(left.output ++ right.output))
+          val ev = bound.genCode(ctx)
+          (s"""
+              |${ev.code}
+              |if (!${ev.isNull} && ${ev.value}) {""".stripMargin, "}")
+        }.getOrElse(("", ""))
+        val found = ctx.freshName("graftFound")
+        val emitWhen = if (joinType == LeftSemi) found else s"!$found"
+        val consumeCode = consume(ctx, streamVars)
+        s"""
+           |${keyEv.code}
+           |boolean $found = false;
+           |if (!${keyEv.value}.anyNull()) {
+           |  int $idxTerm = $mapTerm.headFor(${keyEv.value});
+           |  while ($idxTerm != -1 && !$found) {
+           |    InternalRow $buildRow = $mapTerm.rowAt($idxTerm);
+           |    $idxTerm = $mapTerm.next($idxTerm);
+           |    $buildEval
+           |    $condOpen
+           |    $found = true;
+           |    $condClose
+           |  }
+           |}
+           |if ($emitWhen) {
+           |  $numOutput.add(1);
+           |  $consumeCode
+           |}
+         """.stripMargin
+
       case t => throw new IllegalStateException(s"codegen unsupported for $t")
     }
 
@@ -359,6 +403,7 @@ object ParallelHashJoinExec {
       outAttrs: Seq[Attribute],
       spillThresholdBytes: Long,
       mapImpl: String,
+      probePreserving: Boolean,
       numOutputRows: SQLMetric,
       buildRowsMetric: SQLMetric,
       buildChunksMetric: SQLMetric): Iterator[InternalRow] = {
@@ -387,6 +432,8 @@ object ParallelHashJoinExec {
     }
     val joinedOutput = buildOutForRead ++ probeOutForRead
     val resultProj: UnsafeProjection = joinType match {
+      case LeftSemi | LeftAnti if probePreserving =>
+        UnsafeProjection.create(outAttrs, probeOutput)
       case LeftSemi | LeftAnti => UnsafeProjection.create(outAttrs, buildOutput)
       case _ => UnsafeProjection.create(outAttrs, joinedOutput)
     }
@@ -403,6 +450,7 @@ object ParallelHashJoinExec {
 
     val chain: GraftBuildMap = newBuildMap(mapImpl, buildKeyProj)
     val trackBuildMatches = joinType match {
+      case LeftSemi | LeftAnti if probePreserving => false
       case LeftOuter | FullOuter | LeftSemi | LeftAnti => true
       case _ => false
     }
@@ -450,6 +498,7 @@ object ParallelHashJoinExec {
     /** Unmatched/matched build-row emitters shared by both paths; the
       * bitset covers exactly the rows currently resident in `chain`. */
     def buildFinisher(matched: java.util.BitSet): Iterator[InternalRow] = joinType match {
+      case LeftSemi | LeftAnti if probePreserving => Iterator.empty
       case LeftOuter | FullOuter =>
         Iterator.range(0, chain.size).filter(i => !matched.get(i)).map { i =>
           numOutputRows += 1
@@ -516,6 +565,37 @@ object ParallelHashJoinExec {
               resultProj(joined)
             }
           }
+        case LeftSemi | LeftAnti if probePreserving =>
+          // probe-preserving semi/anti (reference right_semi.rs /
+          // right_anti.rs): stream probe rows, emit on first surviving
+          // match (semi) / on none (anti) — no bitset, no finalizer
+          val emitOnMatch = joinType == LeftSemi
+          new Iterator[InternalRow] {
+            private var pendingRow: InternalRow = _
+            private def advance(): InternalRow = {
+              while (probeIter.hasNext) {
+                val probeRow = probeIter.next()
+                var cursor = chain.headFor(probeKeyProj(probeRow))
+                var found = false
+                while (cursor != -1 && !found) {
+                  joined(chain.rowAt(cursor), probeRow)
+                  if (boundCondition(joined)) found = true
+                  cursor = chain.next(cursor)
+                }
+                if (found == emitOnMatch) return probeRow
+              }
+              null
+            }
+            override def hasNext: Boolean =
+              pendingRow != null || { pendingRow = advance(); pendingRow != null }
+            override def next(): InternalRow = {
+              if (!hasNext) throw new NoSuchElementException
+              val r = pendingRow
+              pendingRow = null
+              numOutputRows += 1
+              resultProj(r)
+            }
+          }
         case LeftSemi | LeftAnti =>
           // marking pass only; emits nothing (finalizer emits build rows)
           new Iterator[InternalRow] {
@@ -573,6 +653,8 @@ object ParallelHashJoinExec {
 
       val probeMatched = joinType match {
         case RightOuter | FullOuter => new java.util.BitSet(probeStore.length)
+        case LeftSemi | LeftAnti if probePreserving =>
+          new java.util.BitSet(probeStore.length)
         case _ => null
       }
       val buildStoreIter = buildStore.iterator
@@ -593,6 +675,31 @@ object ParallelHashJoinExec {
       }
 
       def probeChunk(): Iterator[InternalRow] = joinType match {
+        case LeftSemi | LeftAnti if probePreserving =>
+          // mark probe rows with a surviving match; the global pass
+          // emits them by bit (semi: set, anti: unset)
+          new Iterator[InternalRow] {
+            private val pIter = probeStore.iterator
+            private var pIdx = -1
+            override def hasNext: Boolean = {
+              while (pIter.hasNext) {
+                val probeRow = pIter.next()
+                pIdx += 1
+                if (!probeMatched.get(pIdx)) {
+                  var cursor = chain.headFor(probeKeyProj(probeRow))
+                  var found = false
+                  while (cursor != -1 && !found) {
+                    joined(chain.rowAt(cursor), probeRow)
+                    if (boundCondition(joined)) found = true
+                    cursor = chain.next(cursor)
+                  }
+                  if (found) probeMatched.set(pIdx)
+                }
+              }
+              false
+            }
+            override def next(): InternalRow = throw new NoSuchElementException
+          }
         case LeftSemi | LeftAnti =>
           // marking pass only, as in the fast path
           new Iterator[InternalRow] {
@@ -654,6 +761,16 @@ object ParallelHashJoinExec {
       }
 
       def globalFinisher(): Iterator[InternalRow] = joinType match {
+        case LeftSemi | LeftAnti if probePreserving =>
+          val emitOnMatch = joinType == LeftSemi
+          val pIter = probeStore.iterator
+          var pIdx = -1
+          pIter.filter { _ =>
+            pIdx += 1; probeMatched.get(pIdx) == emitOnMatch
+          }.map { probeRow =>
+            numOutputRows += 1
+            resultProj(probeRow)
+          }
         case RightOuter | FullOuter =>
           val pIter = probeStore.iterator
           var pIdx = -1

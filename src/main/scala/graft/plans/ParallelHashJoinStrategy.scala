@@ -41,20 +41,29 @@ object ParallelHashJoinStrategy extends SparkStrategy {
     * transparent (auto) paths. */
   private def planJoin(
       leftKeys: Seq[Expression], rightKeys: Seq[Expression], joinType: JoinType,
-      condition: Option[Expression], left: LogicalPlan, right: LogicalPlan): Seq[SparkPlan] =
+      condition: Option[Expression], left: LogicalPlan, right: LogicalPlan,
+      probePreserving: Boolean = false): Seq[SparkPlan] =
     SQLConf.get.getConfString(implConfKey, "chain") match {
+      case "codegen" if probePreserving =>
+        // control impl for probe-preserving semi/anti: Spark's own
+        // LeftSemi/LeftAnti with children swapped (probe becomes the
+        // preserved left side, build becomes the BuildRight hash side)
+        ShuffledHashJoinExec(rightKeys, leftKeys, joinType,
+          BuildRight, condition,
+          planLater(right), planLater(left)) :: Nil
       case "codegen" =>
         ShuffledHashJoinExec(leftKeys, rightKeys, joinType,
           buildSideFor(joinType), condition,
           planLater(left), planLater(right)) :: Nil
       case _ =>
         ParallelHashJoinExec(leftKeys, rightKeys, joinType, condition,
-          planLater(left), planLater(right)) :: Nil
+          planLater(left), planLater(right), probePreserving) :: Nil
     }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: ParallelHashJoin =>
-      planJoin(j.leftKeys, j.rightKeys, j.joinType, j.condition, j.left, j.right)
+      planJoin(j.leftKeys, j.rightKeys, j.joinType, j.condition, j.left, j.right,
+        j.probePreserving)
     // Transparent path (reference's UseParallelHashJoinRule applied to
     // ordinary SQL/DataFrame joins): conf-gated, guards in AutoParallelJoin.
     case j: Join if AutoParallelJoin.mode(SQLConf.get) != AutoParallelJoin.Off =>
@@ -95,14 +104,17 @@ object ParallelHashJoinApi {
     val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
     install(spark)
 
-    val (jt, swap) = joinType.toLowerCase match {
+    // right_semi / right_anti: the reference implements these as
+    // PROBE-preserving kernels (right_semi.rs / right_anti.rs) — the
+    // build side stays the left input and probe rows stream out —
+    // rather than by swapping sides into the build-preserving bitset
+    // path, and so do we (also unlocks whole-stage codegen for them).
+    val (jt, probePreserving) = joinType.toLowerCase match {
       case "right_semi" => (LeftSemi, true)
       case "right_anti" => (LeftAnti, true)
       case other => (JoinType(other), false)
     }
-    val (lDf, rDf, lNames, rNames) =
-      if (swap) (right, left, rightKeyNames, leftKeyNames)
-      else (left, right, leftKeyNames, rightKeyNames)
+    val (lDf, rDf, lNames, rNames) = (left, right, leftKeyNames, rightKeyNames)
 
     val lPlan = lDf.queryExecution.analyzed
     var rPlan = rDf.queryExecution.analyzed
@@ -155,7 +167,8 @@ object ParallelHashJoinApi {
           s"unexpected analyzed condition plan: ${other.getClass}")
       }
     }
-    val node = ParallelHashJoin(lPlan, rPlan, lKeys, rKeys, jt, resolvedCond)
+    val node = ParallelHashJoin(lPlan, rPlan, lKeys, rKeys, jt, resolvedCond,
+      probePreserving)
     classic.GraftSqlBridge.ofRows(spark, node)
   }
 }

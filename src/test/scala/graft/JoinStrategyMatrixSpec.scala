@@ -157,4 +157,31 @@ class JoinStrategyMatrixSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("probe-preserving right_semi/right_anti stream through codegen") {
+    // golden from the probe side's perspective (Spark lacks the types)
+    val goldenSemi = collected(
+      li.join(part, col("l_partkey") === col("p_partkey"), "left_semi"))
+    val goldenAnti = collected(
+      li.join(part, col("l_partkey") === col("p_partkey"), "left_anti"))
+    for ((jt, expected) <- Seq("right_semi" -> goldenSemi, "right_anti" -> goldenAnti)) {
+      val d = ParallelHashJoinApi.parallelHashJoin(
+        part, li, Seq("p_partkey"), Seq("l_partkey"), jt)
+      assert(collected(d) == expected, s"results for $jt")
+      val fused = finalPlan(d).collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.exists(_.collectFirst {
+        case p: ParallelHashJoinExec if p.probePreserving => p
+      }.isDefined)
+      assert(fused, s"expected probe-preserving $jt fused into a codegen stage")
+    }
+    // residual condition through the probe-preserving codegen path
+    val dc = ParallelHashJoinApi.parallelHashJoin(
+      part, li, Seq("p_partkey"), Seq("l_partkey"), "right_semi",
+      Some(col("p_size") > 25))
+    val expectedC = collected(li.join(
+      part.filter(col("p_size") > 25),
+      col("l_partkey") === col("p_partkey"), "left_semi"))
+    assert(collected(dc) == expectedC, "right_semi with residual condition")
+  }
 }

@@ -68,6 +68,14 @@ class SpillFallbackSpec extends AnyFunSuite {
     jt -> collected(part.join(li, col("p_partkey") === col("l_partkey"), jt))
   }.toMap
 
+  // right_semi/right_anti golden: Spark has no such join-type strings —
+  // the equivalent is semi/anti from the probe side's perspective
+  private lazy val goldenProbeSide: Map[String, Seq[Seq[Any]]] = Map(
+    "right_semi" -> collected(
+      li.join(part, col("l_partkey") === col("p_partkey"), "left_semi")),
+    "right_anti" -> collected(
+      li.join(part, col("l_partkey") === col("p_partkey"), "left_anti")))
+
   test("forced-low spill threshold matches built-in results for all join types") {
     // AQE off → deterministic 4 shuffle partitions, so the chunk metric
     // is comparable against the partition count; codegen off because the
@@ -79,6 +87,15 @@ class SpillFallbackSpec extends AnyFunSuite {
         val d = ParallelHashJoinApi.parallelHashJoin(
           part, li, Seq("p_partkey"), Seq("l_partkey"), jt)
         assert(collected(d) == golden(jt), s"results for $jt under spill fallback")
+        assert(chunkMetric(d) > 4,
+          s"$jt expected chunked fallback (>1 chunk per partition)")
+      }
+      // probe-preserving kernels: probe-row match state must span chunks
+      for (jt <- Seq("right_semi", "right_anti")) {
+        val d = ParallelHashJoinApi.parallelHashJoin(
+          part, li, Seq("p_partkey"), Seq("l_partkey"), jt)
+        assert(collected(d) == goldenProbeSide(jt),
+          s"results for $jt under spill fallback")
         assert(chunkMetric(d) > 4,
           s"$jt expected chunked fallback (>1 chunk per partition)")
       }
