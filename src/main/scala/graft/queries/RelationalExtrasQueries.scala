@@ -294,7 +294,40 @@ object RelationalExtrasQueries {
     }
   }
 
+  /** Z-order (Morton) clustering key — the data-layout primitive behind
+    * multi-dimensional file pruning at 100 TB (Delta/Iceberg
+    * OPTIMIZE ZORDER): interleave the bits of two dimensions so rows
+    * close in BOTH dimensions land in the same sort range, then show
+    * per-range locality (each 1/64th of the z-space covers a bounded
+    * box of both dims, which is exactly why min/max file stats can
+    * prune on either column after a z-sort). Pure 64-bit bit
+    * arithmetic — identical in both engines. */
+  val zorder: Q = {
+    val bits = 10
+    def zExpr(x: String, y: String): String = (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    Q(
+      "z1_zorder_cluster",
+      s"""WITH d AS (SELECT user_id % 1024 AS x, event_id % 1024 AS y FROM events),
+        |z AS (SELECT x, y, ${zExpr("x", "y")} AS zval FROM d)
+        |SELECT (zval >> 14) AS z_range, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+        |  CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "events")
+        .select(pmod(col("user_id"), lit(1024)).cast("long").as("x"),
+          pmod(col("event_id"), lit(1024)).cast("long").as("y"))
+      val z = d.select(col("x"), col("y"), expr(zExpr("x", "y")).as("zval"))
+      z.groupBy(expr("zval >> 14").as("z_range"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy("z_range")
+    }
+  }
+
   val all: Seq[Q] = Seq(pivot1, explode1, offset1, regex1, math1, geoMean,
     percentiles, arrayFuncs, unionAll, windowFrames, higherOrder, unpivot1, json1,
-    kmvDistinct)
+    kmvDistinct, zorder)
 }
