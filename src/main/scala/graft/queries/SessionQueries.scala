@@ -178,5 +178,75 @@ object SessionQueries {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(sessions, nullSafeJoin, sessionWindow, asofJoin, rangeJoin)
+  /** Ordered funnel analysis: per user, the view → click → purchase
+    * conversion stages, where each stage must happen strictly AFTER the
+    * previous one (first view, then the first click after it, then the
+    * first purchase after that). One groupBy(user) with conditional
+    * MIN aggregations evaluated in two window-free passes — no
+    * self-joins, scales as two shuffles on user_id. The product-
+    * analytics query every event pipeline runs. */
+  val funnel: Q = Q(
+    "e7_funnel",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      |v AS (SELECT user_id, MIN(tus) AS first_view FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(tus) AS first_click FROM e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE event_type = 'click' AND tus > first_view GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(tus) AS first_purchase FROM e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND tus > first_click GROUP BY e.user_id)
+      |SELECT v.user_id, v.first_view,
+      |  c.first_click, p.first_purchase,
+      |  CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS converted
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tus")).as("first_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("tus") > col("first_view"))
+      .groupBy("user_id").agg(min(col("tus")).as("first_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("tus") > col("first_click"))
+      .groupBy("user_id").agg(min(col("tus")).as("first_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p.select(col("user_id"), col("first_purchase"),
+        lit(1).as("pflag")), Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view"), col("first_click"),
+        col("first_purchase"), coalesce(col("pflag"), lit(0)).as("converted"))
+      .orderBy("user_id")
+  }
+
+  /** Latest-per-key (the ingest "upsert view": keep each key's most
+    * recent record) — row_number over (key ORDER BY ts DESC, id DESC),
+    * the standard CDC/compaction op. One shuffle on the key; at scale
+    * this is the pattern behind merge-on-read snapshot reads. The
+    * event_id tiebreak makes the winner deterministic. */
+  val latestPerKey: Q = Q(
+    "e8_latest_per_key",
+    """WITH r AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tus, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_type, event_id AS latest_event_id, tus AS latest_us,
+      |  CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents
+      |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("tus"), col("value"), col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("latest_event_id"), col("tus").as("latest_us"),
+        Num.cents(col("value")).as("value_cents"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(sessions, nullSafeJoin, sessionWindow, asofJoin, rangeJoin,
+    funnel, latestPerKey)
 }
