@@ -390,17 +390,23 @@ object TextQueries {
     * `('0x'||substr(md5,1,15))::BIGINT` in DuckDB) — that makes the
     * whole signature SQL-replayable, so this moved from rows-only to the
     * hash-exact gate. */
-  val simhash: Q = Q(
-    "t7_simhash",
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+  /** Shared oracle CTE block ending in `sig(doc_id, simhash)` — the SQL
+    * replay of [[simhashDf]], shared by the t7 and t21 oracles. */
+  private val simhashOracleCtes: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
       |      FROM tok WHERE len(tok) > 0),
       |votes AS (SELECT doc_id, i,
       |            SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
-      |          FROM h, generate_series(0, 31) t(i) GROUP BY doc_id, i)
-      |SELECT doc_id,
-      |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
-      |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |          FROM h, generate_series(0, 31) t(i) GROUP BY doc_id, i),
+      |sig AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  /** 32-bit SimHash signature per doc (shared by t7 and t21). */
+  private[queries] def simhashDf(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val tok = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -412,7 +418,49 @@ object TextQueries {
     val simhashCol = (0 until B).map(i =>
       when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
     votes.select(col("doc_id"), simhashCol.as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  val simhash: Q = Q(
+    "t7_simhash",
+    s"""WITH $simhashOracleCtes
+      |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    simhashDf(s, dir).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairing — the missing half of t7: byte-band
+    * blocking (split the 32-bit signature into 4 bytes; by pigeonhole,
+    * two signatures within Hamming distance 3 share at least one whole
+    * byte) generates candidates on an equi shuffle key, then the exact
+    * Hamming distance (`bit_count(xor)`) verifies. Subquadratic like
+    * t6, but with a constant-size signature instead of a k-MinHash
+    * vector — the Google-crawl dedup design. */
+  val simhashNearDup: Q = Q(
+    "t21_simhash_neardup",
+    s"""WITH $simhashOracleCtes,
+      |bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bk
+      |          FROM sig, generate_series(0, 3) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |           a.simhash AS sa, b.simhash AS sb
+      |         FROM bands a JOIN bands b
+      |           ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    val sig = simhashDf(s, dir).persist()
+    val bands = sig.select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("bk", expr("(simhash >> (b * 8)) & 255"))
+    val a = bands.select(col("b"), col("bk"),
+      col("doc_id").as("a_id"), col("simhash").as("sa"))
+    val bb = bands.select(col("b").as("b2"), col("bk").as("bk2"),
+      col("doc_id").as("b_id"), col("simhash").as("sb"))
+    val cand = a.join(bb, col("b") === col("b2") && col("bk") === col("bk2") &&
+        col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "sa", "sb").distinct()
+    cand.select(col("a_id"), col("b_id"),
+        expr("CAST(bit_count(sa ^ sb) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
   }
 
   /** Content-hash train/test split: md5-derived bucket is stable across
@@ -771,5 +819,6 @@ object TextQueries {
     fingerprint, ngramJaccard, minhashLsh, simhash,
     trainTestSplit, vocab, lengthBuckets, bpeTokens,
     seqPacking, contamination, stratifiedSample,
-    blockDedup, repetitionScore, unigramLogprob, neardupComponents, countMin)
+    blockDedup, repetitionScore, unigramLogprob, neardupComponents, countMin,
+    simhashNearDup)
 }
