@@ -14,6 +14,96 @@ import Num._
   */
 object TpchExtraQueries {
 
+  /** Q2-style minimum-cost supplier: the testdata has no partsupp
+    * table, so supply cost is derived from lineitem as the minimum
+    * observed unit price per (part, supplier) — MIN over per-row IEEE
+    * divisions is order-free, so the double is bit-identical across
+    * engines. The correlated `= (SELECT MIN(...))` is expressed as a
+    * groupBy-min re-join on the region-eligible supply table (the
+    * decorrelation Catalyst itself would apply). Suppliers are a
+    * 100-row broadcast; the only shuffle is the partsupp derivation. */
+  val q2MinCostSupplier: Q = Q(
+    "q2_min_cost_supplier",
+    """WITH partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2),
+      |eligible AS (
+      |  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+      |  FROM partsupp, supplier, nation, region
+      |  WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
+      |    AND n_regionkey = r_regionkey AND r_name = 'ASIA')
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_suppkey, ps_supplycost
+      |FROM eligible, part
+      |WHERE p_partkey = ps_partkey AND p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+      |  AND ps_supplycost = (SELECT MIN(e2.ps_supplycost) FROM eligible e2
+      |                       WHERE e2.ps_partkey = eligible.ps_partkey)
+      |ORDER BY s_acctbal DESC, p_partkey, ps_suppkey LIMIT 100""".stripMargin) { (s, dir) =>
+    val l = t(s, dir, "lineitem")
+    val partsupp = l.groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val eligible = partsupp
+      .join(broadcast(su), col("s_suppkey") === col("ps_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost"),
+        col("s_acctbal"), col("s_name"), col("n_name"))
+    val minCost = eligible.groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min(col("ps_supplycost")).as("mc_cost"))
+    val p = t(s, dir, "part")
+      .filter(col("p_type") === "LARGE" && col("p_size").between(10, 20))
+    eligible
+      .join(minCost, col("ps_partkey") === col("mc_partkey") &&
+        col("ps_supplycost") === col("mc_cost"))
+      .join(broadcast(p), col("p_partkey") === col("ps_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("ps_suppkey"), col("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("ps_suppkey"))
+      .limit(100)
+  }
+
+  /** Q11-style important stock: per-part value share against a global
+    * scalar-subquery threshold. TPC-H's fraction is scale-dependent
+    * (0.0001/SF), so a fixed fraction returns 0 rows as part count
+    * grows; instead the threshold is scale-free — parts worth more
+    * than 2× the mean part value. Values are scale-4 fixed-point
+    * BIGINTs and the compare is an integer cross-multiplication
+    * (`value*nparts > 2*total`) — exact in both engines (DuckDB's
+    * HUGEINT sums included), per the repo's long-cents playbook. */
+  val q11ImportantStock: Q = Q(
+    "q11_important_stock",
+    """WITH scoped AS (
+      |  SELECT l_partkey,
+      |    CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)
+      |      * CAST(ROUND((1 - l_discount)*100, 0) AS BIGINT) AS val4
+      |  FROM lineitem, supplier, nation
+      |  WHERE s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+      |    AND n_name = 'NATION_1'),
+      |per_part AS (SELECT l_partkey, SUM(val4) AS val4 FROM scoped GROUP BY l_partkey)
+      |SELECT l_partkey, val4/10000.0 AS part_value
+      |FROM per_part
+      |WHERE val4 * (SELECT COUNT(*) FROM per_part) >
+      |      2 * (SELECT SUM(val4) FROM per_part)
+      |ORDER BY part_value DESC, l_partkey""".stripMargin) { (s, dir) =>
+    val l = t(s, dir, "lineitem")
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation").filter(col("n_name") === "NATION_1")
+    val scoped = l
+      .join(broadcast(su), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey"),
+        discPrice4(col("l_extendedprice"), col("l_discount")).as("val4"))
+    val perPart = scoped.groupBy("l_partkey").agg(sum(col("val4")).as("val4"))
+    val total = perPart.agg(sum(col("val4")).as("total4"), count(lit(1)).as("nparts"))
+    perPart.join(broadcast(total))
+      .filter(col("val4") * col("nparts") > lit(2L) * col("total4"))
+      .select(col("l_partkey"), (col("val4") / 10000.0).as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
   /** Q8-style market share: one nation's share of regional volume per
     * year — exact long-cents volumes, deterministic double ratio. */
   val q8MarketShare: Q = Q(
@@ -217,6 +307,7 @@ object TpchExtraQueries {
       .limit(10)
   }
 
-  val all: Seq[Q] = Seq(q8MarketShare, q9Profit, q12Priority, q17SmallQty,
+  val all: Seq[Q] = Seq(q2MinCostSupplier, q11ImportantStock,
+    q8MarketShare, q9Profit, q12Priority, q17SmallQty,
     q19Disjunctive, q20HeavySuppliers, q21Waiting)
 }
