@@ -815,10 +815,157 @@ object TextQueries {
     }
   }
 
+  /** PII redaction: scrub emails, IPv4 addresses, and long digit runs
+    * with typed placeholders, counting each hit class per doc. The
+    * corpus is synthetic and PII-free, so deterministic PII is first
+    * injected from `doc_id` (email + IP + account number) — the op
+    * under test is the redaction pass; the injection just simulates
+    * dirty input, engine-replayably. Regexes stay in the Java∩RE2
+    * common subset (character classes, bounded repeats) so Spark and
+    * DuckDB match identically; order matters (email before IP before
+    * digit runs) and is the same on both sides. Pure per-row transform
+    * — embarrassingly parallel at 100 TB. */
+  val piiRedact: Q = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val numPat = "[0-9]{4,}"
+    // Spark SQL string literals eat single backslashes (`'\.'` → `.`),
+    // so patterns embedded in expr() need them doubled; the DuckDB
+    // oracle literal keeps them single (no escape processing).
+    val emailSql = emailPat.replace("\\", "\\\\")
+    val ipSql = ipPat.replace("\\", "\\\\")
+    Q(
+      "t22_pii_redact",
+      s"""WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR || '@example.com at 10.0.' ||
+        |      (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR ||
+        |      ' acct ' || (400000 + doc_id)::VARCHAR AS dirty
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(dirty, '$emailPat')) AS n_email,
+        |    len(regexp_extract_all(dirty, '$ipPat')) AS n_ip,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(dirty, '$emailPat', '<EMAIL>', 'g'),
+        |        '$ipPat', '<IP>', 'g'),
+        |      '$numPat', '<NUM>', 'g') AS redacted
+        |  FROM dirty)
+        |SELECT doc_id, CAST(n_email AS INT) AS n_email, CAST(n_ip AS INT) AS n_ip,
+        |  CAST(len(regexp_extract_all(redacted, '<NUM>')) AS INT) AS n_num,
+        |  CAST(len(redacted) AS BIGINT) AS red_len,
+        |  ('0x' || substr(md5(redacted), 1, 15))::BIGINT AS red_fp
+        |FROM red ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val dirty = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com at 10.0."), (col("doc_id") % 256).cast(StringType),
+          lit("."), ((col("doc_id") * 7) % 256).cast(StringType),
+          lit(" acct "), (lit(400000L) + col("doc_id")).cast(StringType)).as("dirty"))
+      val red = dirty.select(col("doc_id"),
+        size(expr(s"regexp_extract_all(dirty, '$emailSql', 0)")).as("n_email"),
+        size(expr(s"regexp_extract_all(dirty, '$ipSql', 0)")).as("n_ip"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("dirty"), emailPat, "<EMAIL>"),
+            ipPat, "<IP>"),
+          numPat, "<NUM>").as("redacted"))
+      red.select(col("doc_id"), col("n_email"), col("n_ip"),
+          size(expr("regexp_extract_all(redacted, '<NUM>', 0)")).as("n_num"),
+          length(col("redacted")).cast(LongType).as("red_len"),
+          mdHash(col("redacted")).as("red_fp"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Domain-mixture resampling: downsample to ~half the corpus while
+    * reweighting sources toward integer target weights ((src#%4)+1) —
+    * the "data mixing" step of a pretraining pipeline. Keep decisions
+    * are content-hash buckets (stable across re-ingestion, like t9)
+    * compared against the per-source rate by integer
+    * cross-multiplication (`bucket·den·cnt_s·2 < w_s·total·4096`) —
+    * no floating-point rate ever materializes, so both engines keep
+    * exactly the same docs. Per-source counts are a broadcast join;
+    * the scan stays one pass. */
+  val domainMix: Q = Q(
+    "t23_domain_mix",
+    """WITH w AS (
+      |  SELECT source, COUNT(*) AS cnt,
+      |    (substr(source, 4)::BIGINT % 4) + 1 AS wgt
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT SUM(cnt) AS total, SUM(wgt) AS den FROM w),
+      |kept AS (
+      |  SELECT d.source,
+      |    CASE WHEN ('0x' || substr(md5(d.text), 1, 3))::BIGINT * w.cnt *
+      |           (SELECT den FROM tot) * 2
+      |         < w.wgt * (SELECT total FROM tot) * 4096 THEN 1 ELSE 0 END AS keep
+      |  FROM documents d JOIN w ON d.source = w.source)
+      |SELECT source, COUNT(*) AS n_in,
+      |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+      |  FLOOR((SUM(keep) * 1.0 / COUNT(*)) * 10000 + 0.5)/10000 AS kept_frac
+      |FROM kept GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val w = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+      .withColumn("wgt", substring(col("source"), 4, 10).cast(LongType) % 4 + 1)
+    val tot = w.agg(sum(col("cnt")).as("total"), sum(col("wgt")).as("den"))
+    val bucket = conv(substring(md5(col("text")), 1, 3), 16, 10).cast(LongType)
+    docs.join(broadcast(w), "source").join(broadcast(tot))
+      .select(col("source"),
+        when(bucket * col("cnt") * col("den") * 2 <
+          col("wgt") * col("total") * 4096, 1L).otherwise(0L).as("keep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_in"), sum(col("keep")).as("n_kept"),
+        Num.r4(sum(col("keep")) * 1.0 / count(lit(1))).as("kept_frac"))
+      .orderBy("source")
+  }
+
+  /** Overlapping-window chunking for RAG/context packing: 16-token
+    * chunks on a 12-token stride, one output row per chunk with a
+    * replayable 60-bit fingerprint of the chunk text. Chunk starts
+    * come from a per-row `sequence` explode (Spark) ≡ a static
+    * `generate_series` bound + WHERE (DuckDB's no-lateral idiom; docs
+    * cap at 100 tokens → ≤8 chunks, bound 15 is safe). One-to-many
+    * row explosion, no shuffle at all until the final sort. */
+  val chunkOverlap: Q = {
+    val SIZE = 16; val STRIDE = 12
+    Q(
+      "t24_chunk_overlap",
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, n_tok, ci,
+        |    ci * $STRIDE AS start_tok,
+        |    LEAST($SIZE, n_tok - ci * $STRIDE) AS chunk_len,
+        |    array_to_string(ws[ci * $STRIDE + 1 : ci * $STRIDE + LEAST($SIZE, n_tok - ci * $STRIDE)], ' ') AS chunk_text
+        |  FROM toks, generate_series(0, 15) t(ci)
+        |  WHERE ci = 0 OR ci * $STRIDE + 1 <= n_tok - ($SIZE - $STRIDE))
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_id, CAST(start_tok AS INT) AS start_tok,
+        |  CAST(chunk_len AS INT) AS chunk_len,
+        |  ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT AS chunk_fp
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        split(col("text"), " ").as("ws"))
+        .withColumn("n_tok", size(col("ws")))
+      val nChunks = when(col("n_tok") <= SIZE, 1)
+        .otherwise(ceil((col("n_tok") - SIZE).cast(DoubleType) / STRIDE).cast(IntegerType) + 1)
+      toks.withColumn("ci", explode(sequence(lit(0), nChunks - 1)))
+        .withColumn("start_tok", col("ci") * STRIDE)
+        .withColumn("chunk_len", least(lit(SIZE), col("n_tok") - col("start_tok")))
+        .withColumn("chunk_text",
+          array_join(slice(col("ws"), col("start_tok") + 1, col("chunk_len")), " "))
+        .select(col("doc_id"), col("ci").as("chunk_id"),
+          col("start_tok"), col("chunk_len"),
+          mdHash(col("chunk_text")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(dedupExact, tokenStats, langId, quality,
     fingerprint, ngramJaccard, minhashLsh, simhash,
     trainTestSplit, vocab, lengthBuckets, bpeTokens,
     seqPacking, contamination, stratifiedSample,
     blockDedup, repetitionScore, unigramLogprob, neardupComponents, countMin,
-    simhashNearDup)
+    simhashNearDup, piiRedact, domainMix, chunkOverlap)
 }
