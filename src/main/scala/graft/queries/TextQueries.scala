@@ -346,32 +346,41 @@ object TextQueries {
       |  CASE WHEN MIN(comp) = doc_id THEN 1 ELSE 0 END AS is_canonical
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val e = lshPairs(s, dir).select(col("a_id"), col("b_id"))
-    val eb = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).persist()
     // Iterate ONLY over nodes that have at least one edge — the corpus
     // is overwhelmingly singletons, which need no propagation at all
-    // (they rejoin below). Each round's result is localCheckpoint-ed:
-    // without lineage truncation the logical plan embeds TWO copies of
-    // the previous round's plan (labels + the nbrMin branch), so
-    // analysis/planning cost doubles per round even with the data
+    // (they rejoin below). Self-loops are appended so every node is its
+    // own neighbor: one round is then a single join + groupBy-min
+    // (min over self ∪ neighbors), with no left-join finalizer — one
+    // shuffle fewer per round than the textbook two-join formulation.
+    val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val eb = sym.union(
+      sym.select(col("a_id")).distinct()
+        .select(col("a_id"), col("a_id").as("b_id"))).persist()
+    // Each round's result is localCheckpoint-ed: without lineage
+    // truncation the logical plan embeds the previous round's plan, so
+    // analysis/planning cost compounds per round even with the data
     // cached — the standard failure mode of iterative DataFrame
     // algorithms, and the standard fix (GraphFrames does the same).
     var labels = eb.select(col("a_id").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("comp"))
       .localCheckpoint(true)
-    var changed = 1L
+    // Labels only ever decrease, so the exact-decimal label sum is
+    // strictly monotone and "unchanged sum" == fixpoint — convergence
+    // costs one tiny aggregate instead of a per-row chg column
+    // (decimal, not long: 1e9 nodes × 1e12 ids overflows a long).
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).first.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < 20) {
-      val nbrMin = eb.join(labels, eb("a_id") === labels("doc_id"))
-        .groupBy(eb("b_id").as("dst")).agg(min(col("comp")).as("nbr"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
-        .select(labels("doc_id"),
-          least(labels("comp"), coalesce(col("nbr"), labels("comp"))).as("comp"),
-          (coalesce(col("nbr"), labels("comp")) < labels("comp"))
-            .cast(LongType).as("chg"))
+    var converged = false
+    while (!converged && iter < 20) {
+      val next = eb.join(labels, eb("a_id") === labels("doc_id"))
+        .groupBy(eb("b_id").as("doc_id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(true)
-      changed = Option(next.agg(sum(col("chg"))).first.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      labels = next.select("doc_id", "comp")
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
       iter += 1
     }
     t(s, dir, "documents").select(col("doc_id"))
