@@ -93,6 +93,33 @@ class PlanQualitySpec extends AnyFunSuite {
       "v1 query-vector join must broadcast, not cartesian")
   }
 
+  test("q2 broadcasts every dimension of the min-cost-supplier lookup") {
+    val nodes = finalPlan("q2_min_cost_supplier")
+    val bhj = nodes.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 3, s"expected >=3 broadcast joins (supplier/nation/region/part), got ${bhj.size}")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("q11 aggregates partially and broadcasts the 1-row global total") {
+    val nodes = finalPlan("q11_important_stock")
+    val aggs = nodes.count {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec => true
+      case _ => false
+    }
+    assert(aggs >= 2, "expected partial+final aggregation pair")
+    // the scalar-total join must be a broadcast (1 row), never cartesian
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("new pipeline ops stay free of cartesian products") {
+    for (name <- Seq("t21_simhash_neardup", "t22_pii_redact",
+        "t23_domain_mix", "t24_chunk_overlap")) {
+      val nodes = finalPlan(name)
+      assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$name contains a cartesian product")
+    }
+  }
+
   test("column pruning reaches the scan on a wide-table projection") {
     val s = planString("q13_customer_distribution")
     // orders is read for (o_orderkey, o_custkey, o_comment)-ish subsets,
