@@ -115,18 +115,19 @@ case class ParallelHashJoinExec(
   // the probe loop fuses into the downstream pipeline like Spark's own
   // shuffled-hash join) =====
 
-  /** Inner + RightOuter (the probe-side-padded type, streamable without
-    * a finalizer). The build-side-finalizer types (left outer/semi/anti,
-    * full outer) and the chunked spill fallback need to re-visit state
-    * after the probe drains, which a streaming codegen pipeline cannot —
-    * they stay on the interpreted doExecute path. The generated build
+  /** Every join type fuses into whole-stage codegen. Inner, RightOuter
+    * and the probe-preserving semi/anti kernels stream row-at-a-time;
+    * the build-side-finalizer types (left outer/semi/anti, full outer)
+    * mark a visited bitset during the probe loop and then run a
+    * re-entrant finalizer loop over the dense build-row index after the
+    * probe input drains — the same produce-loop-then-finalizer shape
+    * Spark's own codegen'd full-outer shuffled-hash join uses. Only the
+    * chunked spill fallback stays interpreted: the generated build
     * helper logs when the byte budget is exceeded instead of chunking —
     * the same unbounded-build posture as Spark's codegen'd
     * ShuffledHashJoinExec. */
   override def supportCodegen: Boolean =
-    (joinType == Inner || joinType == RightOuter ||
-      (probePreserving && (joinType == LeftSemi || joinType == LeftAnti))) &&
-      conf.getConfString(ParallelHashJoinExec.codegenEnabledKey, "true").toBoolean
+    conf.getConfString(ParallelHashJoinExec.codegenEnabledKey, "true").toBoolean
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     right.execute() :: left.execute() :: Nil
@@ -203,6 +204,33 @@ case class ParallelHashJoinExec(
     val numOutput = metricTerm(ctx, "numOutputRows")
     val idxTerm = ctx.freshName("graftIdx")
     val buildRow = ctx.freshName("graftBuildRow")
+
+    // Build-finalizer machinery (left outer/semi/anti, full outer):
+    // a visited bit per dense build-row index, marked in the probe
+    // loop, plus a re-entrant cursor for the post-probe emit loop.
+    val needsFinalizer = joinType match {
+      case LeftSemi | LeftAnti if probePreserving => false
+      case LeftOuter | FullOuter | LeftSemi | LeftAnti => true
+      case _ => false
+    }
+    val visitedTerm = if (needsFinalizer)
+      ctx.addMutableState("java.util.BitSet", "graftVisited",
+        v => s"$v = new java.util.BitSet();", forceInline = true)
+    else ""
+    val finIdxTerm = if (needsFinalizer)
+      ctx.addMutableState(org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.JAVA_INT,
+        "graftFinIdx", v => s"$v = 0;", forceInline = true)
+    else ""
+
+    /** Build-side column ExprCodes bound to `row` (fresh scope). */
+    def buildVarsFor(row: String): (Seq[ExprCode], String) = {
+      ctx.INPUT_ROW = row
+      ctx.currentVars = null
+      val vars = left.output.zipWithIndex.map { case (a, i) =>
+        BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+      }
+      (vars, evaluateVariables(vars))
+    }
 
     val body = joinType match {
       case Inner =>
@@ -344,7 +372,171 @@ case class ParallelHashJoinExec(
            |}
          """.stripMargin
 
+      case LeftOuter =>
+        // inner-style emit of surviving matches + visited marking; the
+        // unmatched build rows surface in the finalizer loop below
+        val (buildVars, buildEval) = buildVarsFor(buildRow)
+        val (condOpen, condClose) = condition.map { c =>
+          ctx.currentVars = buildVars ++ streamVars
+          ctx.INPUT_ROW = null
+          val bound = BindReferences.bindReference(c, AttributeSeq(left.output ++ right.output))
+          val ev = bound.genCode(ctx)
+          (s"""
+              |${ev.code}
+              |if (!${ev.isNull} && ${ev.value}) {""".stripMargin, "}")
+        }.getOrElse(("", ""))
+        val curIdx = ctx.freshName("graftCurIdx")
+        val consumeCode = consume(ctx, buildVars ++ streamVars)
+        s"""
+           |${keyEv.code}
+           |if (!${keyEv.value}.anyNull()) {
+           |  int $idxTerm = $mapTerm.headFor(${keyEv.value});
+           |  while ($idxTerm != -1) {
+           |    int $curIdx = $idxTerm;
+           |    InternalRow $buildRow = $mapTerm.rowAt($idxTerm);
+           |    $idxTerm = $mapTerm.next($idxTerm);
+           |    $buildEval
+           |    $condOpen
+           |    $visitedTerm.set($curIdx);
+           |    $numOutput.add(1);
+           |    $consumeCode
+           |    $condClose
+           |  }
+           |}
+         """.stripMargin
+
+      case LeftSemi | LeftAnti =>
+        // build-preserving semi/anti: the probe loop only MARKS build
+        // rows whose residual survives (skipping already-visited ones);
+        // all emission happens in the finalizer loop below
+        val (buildVars, buildEval) = buildVarsFor(buildRow)
+        val (condOpen, condClose) = condition.map { c =>
+          ctx.currentVars = buildVars ++ streamVars
+          ctx.INPUT_ROW = null
+          val bound = BindReferences.bindReference(c, AttributeSeq(left.output ++ right.output))
+          val ev = bound.genCode(ctx)
+          (s"""
+              |${ev.code}
+              |if (!${ev.isNull} && ${ev.value}) {""".stripMargin, "}")
+        }.getOrElse(("", ""))
+        val curIdx = ctx.freshName("graftCurIdx")
+        s"""
+           |${keyEv.code}
+           |if (!${keyEv.value}.anyNull()) {
+           |  int $idxTerm = $mapTerm.headFor(${keyEv.value});
+           |  while ($idxTerm != -1) {
+           |    int $curIdx = $idxTerm;
+           |    InternalRow $buildRow = $mapTerm.rowAt($idxTerm);
+           |    $idxTerm = $mapTerm.next($idxTerm);
+           |    if (!$visitedTerm.get($curIdx)) {
+           |      $buildEval
+           |      $condOpen
+           |      $visitedTerm.set($curIdx);
+           |      $condClose
+           |    }
+           |  }
+           |}
+         """.stripMargin
+
+      case FullOuter =>
+        // RightOuter's padded probe loop + visited marking; unmatched
+        // build rows surface in the finalizer loop below
+        ctx.INPUT_ROW = buildRow
+        ctx.currentVars = null
+        val buildVars = left.output.zipWithIndex.map { case (a, i) =>
+          val ev = BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+          val isNull = ctx.freshName("graftIsNull")
+          val value = ctx.freshName("graftValue")
+          import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+          val javaType = CodeGenerator.javaType(a.dataType)
+          val newCode =
+            s"""
+               |boolean $isNull = true;
+               |$javaType $value = ${CodeGenerator.defaultValue(a.dataType)};
+               |if ($buildRow != null) {
+               |  ${ev.code}
+               |  $isNull = ${ev.isNull};
+               |  $value = ${ev.value};
+               |}
+             """.stripMargin
+          import org.apache.spark.sql.catalyst.expressions.codegen.{Block, JavaCode}
+          import Block._
+          ExprCode(code"$newCode",
+            JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+        }
+        val buildEval = evaluateVariables(buildVars)
+        val passed = ctx.freshName("graftPassed")
+        val condEval = condition.map { c =>
+          ctx.currentVars = buildVars ++ streamVars
+          ctx.INPUT_ROW = null
+          val bound = BindReferences.bindReference(c, AttributeSeq(left.output ++ right.output))
+          val ev = bound.genCode(ctx)
+          s"""
+             |boolean $passed = true;
+             |if ($buildRow != null) {
+             |  ${ev.code}
+             |  $passed = !${ev.isNull} && ${ev.value};
+             |}
+           """.stripMargin
+        }.getOrElse(s"boolean $passed = true;")
+        val found = ctx.freshName("graftFound")
+        val curIdx = ctx.freshName("graftCurIdx")
+        val consumeCode = consume(ctx, buildVars ++ streamVars)
+        s"""
+           |${keyEv.code}
+           |int $idxTerm = ${keyEv.value}.anyNull() ? -1 : $mapTerm.headFor(${keyEv.value});
+           |boolean $found = false;
+           |// last iteration pads with nulls when no match survived
+           |while ($idxTerm != -1 || !$found) {
+           |  int $curIdx = $idxTerm;
+           |  InternalRow $buildRow = $idxTerm != -1 ? $mapTerm.rowAt($idxTerm) : null;
+           |  if ($idxTerm != -1) $idxTerm = $mapTerm.next($idxTerm);
+           |  $buildEval
+           |  $condEval
+           |  if ($passed) {
+           |    $found = true;
+           |    if ($curIdx != -1) $visitedTerm.set($curIdx);
+           |    $numOutput.add(1);
+           |    $consumeCode
+           |  }
+           |}
+         """.stripMargin
+
       case t => throw new IllegalStateException(s"codegen unsupported for $t")
+    }
+
+    // Post-probe finalizer: walk the dense build-row index and emit the
+    // rows the probe loop marked (semi) or left unmarked (outer/anti),
+    // null-padding the probe side for the outer types. Re-entrant: the
+    // cursor is codegen mutable state, so processNext re-entry after a
+    // full output batch resumes exactly where it stopped.
+    val finalizer = if (!needsFinalizer) "" else {
+      val finRow = ctx.freshName("graftFinRow")
+      val (finVars, finEval) = buildVarsFor(finRow)
+      val emitTerm = ctx.freshName("graftEmit")
+      val emitCond = joinType match {
+        case LeftSemi => s"$visitedTerm.get($finIdxTerm)"
+        case _ => s"!$visitedTerm.get($finIdxTerm)"
+      }
+      val finConsume = joinType match {
+        case LeftSemi | LeftAnti => consume(ctx, finVars)
+        case _ =>
+          val nullProbe = right.output.map(a => ExprCode.forNullValue(a.dataType))
+          consume(ctx, finVars ++ nullProbe)
+      }
+      s"""
+         |while ($limitNotReachedCond $finIdxTerm < $mapTerm.size()) {
+         |  boolean $emitTerm = $emitCond;
+         |  InternalRow $finRow = $mapTerm.rowAt($finIdxTerm);
+         |  $finIdxTerm++;
+         |  if ($emitTerm) {
+         |    $finEval
+         |    $numOutput.add(1);
+         |    $finConsume
+         |  }
+         |  if (shouldStop()) return;
+         |}
+       """.stripMargin
     }
 
     s"""
@@ -354,6 +546,7 @@ case class ParallelHashJoinExec(
        |  $body
        |  if (shouldStop()) return;
        |}
+       |$finalizer
      """.stripMargin
   }
 }

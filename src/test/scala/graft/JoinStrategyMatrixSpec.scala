@@ -146,6 +146,32 @@ class JoinStrategyMatrixSpec extends AnyFunSuite {
     }
   }
 
+  test("build-finalizer types fuse into codegen with same results") {
+    // fallback=false turns a generated-code compile failure into a hard
+    // error instead of a silent interpreted fallback — this is the test
+    // that proves the finalizer kernels actually compile and run
+    withConf("spark.sql.codegen.fallback" -> "false") {
+      for (jt <- Seq("left_outer", "right_outer", "full_outer", "left_semi", "left_anti")) {
+        val d = ParallelHashJoinApi.parallelHashJoin(
+          part, li, Seq("p_partkey"), Seq("l_partkey"), jt)
+        assert(collected(d) == golden(jt), s"results for $jt")
+        val fused = finalPlan(d).collect {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+        }.exists(_.collectFirst { case p: ParallelHashJoinExec => p }.isDefined)
+        assert(fused, s"expected $jt fused into a codegen stage")
+      }
+      // residual conditions through the marking/finalizer paths
+      for (jt <- Seq("left_outer", "full_outer", "left_semi", "left_anti")) {
+        val dc = ParallelHashJoinApi.parallelHashJoin(
+          part, li, Seq("p_partkey"), Seq("l_partkey"), jt,
+          Some(col("p_size") > 25))
+        val expected = collected(part.join(li,
+          col("p_partkey") === col("l_partkey") && col("p_size") > 25, jt))
+        assert(collected(dc) == expected, s"residual results for $jt")
+      }
+    }
+  }
+
   test("codegen impl knob plans Spark's shuffled-hash exec with same results") {
     withConf(graft.plans.ParallelHashJoinStrategy.implConfKey -> "codegen") {
       for (jt <- joinTypes) {
