@@ -247,6 +247,32 @@ object SessionQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** Cohort retention: users grouped by first-seen day, distinct active
+    * users counted per (cohort, day-offset) — the other half of the
+    * product-analytics pair with e7. Day boundaries are exact integer
+    * division of epoch-µs, so every number is engine-exact. Two
+    * shuffles on user_id plus the final small aggregation; at scale
+    * the cohort table is a per-user reduction, never a window. */
+  val retention: Q = Q(
+    "e9_retention",
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |coh AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+      |act AS (SELECT DISTINCT e.user_id, cohort_day, day - cohort_day AS day_offset
+      |        FROM e JOIN coh ON e.user_id = coh.user_id)
+      |SELECT cohort_day, day_offset, COUNT(*) AS n_users
+      |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events")
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+    val coh = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    e.join(coh, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val all: Seq[Q] = Seq(sessions, nullSafeJoin, sessionWindow, asofJoin, rangeJoin,
-    funnel, latestPerKey)
+    funnel, latestPerKey, retention)
 }

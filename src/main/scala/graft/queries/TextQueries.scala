@@ -971,10 +971,52 @@ object TextQueries {
     }
   }
 
+  /** TF-IDF top-5 terms per document. IDF is fixed-pointed to
+    * micro-nats (the t18 idiom: one `ln` per vocabulary entry, floored
+    * to an integer) so every per-doc score is exact BIGINT
+    * multiplication — cross-engine-stable despite the transcendental.
+    * The vocabulary table is tiny relative to the corpus (it's a
+    * distinct-term reduction), so the tf→idf join broadcasts; the
+    * top-k is a per-doc window with a term tiebreak for determinism. */
+  val tfidf: Q = Q(
+    "t25_tfidf",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE len(term) > 0 GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |idf AS (SELECT term,
+      |    CAST(FLOOR(LN((SELECT n_docs FROM n) * 1.0 / df) * 1000000 + 0.5) AS BIGINT) AS idf_micro
+      |  FROM df),
+      |scored AS (SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf_micro AS score_micro,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * idf.idf_micro DESC, tf.term) AS rn
+      |  FROM tf JOIN idf ON tf.term = idf.term)
+      |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score_micro
+      |FROM scored WHERE rn <= 5 ORDER BY doc_id, term""".stripMargin) { (s, dir) =>
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val idf = df.join(broadcast(n))
+      .select(col("term"),
+        floor(log(col("n_docs") * 1.0 / col("df")) * 1000000 + 0.5)
+          .cast(LongType).as("idf_micro"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy((col("tf") * col("idf_micro")).desc, col("term"))
+    tf.join(broadcast(idf), "term")
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("score_micro"))
+      .orderBy("doc_id", "term")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, tokenStats, langId, quality,
     fingerprint, ngramJaccard, minhashLsh, simhash,
     trainTestSplit, vocab, lengthBuckets, bpeTokens,
     seqPacking, contamination, stratifiedSample,
     blockDedup, repetitionScore, unigramLogprob, neardupComponents, countMin,
-    simhashNearDup, piiRedact, domainMix, chunkOverlap)
+    simhashNearDup, piiRedact, domainMix, chunkOverlap, tfidf)
 }
