@@ -27,7 +27,11 @@ object Bench {
     "t1_dedup_exact", "t6_minhash_lsh", "t8_ngram_jaccard",
     "t16_block_dedup", "t19_neardup_components",
     "v1_cosine_topk", "v4_embedding_neardup",
-    "e1_events_hourly", "e3_sessions")
+    "e1_events_hourly", "e3_sessions",
+    // round-4 additions: correlated-min TPC-H shape, SimHash pairing,
+    // chunking explosion, TF-IDF window top-k
+    "q2_min_cost_supplier", "t21_simhash_neardup", "t24_chunk_overlap",
+    "t25_tfidf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
