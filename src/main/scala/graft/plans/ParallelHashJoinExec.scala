@@ -125,9 +125,14 @@ case class ParallelHashJoinExec(
     * chunked spill fallback stays interpreted: the generated build
     * helper logs when the byte budget is exceeded instead of chunking —
     * the same unbounded-build posture as Spark's codegen'd
-    * ShuffledHashJoinExec. */
+    * ShuffledHashJoinExec. An EXPLICITLY configured spill budget is a
+    * statement that bounded memory matters more than fusion, so it
+    * routes every type to the interpreted chunking path — without
+    * this, enabling codegen would silently trade the spill guarantee
+    * away. */
   override def supportCodegen: Boolean =
-    conf.getConfString(ParallelHashJoinExec.codegenEnabledKey, "true").toBoolean
+    conf.getConfString(ParallelHashJoinExec.codegenEnabledKey, "true").toBoolean &&
+      !conf.contains(ParallelHashJoinExec.spillThresholdKey)
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     right.execute() :: left.execute() :: Nil
@@ -232,36 +237,88 @@ case class ParallelHashJoinExec(
       (vars, evaluateVariables(vars))
     }
 
+    /** Residual-condition guard over `buildVars ++ streamVars`:
+      * (open, close) code wrapping the emit/mark site. The hash lookup
+      * already guarantees key equality via UnsafeRow equals. */
+    def condGuard(buildVars: Seq[ExprCode]): (String, String) =
+      condition.map { c =>
+        ctx.currentVars = buildVars ++ streamVars
+        ctx.INPUT_ROW = null
+        val bound = BindReferences.bindReference(c, AttributeSeq(left.output ++ right.output))
+        val ev = bound.genCode(ctx)
+        (s"""
+            |${ev.code}
+            |if (!${ev.isNull} && ${ev.value}) {""".stripMargin, "}")
+      }.getOrElse(("", ""))
+
+    /** Null-guarded build vars for pad-capable loops: `row` may be the
+      * Java literal null, in which case every column reads as NULL
+      * (Spark's codegenOuter shape). */
+    def paddedBuildVarsFor(row: String): (Seq[ExprCode], String) = {
+      ctx.INPUT_ROW = row
+      ctx.currentVars = null
+      val vars = left.output.zipWithIndex.map { case (a, i) =>
+        val ev = BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+        val isNull = ctx.freshName("graftIsNull")
+        val value = ctx.freshName("graftValue")
+        import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+        val javaType = CodeGenerator.javaType(a.dataType)
+        val newCode =
+          s"""
+             |boolean $isNull = true;
+             |$javaType $value = ${CodeGenerator.defaultValue(a.dataType)};
+             |if ($row != null) {
+             |  ${ev.code}
+             |  $isNull = ${ev.isNull};
+             |  $value = ${ev.value};
+             |}
+           """.stripMargin
+        import org.apache.spark.sql.catalyst.expressions.codegen.{Block, JavaCode}
+        import Block._
+        ExprCode(code"$newCode",
+          JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+      }
+      (vars, evaluateVariables(vars))
+    }
+
+    /** Residual condition as a boolean `passed` var for pad-capable
+      * loops: a null build row (the pad iteration) always passes. */
+    def condPassed(buildVars: Seq[ExprCode], row: String, passed: String): String =
+      condition.map { c =>
+        ctx.currentVars = buildVars ++ streamVars
+        ctx.INPUT_ROW = null
+        val bound = BindReferences.bindReference(c, AttributeSeq(left.output ++ right.output))
+        val ev = bound.genCode(ctx)
+        s"""
+           |boolean $passed = true;
+           |if ($row != null) {
+           |  ${ev.code}
+           |  $passed = !${ev.isNull} && ${ev.value};
+           |}
+         """.stripMargin
+      }.getOrElse(s"boolean $passed = true;")
+
     val body = joinType match {
-      case Inner =>
-        // build-side columns from the matched chain row
-        ctx.INPUT_ROW = buildRow
-        ctx.currentVars = null
-        val buildVars = left.output.zipWithIndex.map { case (a, i) =>
-          BoundReference(i, a.dataType, a.nullable).genCode(ctx)
-        }
-        val buildEval = evaluateVariables(buildVars)
-        // residual condition over the joined variables (hash lookup
-        // already guarantees key equality via UnsafeRow equals)
-        val (condOpen, condClose) = condition.map { c =>
-          ctx.currentVars = buildVars ++ streamVars
-          ctx.INPUT_ROW = null
-          val bound = BindReferences.bindReference(c, AttributeSeq(left.output ++ right.output))
-          val ev = bound.genCode(ctx)
-          (s"""
-              |${ev.code}
-              |if (!${ev.isNull} && ${ev.value}) {""".stripMargin, "}")
-        }.getOrElse(("", ""))
+      case Inner | LeftOuter =>
+        // inner-style emit of surviving matches; LeftOuter additionally
+        // marks visited build rows so the finalizer below can pad the
+        // unmatched remainder
+        val (buildVars, buildEval) = buildVarsFor(buildRow)
+        val (condOpen, condClose) = condGuard(buildVars)
+        val curIdx = ctx.freshName("graftCurIdx")
+        val mark = if (joinType == LeftOuter) s"$visitedTerm.set($curIdx);" else ""
         val consumeCode = consume(ctx, buildVars ++ streamVars)
         s"""
            |${keyEv.code}
            |if (!${keyEv.value}.anyNull()) {
            |  int $idxTerm = $mapTerm.headFor(${keyEv.value});
            |  while ($idxTerm != -1) {
+           |    int $curIdx = $idxTerm;
            |    InternalRow $buildRow = $mapTerm.rowAt($idxTerm);
            |    $idxTerm = $mapTerm.next($idxTerm);
            |    $buildEval
            |    $condOpen
+           |    $mark
            |    $numOutput.add(1);
            |    $consumeCode
            |    $condClose
@@ -269,49 +326,18 @@ case class ParallelHashJoinExec(
            |}
          """.stripMargin
 
-      case RightOuter =>
+      case RightOuter | FullOuter =>
         // Spark's codegenOuter shape: the loop's final iteration emits
         // the null-padded row when no match survived the condition.
-        ctx.INPUT_ROW = buildRow
-        ctx.currentVars = null
-        val buildVars = left.output.zipWithIndex.map { case (a, i) =>
-          val ev = BoundReference(i, a.dataType, a.nullable).genCode(ctx)
-          // default to NULL when probing past the last match (pad row)
-          val isNull = ctx.freshName("graftIsNull")
-          val value = ctx.freshName("graftValue")
-          import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
-          val javaType = CodeGenerator.javaType(a.dataType)
-          val newCode =
-            s"""
-               |boolean $isNull = true;
-               |$javaType $value = ${CodeGenerator.defaultValue(a.dataType)};
-               |if ($buildRow != null) {
-               |  ${ev.code}
-               |  $isNull = ${ev.isNull};
-               |  $value = ${ev.value};
-               |}
-             """.stripMargin
-          import org.apache.spark.sql.catalyst.expressions.codegen.{Block, JavaCode}
-          import Block._
-          ExprCode(code"$newCode",
-            JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
-        }
-        val buildEval = evaluateVariables(buildVars)
+        // FullOuter additionally marks visited build rows for the
+        // finalizer below.
+        val (buildVars, buildEval) = paddedBuildVarsFor(buildRow)
         val passed = ctx.freshName("graftPassed")
-        val condEval = condition.map { c =>
-          ctx.currentVars = buildVars ++ streamVars
-          ctx.INPUT_ROW = null
-          val bound = BindReferences.bindReference(c, AttributeSeq(left.output ++ right.output))
-          val ev = bound.genCode(ctx)
-          s"""
-             |boolean $passed = true;
-             |if ($buildRow != null) {
-             |  ${ev.code}
-             |  $passed = !${ev.isNull} && ${ev.value};
-             |}
-           """.stripMargin
-        }.getOrElse(s"boolean $passed = true;")
+        val condEval = condPassed(buildVars, buildRow, passed)
         val found = ctx.freshName("graftFound")
+        val curIdx = ctx.freshName("graftCurIdx")
+        val mark = if (joinType == FullOuter)
+          s"if ($curIdx != -1) $visitedTerm.set($curIdx);" else ""
         val consumeCode = consume(ctx, buildVars ++ streamVars)
         s"""
            |${keyEv.code}
@@ -319,12 +345,14 @@ case class ParallelHashJoinExec(
            |boolean $found = false;
            |// last iteration pads with nulls when no match survived
            |while ($idxTerm != -1 || !$found) {
+           |  int $curIdx = $idxTerm;
            |  InternalRow $buildRow = $idxTerm != -1 ? $mapTerm.rowAt($idxTerm) : null;
            |  if ($idxTerm != -1) $idxTerm = $mapTerm.next($idxTerm);
            |  $buildEval
            |  $condEval
            |  if ($passed) {
            |    $found = true;
+           |    $mark
            |    $numOutput.add(1);
            |    $consumeCode
            |  }
@@ -334,21 +362,8 @@ case class ParallelHashJoinExec(
       case LeftSemi | LeftAnti if probePreserving =>
         // probe-preserving semi/anti: stream probe rows; the build side
         // is only touched to find one surviving match
-        ctx.INPUT_ROW = buildRow
-        ctx.currentVars = null
-        val buildVars = left.output.zipWithIndex.map { case (a, i) =>
-          BoundReference(i, a.dataType, a.nullable).genCode(ctx)
-        }
-        val buildEval = evaluateVariables(buildVars)
-        val (condOpen, condClose) = condition.map { c =>
-          ctx.currentVars = buildVars ++ streamVars
-          ctx.INPUT_ROW = null
-          val bound = BindReferences.bindReference(c, AttributeSeq(left.output ++ right.output))
-          val ev = bound.genCode(ctx)
-          (s"""
-              |${ev.code}
-              |if (!${ev.isNull} && ${ev.value}) {""".stripMargin, "}")
-        }.getOrElse(("", ""))
+        val (buildVars, buildEval) = buildVarsFor(buildRow)
+        val (condOpen, condClose) = condGuard(buildVars)
         val found = ctx.freshName("graftFound")
         val emitWhen = if (joinType == LeftSemi) found else s"!$found"
         val consumeCode = consume(ctx, streamVars)
@@ -372,53 +387,12 @@ case class ParallelHashJoinExec(
            |}
          """.stripMargin
 
-      case LeftOuter =>
-        // inner-style emit of surviving matches + visited marking; the
-        // unmatched build rows surface in the finalizer loop below
-        val (buildVars, buildEval) = buildVarsFor(buildRow)
-        val (condOpen, condClose) = condition.map { c =>
-          ctx.currentVars = buildVars ++ streamVars
-          ctx.INPUT_ROW = null
-          val bound = BindReferences.bindReference(c, AttributeSeq(left.output ++ right.output))
-          val ev = bound.genCode(ctx)
-          (s"""
-              |${ev.code}
-              |if (!${ev.isNull} && ${ev.value}) {""".stripMargin, "}")
-        }.getOrElse(("", ""))
-        val curIdx = ctx.freshName("graftCurIdx")
-        val consumeCode = consume(ctx, buildVars ++ streamVars)
-        s"""
-           |${keyEv.code}
-           |if (!${keyEv.value}.anyNull()) {
-           |  int $idxTerm = $mapTerm.headFor(${keyEv.value});
-           |  while ($idxTerm != -1) {
-           |    int $curIdx = $idxTerm;
-           |    InternalRow $buildRow = $mapTerm.rowAt($idxTerm);
-           |    $idxTerm = $mapTerm.next($idxTerm);
-           |    $buildEval
-           |    $condOpen
-           |    $visitedTerm.set($curIdx);
-           |    $numOutput.add(1);
-           |    $consumeCode
-           |    $condClose
-           |  }
-           |}
-         """.stripMargin
-
       case LeftSemi | LeftAnti =>
         // build-preserving semi/anti: the probe loop only MARKS build
         // rows whose residual survives (skipping already-visited ones);
         // all emission happens in the finalizer loop below
         val (buildVars, buildEval) = buildVarsFor(buildRow)
-        val (condOpen, condClose) = condition.map { c =>
-          ctx.currentVars = buildVars ++ streamVars
-          ctx.INPUT_ROW = null
-          val bound = BindReferences.bindReference(c, AttributeSeq(left.output ++ right.output))
-          val ev = bound.genCode(ctx)
-          (s"""
-              |${ev.code}
-              |if (!${ev.isNull} && ${ev.value}) {""".stripMargin, "}")
-        }.getOrElse(("", ""))
+        val (condOpen, condClose) = condGuard(buildVars)
         val curIdx = ctx.freshName("graftCurIdx")
         s"""
            |${keyEv.code}
@@ -434,70 +408,6 @@ case class ParallelHashJoinExec(
            |      $visitedTerm.set($curIdx);
            |      $condClose
            |    }
-           |  }
-           |}
-         """.stripMargin
-
-      case FullOuter =>
-        // RightOuter's padded probe loop + visited marking; unmatched
-        // build rows surface in the finalizer loop below
-        ctx.INPUT_ROW = buildRow
-        ctx.currentVars = null
-        val buildVars = left.output.zipWithIndex.map { case (a, i) =>
-          val ev = BoundReference(i, a.dataType, a.nullable).genCode(ctx)
-          val isNull = ctx.freshName("graftIsNull")
-          val value = ctx.freshName("graftValue")
-          import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
-          val javaType = CodeGenerator.javaType(a.dataType)
-          val newCode =
-            s"""
-               |boolean $isNull = true;
-               |$javaType $value = ${CodeGenerator.defaultValue(a.dataType)};
-               |if ($buildRow != null) {
-               |  ${ev.code}
-               |  $isNull = ${ev.isNull};
-               |  $value = ${ev.value};
-               |}
-             """.stripMargin
-          import org.apache.spark.sql.catalyst.expressions.codegen.{Block, JavaCode}
-          import Block._
-          ExprCode(code"$newCode",
-            JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
-        }
-        val buildEval = evaluateVariables(buildVars)
-        val passed = ctx.freshName("graftPassed")
-        val condEval = condition.map { c =>
-          ctx.currentVars = buildVars ++ streamVars
-          ctx.INPUT_ROW = null
-          val bound = BindReferences.bindReference(c, AttributeSeq(left.output ++ right.output))
-          val ev = bound.genCode(ctx)
-          s"""
-             |boolean $passed = true;
-             |if ($buildRow != null) {
-             |  ${ev.code}
-             |  $passed = !${ev.isNull} && ${ev.value};
-             |}
-           """.stripMargin
-        }.getOrElse(s"boolean $passed = true;")
-        val found = ctx.freshName("graftFound")
-        val curIdx = ctx.freshName("graftCurIdx")
-        val consumeCode = consume(ctx, buildVars ++ streamVars)
-        s"""
-           |${keyEv.code}
-           |int $idxTerm = ${keyEv.value}.anyNull() ? -1 : $mapTerm.headFor(${keyEv.value});
-           |boolean $found = false;
-           |// last iteration pads with nulls when no match survived
-           |while ($idxTerm != -1 || !$found) {
-           |  int $curIdx = $idxTerm;
-           |  InternalRow $buildRow = $idxTerm != -1 ? $mapTerm.rowAt($idxTerm) : null;
-           |  if ($idxTerm != -1) $idxTerm = $mapTerm.next($idxTerm);
-           |  $buildEval
-           |  $condEval
-           |  if ($passed) {
-           |    $found = true;
-           |    if ($curIdx != -1) $visitedTerm.set($curIdx);
-           |    $numOutput.add(1);
-           |    $consumeCode
            |  }
            |}
          """.stripMargin

@@ -345,7 +345,10 @@ object TextQueries {
       |SELECT doc_id, MIN(comp) AS comp_id,
       |  CASE WHEN MIN(comp) = doc_id THEN 1 ELSE 0 END AS is_canonical
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val e = lshPairs(s, dir).select(col("a_id"), col("b_id"))
+    // Persist the pair list FIRST: the symmetric + self-loop edge list
+    // below references it four times, and each unpersisted reference
+    // would re-evaluate the whole LSH candidate pipeline.
+    val e = lshPairs(s, dir).select(col("a_id"), col("b_id")).persist()
     // Iterate ONLY over nodes that have at least one edge — the corpus
     // is overwhelmingly singletons, which need no propagation at all
     // (they rejoin below). Self-loops are appended so every node is its
@@ -368,8 +371,11 @@ object TextQueries {
     // strictly monotone and "unchanged sum" == fixpoint — convergence
     // costs one tiny aggregate instead of a per-row chg column
     // (decimal, not long: 1e9 nodes × 1e12 ids overflows a long).
+    // SUM over an empty label table is NULL → ZERO, so a corpus with
+    // no near-dup pairs converges immediately instead of NPE-ing.
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).first.getDecimal(0)
+      Option(df.agg(sum(col("comp").cast(DecimalType(38, 0)))).first.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

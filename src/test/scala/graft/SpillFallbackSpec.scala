@@ -111,6 +111,12 @@ class SpillFallbackSpec extends AnyFunSuite {
         part, li, Seq("p_partkey"), Seq("l_partkey"), "full_outer",
         Some(col("p_size") > col("l_orderkey") % 50))
       assert(collected(d) == expected)
+      // an explicit spill budget must route to the interpreted chunking
+      // path — codegen's streaming probe cannot honor it
+      val fused = d.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.exists(_.collectFirst { case p: ParallelHashJoinExec => p }.isDefined)
+      assert(!fused, "explicit spill threshold must disable codegen fusion")
     }
   }
 
