@@ -171,6 +171,32 @@ object JoinQueries {
       .orderBy("user_id")
   }
 
+  /** Explicit salt-and-replicate skew join ([[graft.operators.SaltedJoin]]):
+    * the fact side's hot keys are spread over 8 salted shuffle buckets,
+    * the dim side is replicated once per salt value. The salt vanishes
+    * in the final aggregate, so the oracle is the PLAIN join — the gate
+    * proves salting is semantics-preserving, and the technique is the
+    * compile-time remedy when a known-skewed 100 TB fact key would
+    * serialize one reducer (AQE's runtime splitting being the other
+    * half, `j_skew_agg`). */
+  val saltedJoin: Q = Q(
+    "j_salted_join",
+    """SELECT s_name,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS cents,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY s_name""".stripMargin) { (s, dir) =>
+    graft.operators.SaltedJoin.join(
+      t(s, dir, "lineitem"), t(s, dir, "supplier"),
+      "l_suppkey", "s_suppkey",
+      saltSource = col("l_orderkey") * 8L + col("l_linenumber"),
+      saltFactor = 8)
+      .groupBy("s_name")
+      .agg(sum(Num.cents(col("l_extendedprice"))).as("cents"),
+        count(lit(1)).as("n"))
+      .orderBy("s_name")
+  }
+
   val all: Seq[Q] = Seq(inner, leftOuter, rightOuter, fullOuter, leftSemi,
-    leftAnti, rightSemi, rightAnti, cross, residual, skewAgg)
+    leftAnti, rightSemi, rightAnti, cross, residual, skewAgg, saltedJoin)
 }
