@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.engine.Tables.t
 
 /** Remaining relational surface: pivot, lateral explode with position,
@@ -327,7 +328,41 @@ object RelationalExtrasQueries {
     }
   }
 
+  /** Data-quality profile: per-column row/non-null/distinct counts in
+    * ONE scan — columns melt into (name, value-as-string) pairs, then a
+    * single groupBy(name) aggregates. The string cast only needs to be
+    * injective for the distinct count to be exact, so cross-engine
+    * float-repr differences cannot matter (the value itself is
+    * aggregated away). The profiling pass every ingest pipeline runs
+    * before trusting a new drop; at 100 TB it is one shuffle whose key
+    * cardinality is the column count. */
+  val profile: Q = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_returnflag", "l_shipdate")
+    Q(
+      "dq1_profile",
+      s"""WITH m AS (
+        |  ${cols.map(c => s"SELECT '$c' AS c, $c::VARCHAR AS v FROM lineitem")
+               .mkString("\n  |  UNION ALL ")}
+        |)
+        |SELECT c AS col_name, COUNT(*) AS n_rows,
+        |  COUNT(v) AS n_nonnull, COUNT(DISTINCT v) AS n_distinct
+        |FROM m GROUP BY c ORDER BY c""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val melted = li.select(explode(array(
+        cols.map(c => struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*))
+        .as("kv"))
+        .select(col("kv.c").as("c"), col("kv.v").as("v"))
+      melted.groupBy("c")
+        .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_nonnull"),
+          countDistinct(col("v")).as("n_distinct"))
+        .select(col("c").as("col_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"))
+        .orderBy("col_name")
+    }
+  }
+
   val all: Seq[Q] = Seq(pivot1, explode1, offset1, regex1, math1, geoMean,
     percentiles, arrayFuncs, unionAll, windowFrames, higherOrder, unpivot1, json1,
-    kmvDistinct, zorder)
+    kmvDistinct, zorder, profile)
 }

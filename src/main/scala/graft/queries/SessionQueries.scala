@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
 import graft.engine.Tables.t
 
 /** Sessionization + null-semantics extras.
@@ -273,6 +274,42 @@ object SessionQueries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Event-sequence pattern matching (the MATCH_RECOGNIZE use case
+    * expressed relationally): each user's event history becomes an
+    * ordered initials string ("vvcvp…"), then a regex classifies the
+    * journey — here "converted after an error" (an error anywhere
+    * before a later purchase). Ordering is made deterministic by the
+    * (ts, event_id) sort key baked into a sortable struct array; the
+    * regex is the Java∩RE2 common subset. One shuffle on user_id; the
+    * per-user string is bounded by the user's event count. */
+  val eventPattern: Q = Q(
+    "e10_event_pattern",
+    """WITH seq AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), ''
+      |      ORDER BY epoch_us(ts), event_id) AS journey
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(len(journey) AS INT) AS n_events,
+      |  CASE WHEN regexp_matches(journey, 'e.*p') THEN 1 ELSE 0 END AS error_then_purchase,
+      |  ('0x' || substr(md5(journey), 1, 15))::BIGINT AS journey_fp
+      |FROM seq ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val seq = t(s, dir, "events")
+      .select(col("user_id"),
+        // µs-truncated sort key: DuckDB truncates the ns parquet
+        // timestamp to µs, so ns-granular ordering would diverge
+        struct(expr("ts div 1000").as("tus"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ini")).as("ev"))
+      .groupBy("user_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(ev)), x -> x.ini)"), "")
+        .as("journey"))
+    seq.select(col("user_id"),
+        length(col("journey")).cast(IntegerType).as("n_events"),
+        when(col("journey").rlike("e.*p"), 1).otherwise(0).as("error_then_purchase"),
+        conv(substring(md5(col("journey")), 1, 15), 16, 10).cast(LongType).as("journey_fp"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(sessions, nullSafeJoin, sessionWindow, asofJoin, rangeJoin,
-    funnel, latestPerKey, retention)
+    funnel, latestPerKey, retention, eventPattern)
 }
