@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable corpus-deduplication APIs over arbitrary (id, text)
+  * columns — the library surface behind the fixed demo queries
+  * (`t1_dedup_exact`, `t6_minhash_lsh`): a pipeline user points these
+  * at their own tables instead of the testdata schema.
+  *
+  * Scale posture matches the query implementations: exact dedup is a
+  * hash shuffle on a 64-bit content fingerprint; MinHash-LSH generates
+  * candidate pairs only inside equal band buckets (banded signatures →
+  * subquadratic), then verifies on full-signature agreement. Nothing
+  * ever materializes on the driver.
+  */
+object TextDedup {
+
+  /** Keep exactly one row per distinct `textCol` value — the winner is
+    * the minimum `idCol` (deterministic, re-runnable). Comparison is on
+    * a 64-bit xxhash of the text plus the text itself, so hash
+    * collisions cannot merge distinct documents. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs: (idA, idB, estJaccard)
+    * with idA < idB and estimated Jaccard ≥ `threshold`.
+    *
+    * k minhashes from one xxhash per shingle re-mixed by k affine maps
+    * modulo 2^61−1 (overflow-free in long arithmetic); signatures split
+    * into `bands` bands whose equality keys the candidate join. With
+    * k=16, bands=4 (r=4 rows per band), the S-curve crosses ~0.7 —
+    * pairs at Jaccard 0.5 are found with ~4 band probes while the
+    * shuffle never carries a cross product. */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      maxShingles: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val prime = (1L << 61) - 1
+    val id = col(idCol)
+
+    // distinct hashed shingles per doc (capped for degenerate docs)
+    val sh = df.select(id.as("__id"), split(col(textCol), " ").as("__ws"))
+      .filter(size(col("__ws")) >= shingleSize)
+      .select(col("__id"), explode(expr(
+        s"transform(sequence(0, least(size(__ws)-$shingleSize, ${maxShingles - 1})), " +
+          s"i -> concat_ws(' ', ${(0 until shingleSize).map(j => s"__ws[i+$j]").mkString(", ")}))"))
+        .as("__g"))
+      .distinct()
+      .select(col("__id"), pmod(xxhash64(col("__g")), lit(prime)).as("__gh"))
+
+    // k affine minhashes: min over shingles of (a_i * h + b_i) mod p.
+    // Multiplication stays in range by splitting h into 30-bit halves.
+    def affine(i: Int): Column = {
+      val a = 2L * i + 1
+      val b = 0x9E3779B97F4A7C15L % prime
+      val lo = col("__gh") % (1L << 30)
+      val hi = col("__gh") / (1L << 30)
+      pmod(pmod(lit(a) * lo, lit(prime)) +
+        pmod(pmod(lit(a) * hi % prime * ((1L << 30) % prime), lit(prime)) + lit(b * (i + 1) % prime),
+          lit(prime)), lit(prime))
+    }
+    val sig = sh.groupBy(col("__id"))
+      .agg(min(affine(0)).as("__h0"),
+        (1 until k).map(i => min(affine(i)).as(s"__h$i")): _*)
+
+    // banded blocking: candidates share at least one full band
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct((b * r until (b + 1) * r).map(i => col(s"__h$i")): _*).as(s"__band$b")
+    }
+    val banded = sig.select(col("__id") +: bandCols: _*)
+    val bandKv = banded.select(col("__id"), posexplode(array(
+      (0 until bands).map(b => xxhash64(lit(b), col(s"__band$b"))): _*)).as(Seq("__b", "__bk")))
+    val lhs = bandKv.select(col("__b"), col("__bk"), col("__id").as("__a"))
+    val rhs = bandKv.select(col("__b").as("__b2"), col("__bk").as("__bk2"), col("__id").as("__bId"))
+    val cand = lhs.join(rhs,
+        col("__b") === col("__b2") && col("__bk") === col("__bk2") && col("__a") < col("__bId"))
+      .select(col("__a"), col("__bId")).distinct()
+
+    // verify on full-signature agreement
+    val sa = sig.select(col("__id").as("__a") +: (0 until k).map(i => col(s"__h$i").as(s"__x$i")): _*)
+    val sb = sig.select(col("__id").as("__bId") +: (0 until k).map(i => col(s"__h$i").as(s"__y$i")): _*)
+    val agree = (0 until k).map(i =>
+      when(col(s"__x$i") === col(s"__y$i"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(sa, "__a").join(sb, "__bId")
+      .select(col("__a").as("idA"), col("__bId").as("idB"),
+        (agree.cast("double") / k).as("estJaccard"))
+      .filter(col("estJaccard") >= threshold)
+  }
+}
