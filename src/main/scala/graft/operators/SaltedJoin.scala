@@ -50,14 +50,18 @@ object SaltedJoin {
     require(saltFactor > 0, "saltFactor must be positive")
     require(joinType == "inner" || joinType == "left_outer",
       s"salting preserves semantics for inner/left_outer only, got $joinType")
-    val salted = fact.withColumn("__salt", pmod(xxhash64(saltSource), lit(saltFactor)))
-    val replicated = dim.withColumn("__salt",
+    // collision-free working column: a fixed "__salt" would silently
+    // overwrite (and then drop) a user column of the same name
+    val saltCol = Iterator.iterate("__salt")(_ + "_")
+      .find(n => !fact.columns.contains(n) && !dim.columns.contains(n)).get
+    val salted = fact.withColumn(saltCol, pmod(xxhash64(saltSource), lit(saltFactor)))
+    val replicated = dim.withColumn(saltCol,
       explode(sequence(lit(0L), lit(saltFactor - 1L))))
     salted
       .join(replicated,
         salted(factKey) === replicated(dimKey) &&
-          salted("__salt") === replicated("__salt"),
+          salted(saltCol) === replicated(saltCol),
         joinType)
-      .drop("__salt")
+      .drop(saltCol)
   }
 }

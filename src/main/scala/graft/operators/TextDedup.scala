@@ -33,11 +33,17 @@ object TextDedup {
     * with idA < idB and estimated Jaccard ≥ `threshold`.
     *
     * k minhashes from one xxhash per shingle re-mixed by k affine maps
-    * modulo 2^61−1 (overflow-free in long arithmetic); signatures split
-    * into `bands` bands whose equality keys the candidate join. With
-    * k=16, bands=4 (r=4 rows per band), the S-curve crosses ~0.7 —
-    * pairs at Jaccard 0.5 are found with ~4 band probes while the
-    * shuffle never carries a cross product. */
+    * modulo 2^61−1; signatures split into `bands` bands whose equality
+    * keys the candidate join. With k=16, bands=4 (r=4 rows per band),
+    * the S-curve crosses ~0.7 — pairs at Jaccard 0.5 are found with ~4
+    * band probes while the shuffle never carries a cross product.
+    *
+    * The affine maps act on the hash's two integer bit-halves
+    * (hi = h >> 30, lo = h & (2^30−1)) with multipliers < 2^31, so every
+    * intermediate product stays below 2^62 and the whole pipeline runs
+    * in exact long arithmetic — safe under Spark's ANSI overflow checks
+    * (an earlier formulation divided by 2^30, which silently promoted
+    * the family to floating point). */
   def minhashPairs(
       df: DataFrame,
       idCol: String,
@@ -61,16 +67,18 @@ object TextDedup {
       .distinct()
       .select(col("__id"), pmod(xxhash64(col("__g")), lit(prime)).as("__gh"))
 
-    // k affine minhashes: min over shingles of (a_i * h + b_i) mod p.
-    // Multiplication stays in range by splitting h into 30-bit halves.
+    // k affine minhashes: min over shingles of
+    // (a_i * hi + b_i * lo + c_i) mod p, where hi/lo are the 31/30-bit
+    // halves of the 61-bit shingle hash (integer shift/mask, NOT a
+    // divide — Spark's Divide is floating-point). a_i, b_i < 2^31 keeps
+    // a_i*hi < 2^62 and b_i*lo < 2^61, so every sum fits a long exactly.
     def affine(i: Int): Column = {
-      val a = 2L * i + 1
-      val b = 0x9E3779B97F4A7C15L % prime
-      val lo = col("__gh") % (1L << 30)
-      val hi = col("__gh") / (1L << 30)
-      pmod(pmod(lit(a) * lo, lit(prime)) +
-        pmod(pmod(lit(a) * hi % prime * ((1L << 30) % prime), lit(prime)) + lit(b * (i + 1) % prime),
-          lit(prime)), lit(prime))
+      val a = (2L * i + 1) * 1000000007L % 2147483647L
+      val b = (2L * i + 1) * 998244353L % 2147483647L
+      val c = (0x9E3779B97F4A7C15L % prime) * (i + 1) % prime
+      val hi = shiftright(col("__gh"), 30)
+      val lo = col("__gh").bitwiseAND(lit((1L << 30) - 1))
+      pmod(pmod(lit(a) * hi + lit(b) * lo, lit(prime)) + lit(c % prime), lit(prime))
     }
     val sig = sh.groupBy(col("__id"))
       .agg(min(affine(0)).as("__h0"),

@@ -120,6 +120,30 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("t8 builds posting lists only below the DF-cap semi-join") {
+    // the hot-shingle guard: every collect_list aggregation buffer must
+    // sit above a left-semi join against the pre-counted (2..100-doc)
+    // key set, so an uncapped mega-hot shingle can never accumulate an
+    // unbounded array in one task
+    val nodes = finalPlan("t8_ngram_jaccard")
+    val collectAggs = nodes.collect {
+      case a: ObjectHashAggregateExec if a.aggregateExpressions.exists(
+        _.aggregateFunction.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.aggregate.CollectList]) => a
+    }
+    assert(collectAggs.nonEmpty, "expected a collect_list aggregate in t8")
+    collectAggs.foreach { agg =>
+      val semiBelow = flatten(agg).exists {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+        case _ => false
+      }
+      assert(semiBelow,
+        "collect_list must be fed by the DF-cap left-semi join, " +
+          "not the raw shingle stream")
+    }
+  }
+
   test("column pruning reaches the scan on a wide-table projection") {
     val s = planString("q13_customer_distribution")
     // orders is read for (o_orderkey, o_custkey, o_comment)-ish subsets,
