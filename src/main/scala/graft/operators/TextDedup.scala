@@ -108,4 +108,61 @@ object TextDedup {
         (agree.cast("double") / k).as("estJaccard"))
       .filter(col("estJaccard") >= threshold)
   }
+
+  /** Connected components over a near-duplicate pair graph — the dedup
+    * decision a corpus pipeline actually ships: every node that appears
+    * in `pairs` mapped to its cluster's minimum id, with the canonical
+    * keeper flagged. Returns (id, componentId, isCanonical); nodes with
+    * no edges are simply absent (they are their own singleton component
+    * — left-join and `coalesce(componentId, id)` to close over a full
+    * corpus, as `t19_neardup_components` does).
+    *
+    * Distributed min-label propagation: symmetric + self-loop edges make
+    * each round ONE join + groupBy-min (no left-join finalizer);
+    * `localCheckpoint` truncates lineage per round (the standard fix for
+    * iterative DataFrame plans); convergence is detected by the exact
+    * decimal label sum (labels only decrease, so an unchanged sum IS the
+    * fixpoint — decimal because 1e9 nodes × 1e12 ids overflows a long).
+    * O(component diameter) rounds, nothing ever leaves the cluster.
+    * Ids must be numeric (the convergence sum casts to DECIMAL(38,0)).
+    *
+    * @throws IllegalStateException if propagation has not converged
+    *   after `maxIters` rounds (component diameter exceeds the cap) —
+    *   failing loudly beats silently returning partially-merged
+    *   clusters. */
+  def components(
+      pairs: DataFrame,
+      aCol: String = "idA",
+      bCol: String = "idB",
+      maxIters: Int = 50): DataFrame = {
+    val e = pairs.select(col(aCol).as("__a"), col(bCol).as("__b")).persist()
+    val sym = e.union(e.select(col("__b").as("__a"), col("__a").as("__b")))
+    val eb = sym.union(
+      sym.select(col("__a")).distinct()
+        .select(col("__a"), col("__a").as("__b"))).persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("__comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .first.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    var labels = eb.select(col("__a").as("__id")).distinct()
+      .select(col("__id"), col("__id").as("__comp"))
+      .localCheckpoint(true)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val next = eb.join(labels, eb("__a") === labels("__id"))
+        .groupBy(eb("__b").as("__id")).agg(min(col("__comp")).as("__comp"))
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"component propagation did not converge within $iter rounds " +
+        "(component diameter exceeds maxIters); raise maxIters")
+    labels.select(col("__id").as("id"), col("__comp").as("componentId"),
+      when(col("__comp") === col("__id"), 1).otherwise(0).as("isCanonical"))
+  }
 }

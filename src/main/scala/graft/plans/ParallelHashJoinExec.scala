@@ -121,18 +121,25 @@ case class ParallelHashJoinExec(
     * mark a visited bitset during the probe loop and then run a
     * re-entrant finalizer loop over the dense build-row index after the
     * probe input drains — the same produce-loop-then-finalizer shape
-    * Spark's own codegen'd full-outer shuffled-hash join uses. Only the
-    * chunked spill fallback stays interpreted: the generated build
-    * helper logs when the byte budget is exceeded instead of chunking —
-    * the same unbounded-build posture as Spark's codegen'd
-    * ShuffledHashJoinExec. An EXPLICITLY configured spill budget is a
-    * statement that bounded memory matters more than fusion, so it
-    * routes every type to the interpreted chunking path — without
-    * this, enabling codegen would silently trade the spill guarantee
-    * away. */
-  override def supportCodegen: Boolean =
-    conf.getConfString(ParallelHashJoinExec.codegenEnabledKey, "true").toBoolean &&
-      !conf.contains(ParallelHashJoinExec.spillThresholdKey)
+    * Spark's own codegen'd full-outer shuffled-hash join uses.
+    *
+    * The spill guarantee survives fusion: the generated build helper
+    * byte-tracks against the budget and, on overrun, routes THAT
+    * PARTITION to the interpreted chunked grace join at runtime (the
+    * generated produce loop then just drains the fallback iterator).
+    * Every other partition keeps the fused fast path — codegen and
+    * bounded memory are no longer a config-time either/or. Setting
+    * `codegenFallback=false` restores the old static routing: an
+    * explicitly configured spill budget then disables fusion outright
+    * (and, with no budget set, overruns only warn — the unbounded-build
+    * posture of Spark's own codegen'd ShuffledHashJoinExec). */
+  override def supportCodegen: Boolean = {
+    val enabled =
+      conf.getConfString(ParallelHashJoinExec.codegenEnabledKey, "true").toBoolean
+    val runtimeFallback =
+      conf.getConfString(ParallelHashJoinExec.codegenFallbackKey, "true").toBoolean
+    enabled && (runtimeFallback || !conf.contains(ParallelHashJoinExec.spillThresholdKey))
+  }
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     right.execute() :: left.execute() :: Nil
@@ -143,16 +150,26 @@ case class ParallelHashJoinExec(
 
   /** Executor-side build for the generated probe loop. Threshold is
     * baked in at codegen time (driver side) because `conf` is not
-    * available on executors. */
-  def buildChainForCodegen(
-      buildIter: Iterator[InternalRow], thresholdBytes: Long,
-      mapImpl: String): GraftBuildMap = {
+    * available on executors.
+    *
+    * On byte-budget overrun with `fallbackEnabled`, the partition
+    * DOWNGRADES AT RUNTIME to the interpreted chunked grace join: the
+    * rows buffered so far plus the remainder of the build input re-enter
+    * [[ParallelHashJoinExec.joinPartition]] (which re-applies the budget
+    * and takes its spill path), and the returned iterator carries the
+    * complete join result for this partition — the generated produce
+    * loop just drains it. Partitions that stay under budget never leave
+    * the fused path. */
+  def buildOrFallbackForCodegen(
+      buildIter: Iterator[InternalRow],
+      probeIter: Iterator[InternalRow],
+      thresholdBytes: Long,
+      mapImpl: String,
+      fallbackEnabled: Boolean): GraftCodegenBuild = {
     val keyProj = UnsafeProjection.create(
       leftKeys.map(org.apache.spark.sql.classic.GraftSqlBridge.normalizeFloatingKey),
       left.output)
     val map = ParallelHashJoinExec.newBuildMap(mapImpl, keyProj)
-    val buildRowsMetric = longMetric("buildRows")
-    longMetric("buildChunks") += 1
     var bytes = 0L
     var warned = false
     while (buildIter.hasNext) {
@@ -161,17 +178,30 @@ case class ParallelHashJoinExec(
         case u: UnsafeRow => u.getSizeInBytes.toLong
         case _ => 16L + 8L * left.output.length
       })
-      if (bytes > thresholdBytes && !warned) {
-        logWarning("parallel hash join build side exceeds " +
-          s"$thresholdBytes bytes under codegen; the codegen path cannot " +
-          "chunk a streaming probe - disable " +
-          s"${ParallelHashJoinExec.codegenEnabledKey} to get the spilling path")
-        warned = true
+      if (bytes > thresholdBytes) {
+        if (fallbackEnabled) {
+          val rebuilt = Iterator.range(0, map.size).map(map.rowAt) ++
+            Iterator.single(row.copy()) ++ buildIter
+          val fallback = ParallelHashJoinExec.joinPartition(
+            rebuilt, probeIter, left.output, right.output, leftKeys, rightKeys,
+            joinType, condition, output, thresholdBytes, mapImpl, probePreserving,
+            longMetric("numOutputRows"), longMetric("buildRows"),
+            longMetric("buildChunks"))
+          return new GraftCodegenBuild(null, fallback)
+        } else if (!warned) {
+          logWarning("parallel hash join build side exceeds " +
+            s"$thresholdBytes bytes under codegen with " +
+            s"${ParallelHashJoinExec.codegenFallbackKey}=false; growing " +
+            "unbounded - re-enable the fallback or disable " +
+            s"${ParallelHashJoinExec.codegenEnabledKey} to get the spilling path")
+          warned = true
+        }
       }
       map.append(row.copy())
     }
-    buildRowsMetric += map.size
-    map
+    longMetric("buildRows") += map.size
+    longMetric("buildChunks") += 1
+    new GraftCodegenBuild(map, null)
   }
 
   override protected def doProduce(ctx: CodegenContext): String = {
@@ -185,10 +215,17 @@ case class ParallelHashJoinExec(
       "graftBuildInput", v => s"$v = inputs[1];", forceInline = true)
     val mapImpl = conf.getConfString(
       ParallelHashJoinExec.mapImplKey, ParallelHashJoinExec.mapImplDefault)
-    val mapTerm = ctx.addMutableState("graft.plans.GraftBuildMap", "graftChainMap",
-      v => s"$v = $thisPlan.buildChainForCodegen($buildInput, ${spillThreshold}L, " +
-        s""""$mapImpl");""",
+    val fallbackEnabled = conf.getConfString(
+      ParallelHashJoinExec.codegenFallbackKey, "true").toBoolean
+    val buildResTerm = ctx.addMutableState("graft.plans.GraftCodegenBuild",
+      "graftBuildRes",
+      v => s"$v = $thisPlan.buildOrFallbackForCodegen($buildInput, " +
+        s"""$streamedInput, ${spillThreshold}L, "$mapImpl", $fallbackEnabled);""",
       forceInline = true)
+    val mapTerm = ctx.addMutableState("graft.plans.GraftBuildMap", "graftChainMap",
+      v => s"$v = $buildResTerm.map();", forceInline = true)
+    val fbTerm = ctx.addMutableState("scala.collection.Iterator", "graftFallbackIter",
+      v => s"$v = $buildResTerm.fallback();", forceInline = true)
 
     // evaluate the streamed (probe) columns from the input row
     val streamedRow = ctx.freshName("graftStreamedRow")
@@ -449,17 +486,42 @@ case class ParallelHashJoinExec(
        """.stripMargin
     }
 
+    // Runtime-fallback drain: when the build helper detected a budget
+    // overrun it returned the interpreted grace join's result iterator
+    // instead of a map — output rows are complete join rows, consumed
+    // row-wise (joinPartition already counted them in numOutputRows).
+    val fbRow = ctx.freshName("graftFbRow")
+    ctx.INPUT_ROW = fbRow
+    ctx.currentVars = null
+    val fbConsume = consume(ctx, null, fbRow)
     s"""
-       |while ($limitNotReachedCond $streamedInput.hasNext()) {
-       |  InternalRow $streamedRow = (InternalRow) $streamedInput.next();
-       |  $streamEval
-       |  $body
-       |  if (shouldStop()) return;
+       |if ($fbTerm != null) {
+       |  while ($limitNotReachedCond $fbTerm.hasNext()) {
+       |    InternalRow $fbRow = (InternalRow) $fbTerm.next();
+       |    $fbConsume
+       |    if (shouldStop()) return;
+       |  }
+       |} else {
+       |  while ($limitNotReachedCond $streamedInput.hasNext()) {
+       |    InternalRow $streamedRow = (InternalRow) $streamedInput.next();
+       |    $streamEval
+       |    $body
+       |    if (shouldStop()) return;
+       |  }
+       |  $finalizer
        |}
-       |$finalizer
      """.stripMargin
   }
 }
+
+/** Result of the codegen build phase: exactly one of `map` (under
+  * budget — fused probe loop proceeds) or `fallback` (over budget — the
+  * complete interpreted grace-join result for this partition) is
+  * non-null. Plain class with Java-callable accessors because the
+  * generated code references it directly. */
+final class GraftCodegenBuild(
+    val map: GraftBuildMap,
+    val fallback: Iterator[InternalRow])
 
 object ParallelHashJoinExec {
 
@@ -473,6 +535,14 @@ object ParallelHashJoinExec {
   /** Gate for the whole-stage-codegen inner-join path (`false` falls
     * back to the interpreted, spill-capable doExecute). */
   val codegenEnabledKey = "spark.graft.parallelHashJoin.codegenEnabled"
+
+  /** Runtime spill fallback under codegen (default on): a partition
+    * whose build side overruns the byte budget downgrades to the
+    * interpreted chunked grace join mid-task while every other
+    * partition keeps the fused path. `false` restores the static
+    * routing where an explicitly configured budget disables fusion
+    * (see [[ParallelHashJoinExec.supportCodegen]]). */
+  val codegenFallbackKey = "spark.graft.parallelHashJoin.codegenFallback"
 
   /** Build-map layout knob — the analog of the reference's build-side
     * version1..10 A/B family for the map itself: `chain` (boxed

@@ -197,6 +197,43 @@ object JoinQueries {
       .orderBy("s_name")
   }
 
+  /** [[graft.operators.SaltedJoin]] on a GENUINELY hot key:
+    * `o_orderpriority` has 5 distinct values, so each key carries ~20%
+    * of the fact table — unsalted, 5 of 32 reducers would do all the
+    * work (the reference's exponential-skew bench shape,
+    * `benches/exponential_distribution.rs`). Salting 16 ways spreads
+    * each hot key over 16 buckets; the salt vanishes in the aggregate,
+    * so the oracle is the plain join — the gate proves the hot-key
+    * rewrite is semantics-preserving. (At sf0.01 the 5-row dim would
+    * broadcast anyway; the forced-shuffle perf A/B lives in
+    * `tools.SkewBench`, which drives this same operator.) */
+  val saltedHeavy: Q = Q(
+    "j_salted_heavy",
+    """SELECT o_orderpriority,
+      |  CAST(substr(o_orderpriority, 1, 1) AS INT) AS urgency,
+      |  CAST(SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS cents,
+      |  COUNT(*) AS n
+      |FROM orders
+      |JOIN (SELECT DISTINCT o_orderpriority AS pr FROM orders) d
+      |  ON o_orderpriority = pr
+      |GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val fact = t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    val dim = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("pr")).distinct()
+    graft.operators.SaltedJoin.join(
+      fact, dim, "o_orderpriority", "pr",
+      saltSource = col("o_orderkey"), saltFactor = 16)
+      .groupBy("o_orderpriority")
+      .agg(sum(Num.cents(col("o_totalprice"))).as("cents"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("urgency"),
+        col("cents"), col("n"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(inner, leftOuter, rightOuter, fullOuter, leftSemi,
-    leftAnti, rightSemi, rightAnti, cross, residual, skewAgg, saltedJoin)
+    leftAnti, rightSemi, rightAnti, cross, residual, skewAgg, saltedJoin,
+    saltedHeavy)
 }

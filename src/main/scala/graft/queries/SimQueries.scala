@@ -218,11 +218,12 @@ object SimQueries {
     * maps every vector to its nearest-centroid cluster; a query probes
     * the 4 closest clusters and re-ranks exactly. The 100 TB shape:
     * seeding is a hash-strided distributed filter (~2k candidate rows,
-    * never the corpus), each Lloyd iteration is one map + per-cluster
-    * mean with only the k centroid rows collected to the driver (the
-    * standard k-means driver state), the inverted index is just a
-    * cluster-keyed partitioning of the corpus, and the probe touches
-    * nprobe/k of the data. No SQL oracle (kernel semantics); PipelineSpec
+    * never the corpus), each Lloyd iteration is one map + an order-free
+    * fixed-point component sum (partial-aggregated, so no task ever
+    * holds a whole cluster) with only the k centroid rows collected to
+    * the driver (the standard k-means driver state), the inverted index
+    * is just a cluster-keyed partitioning of the corpus, and the probe
+    * touches nprobe/k of the data. No SQL oracle (kernel semantics); PipelineSpec
     * checks score consistency and recall against the exact baseline. */
   val annIvf: Q = Q.noOracle("v5_ann_ivf") { (s, dir) =>
     implicit val sp: SparkSession = s
@@ -277,22 +278,32 @@ object SimQueries {
       (d, normd(d))
     }
 
-    // --- Lloyd refinement: per-cluster deterministic mean (groups
-    // iterated in vec_id order), k rows back to the driver per round ---
+    // --- Lloyd refinement: ORDER-FREE exact per-cluster mean. Each
+    // vector contributes fixed-point long components (scale 2^24);
+    // integer addition is associative+commutative, so reduceGroups'
+    // partial aggregation gives a bit-deterministic sum in ANY merge
+    // order — no per-cluster sort, and no task ever materializes a
+    // whole cluster (the round-4 verdict's v5 single-task hazard).
+    // Overflow headroom: |component| ≲ 2^3, so 2^24 scale × 2^3 × up to
+    // ~2^35 cluster members stays under 2^62. k rows to the driver. ---
+    val FP = 1L << 24
     for (_ <- 0 until lloydIters) {
       val bc = s.sparkContext.broadcast(cents)
       val means = vecs
-        .map { case (id, v) => (nearest(bc.value, v), id, v) }
-        .groupByKey(_._1)
-        .mapGroups { (c: Int, it: Iterator[(Int, Long, Array[Float])]) =>
-          val rows = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
-          val dim = rows.head._2.length
-          val acc = new Array[Double](dim)
-          rows.foreach { case (_, v) =>
-            var i = 0; while (i < dim) { acc(i) += v(i).toDouble; i += 1 }
-          }
-          (c, acc.map(_ / rows.length))
+        .map { case (_, v) =>
+          val fp = new Array[Long](v.length)
+          var i = 0
+          while (i < v.length) { fp(i) = math.round(v(i).toDouble * FP); i += 1 }
+          (nearest(bc.value, v), fp, 1L)
         }
+        .groupByKey(_._1)
+        .reduceGroups { (x: (Int, Array[Long], Long), y: (Int, Array[Long], Long)) =>
+          val acc = new Array[Long](x._2.length)
+          var i = 0
+          while (i < acc.length) { acc(i) = x._2(i) + y._2(i); i += 1 }
+          (x._1, acc, x._3 + y._3)
+        }
+        .map { case (c, (_, fp, n)) => (c, fp.map(_.toDouble / FP / n)) }
         .collect()
         .toMap
       cents = cents.indices.map { c =>

@@ -355,58 +355,17 @@ object TextQueries {
       |SELECT doc_id, MIN(comp) AS comp_id,
       |  CASE WHEN MIN(comp) = doc_id THEN 1 ELSE 0 END AS is_canonical
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    // Persist the pair list FIRST: the symmetric + self-loop edge list
-    // below references it four times, and each unpersisted reference
-    // would re-evaluate the whole LSH candidate pipeline.
+    // Persist the pair list FIRST: [[TextDedup.components]] references
+    // it four times (symmetric + self-loop edges), and each unpersisted
+    // reference would re-evaluate the whole LSH candidate pipeline.
+    // The propagation itself (iterate edge-touching nodes only,
+    // localCheckpoint lineage truncation, decimal label-sum
+    // convergence, loud non-convergence failure) lives in the reusable
+    // API; singletons rejoin via the left join below.
     val e = lshPairs(s, dir).select(col("a_id"), col("b_id")).persist()
-    // Iterate ONLY over nodes that have at least one edge — the corpus
-    // is overwhelmingly singletons, which need no propagation at all
-    // (they rejoin below). Self-loops are appended so every node is its
-    // own neighbor: one round is then a single join + groupBy-min
-    // (min over self ∪ neighbors), with no left-join finalizer — one
-    // shuffle fewer per round than the textbook two-join formulation.
-    val sym = e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-    val eb = sym.union(
-      sym.select(col("a_id")).distinct()
-        .select(col("a_id"), col("a_id").as("b_id"))).persist()
-    // Each round's result is localCheckpoint-ed: without lineage
-    // truncation the logical plan embeds the previous round's plan, so
-    // analysis/planning cost compounds per round even with the data
-    // cached — the standard failure mode of iterative DataFrame
-    // algorithms, and the standard fix (GraphFrames does the same).
-    var labels = eb.select(col("a_id").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("comp"))
-      .localCheckpoint(true)
-    // Labels only ever decrease, so the exact-decimal label sum is
-    // strictly monotone and "unchanged sum" == fixpoint — convergence
-    // costs one tiny aggregate instead of a per-row chg column
-    // (decimal, not long: 1e9 nodes × 1e12 ids overflows a long).
-    // SUM over an empty label table is NULL → ZERO, so a corpus with
-    // no near-dup pairs converges immediately instead of NPE-ing.
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("comp").cast(DecimalType(38, 0)))).first.getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < 20) {
-      val next = eb.join(labels, eb("a_id") === labels("doc_id"))
-        .groupBy(eb("b_id").as("doc_id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      labels = next
-      iter += 1
-    }
-    // A component with diameter > the iteration cap would silently emit
-    // partially-propagated labels (the recursive-CTE oracle closes edges
-    // fully) — fail loudly instead of returning wrong clusters.
-    if (!converged) throw new IllegalStateException(
-      s"t19 min-label propagation did not converge within $iter rounds " +
-        "(component diameter exceeds the cap); raise the iteration cap")
+    val comps = graft.operators.TextDedup.components(e, "a_id", "b_id", maxIters = 20)
     t(s, dir, "documents").select(col("doc_id"))
-      .join(labels.withColumnRenamed("doc_id", "lid"),
+      .join(comps.select(col("id").as("lid"), col("componentId").as("comp")),
         col("doc_id") === col("lid"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("comp_id"),

@@ -51,20 +51,19 @@ object SkewBench {
       times.min
     }
 
-    /** Manual salting: fact key gets a deterministic salt, the dim is
-      * exploded across all salt values, the join key becomes (k, salt)
-      * — the classic pre-AQE skew remedy, shown for comparison. */
+    /** Explicit salting via the [[graft.operators.SaltedJoin]] operator
+      * (the library surface a pipeline would call): fact key gets a
+      * deterministic salt, the dim is replicated across all salt
+      * values, the join key becomes (k, salt) — the classic pre-AQE
+      * skew remedy, A/B'd here against AQE's runtime splitting. */
     def runSalted(): Double = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      val salts = 8
-      val factS = fact.withColumn("f_salt", (col("v") % salts).cast("int"))
-      val dimS = dim.withColumn("d_salt",
-        explode(lit((0 until salts).toArray)))
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        factS.join(dimS.hint("MERGE"),
-            col("k") === col("d_k") && col("f_salt") === col("d_salt"))
+        graft.operators.SaltedJoin.join(
+            fact, dim.hint("MERGE"), "k", "d_k",
+            saltSource = col("v"), saltFactor = 8)
           .groupBy("d_v").agg(count(lit(1)).as("n"), sum("v").as("sv"))
           .write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9

@@ -47,8 +47,7 @@ class SpillFallbackSpec extends AnyFunSuite {
     }
   }
 
-  private def chunkMetric(d: DataFrame): Long = {
-    val plan = d.queryExecution.executedPlan
+  private def flatPlan(d: DataFrame): Seq[SparkPlan] = {
     val flat = new scala.collection.mutable.ArrayBuffer[SparkPlan]
     def walk(p: SparkPlan): Unit = {
       flat += p
@@ -59,10 +58,13 @@ class SpillFallbackSpec extends AnyFunSuite {
       }
       inner.foreach(walk)
     }
-    walk(plan)
-    flat.collectFirst { case p: ParallelHashJoinExec => p.metrics("buildChunks").value }
-      .getOrElse(fail("no ParallelHashJoinExec in plan"))
+    walk(d.queryExecution.executedPlan)
+    flat.toSeq
   }
+
+  private def chunkMetric(d: DataFrame): Long =
+    flatPlan(d).collectFirst { case p: ParallelHashJoinExec => p.metrics("buildChunks").value }
+      .getOrElse(fail("no ParallelHashJoinExec in plan"))
 
   private lazy val golden: Map[String, Seq[Seq[Any]]] = joinTypes.map { jt =>
     jt -> collected(part.join(li, col("p_partkey") === col("l_partkey"), jt))
@@ -102,21 +104,71 @@ class SpillFallbackSpec extends AnyFunSuite {
     }
   }
 
+  /** Is the custom exec inside a codegen stage? Walks through AQE
+    * wrappers and stops at InputAdapter (the codegen-stage boundary),
+    * so an unfused exec below a stage never counts as fused. */
+  private def fused(d: DataFrame): Boolean =
+    flatPlan(d).exists {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        def inStage(p: SparkPlan): Boolean = p match {
+          case _: ParallelHashJoinExec => true
+          case _: org.apache.spark.sql.execution.InputAdapter => false
+          case other => other.children.exists(inStage)
+        }
+        inStage(w.child)
+      case _ => false
+    }
+
+  test("codegen runtime fallback: over-budget partitions chunk, results exact") {
+    // codegen ON (the default path) + a forced-low budget: the plan must
+    // still FUSE, and every partition must detect the overrun at runtime
+    // and route itself through the interpreted chunked grace join —
+    // bounded memory without forfeiting fusion for in-budget partitions
+    withConf(ParallelHashJoinExec.spillThresholdKey -> "512",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.codegen.fallback" -> "false") { // janino errors must fail, not hide
+      for (jt <- joinTypes) {
+        val d = ParallelHashJoinApi.parallelHashJoin(
+          part, li, Seq("p_partkey"), Seq("l_partkey"), jt)
+        assert(fused(d), s"$jt must stay fused with the runtime fallback on")
+        assert(collected(d) == golden(jt), s"results for $jt under codegen fallback")
+        assert(chunkMetric(d) > 4,
+          s"$jt expected runtime chunked fallback (>1 chunk per partition)")
+      }
+      for (jt <- Seq("right_semi", "right_anti")) {
+        val d = ParallelHashJoinApi.parallelHashJoin(
+          part, li, Seq("p_partkey"), Seq("l_partkey"), jt)
+        assert(fused(d), s"$jt must stay fused with the runtime fallback on")
+        assert(collected(d) == goldenProbeSide(jt),
+          s"results for $jt under codegen fallback")
+        assert(chunkMetric(d) > 4,
+          s"$jt expected runtime chunked fallback (>1 chunk per partition)")
+      }
+    }
+  }
+
   test("residual condition correct under spill fallback") {
     val expected = collected(part.join(li,
       col("p_partkey") === col("l_partkey") && col("p_size") > col("l_orderkey") % 50,
       "full_outer"))
     withConf(ParallelHashJoinExec.spillThresholdKey -> "4096") {
+      // default codegenFallback=true: fusion survives an explicit budget
+      // (overruns downgrade per-partition at runtime)
       val d = ParallelHashJoinApi.parallelHashJoin(
         part, li, Seq("p_partkey"), Seq("l_partkey"), "full_outer",
         Some(col("p_size") > col("l_orderkey") % 50))
       assert(collected(d) == expected)
-      // an explicit spill budget must route to the interpreted chunking
-      // path — codegen's streaming probe cannot honor it
-      val fused = d.queryExecution.executedPlan.collect {
-        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
-      }.exists(_.collectFirst { case p: ParallelHashJoinExec => p }.isDefined)
-      assert(!fused, "explicit spill threshold must disable codegen fusion")
+      assert(fused(d), "runtime fallback keeps the exec fused")
+    }
+    withConf(ParallelHashJoinExec.spillThresholdKey -> "4096",
+      ParallelHashJoinExec.codegenFallbackKey -> "false") {
+      // legacy static routing: an explicit budget disables fusion outright
+      val d = ParallelHashJoinApi.parallelHashJoin(
+        part, li, Seq("p_partkey"), Seq("l_partkey"), "full_outer",
+        Some(col("p_size") > col("l_orderkey") % 50))
+      assert(collected(d) == expected)
+      assert(!fused(d),
+        "codegenFallback=false + explicit spill threshold must disable fusion")
     }
   }
 

@@ -57,4 +57,28 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a >= 200 || b >= 200 },
       "unrelated docs must not pair")
   }
+
+  test("components() resolves planted clusters to min-id with canonical flags") {
+    import spark.implicits._
+    // planted graph: a 5-node chain (10-11-12-13-14), a 3-node star
+    // (20 hub), a disconnected pair (30,31); edges in arbitrary order
+    val pairs = Seq(
+      (13L, 14L), (10L, 11L), (12L, 13L), (11L, 12L),
+      (21L, 20L), (20L, 22L),
+      (31L, 30L)).toDF("idA", "idB")
+    val out = TextDedup.components(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val expected = Seq(
+      (10L, 10L, 1), (11L, 10L, 0), (12L, 10L, 0), (13L, 10L, 0), (14L, 10L, 0),
+      (20L, 20L, 1), (21L, 20L, 0), (22L, 20L, 0),
+      (30L, 30L, 1), (31L, 30L, 0))
+    assert(out.toSeq == expected)
+    // nodes without edges are absent (caller closes over the corpus)
+    assert(!out.exists(_._1 == 99L))
+    // diameter > maxIters fails loudly instead of emitting partial labels
+    val longChain = (0 until 12).map(i => (i.toLong, i + 1L)).toDF("idA", "idB")
+    intercept[IllegalStateException] {
+      TextDedup.components(longChain, maxIters = 2).collect()
+    }
+  }
 }
