@@ -34,6 +34,10 @@ object Bench {
     "t25_tfidf")
 
   def main(args: Array[String]): Unit = {
+    // optional arg: comma-separated query names for a focused local
+    // measurement (the driver always calls with no args → full slice)
+    val slice: Seq[String] =
+      if (args.nonEmpty) args(0).split(",").toSeq.filter(_.nonEmpty) else headline
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -58,7 +62,7 @@ object Bench {
     // is emitted so a uniformly-slower run reads as noise, not as a
     // regression (the round-4 driver-vs-committed 1.5x gap cost the
     // judge real analysis time).
-    val sampled: Seq[(String, Seq[Double])] = headline.flatMap { name =>
+    val sampled: Seq[(String, Seq[Double])] = slice.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -74,6 +78,13 @@ object Bench {
         val two = Seq(once(), once())
         val times =
           if (two.forall(_ >= 0.0) && two.min > 1.0) two :+ once() else two
+        // Drop this query's persisted tables before the next query runs:
+        // the dedup/LSH pipelines persist multi-million-row intermediates
+        // and CacheManager keeps every invocation's cache alive, so a
+        // 28-query run otherwise accumulates gigabytes of cached blocks
+        // and the tail of the run measures GC pressure, not the query
+        // (samples WITHIN a query still share cache, as before).
+        spark.catalog.clearCache()
         name -> times
       }
     }

@@ -197,31 +197,28 @@ object TextQueries {
       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
     // shuffle 64-bit shingle hashes, not strings (collision odds over
     // ~3e5 distinct shingles ≈ 2e-9 — far below the gate's noise floor)
-    //
-    // One explicit repartition on the shingle hash; everything keyed on
-    // `gh` below (the pre-count, both semi-joins, the posting-list
-    // aggregation) then runs exchange-free on the same partitioning.
+    implicit val sp: org.apache.spark.sql.SparkSession = s
     val sh = shingles(t(s, dir, "documents"))
-      .repartition(col("gh"))
+    // ONE shuffle by shingle hash builds the DF-capped inverted index
+    // via the native capped aggregate: a key's buffer holds at most 100
+    // doc ids and a saturating count, so a mega-hot stop-shingle in 10M
+    // docs costs O(cap) state in one task instead of a 10M-element
+    // collect_list array (the round-4 verdict's last headline
+    // scale-killer), and over-cap keys surface as NULL and are dropped —
+    // same semantics as the oracle's HAVING COUNT(*) <= 100 CTE. Pairs
+    // are then expanded in-place per posting list (≤ C(100,2) per
+    // shingle; the least/greatest normalization makes the expansion
+    // insensitive to the list's arbitrary merge order).
+    val kept = sh.groupBy("gh")
+      .agg(graft.functions.CappedLongCollectList
+        .cappedCollectList(col("doc_id"), 100).as("ds"))
+      .filter(col("ds").isNotNull)
       .persist()
-    // DF pre-count FIRST: the only aggregation that ever sees an
-    // uncapped key is this `count` — 8 bytes of state per key — so a
-    // mega-hot stop-shingle in 10M docs costs one long, not a
-    // 10M-element collect_list buffer in a single task (the round-4
-    // verdict's last headline scale-killer).
-    val ghc = sh.groupBy("gh").agg(count(lit(1)).as("c")).persist()
-    // per-doc surviving-shingle count: semi-join against the DF-capped
-    // keys (singletons still count here, they just produce no pairs)
-    val cnt = sh.join(ghc.filter(col("c") <= 100).select("gh"), Seq("gh"), "left_semi")
+    // per-doc surviving-shingle count: singleton lists still count here,
+    // they just produce no pairs below
+    val cnt = kept.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // posting lists ONLY for keys that can produce pairs (2..100 docs):
-    // the semi-join runs BEFORE collect_list, so every aggregation
-    // buffer is provably ≤ 100 elements. Pairs are then expanded
-    // in-place per posting list (≤ C(100,2) per shingle).
-    val kept = sh
-      .join(ghc.filter(col("c").between(2, 100)).select("gh"), Seq("gh"), "left_semi")
-      .groupBy("gh").agg(collect_list(col("doc_id")).as("ds"))
-    val pairs = kept.select(explode(expr(
+    val pairs = kept.filter(size(col("ds")) >= 2).select(explode(expr(
       """flatten(transform(sequence(0, size(ds) - 2),
         |  i -> transform(sequence(i + 1, size(ds) - 1),
         |    j -> struct(least(ds[i], ds[j]) AS a, greatest(ds[i], ds[j]) AS b))))""".stripMargin))

@@ -32,6 +32,10 @@ class PlanQualitySpec extends AnyFunSuite {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec => Seq(q.plan)
       case r: ReusedExchangeExec => Seq(r.child)
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        // descend into persisted intermediates — the plan that BUILT the
+        // cache is exactly what these asserts are about
+        Seq(c.relation.cachedPlan)
       case other => other.children
     }
     p +: inner.flatMap(flatten)
@@ -120,28 +124,22 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("t8 builds posting lists only below the DF-cap semi-join") {
-    // the hot-shingle guard: every collect_list aggregation buffer must
-    // sit above a left-semi join against the pre-counted (2..100-doc)
-    // key set, so an uncapped mega-hot shingle can never accumulate an
+  test("t8 builds posting lists with the capped aggregate, never raw collect_list") {
+    // the hot-shingle guard: the inverted index must aggregate through
+    // CappedLongCollectList (O(cap) buffer per key, over-cap keys
+    // nulled), so an uncapped mega-hot shingle can never accumulate an
     // unbounded array in one task
     val nodes = finalPlan("t8_ngram_jaccard")
-    val collectAggs = nodes.collect {
-      case a: ObjectHashAggregateExec if a.aggregateExpressions.exists(
-        _.aggregateFunction.isInstanceOf[
-          org.apache.spark.sql.catalyst.expressions.aggregate.CollectList]) => a
+    val aggFns = nodes.flatMap {
+      case a: ObjectHashAggregateExec => a.aggregateExpressions.map(_.aggregateFunction)
+      case a: HashAggregateExec => a.aggregateExpressions.map(_.aggregateFunction)
+      case _ => Nil
     }
-    assert(collectAggs.nonEmpty, "expected a collect_list aggregate in t8")
-    collectAggs.foreach { agg =>
-      val semiBelow = flatten(agg).exists {
-        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
-          j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
-        case _ => false
-      }
-      assert(semiBelow,
-        "collect_list must be fed by the DF-cap left-semi join, " +
-          "not the raw shingle stream")
-    }
+    assert(aggFns.exists(_.isInstanceOf[graft.functions.CappedLongCollectList]),
+      "expected the capped collect_list aggregate in t8's plan")
+    assert(!aggFns.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.aggregate.CollectList]),
+      "t8 must never aggregate through an uncapped collect_list")
   }
 
   test("column pruning reaches the scan on a wide-table projection") {
