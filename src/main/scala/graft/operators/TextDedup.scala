@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Engine-portable 60-bit hash: first 15 hex chars of md5, as BIGINT —
+    * the same construction TextQueries uses so API results are
+    * bit-identical to the oracle-gated demo queries (Spark
+    * `conv(substr(md5(x),1,15),16,10)` ≡ DuckDB
+    * `('0x'||substr(md5(x),1,15))::BIGINT`). */
+  private[graft] def mdHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Keep exactly one row per distinct `textCol` value — the winner is
     * the minimum `idCol` (deterministic, re-runnable). Comparison is on
     * a 64-bit xxhash of the text plus the text itself, so hash
@@ -164,5 +172,64 @@ object TextDedup {
         "(component diameter exceeds maxIters); raise maxIters")
     labels.select(col("__id").as("id"), col("__comp").as("componentId"),
       when(col("__comp") === col("__id"), 1).otherwise(0).as("isCanonical"))
+  }
+
+  /** 32-bit SimHash signature per document: every whitespace token
+    * votes ±1 on each signature bit (sign of its md5-derived hash bit),
+    * positive vote sum sets the bit. Near-identical texts differ in a
+    * few token votes, so their signatures sit within small Hamming
+    * distance — a constant-size alternative to the k-long MinHash
+    * vector (the web-crawl dedup design). One shuffle: tokens group by
+    * document, 32 conditional sums per group, all codegen'd.
+    * Returns (idCol, simhash). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val B = 32
+    val tok = df
+      .select(col(idCol).as("__id"), explode(split(col(textCol), " ")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .withColumn("__h", mdHash(col("__tok")))
+    val voteCols = (0 until B).map(i =>
+      sum(when(expr(s"shiftright(__h, $i) & 1") === 1, 1).otherwise(-1)).as(s"__v$i"))
+    val votes = tok.groupBy("__id").agg(voteCols.head, voteCols.tail: _*)
+    val sig = (0 until B).map(i =>
+      when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    votes.select(col("__id").as(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: (idA, idB, hamming) with idA < idB
+    * and Hamming distance ≤ `maxHamming` between 32-bit signatures.
+    *
+    * Candidates come from byte-band blocking: the signature splits into
+    * `maxHamming + 1` bands, and by pigeonhole two signatures within
+    * `maxHamming` bit flips agree on at least one whole band — so the
+    * candidate join keys on (band index, band value), an equi shuffle
+    * key, and never builds a cross product. Exact `bit_count(xor)`
+    * verifies each candidate. Subquadratic at corpus scale; a band of a
+    * boilerplate-heavy corpus can still run hot, in which case the same
+    * DF-capping idea as the n-gram index applies upstream. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val B = 32
+    val bands = maxHamming + 1
+    require(maxHamming >= 0 && B % bands == 0,
+      s"maxHamming + 1 must divide $B, got $maxHamming")
+    val w = B / bands
+    val sig = simhash(df, idCol, textCol).persist()
+    val banded = sig.select(col(idCol), col("simhash"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("__b"))
+      .withColumn("__bk", expr(s"(simhash >> (__b * $w)) & ${(1L << w) - 1}"))
+    val lhs = banded.select(col("__b"), col("__bk"),
+      col(idCol).as("idA"), col("simhash").as("__sa"))
+    val rhs = banded.select(col("__b").as("__b2"), col("__bk").as("__bk2"),
+      col(idCol).as("idB"), col("simhash").as("__sb"))
+    lhs.join(rhs, col("__b") === col("__b2") && col("__bk") === col("__bk2") &&
+        col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), col("__sa"), col("__sb")).distinct()
+      .select(col("idA"), col("idB"),
+        expr("CAST(bit_count(__sa ^ __sb) AS INT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 }

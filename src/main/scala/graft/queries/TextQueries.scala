@@ -38,7 +38,7 @@ object TextQueries {
     * family (t6/t7/v2) be replayed by the SQL oracle instead of sitting
     * in the rows-only bucket. */
   private[queries] def mdHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    graft.operators.TextDedup.mdHash(c)
 
   /** Exact dedup: hash-groupBy on content (keep lowest doc_id). */
   val dedupExact: Q = Q(
@@ -390,22 +390,12 @@ object TextQueries {
       |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM votes GROUP BY doc_id)""".stripMargin
 
-  /** 32-bit SimHash signature per doc (shared by t7 and t21). */
+  /** 32-bit SimHash signature per doc (shared by t7 and t21) — the
+    * library API pointed at the documents table. */
   private[queries] def simhashDf(
       s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val tok = t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .withColumn("h", mdHash(col("tok")))
-    val B = 32
-    val voteCols = (0 until B).map(i =>
-      sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1).otherwise(-1)).as(s"v$i"))
-    val votes = tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val simhashCol = (0 until B).map(i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    votes.select(col("doc_id"), simhashCol.as("simhash"))
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.TextDedup.simhash(t(s, dir, "documents"), "doc_id", "text")
 
   val simhash: Q = Q(
     "t7_simhash",
@@ -433,20 +423,9 @@ object TextQueries {
       |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-    val sig = simhashDf(s, dir).persist()
-    val bands = sig.select(col("doc_id"), col("simhash"),
-        explode(expr("sequence(0, 3)")).as("b"))
-      .withColumn("bk", expr("(simhash >> (b * 8)) & 255"))
-    val a = bands.select(col("b"), col("bk"),
-      col("doc_id").as("a_id"), col("simhash").as("sa"))
-    val bb = bands.select(col("b").as("b2"), col("bk").as("bk2"),
-      col("doc_id").as("b_id"), col("simhash").as("sb"))
-    val cand = a.join(bb, col("b") === col("b2") && col("bk") === col("bk2") &&
-        col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "sa", "sb").distinct()
-    cand.select(col("a_id"), col("b_id"),
-        expr("CAST(bit_count(sa ^ sb) AS INT)").as("hamming"))
-      .filter(col("hamming") <= 3)
+    graft.operators.TextDedup
+      .simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      .select(col("idA").as("a_id"), col("idB").as("b_id"), col("hamming"))
       .orderBy("a_id", "b_id")
   }
 

@@ -58,6 +58,37 @@ class TextDedupSpec extends AnyFunSuite {
       "unrelated docs must not pair")
   }
 
+  test("simhashPairs() pairs planted near-identical docs within the Hamming bound") {
+    import spark.implicits._
+    // near-identical docs share almost all token votes → tiny Hamming
+    // distance; disjoint-vocabulary docs land far apart
+    val base = (0 until 10).map { i =>
+      val words = (0 until 40).map(w => s"w${i}_$w")
+      (i.toLong, words.mkString(" "))
+    }
+    val nearDup = base.map { case (i, text) =>
+      (i + 100L, text.split(" ").updated(3, "CHANGED").mkString(" "))
+    }
+    val unrelated = (0 until 10).map { i =>
+      (i + 200L, (0 until 40).map(w => s"z${i}_$w").mkString(" "))
+    }
+    val df = (base ++ nearDup ++ unrelated).toDF("id", "text")
+    val rows = TextDedup.simhashPairs(df, "id", "text", maxHamming = 3).collect()
+    // every reported pair honors the bound and the id ordering
+    rows.foreach { r =>
+      assert(r.getInt(2) <= 3 && r.getLong(0) < r.getLong(1))
+    }
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 10).map(i => (i.toLong, i + 100L)).toSet
+    val recall = planted.count(pairs.contains).toDouble / planted.size
+    assert(recall >= 0.8, s"recall $recall too low; found ${pairs.size} pairs")
+    assert(!pairs.exists { case (a, b) => a >= 200 || b >= 200 },
+      "disjoint-vocabulary docs must not pair")
+    // signatures agree with the standalone simhash() on the same input
+    val sig = TextDedup.simhash(df, "id", "text")
+    assert(sig.count() == 30 && sig.select("simhash").distinct().count() > 1)
+  }
+
   test("components() resolves planted clusters to min-id with canonical flags") {
     import spark.implicits._
     // planted graph: a 5-node chain (10-11-12-13-14), a 3-node star
