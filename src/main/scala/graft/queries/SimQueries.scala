@@ -38,17 +38,10 @@ object SimQueries {
       |      FROM d, q, generate_series(1, 64) t(i) GROUP BY vec_id)
       |SELECT vec_id, FLOOR(dot / (SQRT(n1) * SQRT(n2)) * 10000 + 0.5)/10000 AS cos_sim
       |FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
-    implicit val sp: SparkSession = s
     val e = t(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"), norm(col("embedding")).as("qn"))
-    e.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        Num.r4(dot(col("embedding"), col("qe")) /
-          (norm(col("embedding")) * col("qn"))).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(10)
+    graft.operators.SimilaritySearch.cosineTopK(
+      e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      e.filter(col("vec_id") === 0), "embedding", k = 10)
   }
 
   /** ANN via random-hyperplane LSH: 8 deterministic pseudo-hyperplanes
@@ -79,29 +72,10 @@ object SimQueries {
       |       GROUP BY c.vec_id, c.sig)
       |SELECT vec_id, sig, FLOOR(dot / (SQRT(n1) * SQRT(n2)) * 10000 + 0.5)/10000 AS cos_sim
       |FROM sc ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
-    implicit val sp: SparkSession = s
     val e = t(s, dir, "embeddings")
-    // signature bit p = sign(sum_i w(p,i) * v_i), w(p,i) = ±1 from md5
-    def sigExpr(vec: String): Column = {
-      val bits = (0 until 8).map { p =>
-        val proj = expr(
-          s"""aggregate(zip_with($vec, sequence(0, size($vec) - 1),
-             |  (x, i) -> CAST(x AS DOUBLE) *
-             |    (CASE WHEN CAST(conv(substr(md5(concat('$p', '_', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0
-             |     THEN 1.0 ELSE -1.0 END)),
-             |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-        when(proj > 0, lit(1 << p)).otherwise(lit(0))
-      }
-      bits.reduce(_ + _)
-    }
-    val withSig = e.select(col("vec_id"), col("embedding"),
-      sigExpr("embedding").as("sig"), norm(col("embedding")).as("nrm"))
-    val q = withSig.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"), col("sig").as("qsig"), col("nrm").as("qn"))
-    withSig.filter(col("vec_id") =!= 0)
-      .join(broadcast(q), col("sig") === col("qsig"))
-      .select(col("vec_id"), col("sig").cast(LongType).as("sig"),
-        Num.r4(dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cos_sim"))
+    graft.operators.SimilaritySearch.lshCandidates(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), "embedding", bits = 8)
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -156,61 +130,10 @@ object SimQueries {
       |        FROM s)
       |SELECT a_id, b_id, cos_sim FROM sel WHERE cos_sim >= 0.45
       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-    val sp = s
-    import sp.implicits._
-    val numBlocks = 8
-    val base = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    // replicate each row to every block pair it participates in:
-    // tag 0 = same-block group, 1 = left block of (p,q), 2 = right block
-    val tagged = base.flatMap { case (id, vec) =>
-      val b = (id % numBlocks).toInt
-      Iterator.single((b, b, 0.toByte, id, vec)) ++
-        Iterator.range(b + 1, numBlocks).map(q => (b, q, 1.toByte, id, vec)) ++
-        Iterator.range(0, b).map(p => (p, b, 2.toByte, id, vec))
-    }
-    def dotd(x: Array[Float], y: Array[Float]): Double = {
-      var d = 0.0; var k = 0
-      while (k < x.length) { d += x(k).toDouble * y(k).toDouble; k += 1 }
-      d
-    }
-    def nrm(x: Array[Float]): Double = math.sqrt(dotd(x, x))
-    // same floor-based half-up rounding as the oracle (raw double
-    // arithmetic, bit-identical across engines)
-    def score(a: (Long, Array[Float], Double), b: (Long, Array[Float], Double)) =
-      math.floor(dotd(a._2, b._2) / (a._3 * b._3) * 10000 + 0.5) / 10000.0
-    val pairs = tagged
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Byte, Long, Array[Float])]) =>
-        val (p, q) = key
-        val aSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
-        val bSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
-        rows.foreach { case (_, _, tag, id, vec) =>
-          val entry = (id, vec, nrm(vec))
-          if (tag == 0.toByte || tag == 1.toByte) aSide += entry
-          if (tag == 2.toByte) bSide += entry
-        }
-        if (p == q) {
-          // within-block: ordered pairs by vec_id
-          val sorted = aSide.sortBy(_._1)
-          for {
-            i <- sorted.indices.iterator
-            j <- (i + 1 until sorted.length).iterator
-            cos = score(sorted(i), sorted(j))
-            if cos >= 0.45
-          } yield (sorted(i)._1, sorted(j)._1, cos)
-        } else {
-          // cross-block: full A×B, pair reported (smaller id, larger id)
-          for {
-            a <- aSide.iterator
-            b <- bSide.iterator
-            cos = score(a, b)
-            if cos >= 0.45
-          } yield if (a._1 < b._1) (a._1, b._1, cos) else (b._1, a._1, cos)
-        }
-      }
-    pairs.toDF("a_id", "b_id", "cos_sim")
+    graft.operators.SimilaritySearch.cosineNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, numBlocks = 8)
+      .select(col("idA").as("a_id"), col("idB").as("b_id"), col("cos_sim"))
       .orderBy("a_id", "b_id")
   }
 

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SimilaritySearch
+
+/** The reusable similarity APIs must behave like their fixed-query
+  * counterparts on planted geometry: exact top-k ranks a planted
+  * near-copy first, LSH candidates keep it when it shares the query's
+  * bucket, and triangle-blocked pairwise finds exactly the planted
+  * near-duplicate pairs regardless of block assignment. */
+class SimilaritySearchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dim = 16
+
+  /** deterministic pseudo-random unit-ish vector per id */
+  private def vec(id: Long): Array[Float] = {
+    val r = new scala.util.Random(id * 2654435761L)
+    Array.fill(dim)((r.nextDouble() * 2 - 1).toFloat)
+  }
+  private def jitter(v: Array[Float], eps: Float): Array[Float] =
+    v.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+
+  test("cosineTopK ranks the planted near-copy first, exact and ordered") {
+    import spark.implicits._
+    val q = vec(999L)
+    // id 1 = near-copy of the query; ids 2..50 random
+    val corpus = ((1L, jitter(q, 0.01f)) +:
+      (2L to 50L).map(i => (i, vec(i)))).toDF("id", "v")
+    val query = Seq(Tuple1(q)).toDF("qv")
+    val top = SimilaritySearch.cosineTopK(corpus, "id", "v", query, "qv", k = 5)
+      .collect()
+    assert(top.head.getLong(0) == 1L, "planted near-copy must rank first")
+    assert(top.head.getDouble(1) > 0.99)
+    // scores descend, ties broken by id
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("lshCandidates keeps the near-copy in the query bucket and scores exactly") {
+    import spark.implicits._
+    val q = vec(7L)
+    val corpus = ((1L, jitter(q, 0.005f)) +:
+      (2L to 200L).map(i => (i, vec(i * 31 + 5)))).toDF("id", "v")
+    val query = Seq(Tuple1(q)).toDF("qv")
+    val cand = SimilaritySearch.lshCandidates(corpus, "id", "v", query, "qv", bits = 8)
+      .collect()
+    // a 0.005-jitter copy projects to the same side of every hyperplane
+    // with overwhelming margin — it must share the bucket
+    assert(cand.exists(_.getLong(0) == 1L), "near-copy must share the query's bucket")
+    // candidate set is the bucket, not the corpus
+    assert(cand.length < 200, "bucketing must prune the corpus")
+    // candidate scores agree with the exact scorer on the same rows
+    val exact = SimilaritySearch.cosineScores(corpus, "id", "v", query, "qv")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cand.foreach { r =>
+      assert(r.getDouble(2) == exact(r.getLong(0)), "LSH re-rank must be exact")
+    }
+  }
+
+  test("cosineNearDupPairs finds exactly the planted pairs, any block layout") {
+    import spark.implicits._
+    // 40 well-separated random vectors; ids 3 and 17 get near-copies at
+    // +100 (different blocks mod 4 and mod 8 — exercises cross-block)
+    val base = (1L to 40L).map(i => (i, vec(i * 131 + 7)))
+    val planted = Seq((103L, jitter(base(2)._2, 0.01f)),
+      (117L, jitter(base(16)._2, 0.01f)))
+    val corpus = (base ++ planted).toDF("id", "v")
+    for (blocks <- Seq(1, 4, 8)) {
+      val pairs = SimilaritySearch
+        .cosineNearDupPairs(corpus, "id", "v", threshold = 0.98, numBlocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((3L, 103L), (17L, 117L)),
+        s"blocks=$blocks found $pairs")
+    }
+  }
+}
