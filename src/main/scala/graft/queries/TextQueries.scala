@@ -61,16 +61,13 @@ object TextQueries {
       |  FLOOR(CAST(length(replace(text, ' ', '')) AS DOUBLE)
       |    / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS avg_token_len
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val ws = split(col("text"), " ")
-    // floor-based half-up rounding: integer-ratio values can land on
-    // 5th-decimal halves where ROUND diverges across engines (see t4)
+    import graft.operators.TextAnalysis._
     t(s, dir, "documents")
       .select(col("doc_id"),
-        size(ws).as("n_tokens"),
-        size(array_distinct(ws)).as("n_distinct"),
+        tokenCount(col("text")).as("n_tokens"),
+        distinctTokenCount(col("text")).as("n_distinct"),
         length(col("text")).as("n_chars"),
-        (floor(length(regexp_replace(col("text"), " ", "")).cast(DoubleType) /
-          size(ws) * 10000 + 0.5) / 10000.0).as("avg_token_len"))
+        avgTokenLength(col("text")).as("avg_token_len"))
       .orderBy("doc_id")
   }
 
@@ -94,20 +91,9 @@ object TextQueries {
       |       WHEN s_fr > s_en AND s_fr > s_es AND s_fr > s_de THEN 'fr'
       |       ELSE 'en' END AS pred_lang
       |FROM scores ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    def occurrences(pt: org.apache.spark.sql.Column, marker: String) =
-      (length(pt) - length(regexp_replace(pt, marker, ""))) / marker.length
-    val d = t(s, dir, "documents")
-      .withColumn("pt", concat(lit(" "), col("text"), lit(" ")))
-    val scored = d.select(col("doc_id"), col("lang"),
-      occurrences(col("pt"), " the ").as("s_en"),
-      (occurrences(col("pt"), " el ") + occurrences(col("pt"), " la ")).as("s_es"),
-      (occurrences(col("pt"), " der ") + occurrences(col("pt"), " und ")).as("s_de"),
-      (occurrences(col("pt"), " le ") + occurrences(col("pt"), " et ")).as("s_fr"))
-    scored.select(col("doc_id"), col("lang"),
-      when(col("s_es") > col("s_en") && col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
-        .when(col("s_de") > col("s_en") && col("s_de") > col("s_es") && col("s_de") >= col("s_fr"), "de")
-        .when(col("s_fr") > col("s_en") && col("s_fr") > col("s_es") && col("s_fr") > col("s_de"), "fr")
-        .otherwise("en").as("pred_lang"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.operators.TextAnalysis.langId(col("text")).as("pred_lang"))
       .orderBy("doc_id")
   }
 
@@ -118,7 +104,7 @@ object TextQueries {
       |    CAST(length(text) AS DOUBLE) AS n_chars,
       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
-      |    CAST(length(text) - length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) AS n_nonalpha,
+      |    CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) AS n_nonalpha,
       |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS DOUBLE) AS n_stop
       |  FROM documents)
       |SELECT doc_id,
@@ -128,27 +114,13 @@ object TextQueries {
       |  FLOOR((0.5 * (n_distinct / n_tokens) + 0.3 * (1.0 - n_nonalpha / n_chars)
       |    + 0.2 * LEAST(n_tokens / 100.0, 1.0)) * 10000 + 0.5) / 10000 AS quality
       |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val ws = split(col("text"), " ")
-    val pt = concat(lit(" "), col("text"), lit(" "))
-    val f = t(s, dir, "documents").select(col("doc_id"),
-      length(col("text")).cast(DoubleType).as("n_chars"),
-      size(ws).cast(DoubleType).as("n_tokens"),
-      size(array_distinct(ws)).cast(DoubleType).as("n_distinct"),
-      (length(col("text")) - length(regexp_replace(col("text"), "[a-z ]", "")))
-        .cast(DoubleType).as("n_nonalpha"),
-      ((length(pt) - length(regexp_replace(pt, " the ", ""))) / 5)
-        .cast(DoubleType).as("n_stop"))
-    // half-up rounding in raw double arithmetic: floor(x*1e4 + 0.5)/1e4
-    // is bit-identical across engines, unlike ROUND whose shortest-repr
-    // vs binary half-handling diverges on values like 0.31475
-    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000.0
-    f.select(col("doc_id"),
-      r4(col("n_distinct") / col("n_tokens")).as("diversity"),
-      r4(col("n_nonalpha") / col("n_chars")).as("noise_ratio"),
-      r4(col("n_stop") / col("n_tokens")).as("stopword_ratio"),
-      r4(lit(0.5) * (col("n_distinct") / col("n_tokens")) +
-        lit(0.3) * (lit(1.0) - col("n_nonalpha") / col("n_chars")) +
-        lit(0.2) * least(col("n_tokens") / 100.0, lit(1.0))).as("quality"))
+    import graft.operators.TextAnalysis._
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        diversity(col("text")).as("diversity"),
+        noiseRatio(col("text")).as("noise_ratio"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
+        qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
   }
 
@@ -160,10 +132,10 @@ object TextQueries {
       |  md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
       |  substr(md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))), 1, 8) AS fp_short
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val norm = lower(regexp_replace(trim(col("text")), " +", " "))
+    val fp = graft.operators.TextAnalysis.fingerprint(col("text"))
     t(s, dir, "documents")
-      .select(col("doc_id"), md5(norm).as("fp"),
-        substring(md5(norm), 1, 8).as("fp_short"))
+      .select(col("doc_id"), fp.as("fp"),
+        substring(fp, 1, 8).as("fp_short"))
       .orderBy("doc_id")
   }
 
@@ -674,18 +646,8 @@ object TextQueries {
       |  ${Num.oraR4("n_distinct * 1.0 / n_tokens")} AS distinct_ratio,
       |  CASE WHEN ${Num.oraR4("top_n * 1.0 / n_tokens")} >= 0.15 THEN 1 ELSE 0 END AS repetitive
       |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val c = t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
-      .filter(length(col("tk")) > 0)
-      .groupBy("doc_id", "tk").agg(count(lit(1)).as("n"))
-    val topRatio = Num.r4(col("top_n").cast(DoubleType) / col("n_tokens"))
-    c.groupBy("doc_id")
-      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_distinct"),
-        max(col("n")).as("top_n"))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_n"),
-        topRatio.as("top_ratio"),
-        Num.r4(col("n_distinct").cast(DoubleType) / col("n_tokens")).as("distinct_ratio"),
-        when(topRatio >= 0.15, 1).otherwise(0).as("repetitive"))
+    graft.operators.TextAnalysis
+      .repetitionProfile(t(s, dir, "documents"), "doc_id", "text", topRatioMax = 0.15)
       .orderBy("doc_id")
   }
 
