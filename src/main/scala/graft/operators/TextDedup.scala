@@ -174,6 +174,54 @@ object TextDedup {
       when(col("__comp") === col("__id"), 1).otherwise(0).as("isCanonical"))
   }
 
+  /** Distinct word-shingle strings per row: (__id, __g). Shared by the
+    * shingle-based checks; capped per doc so a degenerate mega-document
+    * cannot explode the shingle table. */
+  private def shingleStrings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      maxShingles: Int): DataFrame =
+    df.select(col(idCol).as("__id"), split(col(textCol), " ").as("__ws"))
+      .filter(size(col("__ws")) >= shingleSize)
+      .select(col("__id"), explode(expr(
+        s"transform(sequence(0, least(size(__ws)-$shingleSize, ${maxShingles - 1})), " +
+          s"i -> concat_ws(' ', ${(0 until shingleSize).map(j => s"__ws[i+$j]").mkString(", ")}))"))
+        .as("__g"))
+      .distinct()
+
+  /** Train/test contamination check — the overlap scan a training
+    * pipeline runs before trusting held-out data: for every `test` row,
+    * the fraction of its word shingles that appear ANYWHERE in `train`.
+    * Returns (idCol of test, n_shingles, n_in_train, contamination)
+    * with contamination rounded half-up to 4 decimals; test rows with
+    * fewer than `shingleSize` words have no shingles and are absent.
+    *
+    * Scale posture: shuffles 60-bit shingle hashes (never strings);
+    * the train shingle set is distinct-deduped before the join (a
+    * semi-join-shaped left join that tags hits, no cross product);
+    * both sides shingle in one pass each. */
+  def contamination(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      maxShingles: Int = 1000): DataFrame = {
+    val trainSh = shingleStrings(train, idCol, textCol, shingleSize, maxShingles)
+      .select(mdHash(col("__g")).as("__tgh")).distinct()
+    shingleStrings(test, idCol, textCol, shingleSize, maxShingles)
+      .select(col("__id"), mdHash(col("__g")).as("__gh"))
+      .join(trainSh, col("__gh") === col("__tgh"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__tgh").isNotNull, 1).otherwise(0)).as("n_in_train"))
+      .select(col("__id").as(idCol), col("n_shingles"), col("n_in_train"),
+        (floor(col("n_in_train").cast("double") / col("n_shingles") * 10000 + 0.5)
+          / 10000.0).as("contamination"))
+  }
+
   /** 32-bit SimHash signature per document: every whitespace token
     * votes ±1 on each signature bit (sign of its md5-derived hash bit),
     * positive vote sum sets the bit. Near-identical texts differ in a

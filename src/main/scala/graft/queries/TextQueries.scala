@@ -534,25 +534,18 @@ object TextQueries {
       |  CAST(n_hit AS BIGINT) AS n_in_train,
       |  ${Num.oraR4("CAST(n_hit AS DOUBLE) / n_sh")} AS contamination
       |FROM hit ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // content-hash split (as t9), then the library check: 60-bit shingle
+    // hashes on the shuffle, distinct-deduped train set, hit-tagging
+    // left join — each disjoint half shingles exactly once
     val docs = t(s, dir, "documents")
-    val split = docs.select(col("doc_id"),
-      when(substring(md5(col("text")), 1, 1)
-        .isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
-        .otherwise("test").as("split"))
-    // 60-bit hashes on the shuffle, as in t8 (collision odds negligible
-    // against the gate's noise floor); persisted because both the train
-    // set and the test probe branch off it — one shingling pass, not two
-    val sh = shingleStrings(docs).select(col("doc_id"), mdHash(col("g")).as("gh"))
-    val withSplit = sh.join(split, "doc_id").persist()
-    val trainSh = withSplit.filter(col("split") === "train")
-      .select(col("gh").as("tgh")).distinct()
-    withSplit.filter(col("split") === "test")
-      .join(trainSh, col("gh") === col("tgh"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("tgh").isNotNull, 1).otherwise(0)).as("n_in_train"))
-      .select(col("doc_id"), col("n_shingles"), col("n_in_train"),
-        Num.r4(col("n_in_train").cast(DoubleType) / col("n_shingles")).as("contamination"))
+      .withColumn("split",
+        when(substring(md5(col("text")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
+          .otherwise("test"))
+    graft.operators.TextDedup.contamination(
+        docs.filter(col("split") === "train"),
+        docs.filter(col("split") === "test"),
+        "doc_id", "text")
       .orderBy("doc_id")
   }
 

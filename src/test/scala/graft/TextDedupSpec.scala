@@ -58,6 +58,26 @@ class TextDedupSpec extends AnyFunSuite {
       "unrelated docs must not pair")
   }
 
+  test("contamination() measures planted train-test shingle overlap exactly") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five")).toDF("id", "text")
+    val test = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // fully contained → 1.0
+      (11L, "zeta eta theta iota kappa"),      // disjoint → 0.0
+      (12L, "alpha beta gamma nine ten"),      // 1 of 3 shingles hits
+      (13L, "xy yz")                            // < 3 words → absent
+    ).toDF("id", "text")
+    val out = TextDedup.contamination(train, test, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(10L) == ((3L, 3L, 1.0)))
+    assert(out(11L) == ((3L, 0L, 0.0)))
+    assert(out(12L) == ((3L, 1L, 0.3333)))
+    assert(!out.contains(13L), "sub-shingle-size docs have no shingles")
+  }
+
   test("simhashPairs() pairs planted near-identical docs within the Hamming bound") {
     import spark.implicits._
     // near-identical docs share almost all token votes → tiny Hamming
