@@ -94,6 +94,36 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), " +", " ")))
 
+  /** Sliding-window chunking for RAG / context packing: each document
+    * explodes into overlapping `size`-token chunks every `stride`
+    * tokens (overlap = size − stride). Returns (idCol, chunk_id,
+    * start_tok, chunk_len, chunk_text); the final chunk is short when
+    * the tail is, and a document shorter than `size` yields exactly one
+    * chunk. Pure one-to-many explosion — no shuffle at any scale. */
+  def slidingChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int = 16,
+      stride: Int = 12): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .withColumn("__n_tok", size_(col("__ws")))
+    val nChunks = when(col("__n_tok") <= size, 1)
+      .otherwise(ceil((col("__n_tok") - size).cast(DoubleType) / stride)
+        .cast("int") + 1)
+    toks.withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("chunk_len", least(lit(size), col("__n_tok") - col("start_tok")))
+      .withColumn("chunk_text",
+        array_join(slice(col("__ws"), col("start_tok") + 1, col("chunk_len")), " "))
+      .select(col(idCol), col("chunk_id"), col("start_tok"),
+        col("chunk_len"), col("chunk_text"))
+  }
+  // size() the function vs size/stride params — alias the import
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** Per-document repetition profile — the Gopher-style repetition
     * filter signal. DataFrame-level because the top-token count needs
     * a per-(doc, token) aggregation, not a scalar expression. Returns

@@ -413,9 +413,7 @@ object TextQueries {
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
     t(s, dir, "documents")
       .select(
-        when(substring(md5(col("text")), 1, 1)
-          .isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
-          .otherwise("test").as("split"),
+        graft.operators.Sampling.contentSplit(col("text")).as("split"),
         col("lang"), col("n_chars"))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
@@ -538,10 +536,7 @@ object TextQueries {
     // hashes on the shuffle, distinct-deduped train set, hit-tagging
     // left join — each disjoint half shingles exactly once
     val docs = t(s, dir, "documents")
-      .withColumn("split",
-        when(substring(md5(col("text")), 1, 1)
-          .isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
-          .otherwise("test"))
+      .withColumn("split", graft.operators.Sampling.contentSplit(col("text")))
     graft.operators.TextDedup.contamination(
         docs.filter(col("split") === "train"),
         docs.filter(col("split") === "test"),
@@ -570,8 +565,7 @@ object TextQueries {
     val rate = when(col("lang") === "en", 100)
       .when(col("lang") === "de", 50).otherwise(25)
     t(s, dir, "documents")
-      .withColumn("bucket", pmod(mdHash(col("text")), lit(100)))
-      .filter(col("bucket") < rate)
+      .filter(graft.operators.Sampling.stratifiedKeep(col("text"), rate))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"),
         min(col("doc_id")).as("first_doc"))
@@ -866,19 +860,11 @@ object TextQueries {
         |  CAST(chunk_len AS INT) AS chunk_len,
         |  ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT AS chunk_fp
         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
-      val toks = t(s, dir, "documents").select(col("doc_id"),
-        split(col("text"), " ").as("ws"))
-        .withColumn("n_tok", size(col("ws")))
-      val nChunks = when(col("n_tok") <= SIZE, 1)
-        .otherwise(ceil((col("n_tok") - SIZE).cast(DoubleType) / STRIDE).cast(IntegerType) + 1)
-      toks.withColumn("ci", explode(sequence(lit(0), nChunks - 1)))
-        .withColumn("start_tok", col("ci") * STRIDE)
-        .withColumn("chunk_len", least(lit(SIZE), col("n_tok") - col("start_tok")))
-        .withColumn("chunk_text",
-          array_join(slice(col("ws"), col("start_tok") + 1, col("chunk_len")), " "))
-        .select(col("doc_id"), col("ci").as("chunk_id"),
-          col("start_tok"), col("chunk_len"),
-          mdHash(col("chunk_text")).as("chunk_fp"))
+      graft.operators.TextAnalysis
+        .slidingChunks(t(s, dir, "documents"), "doc_id", "text",
+          size = SIZE, stride = STRIDE)
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          col("chunk_len"), mdHash(col("chunk_text")).as("chunk_fp"))
         .orderBy("doc_id", "chunk_id")
     }
   }

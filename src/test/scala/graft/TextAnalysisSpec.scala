@@ -60,6 +60,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n == 0.25)
   }
 
+  test("slidingChunks covers every token with the configured overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 tokens → 3 chunks
+      (2L, "a b c")                                    // shorter than size → 1 chunk
+    ).toDF("id", "text")
+    val out = graft.operators.TextAnalysis
+      .slidingChunks(docs, "id", "text", size = 16, stride = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._3, c._4)).toSeq == Seq((0, 16), (12, 16), (24, 16)))
+    // chunk text is the exact token slice; neighbors overlap by 4
+    assert(d1(0)._5.split(" ").last == "t16" && d1(1)._5.split(" ").head == "t13")
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0, 0, 3, "a b c")))
+  }
+
+  test("Sampling decisions are content-keyed: stable, order-free, rate-accurate") {
+    import spark.implicits._
+    val docs = (1 to 2000).map(i => (i.toLong, s"document number $i body")).toDF("id", "text")
+    val split = docs.select(col("id"), graft.operators.Sampling.contentSplit(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // identical content → identical label even under a different row order
+    val reversed = docs.orderBy(col("id").desc)
+      .select(col("id"), graft.operators.Sampling.contentSplit(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split == reversed, "split must not depend on row order")
+    // 12/16 nominal train fraction, generous tolerance
+    val frac = split.values.count(_ == "train").toDouble / split.size
+    assert(frac > 0.70 && frac < 0.80, s"train fraction $frac off 0.75")
+    // stratifiedKeep at 25% keeps roughly a quarter, deterministically
+    val kept = docs.filter(graft.operators.Sampling.stratifiedKeep(col("text"), lit(25)))
+    val k1 = kept.count(); val k2 = kept.count()
+    assert(k1 == k2 && k1 > 400 && k1 < 600, s"kept $k1 of 2000 at rate 25")
+  }
+
   test("repetitionProfile flags the planted boilerplate doc only") {
     import spark.implicits._
     val docs = Seq(
