@@ -124,19 +124,13 @@ object SessionQueries {
     val e = t(s, dir, "events")
       .select(col("event_id"), expr("ts div 1000").as("ts_us"),
         col("user_id"), col("event_type"))
-    val refs = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts_us"), lit(1).as("is_ref"),
-        col("ts_us").as("ref_ts"), lit(null).cast("long").as("pid"))
-    val probes = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts_us"), lit(0).as("is_ref"),
-        lit(null).cast("long").as("ref_ts"), col("event_id").as("pid"))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_us").asc, col("is_ref").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    refs.unionByName(probes)
-      .withColumn("asof_ts", max(col("ref_ts")).over(w))
-      .filter(col("is_ref") === 0)
-      .select(col("pid").as("event_id"), col("user_id"),
+    graft.operators.TemporalJoins.asofBackward(
+        probe = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us")),
+        ref = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us")),
+        keys = Seq("user_id"), probeTs = "ts_us", refTs = "ts_us")
+      .select(col("event_id"), col("user_id"),
         col("ts_us").as("purchase_us"), col("asof_ts").as("click_us"))
       .orderBy("event_id")
   }
@@ -163,17 +157,13 @@ object SessionQueries {
     val e = t(s, dir, "events")
       .select(col("event_id"), expr("ts div 1000").as("ts_us"),
         col("user_id"), col("event_type"))
-    val clk = e.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"),
-        expr(s"(ts_us div ${bandUs}L)").as("c_bin"))
-    val err = e.filter(col("event_type") === "error")
-      .select(col("event_id"), col("user_id"), col("ts_us"))
-      .withColumn("bin", explode(array(
-        expr(s"ts_us div ${bandUs}L - 1"),
-        expr(s"ts_us div ${bandUs}L"),
-        expr(s"ts_us div ${bandUs}L + 1"))))
-    err.join(clk, col("user_id") === col("c_user") && col("bin") === col("c_bin"))
-      .filter(abs(col("ts_us") - col("c_ts")) <= bandUs)
+    graft.operators.TemporalJoins.bandedRangeJoin(
+        left = e.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts_us")),
+        right = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us")),
+        keys = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
+        band = bandUs)
       .groupBy("event_id", "user_id")
       .agg(count(lit(1)).as("n_nearby_clicks"))
       .orderBy("event_id")
