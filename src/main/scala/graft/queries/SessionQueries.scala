@@ -34,13 +34,11 @@ object SessionQueries {
       |  CAST((MAX(tus) - MIN(tus)) // 1000000 AS BIGINT) AS duration_s
       |FROM y GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "events")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
-      .withColumn("new_s",
-        when(col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("new_s")).over(wRun))
+    graft.operators.Events.sessionize(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus")),
+        keys = Seq("user_id"), tsCol = "tus", gap = 1800000000L,
+        tieBreak = Seq("event_id"))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
         expr("(max(tus) - min(tus)) div 1000000").as("duration_s"))
@@ -195,19 +193,8 @@ object SessionQueries {
       |ORDER BY v.user_id""".stripMargin) { (s, dir) =>
     val e = t(s, dir, "events")
       .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("tus")).as("first_view"))
-    val c = e.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("tus") > col("first_view"))
-      .groupBy("user_id").agg(min(col("tus")).as("first_click"))
-    val p = e.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("tus") > col("first_click"))
-      .groupBy("user_id").agg(min(col("tus")).as("first_purchase"))
-    v.join(c, Seq("user_id"), "left")
-      .join(p.select(col("user_id"), col("first_purchase"),
-        lit(1).as("pflag")), Seq("user_id"), "left")
-      .select(col("user_id"), col("first_view"), col("first_click"),
-        col("first_purchase"), coalesce(col("pflag"), lit(0)).as("converted"))
+    graft.operators.Events.funnel(e, "user_id", "event_type", "tus",
+        stages = Seq("view", "click", "purchase"))
       .orderBy("user_id")
   }
 
@@ -225,13 +212,11 @@ object SessionQueries {
       |SELECT user_id, event_type, event_id AS latest_event_id, tus AS latest_us,
       |  CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents
       |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("ts").desc, col("event_id").desc)
-    t(s, dir, "events")
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        expr("ts div 1000").as("tus"), col("value"), col("ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    graft.operators.Events.latestPerKey(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            expr("ts div 1000").as("tus"), col("value"), col("ts")),
+        keys = Seq("user_id", "event_type"), orderCols = Seq("ts", "event_id"))
       .select(col("user_id"), col("event_type"),
         col("event_id").as("latest_event_id"), col("tus").as("latest_us"),
         Num.cents(col("value")).as("value_cents"))
