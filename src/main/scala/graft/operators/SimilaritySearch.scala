@@ -110,6 +110,150 @@ object SimilaritySearch {
           (col("__nrm") * col("__qn"))).as("cos_sim"))
   }
 
+  // ---- IVF-flat: coarse quantizer + cluster-keyed inverted index ----
+
+  private def dotDF(x: Array[Double], y: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    while (i < y.length) { d += x(i) * y(i).toDouble; i += 1 }
+    d
+  }
+  private def normD(x: Array[Double]): Double = {
+    var ss = 0.0; var i = 0
+    while (i < x.length) { ss += x(i) * x(i); i += 1 }
+    math.sqrt(ss)
+  }
+  private def normF(x: Array[Float]): Double = {
+    var ss = 0.0; var i = 0
+    while (i < x.length) { ss += x(i).toDouble * x(i).toDouble; i += 1 }
+    math.sqrt(ss)
+  }
+  /** nearest centroid by cosine, ties to the lower cluster index */
+  private def nearestCentroid(
+      cents: Array[(Array[Double], Double)], v: Array[Float]): Int = {
+    val vn = normF(v)
+    var best = -1; var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val sim = dotDF(cents(c)._1, v) / (cents(c)._2 * vn)
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF-flat index: `centroids` is the k-row coarse quantizer (the
+    * standard k-means driver state — the ONLY data that ever leaves
+    * the cluster); `assigned` is the corpus with a `cluster` column,
+    * i.e. the inverted index as a cluster-keyed partitioning. */
+  final case class IvfIndex(
+      centroids: Array[(Array[Double], Double)],
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String)
+
+  /** Build an IVF-flat index over (idCol, vecCol): deterministic
+    * hash-stride seeding (a filter over ~2k candidate rows, never a
+    * global sort of the corpus), `lloydIters` rounds of Lloyd
+    * refinement where each per-cluster mean is an ORDER-FREE exact
+    * fixed-point component sum (scale 2^24; integer addition is
+    * associative+commutative so partial aggregation is
+    * bit-deterministic in any merge order, and no task ever holds a
+    * whole cluster), then one pass assigning every vector to its
+    * nearest centroid. Empty clusters keep their seed. */
+  def ivfBuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 16,
+      lloydIters: Int = 3): IvfIndex = {
+    require(k > 0 && lloydIters >= 0, s"bad k=$k / lloydIters=$lloydIters")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val vecs = corpus.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
+
+    val n = vecs.count()
+    val strideMod = math.max(1L, n / (2L * k))
+    val seeds = corpus.select(col(idCol), col(vecCol))
+      .filter(pmod(xxhash64(col(idCol)), lit(strideMod)) === 0)
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k)
+      .as[(Long, Array[Float])]
+      .collect()
+    var cents: Array[(Array[Double], Double)] = seeds.map { case (_, v) =>
+      val d = v.map(_.toDouble)
+      (d, normD(d))
+    }
+
+    // overflow headroom: |component| <~ 2^3 at scale 2^24 over up to
+    // ~2^35 cluster members stays under 2^62
+    val FP = 1L << 24
+    for (_ <- 0 until lloydIters) {
+      val bc = sp.sparkContext.broadcast(cents)
+      val means = vecs
+        .map { case (_, v) =>
+          val fp = new Array[Long](v.length)
+          var i = 0
+          while (i < v.length) { fp(i) = math.round(v(i).toDouble * FP); i += 1 }
+          (nearestCentroid(bc.value, v), fp, 1L)
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (x: (Int, Array[Long], Long), y: (Int, Array[Long], Long)) =>
+          val acc = new Array[Long](x._2.length)
+          var i = 0
+          while (i < acc.length) { acc(i) = x._2(i) + y._2(i); i += 1 }
+          (x._1, acc, x._3 + y._3)
+        }
+        .map { case (c, (_, fp, cnt)) => (c, fp.map(_.toDouble / FP / cnt)) }
+        .collect()
+        .toMap
+      cents = cents.indices.map { c =>
+        means.get(c) match {
+          case Some(m) => (m, normD(m)) // refined centroid
+          case None => cents(c) // empty cluster keeps its seed
+        }
+      }.toArray
+    }
+
+    val bc = sp.sparkContext.broadcast(cents)
+    val assigned = vecs
+      .map { case (id, v) => (id, v, nearestCentroid(bc.value, v)) }
+      .toDF(idCol, vecCol, "cluster")
+    IvfIndex(cents, assigned, idCol, vecCol)
+  }
+
+  /** ANN top-k against an IVF index: the query's `nprobe` closest
+    * centroids are picked on the driver over k rows, candidates are
+    * the vectors assigned to those clusters (~nprobe/k of the corpus),
+    * and candidates re-rank by EXACT cosine. Returns
+    * (idCol, cluster, cos_sim), score-descending, id tiebreak.
+    * `filter` pre-drops rows (e.g. the query itself) before scoring. */
+  def ivfTopK(
+      index: IvfIndex,
+      query: Array[Float],
+      topK: Int = 10,
+      nprobe: Int = 4,
+      filter: Column = lit(true)): DataFrame = {
+    implicit val sp: SparkSession = index.assigned.sparkSession
+    val qn = normF(query)
+    val probeClusters = index.centroids.zipWithIndex
+      .map { case ((cv, cn), ci) => (dotDF(cv, query) / (cn * qn), ci) }
+      .sortBy { case (sim, ci) => (-sim, ci) }
+      .take(nprobe)
+      .map(_._2.toLong)
+    val q = index.assigned.sparkSession.range(1).select(
+      typedLit(query).as("__qe"))
+      .select(col("__qe"), VectorFunctions.norm(col("__qe")).as("__qn"))
+    index.assigned
+      .filter(filter)
+      .filter(col("cluster").isin(probeClusters.toIndexedSeq: _*))
+      .crossJoin(broadcast(q))
+      .select(col(index.idCol), col("cluster").cast("long").as("cluster"),
+        r4(VectorFunctions.dot(col(index.vecCol), col("__qe")) /
+          (VectorFunctions.norm(col(index.vecCol)) * col("__qn"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(index.idCol))
+      .limit(topK)
+  }
+
   /** Exact cosine near-duplicate pairs: (idA, idB, cos_sim) with
     * idA < idB and rounded cosine ≥ `threshold`.
     *

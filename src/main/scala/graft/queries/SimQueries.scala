@@ -149,116 +149,15 @@ object SimQueries {
     * touches nprobe/k of the data. No SQL oracle (kernel semantics); PipelineSpec
     * checks score consistency and recall against the exact baseline. */
   val annIvf: Q = Q.noOracle("v5_ann_ivf") { (s, dir) =>
-    implicit val sp: SparkSession = s
+    val sp = s
     import sp.implicits._
-    val k = 16
-    val nprobe = 4
-    val lloydIters = 3
     val e = t(s, dir, "embeddings")
-    val vecs = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-
-    def dotd(x: Array[Double], y: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      while (i < y.length) { d += x(i) * y(i).toDouble; i += 1 }
-      d
-    }
-    def normd(x: Array[Double]): Double = {
-      var ss = 0.0; var i = 0
-      while (i < x.length) { ss += x(i) * x(i); i += 1 }
-      math.sqrt(ss)
-    }
-    def normf(x: Array[Float]): Double = {
-      var ss = 0.0; var i = 0
-      while (i < x.length) { ss += x(i).toDouble * x(i).toDouble; i += 1 }
-      math.sqrt(ss)
-    }
-    /** nearest centroid by cosine, ties to the lower cluster index */
-    def nearest(cents: Array[(Array[Double], Double)], v: Array[Float]): Int = {
-      val vn = normf(v)
-      var best = -1; var bestSim = Double.NegativeInfinity
-      var c = 0
-      while (c < cents.length) {
-        val sim = dotd(cents(c)._1, v) / (cents(c)._2 * vn)
-        if (sim > bestSim) { bestSim = sim; best = c }
-        c += 1
-      }
-      best
-    }
-
-    // --- seeding: deterministic hash stride over the corpus (a filter,
-    // not a global sort); only ~2k candidate rows are ordered and only
-    // k reach the driver ---
-    val n = vecs.count()
-    val strideMod = math.max(1L, n / (2L * k))
-    val seeds = e.select(col("vec_id"), col("embedding"))
-      .filter(pmod(xxhash64(col("vec_id")), lit(strideMod)) === 0)
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(k)
-      .as[(Long, Array[Float])]
-      .collect()
-    var cents: Array[(Array[Double], Double)] = seeds.map { case (_, v) =>
-      val d = v.map(_.toDouble)
-      (d, normd(d))
-    }
-
-    // --- Lloyd refinement: ORDER-FREE exact per-cluster mean. Each
-    // vector contributes fixed-point long components (scale 2^24);
-    // integer addition is associative+commutative, so reduceGroups'
-    // partial aggregation gives a bit-deterministic sum in ANY merge
-    // order — no per-cluster sort, and no task ever materializes a
-    // whole cluster (the round-4 verdict's v5 single-task hazard).
-    // Overflow headroom: |component| ≲ 2^3, so 2^24 scale × 2^3 × up to
-    // ~2^35 cluster members stays under 2^62. k rows to the driver. ---
-    val FP = 1L << 24
-    for (_ <- 0 until lloydIters) {
-      val bc = s.sparkContext.broadcast(cents)
-      val means = vecs
-        .map { case (_, v) =>
-          val fp = new Array[Long](v.length)
-          var i = 0
-          while (i < v.length) { fp(i) = math.round(v(i).toDouble * FP); i += 1 }
-          (nearest(bc.value, v), fp, 1L)
-        }
-        .groupByKey(_._1)
-        .reduceGroups { (x: (Int, Array[Long], Long), y: (Int, Array[Long], Long)) =>
-          val acc = new Array[Long](x._2.length)
-          var i = 0
-          while (i < acc.length) { acc(i) = x._2(i) + y._2(i); i += 1 }
-          (x._1, acc, x._3 + y._3)
-        }
-        .map { case (c, (_, fp, n)) => (c, fp.map(_.toDouble / FP / n)) }
-        .collect()
-        .toMap
-      cents = cents.indices.map { c =>
-        means.get(c) match {
-          case Some(m) => (m, normd(m)) // refined centroid
-          case None => cents(c) // empty cluster keeps its seed
-        }
-      }.toArray
-    }
-
-    // --- inverted index: cluster-keyed corpus; probe = nprobe closest
-    // centroids to the query, picked on the driver over k rows ---
-    val bc = s.sparkContext.broadcast(cents)
-    val assigned = vecs
-      .map { case (id, v) => (id, v, nearest(bc.value, v)) }
-      .toDF("vec_id", "embedding", "cluster")
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"), norm(col("embedding")).as("qn"))
-    val qVec = q.as[(Array[Float], Double)].head()._1
-    val probeClusters = cents.zipWithIndex
-      .map { case ((cv, cn), ci) => (dotd(cv, qVec) / (cn * normf(qVec)), ci) }
-      .sortBy { case (sim, ci) => (-sim, ci) }
-      .take(nprobe)
-      .map(_._2.toLong)
-    // candidates = vectors in probed clusters; exact re-rank
-    assigned.filter(col("vec_id") =!= 0)
-      .filter(col("cluster").isin(probeClusters: _*))
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
-        Num.r4(dot(col("embedding"), col("qe")) / (norm(col("embedding")) * col("qn"))).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(10)
+    val idx = graft.operators.SimilaritySearch
+      .ivfBuild(e, "vec_id", "embedding", k = 16, lloydIters = 3)
+    val qVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    graft.operators.SimilaritySearch.ivfTopK(idx, qVec, topK = 10,
+      nprobe = 4, filter = col("vec_id") =!= 0)
   }
 
   /** Int8 embedding quantization (the 4× storage/bandwidth cut an ANN

@@ -66,6 +66,31 @@ class SimilaritySearchSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfBuild + ivfTopK retrieve the planted near-copy through the index") {
+    import spark.implicits._
+    val q = vec(42L)
+    val corpus = ((0L, q) +: (1L, jitter(q, 0.01f)) +:
+      (2L to 400L).map(i => (i, vec(i * 977 + 13)))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 8, lloydIters = 2)
+    assert(idx.centroids.length == 8)
+    // every corpus row got assigned to a valid cluster
+    val clusters = idx.assigned.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(clusters.subsetOf((0 until 8).toSet) && clusters.nonEmpty)
+    // the near-copy lands in the query's probed clusters and ranks first
+    val top = SimilaritySearch.ivfTopK(idx, q, topK = 5, nprobe = 3,
+        filter = col("id") =!= 0)
+      .collect()
+    assert(top.head.getLong(0) == 1L, "planted near-copy must rank first")
+    assert(top.head.getDouble(2) > 0.99)
+    // scores agree with the exact scorer (IVF re-rank is exact)
+    val exact = SimilaritySearch.cosineScores(
+        corpus.filter(col("id") =!= 0), "id", "v",
+        Seq(Tuple1(q)).toDF("qv"), "qv")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    top.foreach(r => assert(r.getDouble(2) == exact(r.getLong(0))))
+  }
+
   test("cosineNearDupPairs finds exactly the planted pairs, any block layout") {
     import spark.implicits._
     // 40 well-separated random vectors; ids 3 and 17 get near-copies at
