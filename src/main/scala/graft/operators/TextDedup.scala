@@ -128,11 +128,21 @@ object TextDedup {
     * Distributed min-label propagation: symmetric + self-loop edges make
     * each round ONE join + groupBy-min (no left-join finalizer);
     * `localCheckpoint` truncates lineage per round (the standard fix for
-    * iterative DataFrame plans); convergence is detected by the exact
-    * decimal label sum (labels only decrease, so an unchanged sum IS the
-    * fixpoint — decimal because 1e9 nodes × 1e12 ids overflows a long).
-    * O(component diameter) rounds, nothing ever leaves the cluster.
-    * Ids must be numeric (the convergence sum casts to DECIMAL(38,0)).
+    * iterative DataFrame plans). Each round costs exactly ONE Spark job:
+    * the self-loop row carries the node's previous label through the
+    * same aggregate (`__old`), so the convergence check — "did any label
+    * decrease this round?" — is a column on the already-materialized
+    * round, not a second driver-synchronized action. (Labels only ever
+    * decrease, so zero decreases IS the fixpoint.) Wall-time is
+    * `rounds × (one job)` instead of `rounds × 2 × (job-launch +
+    * slowest-stage)`, which is what keeps the loop from serializing on a
+    * busy driver/cluster. O(component diameter) rounds, nothing but the
+    * one-row change count ever reaches the driver.
+    *
+    * The API is eager (propagation runs during the call) and leak-free:
+    * its internal caches are unpersisted before returning — the result
+    * is backed by the final round's checkpoint, whose blocks the
+    * ContextCleaner frees once the returned DataFrame is unreferenced.
     *
     * @throws IllegalStateException if propagation has not converged
     *   after `maxIters` rounds (component diameter exceeds the cap) —
@@ -148,25 +158,35 @@ object TextDedup {
     val eb = sym.union(
       sym.select(col("__a")).distinct()
         .select(col("__a"), col("__a").as("__b"))).persist()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("__comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .first.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    // one job: materializes the initial labels AND, through their
+    // lineage, the eb cache (so e's upstream pipeline runs exactly once)
     var labels = eb.select(col("__a").as("__id")).distinct()
       .select(col("__id"), col("__id").as("__comp"))
       .localCheckpoint(true)
-    var prevSum = labelSum(labels)
+    // eb is materialized; the raw edge list cache is no longer needed
+    e.unpersist(blocking = false)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
+      // min label over neighbors (self-loop included). The self-loop row
+      // (__a == __b) joins to the node's own current label, so
+      // min-filtered on it == the PREVIOUS label — carried as __old in
+      // the same shuffle, no extra pass over the data.
       val next = eb.join(labels, eb("__a") === labels("__id"))
-        .groupBy(eb("__b").as("__id")).agg(min(col("__comp")).as("__comp"))
-        .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      labels = next
+        .groupBy(eb("__b").as("__id"))
+        .agg(min(col("__comp")).as("__comp"),
+          min(when(eb("__a") === eb("__b"), col("__comp"))).as("__old"))
+        .localCheckpoint(eager = false)
+      // the ONE action of the round: materializes the (lazy) checkpoint
+      // and reduces the change count in the same job
+      val changedRow = next
+        .agg(sum(when(col("__comp") < col("__old"), 1L).otherwise(0L)))
+        .collect()(0)
+      converged = changedRow.isNullAt(0) || changedRow.getLong(0) == 0L
+      labels = next.select(col("__id"), col("__comp"))
       iter += 1
     }
+    eb.unpersist(blocking = false)
     if (!converged) throw new IllegalStateException(
       s"component propagation did not converge within $iter rounds " +
         "(component diameter exceeds maxIters); raise maxIters")

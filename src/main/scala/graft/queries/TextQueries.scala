@@ -324,14 +324,16 @@ object TextQueries {
       |SELECT doc_id, MIN(comp) AS comp_id,
       |  CASE WHEN MIN(comp) = doc_id THEN 1 ELSE 0 END AS is_canonical
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    // Persist the pair list FIRST: [[TextDedup.components]] references
-    // it four times (symmetric + self-loop edges), and each unpersisted
-    // reference would re-evaluate the whole LSH candidate pipeline.
-    // The propagation itself (iterate edge-touching nodes only,
-    // localCheckpoint lineage truncation, decimal label-sum
-    // convergence, loud non-convergence failure) lives in the reusable
-    // API; singletons rejoin via the left join below.
-    val e = lshPairs(s, dir).select(col("a_id"), col("b_id")).persist()
+    // [[TextDedup.components]] persists the pair list internally (it
+    // references it four times — symmetric + self-loop edges — and each
+    // unpersisted reference would re-evaluate the whole LSH candidate
+    // pipeline), runs eagerly, and unpersists before returning, so this
+    // call site holds no cache of its own. The propagation (iterate
+    // edge-touching nodes only, localCheckpoint lineage truncation,
+    // one-job-per-round in-shuffle convergence, loud non-convergence
+    // failure) lives in the reusable API; singletons rejoin via the
+    // left join below.
+    val e = lshPairs(s, dir).select(col("a_id"), col("b_id"))
     val comps = graft.operators.TextDedup.components(e, "a_id", "b_id", maxIters = 20)
     t(s, dir, "documents").select(col("doc_id"))
       .join(comps.select(col("id").as("lid"), col("componentId").as("comp")),

@@ -23,6 +23,13 @@ object GraftSqlBridge {
   /** Wrap a Catalyst expression back into a public Column. */
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** True when the session's CacheManager holds no cached plans — lets
+    * library specs assert that an API's persist calls are paired with
+    * unpersist before it returns (a long-lived session must not
+    * accumulate cached blocks across library calls). */
+  def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[SparkSession].sharedState.cacheManager.isEmpty
+
   /** Spark's canonical floating-point key normalization (-0.0 → 0.0,
     * canonical NaN) — the same transform NormalizeFloatingNumbers applies
     * to native join keys, exposed for the custom join operator. */

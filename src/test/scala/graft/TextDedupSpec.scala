@@ -132,4 +132,46 @@ class TextDedupSpec extends AnyFunSuite {
       TextDedup.components(longChain, maxIters = 2).collect()
     }
   }
+
+  test("components() costs one Spark job per round and unpersists its caches") {
+    import spark.implicits._
+    // AQE splits one action into per-stage jobs, which would make the
+    // job count measure stage structure rather than driver round trips
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // tiny test labels would otherwise broadcast, and the broadcast
+    // exchange materializes through an extra async job — at corpus scale
+    // the labels table is far beyond any broadcast threshold, so the
+    // job count of record is the shuffle-join shape
+    val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.catalog.clearCache()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          start: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // single edge → exactly 2 rounds (one merge, one zero-change)
+      TextDedup.components(Seq((1L, 2L)).toDF("idA", "idB"))
+      // listener events post asynchronously — wait for the count to settle
+      var last = -1
+      var cur = jobs.get()
+      var spins = 0
+      while (cur != last && spins < 50) {
+        Thread.sleep(100); last = cur; cur = jobs.get(); spins += 1
+      }
+      // 1 initialization job + 1 job per round; the pre-round-6 shape
+      // (eager checkpoint + separate convergence aggregate) cost 6 here
+      assert(cur <= 3, s"expected <=3 jobs (init + 2 one-job rounds), saw $cur")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+    }
+    assert(org.apache.spark.sql.classic.GraftSqlBridge.cacheIsEmpty(spark),
+      "components() must leave no entries in the CacheManager")
+  }
 }
