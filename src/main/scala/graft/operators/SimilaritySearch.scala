@@ -165,7 +165,8 @@ object SimilaritySearch {
       idCol: String,
       vecCol: String,
       k: Int = 16,
-      lloydIters: Int = 3): IvfIndex = {
+      lloydIters: Int = 3,
+      portableSeeds: Boolean = false): IvfIndex = {
     require(k > 0 && lloydIters >= 0, s"bad k=$k / lloydIters=$lloydIters")
     val sp = corpus.sparkSession
     import sp.implicits._
@@ -173,9 +174,18 @@ object SimilaritySearch {
 
     val n = vecs.count()
     val strideMod = math.max(1L, n / (2L * k))
+    // portableSeeds swaps the seed-stride hash from xxhash64 (fast,
+    // Spark-specific) to the md5-derived 60-bit hash every engine
+    // computes identically — with it, the whole index build is
+    // SQL-replayable (the fixed-point Lloyd sums are already
+    // order-free-exact), which is how `v5_ann_ivf` rides the
+    // hash-exact oracle gate
+    val seedHash =
+      if (portableSeeds) TextDedup.mdHash(col(idCol).cast("string"))
+      else xxhash64(col(idCol))
     val seeds = corpus.select(col(idCol), col(vecCol))
-      .filter(pmod(xxhash64(col(idCol)), lit(strideMod)) === 0)
-      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .filter(pmod(seedHash, lit(strideMod)) === 0)
+      .orderBy(seedHash, col(idCol))
       .limit(k)
       .as[(Long, Array[Float])]
       .collect()

@@ -331,16 +331,28 @@ object CoreQueries {
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
   }
 
-  /** HLL sketch: approx_count_distinct next to the exact count.
-    * No oracle (DuckDB's HLL differs); gated by a ScalaTest error-bound
-    * check. At 100 TB the sketch is the only option — fixed-size state,
-    * one pass, mergeable across partitions. */
-  val q17Approx: Q = Q.noOracle("q17_approx_distinct") { (s, dir) =>
+  /** HLL sketch next to the exact count. The raw HLL estimate is
+    * engine-specific (DuckDB's register layout differs), so the output
+    * carries every deterministic column — the exact distinct count, the
+    * group size — plus an `err_within_bound` flag asserting the
+    * estimate sits within 5x the declared 2% rsd. The oracle replays
+    * the deterministic columns and expects the flag TRUE, so the whole
+    * row hash-matches and a drifting sketch fails the gate instead of
+    * hiding behind rows-only. At 100 TB the sketch is the only option —
+    * fixed-size state, one pass, mergeable across partitions. */
+  val q17Approx: Q = Q(
+    "q17_approx_distinct",
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(*) AS n, TRUE AS err_within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("__approx"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n"),
+        (abs(col("__approx") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.1).as("err_within_bound"))
       .orderBy("l_returnflag")
   }
 

