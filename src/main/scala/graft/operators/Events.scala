@@ -75,6 +75,12 @@ object Events {
       tsCol: String,
       stages: Seq[String]): DataFrame = {
     require(stages.size >= 2, "funnel needs at least two stages")
+    require(stages.distinct == stages,
+      s"duplicate stage names would collapse their first_<stage> columns: $stages")
+    val reserved = stages.map(s => s"first_$s") :+ "__cflag"
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input columns $clash collide with funnel working/output columns")
     def firstCol(s: String) = s"first_$s"
     val head = df.filter(col(typeCol) === stages.head)
       .groupBy(keyCol).agg(min(col(tsCol)).as(firstCol(stages.head)))

@@ -268,28 +268,45 @@ object SimilaritySearch {
     * idA < idB and rounded cosine ≥ `threshold`.
     *
     * Triangle-blocked distributed all-pairs: each vector lands in
-    * block id % numBlocks; each of the B·(B+1)/2 block pairs (p ≤ q)
-    * is one shuffle group whose task sees exactly two blocks and runs
-    * the tight pairwise kernel (double-accumulated dot, fixed loop
-    * order, so scores are bit-exact). Replication factor B, task
-    * memory 2·N/B vectors, nothing on the driver. At 100 TB size B so
-    * two blocks fit an executor (B ≈ N·vecBytes / targetBlockBytes).
-    * O(N²) flops are inherent to EXACT pairwise — use LSH bucketing
-    * beyond ~1M vectors. */
+    * block floorMod(id, numBlocks); each of the B·(B+1)/2 block pairs
+    * (p ≤ q) is one shuffle group whose task sees exactly two blocks
+    * and runs the tight pairwise kernel (double-accumulated dot, fixed
+    * loop order, so scores are bit-exact). Replication factor B, task
+    * memory 2·N/B vectors, nothing on the driver.
+    *
+    * ==This is the EXACT arm — it is quadratic by design==
+    * O(N²) flops are inherent to exact pairwise: the builder's sf1
+    * soak measured 60× wall time at 10× data, vs flat for the LSH
+    * arm over the same growth. Use it as the A/B correctness baseline
+    * against [[lshCandidates]] (bucketed, subquadratic) or
+    * [[ivfBuild]]/[[ivfTopK]] (cluster-pruned), and switch to those
+    * beyond roughly 1M vectors (~10⁹ flops × dim per 1M² pairs). Pass
+    * the corpus size as `sizeHint` when you know it — inputs past
+    * `maxExactRows` are rejected loudly rather than left to burn a
+    * cluster. */
+  val maxExactRows: Long = 1L << 20
   def cosineNearDupPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      numBlocks: Int = 8): DataFrame = {
+      numBlocks: Int = 8,
+      sizeHint: Long = -1L): DataFrame = {
     require(numBlocks >= 1, s"numBlocks must be positive, got $numBlocks")
+    require(sizeHint <= maxExactRows,
+      s"cosineNearDupPairs is the exact quadratic arm: $sizeHint rows would " +
+        s"cost ~${sizeHint / 1000000}M^2 cosine evaluations; use " +
+        "lshCandidates (LSH buckets) or ivfBuild/ivfTopK (IVF clusters) " +
+        s"beyond $maxExactRows vectors")
     val sp = corpus.sparkSession
     import sp.implicits._
     val base = corpus.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
     // replicate each row to every block pair it participates in:
     // tag 0 = same-block group, 1 = left block of (p,q), 2 = right block
+    // (floorMod keeps negative ids in [0, numBlocks) — a negative `%`
+    // block would silently drop its cross-block pairs)
     val tagged = base.flatMap { case (id, vec) =>
-      val b = (id % numBlocks).toInt
+      val b = Math.floorMod(id, numBlocks)
       Iterator.single((b, b, 0.toByte, id, vec)) ++
         Iterator.range(b + 1, numBlocks).map(q => (b, q, 1.toByte, id, vec)) ++
         Iterator.range(0, b).map(p => (p, b, 2.toByte, id, vec))

@@ -40,7 +40,15 @@ object TextAnalysis {
 
   /** Occurrences of a space-delimited marker word, counted by
     * length difference — one regexp pass, no explode. The text is
-    * space-padded so boundary words count. */
+    * space-padded so boundary words count.
+    *
+    * Matches are NON-OVERLAPPING: each replaced occurrence consumes
+    * both delimiter spaces, so immediately adjacent repeats share a
+    * delimiter and only every other one counts (" the the the " → 2).
+    * This is the semantics the langId/stopwordRatio heuristics — and
+    * their DuckDB oracles — are calibrated against; for an exact
+    * per-token count use
+    * `size(filter(split(text, " "), w -> w = marker))` instead. */
   def markerOccurrences(text: Column, marker: String): Column = {
     val padded = concat(lit(" "), text, lit(" "))
     val m = s" $marker "

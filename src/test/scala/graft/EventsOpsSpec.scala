@@ -68,4 +68,20 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(!rows.contains(3L), "keys that miss stage 0 are absent")
     assert(rows(4L) == ((Seq(Some(5L), None, None, None), 0)))
   }
+
+  test("funnel rejects duplicate stages and colliding input columns") {
+    import spark.implicits._
+    val ev = Seq((1L, "a", 10L)).toDF("user", "etype", "ts")
+    intercept[IllegalArgumentException] {
+      Events.funnel(ev, "user", "etype", "ts", Seq("a", "b", "a"))
+    }
+    val clash = Seq((1L, "a", 10L, 99L)).toDF("user", "etype", "ts", "first_b")
+    intercept[IllegalArgumentException] {
+      Events.funnel(clash, "user", "etype", "ts", Seq("a", "b"))
+    }
+    val clash2 = Seq((1L, "a", 10L, 1)).toDF("user", "etype", "ts", "__cflag")
+    intercept[IllegalArgumentException] {
+      Events.funnel(clash2, "user", "etype", "ts", Seq("a", "b"))
+    }
+  }
 }

@@ -107,4 +107,31 @@ class SimilaritySearchSpec extends AnyFunSuite {
         s"blocks=$blocks found $pairs")
     }
   }
+
+  test("cosineNearDupPairs handles negative ids (floorMod blocking)") {
+    import spark.implicits._
+    // the same planted geometry shifted to negative ids: with `%`
+    // blocking, a negative id's block index went negative and its
+    // cross-block pairs were silently dropped
+    val base = (1L to 40L).map(i => (i - 60L, vec(i * 131 + 7)))
+    val planted = Seq((43L, jitter(base(2)._2, 0.01f)),
+      (57L, jitter(base(16)._2, 0.01f)))
+    val corpus = (base ++ planted).toDF("id", "v")
+    for (blocks <- Seq(4, 8)) {
+      val pairs = SimilaritySearch
+        .cosineNearDupPairs(corpus, "id", "v", threshold = 0.98, numBlocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((-57L, 43L), (-43L, 57L)),
+        s"blocks=$blocks found $pairs")
+    }
+  }
+
+  test("cosineNearDupPairs rejects an over-size exact-arm input loudly") {
+    import spark.implicits._
+    val tiny = Seq((1L, vec(1))).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.cosineNearDupPairs(tiny, "id", "v",
+        threshold = 0.9, sizeHint = SimilaritySearch.maxExactRows + 1)
+    }
+  }
 }
