@@ -249,7 +249,7 @@ object TextDedup {
     * distance — a constant-size alternative to the k-long MinHash
     * vector (the web-crawl dedup design). One shuffle: tokens group by
     * document, 32 conditional sums per group, all codegen'd.
-    * Returns (idCol, simhash). */
+    * Returns (idCol, simhash). Lazy and cache-free. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val B = 32
     val tok = df
@@ -274,7 +274,14 @@ object TextDedup {
     * key, and never builds a cross product. Exact `bit_count(xor)`
     * verifies each candidate. Subquadratic at corpus scale; a band of a
     * boilerplate-heavy corpus can still run hot, in which case the same
-    * DF-capping idea as the n-gram index applies upstream. */
+    * DF-capping idea as the n-gram index applies upstream.
+    *
+    * The API is eager and leak-free: the signature table is cached for
+    * the self-join's two branches, the pair set is materialized (it IS
+    * the operator's output — checkpoint-backed, freed by the
+    * ContextCleaner once unreferenced), and the signature cache is
+    * dropped before returning, so long-lived sessions accumulate no
+    * cached blocks across calls. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
@@ -293,11 +300,15 @@ object TextDedup {
       col(idCol).as("idA"), col("simhash").as("__sa"))
     val rhs = banded.select(col("__b").as("__b2"), col("__bk").as("__bk2"),
       col(idCol).as("idB"), col("simhash").as("__sb"))
-    lhs.join(rhs, col("__b") === col("__b2") && col("__bk") === col("__bk2") &&
+    val pairs = lhs
+      .join(rhs, col("__b") === col("__b2") && col("__bk") === col("__bk2") &&
         col("idA") < col("idB"))
       .select(col("idA"), col("idB"), col("__sa"), col("__sb")).distinct()
       .select(col("idA"), col("idB"),
         expr("CAST(bit_count(__sa ^ __sb) AS INT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(eager = true)
+    sig.unpersist(blocking = false)
+    pairs
   }
 }

@@ -17,9 +17,23 @@ object Q {
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
 }
-// NB on the .persist() calls inside queries (t6/t8/t14): Spark's
+// Cache-lifecycle contract (the persist audit of record):
+//
+// QUERY FNS (this package) return LAZY DataFrames; the .persist()
+// calls inside them (t6/t8's inverted index, t16's block table, t20's
+// token explode) feed multiple branches of one plan and register in
+// the CacheManager when the RUNNER evaluates the result. The runner
+// therefore owns the cache lifecycle: Bench and TpcRunner call
+// spark.catalog.clearCache() between queries, and Verify's session is
+// one-shot. Unpersisting inside the fn is impossible (the result is
+// unevaluated) and unpersisting between samples is counterproductive:
 // CacheManager keys cached data by canonicalized PLAN, so re-invoking
 // the same query on the same table is a cache HIT, not a new entry —
-// repeated Bench/TpcRunner iterations hold one cached lineage per
-// (query, data dir), and actively unpersisting between runs only
-// destroys that reuse (measured +20% on the bench total).
+// actively unpersisting between runs destroys that reuse (measured
+// +20% on the bench total).
+//
+// LIBRARY OPERATORS (graft.operators.*) run eagerly where they must
+// iterate or self-join (components, simhashPairs) and unpersist their
+// internal caches before returning — a long-lived user session
+// accumulates no cached blocks across calls (specs assert
+// CacheManager emptiness).

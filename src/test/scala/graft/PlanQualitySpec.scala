@@ -142,6 +142,25 @@ class PlanQualitySpec extends AnyFunSuite {
       "t8 must never aggregate through an uncapped collect_list")
   }
 
+  test("exchange budget: e1/e3 one data shuffle + output sort, q2 bounded") {
+    // the round-5 bench flagged these as possible regressions; pinning
+    // the exchange count makes a plan regression fail here instead of
+    // waiting a full bench round-trip. Counts are upper bounds over the
+    // flattened AQE plan (reused exchanges descend into their child, so
+    // reuse never reads as a new shuffle budget).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffles(name: String): Int =
+      finalPlan(name).count(_.isInstanceOf[ShuffleExchangeExec])
+    // events hourly agg: partial→final exchange + the ordered output's
+    // range exchange — any third shuffle is a formulation regression
+    assert(shuffles("e1_events_hourly") <= 2, "e1 grew a shuffle")
+    // sessionize: ONE window key shuffle + ordered output
+    assert(shuffles("e3_sessions") <= 2, "e3 grew a shuffle")
+    // q2: partsupp derivation + min-re-join + output sort; dimensions
+    // all broadcast (see the broadcast pin above)
+    assert(shuffles("q2_min_cost_supplier") <= 5, "q2 grew a shuffle")
+  }
+
   test("column pruning reaches the scan on a wide-table projection") {
     val s = planString("q13_customer_distribution")
     // orders is read for (o_orderkey, o_custkey, o_comment)-ish subsets,

@@ -107,6 +107,11 @@ class TextDedupSpec extends AnyFunSuite {
     // signatures agree with the standalone simhash() on the same input
     val sig = TextDedup.simhash(df, "id", "text")
     assert(sig.count() == 30 && sig.select("simhash").distinct().count() > 1)
+    // eager + leak-free: the signature cache is dropped before return
+    spark.catalog.clearCache()
+    TextDedup.simhashPairs(df, "id", "text", maxHamming = 3)
+    assert(org.apache.spark.sql.classic.GraftSqlBridge.cacheIsEmpty(spark),
+      "simhashPairs() must leave no entries in the CacheManager")
   }
 
   test("components() resolves planted clusters to min-id with canonical flags") {
