@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default on the 128 GiB bench host: at 8g the local[32] driver
+  // JVM GC-thrashed on the heavy tail queries (t8 measured 17.8 s with
+  // 14.8 s of GC; same query 1.1 s at 24g) — the round-5 "regressions"
+  // were exactly this amplified by host contention
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

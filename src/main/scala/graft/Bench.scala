@@ -106,7 +106,12 @@ object Bench {
         // 28-query run otherwise accumulates gigabytes of cached blocks
         // and the tail of the run measures GC pressure, not the query
         // (samples WITHIN a query still share cache, as before).
+        // The explicit gc() lets the ContextCleaner reap checkpoint and
+        // shuffle blocks whose references just died — without it the
+        // weak-reference queue only drains on a natural collection, and
+        // the NEXT query starts against an inflated old gen.
         spark.catalog.clearCache()
+        System.gc()
         (name, times, gcSec)
       }
     }
