@@ -23,6 +23,18 @@ object GraftSqlBridge {
   /** Wrap a Catalyst expression back into a public Column. */
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Drop the storage blocks behind a localCheckpoint-backed Dataset
+    * (its analyzed plan is a LogicalRDD over the persisted RDD). Lets
+    * iterative operators free round N−1's checkpoint the moment round N
+    * materializes — the Pregel discipline — instead of waiting for the
+    * ContextCleaner's weak-reference sweep. No-op for other plans. */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[Dataset[_]].queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** True when the session's CacheManager holds no cached plans — lets
     * library specs assert that an API's persist calls are paired with
     * unpersist before it returns (a long-lived session must not
