@@ -31,7 +31,9 @@ object Bench {
     // round-4 additions: correlated-min TPC-H shape, SimHash pairing,
     // chunking explosion, TF-IDF window top-k
     "q2_min_cost_supplier", "t21_simhash_neardup", "t24_chunk_overlap",
-    "t25_tfidf")
+    "t25_tfidf",
+    // round-6 addition: iterative integer-fixed-point PageRank
+    "gr1_pagerank_copurchase")
 
   def main(args: Array[String]): Unit = {
     // optional arg: comma-separated query names for a focused local

@@ -17,7 +17,7 @@ object SparkEntry {
       ParallelJoinQueries.all ++ ParallelSqlJoinQueries.all ++
       TextQueries.all ++ SimQueries.all ++
       MultimodalQueries.all ++ SyntheticQueries.all ++
-      RelationalExtrasQueries.all ++ SessionQueries.all
+      RelationalExtrasQueries.all ++ SessionQueries.all ++ GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's right-deep 4-dim star join

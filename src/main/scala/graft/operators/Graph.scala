@@ -79,7 +79,11 @@ object Graph {
     require(scale > 0, s"scale must be positive, got $scale")
     import org.apache.spark.sql.classic.GraftSqlBridge.unpersistCheckpoint
 
+    // the edge list is read iters+2 times (node set, degrees, one
+    // probe per round) — persisted so the caller's edge pipeline (often
+    // a join/distinct of its own) runs exactly once; freed on exit
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .persist()
     // (id, deg) for every node; deg = 0 marks a dangling node (emits
     // no shares). Reused every round → persisted, freed on exit.
     val nodes = e.select(col("__src").as("__id"))
@@ -119,6 +123,7 @@ object Graph {
       i += 1
     }
     nodeDeg.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     ranks.select(col("__id").as("id"), col("__r").as("rank_scaled"))
   }
 }

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables.t
+
+/** Graph-analytics surface over the TPC-H tables: iterative PageRank
+  * through [[graft.operators.Graph]]. The co-purchase graph (parts
+  * that appear in the same order) is the classic retail item graph —
+  * rank = "centrality of a part in the basket network".
+  *
+  * The oracle replays the ENTIRE iteration in ANSI SQL: because
+  * [[graft.operators.Graph.pageRank]] runs in integer fixed-point
+  * (scaled longs, floor division, order-free long sums), three
+  * unrolled CTE layers in DuckDB produce bit-identical ranks — the
+  * same portability recipe that put the IVF Lloyd rounds on the
+  * hash-exact gate. */
+object GraphQueries {
+
+  /** Shared CTE prefix: deduped (order, part) incidence, directed
+    * co-purchase edges both ways, node set, out-degrees, initial
+    * ranks. Mirrored 1:1 by the Spark side. */
+  private val prologue =
+    """li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+      |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+      |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |deg AS (SELECT src AS id, COUNT(*) AS dg FROM e GROUP BY src),
+      |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM n)""".stripMargin
+
+  /** One unrolled PageRank round: shares = floor(r/deg) joined through
+    * the edges, damped in integer space. DuckDB `//` == Spark `div`
+    * (floor division; all operands non-negative). */
+  private def round(i: Int): String =
+    s"""c$i AS (SELECT e.dst AS id, CAST(SUM(p.r // deg.dg) AS BIGINT) AS c
+       |      FROM e JOIN r${i - 1} p ON e.src = p.id
+       |      JOIN deg ON deg.id = p.id GROUP BY e.dst),
+       |r$i AS (SELECT n.id,
+       |        CAST(150000000 + (85 * COALESCE(c$i.c, 0)) // 100 AS BIGINT) AS r
+       |      FROM n LEFT JOIN c$i ON n.id = c$i.id)""".stripMargin
+
+  val pagerank1: Q = Q(
+    "gr1_pagerank_copurchase",
+    s"""WITH $prologue,
+      |${round(1)},
+      |${round(2)},
+      |${round(3)}
+      |SELECT id AS part_id, r AS rank_scaled FROM r3
+      |ORDER BY rank_scaled DESC, part_id LIMIT 100""".stripMargin) { (s, dir) =>
+    // Edge build: self-join of the deduped (order, part) incidence on
+    // the order key — co-partitioned on ok, so one shuffle; per-order
+    // fan-out is bounded by TPC-H's ≤7 lineitems per order (quadratic
+    // in basket size — cap baskets upstream for retail-scale carts).
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+    graft.operators.Graph.pageRank(e, "src", "dst", iters = 3)
+      .select(col("id").as("part_id"), col("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("part_id"))
+      .limit(100)
+  }
+
+  val all: Seq[Q] = Seq(pagerank1)
+}
