@@ -32,8 +32,9 @@ object Bench {
     // chunking explosion, TF-IDF window top-k
     "q2_min_cost_supplier", "t21_simhash_neardup", "t24_chunk_overlap",
     "t25_tfidf",
-    // round-6 addition: iterative integer-fixed-point PageRank
-    "gr1_pagerank_copurchase")
+    // round-6 additions: iterative integer-fixed-point PageRank,
+    // degree-oriented triangle counting
+    "gr1_pagerank_copurchase", "gr2_triangle_count")
 
   def main(args: Array[String]): Unit = {
     // optional arg: comma-separated query names for a focused local

@@ -126,4 +126,90 @@ object Graph {
     e.unpersist(blocking = false)
     ranks.select(col("__id").as("id"), col("__r").as("rank_scaled"))
   }
+
+  /** Per-node triangle counts via degree-ordered edge orientation — the
+    * standard skew-resistant distributed formulation (each undirected
+    * edge is oriented from its lower-(degree, id) endpoint to the
+    * higher one, wedges are enumerated only at each triangle's
+    * LOWEST-ranked vertex, and the closing edge is found with one more
+    * equi-join).
+    *
+    * Why the orientation matters at 100 TB: naive wedge enumeration at
+    * every vertex shuffles Σ deg(v)² rows, which a single celebrity
+    * node turns into a job-killing skew key. Orienting by degree rank
+    * bounds every node's out-degree by O(√m), so the wedge table is
+    * O(m^1.5) worst-case and — more importantly — the heaviest hub
+    * generates wedges only toward its FEW higher-degree peers, never
+    * its million followers. All three steps are plain equi-join
+    * shuffles; nothing reaches the driver.
+    *
+    * The result is orientation-invariant (a triangle is counted exactly
+    * once at its lowest-ranked vertex, and credited to all three
+    * corners), so an oracle may recount with plain `a < b < c` id
+    * ordering and match exactly.
+    *
+    * Input edges are treated as UNDIRECTED: direction, duplicates, and
+    * self-loops are all normalized away first.
+    *
+    * @return (id, triangles: Long) — one row per node incident to at
+    *         least one (undirected, non-loop) edge; nodes in no
+    *         triangle report 0
+    */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    // normalize to one canonical row per undirected non-loop edge;
+    // read 4× (degrees ×2 arms of the rank join, orientation, final
+    // node set) — persisted so the caller's edge pipeline runs once
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("__u"),
+        greatest(col(srcCol), col(dstCol)).as("__v"))
+      .filter(col("__u") =!= col("__v"))
+      .distinct()
+      .persist()
+    val deg = und.select(col("__u").as("__id"))
+      .union(und.select(col("__v").as("__id")))
+      .groupBy("__id").agg(count(lit(1)).as("__deg"))
+    // orient low-rank → high-rank, rank = (degree, id); carry b's
+    // degree so wedge enumeration can order (y, z) by the same rank
+    // without another join against deg
+    val ranked = und
+      .join(deg.select(col("__id").as("__u"), col("__deg").as("__du")), "__u")
+      .join(deg.select(col("__id").as("__v"), col("__deg").as("__dv")), "__v")
+    val uLow = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("__u") < col("__v"))
+    // oriented edges are read three times (two wedge arms + the closing
+    // probe) — persisted so the dedup/degree pipeline runs once
+    val o = ranked.select(
+      when(uLow, col("__u")).otherwise(col("__v")).as("__a"),
+      when(uLow, col("__v")).otherwise(col("__u")).as("__b"),
+      when(uLow, col("__dv")).otherwise(col("__du")).as("__db"))
+      .persist()
+    // wedges at the lowest-ranked corner x: (x→y, x→z) with y ≺ z
+    val yLtZ = col("e1.__db") < col("e2.__db") ||
+      (col("e1.__db") === col("e2.__db") && col("e1.__b") < col("e2.__b"))
+    val wedges = o.as("e1").join(o.as("e2"), col("e1.__a") === col("e2.__a"))
+      .filter(yLtZ)
+      .select(col("e1.__a").as("__x"), col("e1.__b").as("__y"),
+        col("e2.__b").as("__z"))
+    // close the wedge: the y–z edge is oriented y→z by construction
+    // (y ≺ z), and `o` is distinct, so inner join == existence check
+    val tri = wedges.join(
+      o.select(col("__a").as("__y"), col("__b").as("__z")), Seq("__y", "__z"))
+    // credit each triangle to all three corners; left-join back over
+    // the full node set so triangle-free nodes report 0
+    val perNode = tri.select(col("__x").as("__id"))
+      .unionAll(tri.select(col("__y").as("__id")))
+      .unionAll(tri.select(col("__z").as("__id")))
+      .groupBy("__id").agg(count(lit(1)).as("__t"))
+    val out = deg.select(col("__id"))
+      .join(perNode, Seq("__id"), "left")
+      .select(col("__id").as("id"),
+        coalesce(col("__t"), lit(0L)).as("triangles"))
+      .localCheckpoint(true)
+    o.unpersist(blocking = false)
+    und.unpersist(blocking = false)
+    out
+  }
 }

@@ -61,5 +61,36 @@ object GraphQueries {
       .limit(100)
   }
 
-  val all: Seq[Q] = Seq(pagerank1)
+  /** Triangle counts over the same co-purchase graph — "how clustered
+    * is this part's basket neighborhood". The engine runs the
+    * degree-ordered orientation (skew-resistant at scale); the oracle
+    * recounts with plain id ordering, which must match exactly because
+    * triangle counts are orientation-invariant. */
+  val triangles1: Q = Q(
+    "gr2_triangle_count",
+    s"""WITH $prologue,
+      |und AS (SELECT src AS u, dst AS v FROM e WHERE src < dst),
+      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |        FROM und e1
+      |        JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+      |        JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |corners AS (SELECT a AS id FROM tri UNION ALL
+      |            SELECT b FROM tri UNION ALL
+      |            SELECT c FROM tri),
+      |cnt AS (SELECT id, COUNT(*) AS t FROM corners GROUP BY id)
+      |SELECT n.id AS part_id, CAST(COALESCE(cnt.t, 0) AS BIGINT) AS triangles
+      |FROM n LEFT JOIN cnt ON n.id = cnt.id
+      |ORDER BY triangles DESC, part_id LIMIT 100""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+    graft.operators.Graph.triangleCounts(e, "src", "dst")
+      .select(col("id").as("part_id"), col("triangles"))
+      .orderBy(col("triangles").desc, col("part_id"))
+      .limit(100)
+  }
+
+  val all: Seq[Q] = Seq(pagerank1, triangles1)
 }

@@ -80,4 +80,56 @@ class GraphOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.pageRank(e, iters = 0))
     intercept[IllegalArgumentException](Graph.pageRank(e, dampingPct = 101))
   }
+
+  /** Brute-force per-node triangle counts over a small undirected
+    * graph (id ordering, no degree orientation) — the invariance the
+    * oracle relies on. */
+  private def triModel(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2))
+    val tris = for {
+      (a, b) <- und; (a2, c) <- und
+      if a2 == a && b < c && und.contains((b, c))
+    } yield (a, b, c)
+    val counts = tris.toSeq.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    nodes.map(n => n -> counts.getOrElse(n, 0L)).toMap
+  }
+
+  private def runTri(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+  }
+
+  test("triangleCounts matches brute force on mixed structure") {
+    // K4 on 1-4 (4 triangles, 3 each) + a pendant (5), a disconnected
+    // path 6-7-8 (0 triangles), duplicate/reversed/self-loop noise
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = k4 ++ Seq[(Long, Long)](
+      (4L, 5L), (6L, 7L), (7L, 8L), (2L, 1L), (1L, 1L), (3L, 4L))
+    val got = runTri(edges)
+    assert(got == triModel(edges))
+    assert(got(1L) == 3L && got(5L) == 0L && got(7L) == 0L)
+  }
+
+  test("triangleCounts handles skewed hub graphs (degree orientation)") {
+    // hub 0 connected to 1..30, plus a ring 1-2, 2-3, ..., 30-1:
+    // every ring edge closes a triangle with the hub
+    val hub = (1L to 30L).map(i => (0L, i))
+    val ring = (1L to 30L).map(i => (i, if (i == 30L) 1L else i + 1L))
+    val got = runTri(hub ++ ring)
+    assert(got == triModel(hub ++ ring))
+    assert(got(0L) == 30L)
+    assert((1L to 30L).forall(i => got(i) == 2L))
+  }
+
+  test("triangleCounts leaves no cached plans behind") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val edges = (1L to 60L).map(i => (i, (i % 9) + 1L)).toDF("src", "dst")
+    Graph.triangleCounts(edges).count()
+    assert(org.apache.spark.sql.classic.GraftSqlBridge.cacheIsEmpty(spark))
+  }
 }
