@@ -81,8 +81,13 @@ object Graph {
 
     // the edge list is read iters+2 times (node set, degrees, one
     // probe per round) — persisted so the caller's edge pipeline (often
-    // a join/distinct of its own) runs exactly once; freed on exit
+    // a join/distinct of its own) runs exactly once, AND hash-
+    // partitioned on __src so every round's edge⋈shares join reuses
+    // the cached partitioning instead of re-shuffling the (large) edge
+    // table: per round only the small (id, share) side moves. Freed on
+    // exit.
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .repartition(col("__src"))
       .persist()
     // (id, deg) for every node; deg = 0 marks a dangling node (emits
     // no shares). Reused every round → persisted, freed on exit.

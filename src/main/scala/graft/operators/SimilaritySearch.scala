@@ -170,7 +170,13 @@ object SimilaritySearch {
     require(k > 0 && lloydIters >= 0, s"bad k=$k / lloydIters=$lloydIters")
     val sp = corpus.sparkSession
     import sp.implicits._
+    // the corpus is scanned count+seeds+lloydIters+1 times during the
+    // build — persisted for the duration, released before returning
+    // (the caller's first action on `assigned` re-runs the projection
+    // once; the alternative — staying cached — would leak the block
+    // past the API boundary)
     val vecs = corpus.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
+      .persist()
 
     val n = vecs.count()
     val strideMod = math.max(1L, n / (2L * k))
@@ -225,7 +231,9 @@ object SimilaritySearch {
     }
 
     val bc = sp.sparkContext.broadcast(cents)
-    val assigned = vecs
+    vecs.unpersist(blocking = false)
+    val assigned = corpus.select(col(idCol), col(vecCol))
+      .as[(Long, Array[Float])]
       .map { case (id, v) => (id, v, nearestCentroid(bc.value, v)) }
       .toDF(idCol, vecCol, "cluster")
     IvfIndex(cents, assigned, idCol, vecCol)

@@ -156,9 +156,14 @@ object TextDedup {
     import org.apache.spark.sql.classic.GraftSqlBridge.unpersistCheckpoint
     val e = pairs.select(col(aCol).as("__a"), col(bCol).as("__b")).persist()
     val sym = e.union(e.select(col("__b").as("__a"), col("__a").as("__b")))
+    // hash-partitioned on __a so every propagation round's edge⋈labels
+    // join reuses the cached partitioning — only the (id, label) side
+    // moves per round, the edge table never re-shuffles
     val eb = sym.union(
       sym.select(col("__a")).distinct()
-        .select(col("__a"), col("__a").as("__b"))).persist()
+        .select(col("__a"), col("__a").as("__b")))
+      .repartition(col("__a"))
+      .persist()
     // one job: materializes the initial labels AND, through their
     // lineage, the eb cache (so e's upstream pipeline runs exactly once)
     val init = eb.select(col("__a").as("__id")).distinct()
