@@ -125,6 +125,41 @@ class GraphOpsSpec extends AnyFunSuite {
     assert((1L to 30L).forall(i => got(i) == 2L))
   }
 
+  test("pageRank costs one Spark job per round (plus init)") {
+    import spark.implicits._
+    // AQE would split an action into per-stage jobs; tiny test frames
+    // would broadcast through an extra async job — disable both so the
+    // count measures driver round trips of the at-scale shuffle shape
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.catalog.clearCache()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          start: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Graph.pageRank(
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"), iters = 3)
+      var last = -1
+      var cur = jobs.get()
+      var spins = 0
+      while (cur != last && spins < 50) {
+        Thread.sleep(100); last = cur; cur = jobs.get(); spins += 1
+      }
+      assert(cur <= 4, s"expected <=4 jobs (init + 3 one-job rounds), saw $cur")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+    }
+    assert(org.apache.spark.sql.classic.GraftSqlBridge.cacheIsEmpty(spark))
+  }
+
   test("triangleCounts leaves no cached plans behind") {
     import spark.implicits._
     spark.catalog.clearCache()
