@@ -217,4 +217,82 @@ object Graph {
     und.unpersist(blocking = false)
     out
   }
+
+  /** k-core decomposition by iterative peeling: repeatedly drop nodes
+    * whose (undirected) degree is below `k` until every survivor has
+    * degree ≥ k — the maximal subgraph of minimum degree k. The
+    * standard web/co-occurrence-graph quality filter for training-data
+    * curation: the k-core keeps densely-corroborated nodes and sheds
+    * tendrils in O(peel depth) rounds.
+    *
+    * Same loop discipline as [[pageRank]]/[[TextDedup.components]]:
+    * each round is ONE Spark job (a lazy `localCheckpoint` of the
+    * surviving edge set, materialized by the round's single count
+    * action, which doubles as the convergence check — edge count
+    * unchanged == fixpoint, since the edge set only ever shrinks);
+    * round N−1's checkpoint is freed eagerly. Nothing reaches the
+    * driver but the one count per round.
+    *
+    * Peeling is IDEMPOTENT at its fixpoint (one more round of a
+    * converged core changes nothing), which is what lets an external
+    * oracle replay it as a generous fixed number of unrolled SQL
+    * layers.
+    *
+    * Input edges are treated as undirected; direction, duplicates and
+    * self-loops are normalized away.
+    *
+    * @return (id, core_degree: Long) — the surviving nodes with their
+    *         degree inside the k-core subgraph; empty if the whole
+    *         graph peels away
+    * @throws IllegalStateException if the peel has not converged after
+    *   `maxIters` rounds */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      k: Int = 2,
+      maxIters: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.classic.GraftSqlBridge.unpersistCheckpoint
+
+    // symmetrized distinct non-loop edges: degree == count per __a
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("__u"),
+        greatest(col(srcCol), col(dstCol)).as("__v"))
+      .filter(col("__u") =!= col("__v"))
+      .distinct()
+    val init = canon
+      .select(col("__u").as("__a"), col("__v").as("__b"))
+      .union(canon.select(col("__v").as("__a"), col("__u").as("__b")))
+      .localCheckpoint(true) // one init job; edge pipeline runs once
+    var cur = init
+    var prevCkpt = init
+    var prevCount = -1L
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val keep = cur.groupBy(col("__a").as("__id"))
+        .agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k)
+        .select(col("__id"))
+      val next = cur
+        .join(keep.select(col("__id").as("__a")), Seq("__a"))
+        .join(keep.select(col("__id").as("__b")), Seq("__b"))
+        .select(col("__a"), col("__b"))
+        .localCheckpoint(eager = false)
+      // the ONE action of the round: materializes the checkpoint and
+      // returns the surviving edge count == the convergence signal
+      val cnt = next.count()
+      converged = cnt == prevCount
+      prevCount = cnt
+      unpersistCheckpoint(prevCkpt)
+      prevCkpt = next
+      cur = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"k-core peeling did not converge within $iter rounds; raise maxIters")
+    cur.groupBy(col("__a").as("id"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
 }

@@ -92,5 +92,38 @@ object GraphQueries {
       .limit(100)
   }
 
-  val all: Seq[Q] = Seq(pagerank1, triangles1)
+  /** One unrolled peel layer: degrees of layer i−1, keep edges whose
+    * BOTH endpoints have degree ≥ 80. `e` is already symmetrized, so
+    * COUNT(*) per `a` IS the node degree. */
+  private def peel(i: Int): String =
+    s"""d$i AS MATERIALIZED (SELECT a, COUNT(*) AS c FROM k${i - 1} GROUP BY a),
+       |k$i AS MATERIALIZED (SELECT k${i - 1}.a, k${i - 1}.b FROM k${i - 1}
+       |       JOIN d$i x ON k${i - 1}.a = x.a AND x.c >= 80
+       |       JOIN d$i y ON k${i - 1}.b = y.a AND y.c >= 80)""".stripMargin
+
+  /** k-core of the co-purchase graph at k=80 — "parts whose basket
+    * neighborhood is densely corroborated" (the quality-filter shape a
+    * training pipeline runs on a web/co-occurrence graph). The engine
+    * peels to convergence (8 rounds max observed at sf0.01/sf0.1); the
+    * oracle unrolls 12 SQL peel layers, which must agree exactly
+    * because peeling is idempotent at its fixpoint. */
+  val kcore1: Q = Q(
+    "gr3_kcore",
+    s"""WITH $prologue,
+      |k0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e),
+      |${(1 to 12).map(peel).mkString(",\n")}
+      |SELECT a AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+      |FROM k12 GROUP BY a
+      |ORDER BY core_degree DESC, part_id""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+    graft.operators.Graph.kCore(e, "src", "dst", k = 80)
+      .select(col("id").as("part_id"), col("core_degree"))
+      .orderBy(col("core_degree").desc, col("part_id"))
+  }
+
+  val all: Seq[Q] = Seq(pagerank1, triangles1, kcore1)
 }

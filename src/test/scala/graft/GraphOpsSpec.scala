@@ -160,6 +160,55 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(org.apache.spark.sql.classic.GraftSqlBridge.cacheIsEmpty(spark))
   }
 
+  /** Sequential reference peel. */
+  private def kCoreModel(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var cur = edges.filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      .flatMap(e => Seq(e, e.swap))
+    var changed = true
+    while (changed) {
+      val deg = cur.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val next = cur.filter(e => deg(e._1) >= k && deg(e._2) >= k)
+      changed = next.size != cur.size
+      cur = next
+    }
+    cur.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+  }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k = k)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+  }
+
+  test("kCore matches the sequential peel on cascading structure") {
+    // K4 core + a chain hanging off it: peeling the chain tip cascades
+    // node by node (4 rounds), the K4 survives at k=3
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val chain = Seq[(Long, Long)]((4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L))
+    val edges = k4 ++ chain
+    for (k <- 1 to 4) {
+      val got = runKCore(edges, k)
+      assert(got == kCoreModel(edges, k), s"k=$k")
+    }
+    assert(runKCore(edges, 3).keySet == Set(1L, 2L, 3L, 4L))
+    assert(runKCore(edges, 4) == Map.empty[Long, Long])
+  }
+
+  test("kCore is idempotent at its fixpoint (already-a-core input)") {
+    val ring = (1L to 10L).map(i => (i, if (i == 10L) 1L else i + 1L))
+    val got = runKCore(ring, 2)
+    assert(got == (1L to 10L).map(_ -> 2L).toMap)
+  }
+
+  test("kCore leaves no cached plans behind") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val edges = (1L to 40L).map(i => (i, (i % 6) + 1L)).toDF("src", "dst")
+    Graph.kCore(edges, k = 2).count()
+    assert(org.apache.spark.sql.classic.GraftSqlBridge.cacheIsEmpty(spark))
+  }
+
   test("triangleCounts leaves no cached plans behind") {
     import spark.implicits._
     spark.catalog.clearCache()
