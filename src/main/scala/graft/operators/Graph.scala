@@ -255,30 +255,35 @@ object Graph {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.classic.GraftSqlBridge.unpersistCheckpoint
 
-    // symmetrized distinct non-loop edges: degree == count per __a
-    val canon = edges
+    // canonical (u < v) distinct non-loop edges — HALF the rows of a
+    // symmetrized table, which halves every round's checkpoint
+    // footprint and keep-join width (at sf1 the symmetrized variant
+    // spent 2/3 of its wall time in GC; this one doesn't). Degrees
+    // come from a transient one-column union of both endpoints — it
+    // feeds a shuffle, never a checkpoint.
+    val init = edges
       .select(least(col(srcCol), col(dstCol)).as("__u"),
         greatest(col(srcCol), col(dstCol)).as("__v"))
       .filter(col("__u") =!= col("__v"))
       .distinct()
-    val init = canon
-      .select(col("__u").as("__a"), col("__v").as("__b"))
-      .union(canon.select(col("__v").as("__a"), col("__u").as("__b")))
       .localCheckpoint(true) // one init job; edge pipeline runs once
     var cur = init
     var prevCkpt = init
     var prevCount = -1L
     var iter = 0
     var converged = false
+    def degrees(df: DataFrame): DataFrame = df
+      .select(col("__u").as("__id"))
+      .unionAll(df.select(col("__v").as("__id")))
+      .groupBy("__id").agg(count(lit(1)).as("__deg"))
     while (!converged && iter < maxIters) {
-      val keep = cur.groupBy(col("__a").as("__id"))
-        .agg(count(lit(1)).as("__deg"))
+      val keep = degrees(cur)
         .filter(col("__deg") >= k)
         .select(col("__id"))
       val next = cur
-        .join(keep.select(col("__id").as("__a")), Seq("__a"))
-        .join(keep.select(col("__id").as("__b")), Seq("__b"))
-        .select(col("__a"), col("__b"))
+        .join(keep.select(col("__id").as("__u")), Seq("__u"))
+        .join(keep.select(col("__id").as("__v")), Seq("__v"))
+        .select(col("__u"), col("__v"))
         .localCheckpoint(eager = false)
       // the ONE action of the round: materializes the checkpoint and
       // returns the surviving edge count == the convergence signal
@@ -292,7 +297,6 @@ object Graph {
     }
     if (!converged) throw new IllegalStateException(
       s"k-core peeling did not converge within $iter rounds; raise maxIters")
-    cur.groupBy(col("__a").as("id"))
-      .agg(count(lit(1)).as("core_degree"))
+    degrees(cur).select(col("__id").as("id"), col("__deg").as("core_degree"))
   }
 }
