@@ -218,6 +218,45 @@ object Graph {
     out
   }
 
+  /** Co-occurrence projection of a bipartite (group, item) relation —
+    * the edge builder for basket/document co-occurrence graphs: one
+    * canonical (src < dst) undirected edge per item pair that shares
+    * at least `minSupport` groups, with the shared-group count as
+    * `support`.
+    *
+    * Scale guard: pair expansion is QUADRATIC in group size, so one
+    * degenerate mega-group (a crawler trap "basket" with 100k items)
+    * would emit 5×10⁹ pairs from a single task. Groups larger than
+    * `maxGroupSize` are dropped entirely before the expansion — the
+    * standard curation semantics (a group that large carries no
+    * co-occurrence signal) and the same bounded-state discipline as
+    * the capped posting-list aggregate in `t8`. The per-task work is
+    * thereby ≤ C(maxGroupSize, 2) rows per group, co-partitioned on
+    * the group key: one shuffle to size+filter groups, one equi-join
+    * on the group key, one aggregate on the pair key.
+    *
+    * @return (src, dst, support: Long) with src < dst */
+  def coOccurrence(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      minSupport: Int = 1,
+      maxGroupSize: Int = 1024): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxGroupSize >= 2, s"maxGroupSize must be >= 2, got $maxGroupSize")
+    val gi = df.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .distinct()
+    val sized = gi.groupBy("__g").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxGroupSize)
+      .select(col("__g"))
+    val member = gi.join(sized, Seq("__g"))
+    member.as("a").join(member.as("b"), Seq("__g"))
+      .filter(col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("src"), col("b.__i").as("dst"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
   /** k-core decomposition by iterative peeling: repeatedly drop nodes
     * whose (undirected) degree is below `k` until every survivor has
     * degree ≥ k — the maximal subgraph of minimum degree k. The

@@ -38,6 +38,18 @@ object GraphQueries {
        |        CAST(150000000 + (85 * COALESCE(c$i.c, 0)) // 100 AS BIGINT) AS r
        |      FROM n LEFT JOIN c$i ON n.id = c$i.id)""".stripMargin
 
+  /** Part co-purchase edges through [[graft.operators.Graph.coOccurrence]]
+    * (canonical src < dst): co-partitioned group self-join with the
+    * degenerate-group cap — TPC-H baskets are ≤7 items, far under it,
+    * so the projection is exactly the naive pair set here while staying
+    * safe on retail-scale carts. */
+  private def copurchase(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.Graph.coOccurrence(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+      "ok", "pk")
+      .select(col("src"), col("dst"))
+
   val pagerank1: Q = Q(
     "gr1_pagerank_copurchase",
     s"""WITH $prologue,
@@ -46,15 +58,10 @@ object GraphQueries {
       |${round(3)}
       |SELECT id AS part_id, r AS rank_scaled FROM r3
       |ORDER BY rank_scaled DESC, part_id LIMIT 100""".stripMargin) { (s, dir) =>
-    // Edge build: self-join of the deduped (order, part) incidence on
-    // the order key — co-partitioned on ok, so one shuffle; per-order
-    // fan-out is bounded by TPC-H's ≤7 lineitems per order (quadratic
-    // in basket size — cap baskets upstream for retail-scale carts).
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val e = li.as("a").join(li.as("b"), Seq("ok"))
-      .filter(col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+    // pageRank wants directed edges: symmetrize the canonical pairs
+    val co = copurchase(s, dir)
+    val e = co.unionAll(
+      co.select(col("dst").as("src"), col("src").as("dst")))
     graft.operators.Graph.pageRank(e, "src", "dst", iters = 3)
       .select(col("id").as("part_id"), col("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("part_id"))
@@ -81,12 +88,7 @@ object GraphQueries {
       |SELECT n.id AS part_id, CAST(COALESCE(cnt.t, 0) AS BIGINT) AS triangles
       |FROM n LEFT JOIN cnt ON n.id = cnt.id
       |ORDER BY triangles DESC, part_id LIMIT 100""".stripMargin) { (s, dir) =>
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val e = li.as("a").join(li.as("b"), Seq("ok"))
-      .filter(col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
-    graft.operators.Graph.triangleCounts(e, "src", "dst")
+    graft.operators.Graph.triangleCounts(copurchase(s, dir), "src", "dst")
       .select(col("id").as("part_id"), col("triangles"))
       .orderBy(col("triangles").desc, col("part_id"))
       .limit(100)
@@ -115,12 +117,7 @@ object GraphQueries {
       |SELECT a AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree
       |FROM k12 GROUP BY a
       |ORDER BY core_degree DESC, part_id""".stripMargin) { (s, dir) =>
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val e = li.as("a").join(li.as("b"), Seq("ok"))
-      .filter(col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
-    graft.operators.Graph.kCore(e, "src", "dst", k = 80)
+    graft.operators.Graph.kCore(copurchase(s, dir), "src", "dst", k = 80)
       .select(col("id").as("part_id"), col("core_degree"))
       .orderBy(col("core_degree").desc, col("part_id"))
   }

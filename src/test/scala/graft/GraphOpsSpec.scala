@@ -209,6 +209,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(org.apache.spark.sql.classic.GraftSqlBridge.cacheIsEmpty(spark))
   }
 
+  test("coOccurrence: canonical pairs, support threshold, mega-group cap") {
+    import spark.implicits._
+    // groups: g1={1,2,3}, g2={2,3}, g3={3,2} dup rows, g4 = 5-item
+    // mega-group that must be dropped at maxGroupSize=4
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 2L), (20L, 3L), (20L, 3L),
+      (30L, 3L), (30L, 2L)) ++ (1L to 5L).map(i => (40L, 100L + i))
+    val got = Graph.coOccurrence(
+      rows.toDF("g", "item"), "g", "item", minSupport = 1, maxGroupSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 3L))
+    val sup2 = Graph.coOccurrence(
+      rows.toDF("g", "item"), "g", "item", minSupport = 2, maxGroupSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sup2 == Set((2L, 3L)))
+  }
+
   test("triangleCounts leaves no cached plans behind") {
     import spark.implicits._
     spark.catalog.clearCache()
