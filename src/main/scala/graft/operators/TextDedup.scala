@@ -21,9 +21,17 @@ object TextDedup {
     * the same construction TextQueries uses so API results are
     * bit-identical to the oracle-gated demo queries (Spark
     * `conv(substr(md5(x),1,15),16,10)` ≡ DuckDB
-    * `('0x'||substr(md5(x),1,15))::BIGINT`). */
-  private[graft] def mdHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    * `('0x'||substr(md5(x),1,15))::BIGINT`). Computed by the codegen'd
+    * [[graft.functions.Md5Prefix60]] kernel — bit-identical to the SQL
+    * formulation (property-tested against it) but without the per-call
+    * hex-string/`conv` allocations that made the per-token hash the top
+    * GC source of the bench suite. */
+  private[graft] def mdHash(c: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    org.apache.spark.sql.classic.GraftSqlBridge.column(
+      graft.functions.Md5Prefix60(
+        org.apache.spark.sql.classic.GraftSqlBridge.expression(spark, c)))
+  }
 
   /** Keep exactly one row per distinct `textCol` value — the winner is
     * the minimum `idCol` (deterministic, re-runnable). Comparison is on
@@ -309,20 +317,27 @@ object TextDedup {
       s"maxHamming + 1 must divide $B, got $maxHamming")
     val w = B / bands
     val sig = simhash(df, idCol, textCol).persist()
+    // band key bit-packed into ONE long — (band index << 32) | band
+    // value — so the candidate shuffle keys on a single primitive
+    // column instead of a two-column composite (half the key width,
+    // no struct/array intermediates on the hot join)
     val banded = sig.select(col(idCol), col("simhash"),
         explode(expr(s"sequence(0, ${bands - 1})")).as("__b"))
-      .withColumn("__bk", expr(s"(simhash >> (__b * $w)) & ${(1L << w) - 1}"))
-    val lhs = banded.select(col("__b"), col("__bk"),
+      .select(col(idCol), col("simhash"),
+        expr(s"(__b << 32) | ((simhash >> (__b * $w)) & ${(1L << w) - 1})").as("__k"))
+    val lhs = banded.select(col("__k"),
       col(idCol).as("idA"), col("simhash").as("__sa"))
-    val rhs = banded.select(col("__b").as("__b2"), col("__bk").as("__bk2"),
+    val rhs = banded.select(col("__k").as("__k2"),
       col(idCol).as("idB"), col("simhash").as("__sb"))
+    // hamming is computed BEFORE the dedup so the distinct carries
+    // (idA, idB, hamming) — it is functionally determined by the pair,
+    // and dropping the two signature columns narrows the exchange
     val pairs = lhs
-      .join(rhs, col("__b") === col("__b2") && col("__bk") === col("__bk2") &&
-        col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), col("__sa"), col("__sb")).distinct()
+      .join(rhs, col("__k") === col("__k2") && col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
         expr("CAST(bit_count(__sa ^ __sb) AS INT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .localCheckpoint(eager = true)
     sig.unpersist(blocking = false)
     pairs

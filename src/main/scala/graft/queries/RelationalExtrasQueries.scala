@@ -281,8 +281,7 @@ object RelationalExtrasQueries {
       import org.apache.spark.sql.expressions.Window
       val h = t(s, dir, "lineitem")
         .select(col("l_returnflag"),
-          conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
-            .cast("long").as("h"))
+          graft.queries.TextQueries.mdHash(col("l_partkey").cast("string")).as("h"))
         .distinct()
       val w = Window.partitionBy("l_returnflag").orderBy("h")
       h.withColumn("rn", row_number().over(w))

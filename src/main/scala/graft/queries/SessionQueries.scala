@@ -281,7 +281,7 @@ object SessionQueries {
     seq.select(col("user_id"),
         length(col("journey")).cast(IntegerType).as("n_events"),
         when(col("journey").rlike("e.*p"), 1).otherwise(0).as("error_then_purchase"),
-        conv(substring(md5(col("journey")), 1, 15), 16, 10).cast(LongType).as("journey_fp"))
+        graft.queries.TextQueries.mdHash(col("journey")).as("journey_fp"))
       .orderBy("user_id")
   }
 
