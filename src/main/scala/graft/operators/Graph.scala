@@ -52,8 +52,9 @@ object Graph {
     * storage is one checkpoint of (id, rank) which is freed as soon
     * as the next round lands. Overflow bound: total mass is
     * ≤ nodes × scale, and the damping step multiplies a partial sum
-    * by `dampingPct` ≤ 100 — keep `nodes × scale × 100 < 2^63`
-    * (e.g. the default 1e9 scale is safe to ~9e10 nodes).
+    * by `dampingPct` ≤ 100 — `nodes × scale × 100 < 2^63` is REQUIRED
+    * and enforced at runtime against the actual node count (e.g. the
+    * default 1e9 scale is safe to ~9e10 nodes).
     *
     * @param edges     directed edge table
     * @param srcCol    source-id column (integral type)
@@ -103,6 +104,15 @@ object Graph {
     // the nodeDeg cache (so the edge scan feeding it runs exactly once)
     val init = nodeDeg.select(col("__id"), lit(scale).as("__r"))
       .localCheckpoint(true)
+    // enforce the documented overflow bound at runtime: total mass is
+    // ≤ nodes × scale and the damping step multiplies a partial sum by
+    // dampingPct ≤ 100, so nodes × scale × 100 must stay below 2^63 or
+    // the (non-ANSI) long multiply wraps silently and every rank after
+    // it is garbage. One cheap count over the already-cached nodeDeg.
+    val nodeCount = nodeDeg.count()
+    require(nodeCount <= Long.MaxValue / 100 / scale,
+      s"pageRank overflow bound exceeded: $nodeCount nodes at scale=$scale " +
+        s"(need nodes * scale * 100 < 2^63) — lower `scale`")
     var ranks = init
     var prevCkpt = init
     var i = 0
@@ -130,6 +140,97 @@ object Graph {
     nodeDeg.unpersist(blocking = false)
     e.unpersist(blocking = false)
     ranks.select(col("__id").as("id"), col("__r").as("rank_scaled"))
+  }
+
+  /** Connected components by distributed min-label propagation: every
+    * node that appears in `edges` mapped to its component's minimum id,
+    * with the canonical (minimum-id) member flagged. Returns
+    * (id, componentId, isCanonical); isolated nodes are absent — they
+    * are their own singleton component (left-join and
+    * `coalesce(componentId, id)` to close over a full corpus).
+    * Edges are treated as undirected (symmetrized internally).
+    *
+    * Each round is ONE join + groupBy-min over symmetric + self-loop
+    * edges (no left-join finalizer); `localCheckpoint` truncates
+    * lineage per round (the standard fix for iterative DataFrame
+    * plans). Each round costs exactly ONE Spark job: the self-loop row
+    * carries the node's previous label through the same aggregate
+    * (`__old`), so the convergence check — "did any label decrease
+    * this round?" — is a column on the already-materialized round, not
+    * a second driver-synchronized action. (Labels only ever decrease,
+    * so zero decreases IS the fixpoint.) Wall-time is
+    * `rounds × (one job)` instead of `rounds × 2 × (job-launch +
+    * slowest-stage)`, which is what keeps the loop from serializing on
+    * a busy driver/cluster. O(component diameter) rounds, nothing but
+    * the one-row change count ever reaches the driver.
+    *
+    * The edge table is hash-partitioned on the probe key and persisted
+    * across rounds, so per round only the small (id, label) side moves;
+    * round N−1's checkpoint blocks are freed EAGERLY the moment round N
+    * materializes (the Pregel discipline — without it a 7-run sf1 soak
+    * degraded 9.8 s → 105 s on accumulated blocks and GC). The API is
+    * eager and leak-free: internal caches are unpersisted before
+    * returning; the result is backed by the final round's checkpoint,
+    * freed by the ContextCleaner once unreferenced.
+    *
+    * @throws IllegalStateException if propagation has not converged
+    *   after `maxIters` rounds (component diameter exceeds the cap) —
+    *   failing loudly beats silently returning partially-merged
+    *   clusters. */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.sql.classic.GraftSqlBridge.unpersistCheckpoint
+    val e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b")).persist()
+    val sym = e.union(e.select(col("__b").as("__a"), col("__a").as("__b")))
+    // hash-partitioned on __a so every propagation round's edge⋈labels
+    // join reuses the cached partitioning — only the (id, label) side
+    // moves per round, the edge table never re-shuffles
+    val eb = sym.union(
+      sym.select(col("__a")).distinct()
+        .select(col("__a"), col("__a").as("__b")))
+      .repartition(col("__a"))
+      .persist()
+    // one job: materializes the initial labels AND, through their
+    // lineage, the eb cache (so e's upstream pipeline runs exactly once)
+    val init = eb.select(col("__a").as("__id")).distinct()
+      .select(col("__id"), col("__id").as("__comp"))
+      .localCheckpoint(true)
+    var labels = init
+    var prevCkpt = init
+    // eb is materialized; the raw edge list cache is no longer needed
+    e.unpersist(blocking = false)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // min label over neighbors (self-loop included). The self-loop row
+      // (__a == __b) joins to the node's own current label, so
+      // min-filtered on it == the PREVIOUS label — carried as __old in
+      // the same shuffle, no extra pass over the data.
+      val next = eb.join(labels, eb("__a") === labels("__id"))
+        .groupBy(eb("__b").as("__id"))
+        .agg(min(col("__comp")).as("__comp"),
+          min(when(eb("__a") === eb("__b"), col("__comp"))).as("__old"))
+        .localCheckpoint(eager = false)
+      // the ONE action of the round: materializes the (lazy) checkpoint
+      // and reduces the change count in the same job
+      val changedRow = next
+        .agg(sum(when(col("__comp") < col("__old"), 1L).otherwise(0L)))
+        .collect()(0)
+      converged = changedRow.isNullAt(0) || changedRow.getLong(0) == 0L
+      unpersistCheckpoint(prevCkpt)
+      prevCkpt = next
+      labels = next.select(col("__id"), col("__comp"))
+      iter += 1
+    }
+    eb.unpersist(blocking = false)
+    if (!converged) throw new IllegalStateException(
+      s"component propagation did not converge within $iter rounds " +
+        "(component diameter exceeds maxIters); raise maxIters")
+    labels.select(col("__id").as("id"), col("__comp").as("componentId"),
+      when(col("__comp") === col("__id"), 1).otherwise(0).as("isCanonical"))
   }
 
   /** Per-node triangle counts via degree-ordered edge orientation — the

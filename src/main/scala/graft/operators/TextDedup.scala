@@ -133,90 +133,16 @@ object TextDedup {
     * — left-join and `coalesce(componentId, id)` to close over a full
     * corpus, as `t19_neardup_components` does).
     *
-    * Distributed min-label propagation: symmetric + self-loop edges make
-    * each round ONE join + groupBy-min (no left-join finalizer);
-    * `localCheckpoint` truncates lineage per round (the standard fix for
-    * iterative DataFrame plans). Each round costs exactly ONE Spark job:
-    * the self-loop row carries the node's previous label through the
-    * same aggregate (`__old`), so the convergence check — "did any label
-    * decrease this round?" — is a column on the already-materialized
-    * round, not a second driver-synchronized action. (Labels only ever
-    * decrease, so zero decreases IS the fixpoint.) Wall-time is
-    * `rounds × (one job)` instead of `rounds × 2 × (job-launch +
-    * slowest-stage)`, which is what keeps the loop from serializing on a
-    * busy driver/cluster. O(component diameter) rounds, nothing but the
-    * one-row change count ever reaches the driver.
-    *
-    * The API is eager (propagation runs during the call) and leak-free:
-    * its internal caches are unpersisted before returning — the result
-    * is backed by the final round's checkpoint, whose blocks the
-    * ContextCleaner frees once the returned DataFrame is unreferenced.
-    *
-    * @throws IllegalStateException if propagation has not converged
-    *   after `maxIters` rounds (component diameter exceeds the cap) —
-    *   failing loudly beats silently returning partially-merged
-    *   clusters. */
+    * Delegates to [[Graph.connectedComponents]] — components is a graph
+    * operator first (min-label propagation, one Spark job per round,
+    * eager checkpoint lifecycle); this entry point just keeps the dedup
+    * surface's (idA, idB) column convention. */
   def components(
       pairs: DataFrame,
       aCol: String = "idA",
       bCol: String = "idB",
-      maxIters: Int = 50): DataFrame = {
-    import org.apache.spark.sql.classic.GraftSqlBridge.unpersistCheckpoint
-    val e = pairs.select(col(aCol).as("__a"), col(bCol).as("__b")).persist()
-    val sym = e.union(e.select(col("__b").as("__a"), col("__a").as("__b")))
-    // hash-partitioned on __a so every propagation round's edge⋈labels
-    // join reuses the cached partitioning — only the (id, label) side
-    // moves per round, the edge table never re-shuffles
-    val eb = sym.union(
-      sym.select(col("__a")).distinct()
-        .select(col("__a"), col("__a").as("__b")))
-      .repartition(col("__a"))
-      .persist()
-    // one job: materializes the initial labels AND, through their
-    // lineage, the eb cache (so e's upstream pipeline runs exactly once)
-    val init = eb.select(col("__a").as("__id")).distinct()
-      .select(col("__id"), col("__id").as("__comp"))
-      .localCheckpoint(true)
-    var labels = init
-    // round N−1's checkpoint blocks are freed EAGERLY the moment round
-    // N materializes (the Pregel discipline) — waiting for the
-    // ContextCleaner's weak-reference sweep lets rounds × blocks pile
-    // up, and the loop's tail then measures GC, not propagation
-    // (observed at sf1: 7 back-to-back runs degraded 9.8 s → 105 s with
-    // 42 s of GC before this cleanup existed).
-    var prevCkpt = init
-    // eb is materialized; the raw edge list cache is no longer needed
-    e.unpersist(blocking = false)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
-      // min label over neighbors (self-loop included). The self-loop row
-      // (__a == __b) joins to the node's own current label, so
-      // min-filtered on it == the PREVIOUS label — carried as __old in
-      // the same shuffle, no extra pass over the data.
-      val next = eb.join(labels, eb("__a") === labels("__id"))
-        .groupBy(eb("__b").as("__id"))
-        .agg(min(col("__comp")).as("__comp"),
-          min(when(eb("__a") === eb("__b"), col("__comp"))).as("__old"))
-        .localCheckpoint(eager = false)
-      // the ONE action of the round: materializes the (lazy) checkpoint
-      // and reduces the change count in the same job
-      val changedRow = next
-        .agg(sum(when(col("__comp") < col("__old"), 1L).otherwise(0L)))
-        .collect()(0)
-      converged = changedRow.isNullAt(0) || changedRow.getLong(0) == 0L
-      unpersistCheckpoint(prevCkpt)
-      prevCkpt = next
-      labels = next.select(col("__id"), col("__comp"))
-      iter += 1
-    }
-    eb.unpersist(blocking = false)
-    if (!converged) throw new IllegalStateException(
-      s"component propagation did not converge within $iter rounds " +
-        "(component diameter exceeds maxIters); raise maxIters")
-    labels.select(col("__id").as("id"), col("__comp").as("componentId"),
-      when(col("__comp") === col("__id"), 1).otherwise(0).as("isCanonical"))
-  }
+      maxIters: Int = 50): DataFrame =
+    Graph.connectedComponents(pairs, aCol, bCol, maxIters)
 
   /** Distinct word-shingle strings per row: (__id, __g). Shared by the
     * shingle-based checks; capped per doc so a degenerate mega-document

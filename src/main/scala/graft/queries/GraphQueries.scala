@@ -16,11 +16,21 @@ import graft.engine.Tables.t
   * hash-exact gate. */
 object GraphQueries {
 
-  /** Shared CTE prefix: deduped (order, part) incidence, directed
-    * co-purchase edges both ways, node set, out-degrees, initial
-    * ranks. Mirrored 1:1 by the Spark side. */
+  /** Degenerate-group cap shared by the engine calls and the oracle
+    * prologue: [[graft.operators.Graph.coOccurrence]] drops groups
+    * larger than this BEFORE pair expansion, so the SQL replay must
+    * apply the same filter or the two sides silently diverge on any
+    * dataset containing a mega-group (TPC-H baskets are ≤7 items, but
+    * the gate must hold unconditionally). */
+  private val MaxBasket = 1024
+
+  /** Shared CTE prefix: deduped (order, part) incidence with the
+    * mega-basket cap, directed co-purchase edges both ways, node set,
+    * out-degrees, initial ranks. Mirrored 1:1 by the Spark side. */
   private val prologue =
-    """li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    s"""li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |okx AS (SELECT ok FROM li0 GROUP BY ok HAVING COUNT(*) <= $MaxBasket),
+      |li AS (SELECT li0.ok, li0.pk FROM li0 JOIN okx ON li0.ok = okx.ok),
       |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
       |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
       |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
@@ -47,7 +57,7 @@ object GraphQueries {
     graft.operators.Graph.coOccurrence(
       t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
-      "ok", "pk")
+      "ok", "pk", maxGroupSize = MaxBasket)
       .select(col("src"), col("dst"))
 
   val pagerank1: Q = Q(
@@ -103,21 +113,32 @@ object GraphQueries {
        |       JOIN d$i x ON k${i - 1}.a = x.a AND x.c >= 80
        |       JOIN d$i y ON k${i - 1}.b = y.a AND y.c >= 80)""".stripMargin
 
+  /** Peel depth shared by the engine and the oracle: the oracle
+    * unrolls exactly this many SQL layers, and the engine peels with
+    * `maxIters` pinned to the same constant — so if the peel ever
+    * needs more rounds at a larger scale factor, the engine throws its
+    * loud non-convergence error instead of the gate failing as an
+    * opaque data-dependent hash mismatch. (8 rounds max observed at
+    * sf0.01/sf0.1; 12 leaves headroom, and extra layers are free for
+    * the oracle because peeling is idempotent at its fixpoint.) */
+  private val PeelUnroll = 12
+
   /** k-core of the co-purchase graph at k=80 — "parts whose basket
     * neighborhood is densely corroborated" (the quality-filter shape a
     * training pipeline runs on a web/co-occurrence graph). The engine
-    * peels to convergence (8 rounds max observed at sf0.01/sf0.1); the
-    * oracle unrolls 12 SQL peel layers, which must agree exactly
-    * because peeling is idempotent at its fixpoint. */
+    * peels to convergence; the oracle unrolls [[PeelUnroll]] SQL peel
+    * layers, which must agree exactly because peeling is idempotent at
+    * its fixpoint. */
   val kcore1: Q = Q(
     "gr3_kcore",
     s"""WITH $prologue,
       |k0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e),
-      |${(1 to 12).map(peel).mkString(",\n")}
+      |${(1 to PeelUnroll).map(peel).mkString(",\n")}
       |SELECT a AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree
-      |FROM k12 GROUP BY a
+      |FROM k$PeelUnroll GROUP BY a
       |ORDER BY core_degree DESC, part_id""".stripMargin) { (s, dir) =>
-    graft.operators.Graph.kCore(copurchase(s, dir), "src", "dst", k = 80)
+    graft.operators.Graph.kCore(copurchase(s, dir), "src", "dst", k = 80,
+        maxIters = PeelUnroll)
       .select(col("id").as("part_id"), col("core_degree"))
       .orderBy(col("core_degree").desc, col("part_id"))
   }

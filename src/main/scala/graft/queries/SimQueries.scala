@@ -146,7 +146,23 @@ object SimQueries {
     * assignment, driver-style probe selection, exact-cosine re-rank.
     * Centroids live as (cluster, component-index, value) rows; empty
     * clusters COALESCE back to their previous centroid, exactly like
-    * the Scala `means.get(c).getOrElse(cents(c))`. */
+    * the Scala `means.get(c).getOrElse(cents(c))`.
+    *
+    * RESIDUAL FLOAT-ORDER ASSUMPTION: only the centroid-update sums are
+    * fixed-point (order-free). The cluster-ASSIGNMENT argmax compares
+    * double cosine similarities, so it relies on DuckDB's
+    * `SUM(v[i]*c[i])` over `generate_series` agreeing bit-for-bit with
+    * Spark's sequential-order dot product. Both engines do evaluate the
+    * 64-term sum in ascending index order today (neither parallelizes
+    * inside one 64-element vector), and IEEE addition in the same order
+    * is deterministic — but a near-tie in cosine similarity between two
+    * clusters could in principle flip an assignment if either engine
+    * ever reorders the sum. Ties at EQUAL doubles are already broken
+    * deterministically (ORDER BY sim DESC, cluster index). If this ever
+    * bites, the portable fix is rounding the dot products to fixed
+    * point before the argmax on both sides — deliberately not done
+    * while the gate holds, to keep the assignment identical to what the
+    * production (float) path computes. */
   private def ivfOracleSql(
       k: Int, iters: Int, nprobe: Int, topK: Int, dim: Int): String = {
     // cosine argmax of every vector against centroid set `cents$idx`

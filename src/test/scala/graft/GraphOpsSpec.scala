@@ -125,11 +125,14 @@ class GraphOpsSpec extends AnyFunSuite {
     assert((1L to 30L).forall(i => got(i) == 2L))
   }
 
-  test("pageRank costs one Spark job per round (plus init)") {
-    import spark.implicits._
-    // AQE would split an action into per-stage jobs; tiny test frames
-    // would broadcast through an extra async job — disable both so the
-    // count measures driver round trips of the at-scale shuffle shape
+  /** Count Spark jobs launched by `body` under at-scale planning: AQE
+    * would split an action into per-stage jobs; tiny test frames would
+    * broadcast through an extra async job — both disabled so the count
+    * measures driver round trips of the at-scale shuffle shape. The
+    * driver-round-trip pin for EVERY iterative loop lives here: a loop
+    * that silently regresses to 2+ jobs per round (the pre-round-6
+    * components shape) serializes on a busy driver at cluster scale. */
+  private def countJobs(body: => Unit): Int = {
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -143,21 +146,73 @@ class GraphOpsSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      Graph.pageRank(
-        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"), iters = 3)
+      body
+      // listener events post asynchronously — wait for the count to settle
       var last = -1
       var cur = jobs.get()
       var spins = 0
       while (cur != last && spins < 50) {
         Thread.sleep(100); last = cur; cur = jobs.get(); spins += 1
       }
-      assert(cur <= 4, s"expected <=4 jobs (init + 3 one-job rounds), saw $cur")
+      cur
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
     }
+  }
+
+  test("pageRank costs one Spark job per round (plus init and guard)") {
+    import spark.implicits._
+    val n = countJobs {
+      Graph.pageRank(
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"), iters = 3)
+    }
+    assert(n <= 5, s"expected <=5 jobs (init + overflow guard + 3 one-job rounds), saw $n")
     assert(org.apache.spark.sql.classic.GraftSqlBridge.cacheIsEmpty(spark))
+  }
+
+  test("kCore costs one Spark job per round (plus init)") {
+    import spark.implicits._
+    // ring at k=2: round 1 establishes the count, round 2 confirms the
+    // fixpoint → init + 2 one-job rounds
+    val ring = (1L to 8L).map(i => (i, if (i == 8L) 1L else i + 1L))
+    val n = countJobs {
+      Graph.kCore(ring.toDF("src", "dst"), k = 2).count()
+    }
+    // +1 for the final degrees count action outside the loop
+    assert(n <= 4, s"expected <=4 jobs (init + 2 one-job rounds + result action), saw $n")
+    assert(org.apache.spark.sql.classic.GraftSqlBridge.cacheIsEmpty(spark))
+  }
+
+  test("connectedComponents costs one Spark job per round") {
+    import spark.implicits._
+    // single edge → exactly 2 rounds (one merge, one zero-change)
+    val n = countJobs {
+      Graph.connectedComponents(Seq((1L, 2L)).toDF("src", "dst"))
+    }
+    assert(n <= 3, s"expected <=3 jobs (init + 2 one-job rounds), saw $n")
+    assert(org.apache.spark.sql.classic.GraftSqlBridge.cacheIsEmpty(spark))
+  }
+
+  test("connectedComponents resolves planted clusters with canonical flags") {
+    import spark.implicits._
+    // chain, star, pair — plus direction noise (edges are undirected)
+    val edges = Seq(
+      (13L, 14L), (10L, 11L), (12L, 13L), (11L, 12L),
+      (21L, 20L), (20L, 22L), (31L, 30L)).toDF("src", "dst")
+    val out = Graph.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val expected = Seq(
+      (10L, 10L, 1), (11L, 10L, 0), (12L, 10L, 0), (13L, 10L, 0), (14L, 10L, 0),
+      (20L, 20L, 1), (21L, 20L, 0), (22L, 20L, 0),
+      (30L, 30L, 1), (31L, 30L, 0))
+    assert(out.toSeq == expected)
+    // diameter > maxIters fails loudly instead of emitting partial labels
+    val longChain = (0 until 12).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Graph.connectedComponents(longChain, maxIters = 2).collect()
+    }
   }
 
   /** Sequential reference peel. */
