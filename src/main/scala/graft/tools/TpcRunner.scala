@@ -22,8 +22,16 @@ import graft.engine.Tables
   * config file; its `--exclude` query filter). Applied config is echoed
   * into `results.json` like the reference's `results.config` map.
   *
-  * Per query: every iteration timed (plan+execute, noop sink), plans
-  * optionally printed; results land in `results.json` and `results.csv`.
+  * Timing protocol == `graft.Bench` (the adjudicable-artifact recipe):
+  * per query one unrecorded warm-up run, then `--iterations` measured
+  * samples (median is the headline; +2 escalation samples if the
+  * relative spread exceeds 1.0), per-query GC seconds from the
+  * collector MXBeans, caches cleared + an explicit GC between queries
+  * so the tail of a long run measures the query rather than
+  * accumulated heap, and a run-level mean-relative-spread `variance`
+  * stamp — the round-6 sf1 artifact was collected without these and a
+  * contended host made it unadjudicable (q2 samples 165.8 s → 19.7 s).
+  * All per-sample times land in `results.json`/`results.csv`.
   */
 object TpcRunner {
   def main(args: Array[String]): Unit = {
@@ -84,19 +92,45 @@ object TpcRunner {
       Tables.t(spark, dataPath, n).cache().count() // materialize, as the reference's --from-memory
     }
 
+    def gcMillis(): Long = {
+      val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      var total = 0L
+      beans.forEach(b => if (b.getCollectionTime > 0) total += b.getCollectionTime)
+      total
+    }
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
     val rows = for (name <- queries; fn <- SparkEntry.queries.get(name)) yield {
-      val times = (1 to iterations).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, dataPath).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e6 // ms, as the reference records
       }
+      val gc0 = gcMillis()
+      once() // warm-up: not recorded, builds plan-keyed caches + codegen
+      val base = (1 to iterations).map(_ => once())
+      // escalation: a run whose in-query spread exceeds its median gets
+      // two more samples so the median stands on firmer ground
+      val times =
+        if (iterations >= 3 && (base.max - base.min) / median(base) > 1.0)
+          base ++ Seq(once(), once())
+        else base
+      val gcSec = (gcMillis() - gc0) / 1000.0
       if (printPlan) {
         println(s"===== $name =====")
         println(fn(spark, dataPath).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       }
-      println(f"$name%-28s min=${times.min}%10.1f ms  avg=${times.sum / times.size}%10.1f ms  runs=${times.size}")
-      (name, times)
+      // inter-query hygiene (see graft.Bench): drop this query's
+      // persisted intermediates and let the cleaner reap dead blocks —
+      // except under --from-memory, whose table caches must survive
+      if (!fromMemory) spark.catalog.clearCache()
+      System.gc()
+      println(f"$name%-28s median=${median(times)}%10.1f ms  min=${times.min}%10.1f ms  gc=${gcSec}%6.2f s  runs=${times.size}")
+      (name, times, gcSec)
     }
 
     Files.createDirectories(Paths.get(outDir))
@@ -109,14 +143,24 @@ object TpcRunner {
       } + "\""
     val confJson = appliedConf.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
       .mkString("{", ",", "}")
-    // config is just another element, so an empty run set still yields
-    // valid JSON (no dangling separator)
-    val entries = s""""config": $confJson""" +: rows.map { case (n, ts) =>
-      s"""${jstr(n)}: {"ms": [${ts.map(t => f"$t%.1f").mkString(",")}]}"""
+    // run-level noise floor: mean relative in-query spread
+    // ((max-min)/median) over all queries — a cross-run comparison must
+    // clear this before any per-query delta means anything
+    val rels = rows.collect { case (_, ts, _) if ts.min > 0 =>
+      (ts.max - ts.min) / median(ts)
+    }
+    val variance = if (rels.nonEmpty) rels.sum / rels.size else 0.0
+    // config/variance are just elements, so an empty run set still
+    // yields valid JSON (no dangling separator)
+    val entries = Seq(
+      s""""config": $confJson""",
+      f""""variance": $variance%.3f""") ++ rows.map { case (n, ts, gc) =>
+      s"""${jstr(n)}: {"ms": [${ts.map(t => f"$t%.1f").mkString(",")}], """ +
+        f""""median_ms": ${median(ts)}%.1f, "gc_sec": $gc%.3f}"""
     }
     Files.writeString(Paths.get(s"$outDir/results.json"),
       entries.mkString("{", ",", "}"))
-    val csv = "query,iteration,ms\n" + rows.flatMap { case (n, ts) =>
+    val csv = "query,iteration,ms\n" + rows.flatMap { case (n, ts, _) =>
       ts.zipWithIndex.map { case (t, i) => f"$n,${i + 1},$t%.1f" }
     }.mkString("\n")
     Files.writeString(Paths.get(s"$outDir/results.csv"), csv)
