@@ -1,6 +1,8 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Table registration helpers, mirroring the reference's table providers
   * (`/root/reference/src/lib.rs:796-828` in-memory registration and
@@ -18,14 +20,39 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Read one table of the testdata star schema.
-    * `events.ts` is a nanosecond parquet timestamp, which Spark 4 rejects
-    * by default — read it as epoch-nanos LongType via the legacy conf;
-    * query code treats `ts` as int64 nanoseconds since the epoch. */
+    *
+    * `events.ts` has drifted between parquet encodings across testdata
+    * generations (TIMESTAMP(NANOS) first, then TIMESTAMP(MICROS)); query
+    * code must never care, so the contract is normalized HERE, at the
+    * single read choke point: `ts` is ALWAYS epoch-nanos LongType after
+    * this call. See [[normalizeEventTs]]. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
+    if (name == "events") {
+      // ns-encoded files: Spark 4 rejects TIMESTAMP(NANOS) unless read
+      // as raw int64 via the legacy conf (then ts arrives as LongType).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+      // µs/ms-encoded files arrive as timestamps; their epoch conversion
+      // must be wall-clock-naive like DuckDB's epoch_us, so pin UTC.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Normalize an events frame so `ts` is epoch-nanos LongType no matter
+    * how the parquet file encoded it:
+    *   - LongType          → already epoch-nanos (ns file + nanosAsLong)
+    *   - Timestamp(_NTZ)   → µs since epoch × 1000 (under the UTC session
+    *     timezone a naive timestamp's epoch µs equal DuckDB's epoch_us)
+    * Downstream code can then treat `ts` as int64 nanoseconds forever;
+    * a future resolution drift lands here, not in every query. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) | None => df
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case Some(other) =>
+        throw new IllegalStateException(s"events.ts has unsupported type $other")
+    }
 
   /** Register every table as a temp view (idempotent), like the
     * reference's `register_parquet` loop. Returns the session. */
