@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+
+import graft.engine.Tables
 
 /** Structured Streaming surface over the events table.
   *
@@ -16,22 +17,31 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  /** Events schema with `ts` as epoch-nanos (see Tables.t). */
-  val schema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Streaming source for the events table with the SAME ts contract as
+    * batch ([[Tables.t]]): `ts` is ALWAYS epoch-nanos LongType after
+    * this call, no matter how the parquet file encoded it
+    * (TIMESTAMP(NANOS)-as-int64 vs TIMESTAMP(MICROS) — the testdata has
+    * drifted between the two across generations). The file source needs
+    * an explicit schema, so we probe the footer once with a batch read
+    * (schema-only, zero data scanned) and then apply the identical
+    * [[Tables.normalizeEventTs]] projection on the stream — one choke
+    * point, two execution modes. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // ns-encoded files: Spark 4 rejects TIMESTAMP(NANOS) unless read as
+    // raw int64; µs-encoded NTZ files need the UTC pin for epoch math.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    Tables.normalizeEventTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet") // the file source wants a dir
+        .parquet(dir))
+  }
 
   /** Hourly windowed counts/sums per event type with a 1-hour watermark. */
   def hourlyAgg(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet") // the file source wants a dir
-      .parquet(dir)
+    eventsStream(spark, dir)
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
@@ -56,12 +66,8 @@ object EventsStreaming {
   def sessionizeStream(spark: SparkSession, dir: String, name: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapUs = 1800000000L
-    val q = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val q = eventsStream(spark, dir)
       .selectExpr("user_id", "event_id", "ts div 1000 AS tus")
       .as[Ev]
       .groupByKey(_.user_id)
@@ -103,11 +109,7 @@ object EventsStreaming {
     * keys use dropDuplicatesWithinWatermark, which evicts by
     * watermark. */
   def dedupStream(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val q = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val q = eventsStream(spark, dir)
       .selectExpr("user_id", "event_type", "timestamp_micros(ts div 1000) AS event_ts")
       .withWatermark("event_ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
@@ -129,11 +131,7 @@ object EventsStreaming {
     * is exactly the posture an unbounded two-stream join needs at
     * scale. Returns the memory-sink table. */
   def clickAttributionStream(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def side(tpe: String, pre: String): DataFrame = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    def side(tpe: String, pre: String): DataFrame = eventsStream(spark, dir)
       .filter(col("event_type") === tpe)
       .select(col("user_id").as(s"${pre}_user"),
         col("event_id").as(s"${pre}_id"),
@@ -161,8 +159,7 @@ object EventsStreaming {
   /** The batch formulation of [[clickAttributionStream]] — the equality
     * baseline for the stream-stream join test. */
   def clickAttributionBatch(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = Tables.t(spark, dir, "events")
     def side(tpe: String, pre: String): DataFrame = ev
       .filter(col("event_type") === tpe)
       .select(col("user_id").as(s"${pre}_user"),
