@@ -150,13 +150,30 @@ object Bench {
         (ts.max - ts.min) / median(ts)
     }
     val variance = if (rels.nonEmpty) rels.sum / rels.size else 0.0
+    // Adjudicability gate: a run with any failed query, or with mean
+    // relative spread above 0.5 (host contention — rounds 7 and 8 both
+    // shipped variance > 1.3 artifacts that could not be compared to
+    // anything), is NOT a usable performance artifact. Stamp it in the
+    // JSON and exit non-zero so automation gating on rc cannot mistake
+    // a polluted run for a green one.
+    val adjudicable = bad.isEmpty && variance <= 0.5
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","queries":$qs,"samples":$samplesJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"queries":$qs,"samples":$samplesJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // the same line to a stable file so the driver's parser never has to
     // fish it out of sbt log decorations
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_output.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    // the standing "last known good" slot is only ever overwritten by an
+    // adjudicable run — polluted runs live solely in the per-round archive
+    if (adjudicable)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_last_good.json"), line + "\n")
     spark.stop()
+    if (!adjudicable) {
+      System.err.println(
+        f"[bench] NOT ADJUDICABLE: variance=$variance%.3f (floor 0.5), failed=$failed")
+      sys.exit(1)
+    }
   }
 }

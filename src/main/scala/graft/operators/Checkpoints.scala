@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.GraftSqlBridge
+
+/** Lineage truncation for the iterative operators (pageRank, connected
+  * components, k-core, simhash pairing, triangle counts): every round
+  * ends in ONE checkpoint that truncates the exponentially-growing plan.
+  *
+  * Durability is a deployment choice, not an operator choice:
+  *   - default: `localCheckpoint` — blocks live on executors. Fastest,
+  *     and correct on `local[*]` where "executor death" is process
+  *     death; on a real cluster a lost executor kills the whole
+  *     iterative job (truncated lineage cannot recompute).
+  *   - `spark.graft.checkpoint.reliable=true` — `checkpoint` to the
+  *     context's checkpoint dir (HDFS/object store). This is the
+  *     100 TB posture: rounds survive executor loss at the cost of a
+  *     write per round. Requires `sparkContext.setCheckpointDir` to a
+  *     CLUSTER-VISIBLE path, enforced loudly here; pair with
+  *     `spark.cleaner.referenceTracking.cleanCheckpoints=true` so
+  *     superseded round files are reaped (round N−1's EXECUTOR blocks
+  *     are freed eagerly by [[free]] either way).
+  */
+private[graft] object Checkpoints {
+  val ReliableConf = "spark.graft.checkpoint.reliable"
+
+  /** Truncate lineage via the configured checkpoint flavor. */
+  def cut(df: DataFrame, eager: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf.getOption(ReliableConf).exists(_.toBoolean)
+    if (reliable) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableConf=true but no checkpoint dir — call " +
+          "sparkContext.setCheckpointDir(<cluster-visible path>) first")
+      df.checkpoint(eager)
+    } else df.localCheckpoint(eager)
+  }
+
+  /** Free round N−1's checkpoint blocks the moment round N materializes
+    * (the Pregel discipline — without it a 7-run sf1 soak of the
+    * components loop degraded 9.8 s → 105 s on pure GC). Reliable-mode
+    * FILES are reaped by the ContextCleaner under
+    * `cleanCheckpoints=true`; this frees the block-manager side, which
+    * both flavors share. */
+  def free(df: DataFrame): Unit = GraftSqlBridge.unpersistCheckpoint(df)
+}

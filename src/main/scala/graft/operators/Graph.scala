@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Iterative graph operators over arbitrary edge tables, built on the
   * same one-Spark-job-per-round discipline as
   * [[TextDedup.components]]: each round is a fixed shuffle pipeline
-  * materialized by ONE eager `localCheckpoint` (lineage truncation —
-  * the standard fix for iterative DataFrame plans), and round N−1's
-  * checkpoint blocks are freed the moment round N materializes, so a
-  * long loop never accumulates storage (the Pregel discipline;
-  * without it a 7-run sf1 soak of the components loop degraded
-  * 9.8 s → 105 s on pure GC).
+  * materialized by ONE eager checkpoint ([[Checkpoints.cut]] — lineage
+  * truncation, the standard fix for iterative DataFrame plans;
+  * executor-local by default, reliable-to-storage under
+  * `spark.graft.checkpoint.reliable=true` for real clusters), and
+  * round N−1's checkpoint blocks are freed the moment round N
+  * materializes, so a long loop never accumulates storage (the Pregel
+  * discipline; without it a 7-run sf1 soak of the components loop
+  * degraded 9.8 s → 105 s on pure GC).
   *
   * Counterpart of the reference's iterative-operator surface: the
   * reference keeps all cores busy through a work-stealing repartition
@@ -102,8 +104,8 @@ object Graph {
 
     // r0: one job materializes the initial ranks AND, through lineage,
     // the nodeDeg cache (so the edge scan feeding it runs exactly once)
-    val init = nodeDeg.select(col("__id"), lit(scale).as("__r"))
-      .localCheckpoint(true)
+    val init = Checkpoints.cut(
+      nodeDeg.select(col("__id"), lit(scale).as("__r")), eager = true)
     // enforce the documented overflow bound at runtime: total mass is
     // ≤ nodes × scale and the damping step multiplies a partial sum by
     // dampingPct ≤ 100, so nodes × scale × 100 must stay below 2^63 or
@@ -126,12 +128,13 @@ object Graph {
       val contrib = e.join(shares, e("__src") === shares("__id"))
         .groupBy(col("__dst").as("__cid"))
         .agg(sum(col("__share")).as("__c"))
-      val next = nodeDeg.select(col("__id"))
-        .join(contrib, col("__id") === col("__cid"), "left")
-        .select(col("__id"),
-          (lit(base) + expr(s"($dampingPct * coalesce(__c, 0L)) div 100"))
-            .as("__r"))
-        .localCheckpoint(true) // the ONE action of the round
+      val next = Checkpoints.cut( // the ONE action of the round
+        nodeDeg.select(col("__id"))
+          .join(contrib, col("__id") === col("__cid"), "left")
+          .select(col("__id"),
+            (lit(base) + expr(s"($dampingPct * coalesce(__c, 0L)) div 100"))
+              .as("__r")),
+        eager = true)
       unpersistCheckpoint(prevCkpt)
       prevCkpt = next
       ranks = next
@@ -195,9 +198,10 @@ object Graph {
       .persist()
     // one job: materializes the initial labels AND, through their
     // lineage, the eb cache (so e's upstream pipeline runs exactly once)
-    val init = eb.select(col("__a").as("__id")).distinct()
-      .select(col("__id"), col("__id").as("__comp"))
-      .localCheckpoint(true)
+    val init = Checkpoints.cut(
+      eb.select(col("__a").as("__id")).distinct()
+        .select(col("__id"), col("__id").as("__comp")),
+      eager = true)
     var labels = init
     var prevCkpt = init
     // eb is materialized; the raw edge list cache is no longer needed
@@ -209,11 +213,12 @@ object Graph {
       // (__a == __b) joins to the node's own current label, so
       // min-filtered on it == the PREVIOUS label — carried as __old in
       // the same shuffle, no extra pass over the data.
-      val next = eb.join(labels, eb("__a") === labels("__id"))
-        .groupBy(eb("__b").as("__id"))
-        .agg(min(col("__comp")).as("__comp"),
-          min(when(eb("__a") === eb("__b"), col("__comp"))).as("__old"))
-        .localCheckpoint(eager = false)
+      val next = Checkpoints.cut(
+        eb.join(labels, eb("__a") === labels("__id"))
+          .groupBy(eb("__b").as("__id"))
+          .agg(min(col("__comp")).as("__comp"),
+            min(when(eb("__a") === eb("__b"), col("__comp"))).as("__old")),
+        eager = false)
       // the ONE action of the round: materializes the (lazy) checkpoint
       // and reduces the change count in the same job
       val changedRow = next
@@ -309,11 +314,12 @@ object Graph {
       .unionAll(tri.select(col("__y").as("__id")))
       .unionAll(tri.select(col("__z").as("__id")))
       .groupBy("__id").agg(count(lit(1)).as("__t"))
-    val out = deg.select(col("__id"))
-      .join(perNode, Seq("__id"), "left")
-      .select(col("__id").as("id"),
-        coalesce(col("__t"), lit(0L)).as("triangles"))
-      .localCheckpoint(true)
+    val out = Checkpoints.cut(
+      deg.select(col("__id"))
+        .join(perNode, Seq("__id"), "left")
+        .select(col("__id").as("id"),
+          coalesce(col("__t"), lit(0L)).as("triangles")),
+      eager = true)
     o.unpersist(blocking = false)
     und.unpersist(blocking = false)
     out
@@ -401,12 +407,13 @@ object Graph {
     // spent 2/3 of its wall time in GC; this one doesn't). Degrees
     // come from a transient one-column union of both endpoints — it
     // feeds a shuffle, never a checkpoint.
-    val init = edges
-      .select(least(col(srcCol), col(dstCol)).as("__u"),
-        greatest(col(srcCol), col(dstCol)).as("__v"))
-      .filter(col("__u") =!= col("__v"))
-      .distinct()
-      .localCheckpoint(true) // one init job; edge pipeline runs once
+    val init = Checkpoints.cut( // one init job; edge pipeline runs once
+      edges
+        .select(least(col(srcCol), col(dstCol)).as("__u"),
+          greatest(col(srcCol), col(dstCol)).as("__v"))
+        .filter(col("__u") =!= col("__v"))
+        .distinct(),
+      eager = true)
     var cur = init
     var prevCkpt = init
     var prevCount = -1L
@@ -420,11 +427,12 @@ object Graph {
       val keep = degrees(cur)
         .filter(col("__deg") >= k)
         .select(col("__id"))
-      val next = cur
-        .join(keep.select(col("__id").as("__u")), Seq("__u"))
-        .join(keep.select(col("__id").as("__v")), Seq("__v"))
-        .select(col("__u"), col("__v"))
-        .localCheckpoint(eager = false)
+      val next = Checkpoints.cut(
+        cur
+          .join(keep.select(col("__id").as("__u")), Seq("__u"))
+          .join(keep.select(col("__id").as("__v")), Seq("__v"))
+          .select(col("__u"), col("__v")),
+        eager = false)
       // the ONE action of the round: materializes the checkpoint and
       // returns the surviving edge count == the convergence signal
       val cnt = next.count()

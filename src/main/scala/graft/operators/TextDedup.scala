@@ -258,13 +258,14 @@ object TextDedup {
     // hamming is computed BEFORE the dedup so the distinct carries
     // (idA, idB, hamming) — it is functionally determined by the pair,
     // and dropping the two signature columns narrows the exchange
-    val pairs = lhs
-      .join(rhs, col("__k") === col("__k2") && col("idA") < col("idB"))
-      .select(col("idA"), col("idB"),
-        expr("CAST(bit_count(__sa ^ __sb) AS INT)").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-      .localCheckpoint(eager = true)
+    val pairs = Checkpoints.cut(
+      lhs
+        .join(rhs, col("__k") === col("__k2") && col("idA") < col("idB"))
+        .select(col("idA"), col("idB"),
+          expr("CAST(bit_count(__sa ^ __sb) AS INT)").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct(),
+      eager = true)
     sig.unpersist(blocking = false)
     pairs
   }

@@ -150,11 +150,16 @@ object TpcRunner {
       (ts.max - ts.min) / median(ts)
     }
     val variance = if (rels.nonEmpty) rels.sum / rels.size else 0.0
+    // same adjudicability gate as graft.Bench: variance past 0.5 means
+    // host contention drowned the signal and the artifact must not be
+    // used as a standing comparable
+    val adjudicable = variance <= 0.5
     // config/variance are just elements, so an empty run set still
     // yields valid JSON (no dangling separator)
     val entries = Seq(
       s""""config": $confJson""",
-      f""""variance": $variance%.3f""") ++ rows.map { case (n, ts, gc) =>
+      f""""variance": $variance%.3f""",
+      s""""adjudicable": $adjudicable""") ++ rows.map { case (n, ts, gc) =>
       s"""${jstr(n)}: {"ms": [${ts.map(t => f"$t%.1f").mkString(",")}], """ +
         f""""median_ms": ${median(ts)}%.1f, "gc_sec": $gc%.3f}"""
     }
@@ -166,6 +171,11 @@ object TpcRunner {
     Files.writeString(Paths.get(s"$outDir/results.csv"), csv)
     println(s"results written to $outDir/results.{json,csv}")
     if (ownsSession) spark.stop()
+    if (!adjudicable) {
+      System.err.println(
+        f"[tpc] NOT ADJUDICABLE: variance=$variance%.3f exceeds the 0.5 floor")
+      sys.exit(1)
+    }
   }
 
   @annotation.tailrec

@@ -289,4 +289,21 @@ class GraphOpsSpec extends AnyFunSuite {
     Graph.triangleCounts(edges).count()
     assert(org.apache.spark.sql.classic.GraftSqlBridge.cacheIsEmpty(spark))
   }
+
+  test("reliable checkpoint mode: same components, rounds durable in the checkpoint dir") {
+    import spark.implicits._
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    spark.conf.set(graft.operators.Checkpoints.ReliableConf, "true")
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L)).toDF("src", "dst")
+      val got = Graph.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+      // the rounds really went through the reliable path: files exist
+      val files = java.nio.file.Files.walk(ckptDir)
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "reliable mode left no files in the checkpoint dir")
+    } finally spark.conf.set(graft.operators.Checkpoints.ReliableConf, "false")
+  }
 }
