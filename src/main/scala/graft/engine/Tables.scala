@@ -44,11 +44,22 @@ object Tables {
     *   - Timestamp(_NTZ)   → µs since epoch × 1000 (under the UTC session
     *     timezone a naive timestamp's epoch µs equal DuckDB's epoch_us)
     * Downstream code can then treat `ts` as int64 nanoseconds forever;
-    * a future resolution drift lands here, not in every query. */
+    * a future resolution drift lands here, not in every query.
+    *
+    * The NTZ→Timestamp cast resolves the session timezone at EXECUTION
+    * time, so the conversion is only correct under a UTC session — every
+    * entry point ([[t]], `EventsStreaming.eventsStream`) pins it, and
+    * this asserts it so a caller that later changes the session timezone
+    * fails loudly instead of silently skewing every µs-encoded ts. */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) | None => df
       case Some(TimestampType) | Some(TimestampNTZType) =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is timestamp-encoded and the session timezone is '$tz': " +
+            "the epoch conversion is only wall-clock-correct under UTC — read " +
+            "events through Tables.t / EventsStreaming.eventsStream, which pin it")
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case Some(other) =>
         throw new IllegalStateException(s"events.ts has unsupported type $other")

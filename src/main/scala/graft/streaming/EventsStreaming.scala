@@ -101,6 +101,89 @@ object EventsStreaming {
     spark.table(name)
   }
 
+  /** Open-session state carried across micro-batches (epoch-µs). */
+  case class SessionState(start: Long, last: Long, n: Int)
+
+  /** Production stateful sessionization: unlike [[sessionizeStream]]
+    * (which flushes every session at the batch boundary — correct only
+    * for a one-batch static fixture), this variant carries the open
+    * trailing session per user in `GroupState` and closes it either
+    * when a later event arrives past the gap or when the EVENT-TIME
+    * timeout fires (watermark passes `last + gap`) — so a session
+    * spanning micro-batches is emitted ONCE, stitched, which is the
+    * semantics an unbounded ingest pipeline needs. State is one
+    * (start, last, n) triple per ACTIVE user — bounded by the timeout
+    * eviction, the at-scale requirement. Sessions still open when the
+    * watermark hasn't reached their timeout remain in state (they are
+    * not yet decidable); callers draining a finite fixture see them
+    * flushed by Spark's no-data micro-batch once the watermark
+    * advances past them. */
+  def sessionizeStreamStateful(
+      spark: SparkSession, dir: String, name: String,
+      gapUs: Long = 1800000000L, watermarkDelay: String = "1 hour",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val src = maxFilesPerTrigger.fold(eventsStream(spark, dir)) { n =>
+      // trigger-capped source over ALL parquet files in the dir (test
+      // hook: forces a multi-file fixture through one-file-per-batch
+      // micro-batches to exercise cross-batch session stitching)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      Tables.normalizeEventTs(
+        spark.readStream
+          .schema(spark.read.parquet(dir).schema)
+          .option("maxFilesPerTrigger", n)
+          .parquet(dir))
+    }
+    val q = src
+      .selectExpr("user_id", "event_id", "ts div 1000 AS tus",
+        "timestamp_micros(ts div 1000) AS event_ts")
+      .withWatermark("event_ts", watermarkDelay)
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, events: Iterator[EvT], state: GroupState[SessionState]) =>
+          if (!events.hasNext && state.hasTimedOut) {
+            // watermark passed last+gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.start, s.n, (s.last - s.start) / 1000000L))
+          } else {
+            val sorted = events.toIndexedSeq.sortBy(e => (e.tus, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur = cur match {
+                case Some(s) if e.tus - s.last > gapUs =>
+                  closed += SessionOut(uid, s.start, s.n, (s.last - s.start) / 1000000L)
+                  Some(SessionState(e.tus, e.tus, 1))
+                case Some(s) => Some(SessionState(s.start, e.tus, s.n + 1))
+                case None => Some(SessionState(e.tus, e.tus, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // event-time timeout at last+gap (ms); clamped above the
+              // current watermark, which Spark requires
+              val t = s.last / 1000L + gapUs / 1000L
+              state.setTimeoutTimestamp(math.max(t, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  case class EvT(user_id: Long, event_id: Long, tus: Long, event_ts: java.sql.Timestamp)
+
   /** Streaming deduplication — the ingest-side dedup a training
     * pipeline runs before anything else: dropDuplicates on the event
     * key over the stream. NB: with the event-time column absent from

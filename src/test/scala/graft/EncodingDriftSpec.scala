@@ -89,6 +89,17 @@ class EncodingDriftSpec extends AnyFunSuite {
       s"hour buckets outside the fixture's epoch window (1970-drift signature): ${hours.toSeq}")
   }
 
+  test("timestamp-encoded ts under a non-UTC session fails loudly, not silently skewed") {
+    val usDir = writeFixture("micros_ntz")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val raw = spark.read.parquet(s"$usDir/events.parquet")
+      val e = intercept[IllegalArgumentException](Tables.normalizeEventTs(raw))
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("streaming hourly agg is identical across ts encodings and matches batch") {
     val longDir = writeFixture("nanos_as_long")
     val usDir = writeFixture("micros_ntz")
