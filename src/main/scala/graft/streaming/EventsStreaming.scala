@@ -206,6 +206,32 @@ object EventsStreaming {
     spark.table(name)
   }
 
+  /** Bounded-state streaming dedup for UNBOUNDED key domains — the
+    * variant [[dedupStream]]'s scaladoc points at: event-id dedup on an
+    * infinite ingest stream cannot retain every key forever, so
+    * `dropDuplicatesWithinWatermark` keeps a key's state only until the
+    * watermark passes its event time + the delay, after which the key
+    * is evicted — duplicates arriving within the watermark window are
+    * dropped, state stays O(events-per-window), and a duplicate older
+    * than the window is by definition outside the stream's lateness
+    * contract. This is the 100 TB ingest-dedup posture (exact dedup of
+    * the full corpus is the batch operator [[graft.operators.TextDedup]]). */
+  def dedupStreamBounded(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val q = eventsStream(spark, dir)
+      .selectExpr("event_id", "user_id", "event_type",
+        "timestamp_micros(ts div 1000) AS event_ts")
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Stream-stream inner join with an event-time range constraint: each
     * purchase joins the clicks of the same user from the preceding
     * 30 minutes (attribution). Both sides carry watermarks, and the

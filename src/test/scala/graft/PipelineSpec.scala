@@ -131,6 +131,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("bounded-state streaming dedup keeps every distinct event id of the fixture") {
+    // the fixture's event ids are already unique, so within-watermark
+    // dedup must be the identity on ids — and the row count must match
+    // the batch read exactly (nothing dropped, nothing duplicated)
+    val streamed = EventsStreaming.dedupStreamBounded(spark, dir, "stream_dedup_bounded")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val batch = graft.engine.Tables.t(spark, dir, "events")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+  }
+
   test("embedding arrays round-trip through a parquet sink") {
     val out = java.nio.file.Files.createTempDirectory("graft_emb").toString
     val e = graft.engine.Tables.t(spark, dir, "embeddings")
