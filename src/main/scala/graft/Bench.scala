@@ -56,6 +56,14 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same hook as Verify: A/B a config (e.g. the build-map layout or
+    // required-mode conversion) over any bench slice
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ =>
+      }
+    })
 
     // warm-up: JVM + parquet footer + codegen paths
     SparkEntry.queries("q6_forecast_revenue")(spark, sfDir)
