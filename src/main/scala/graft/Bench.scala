@@ -173,8 +173,9 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_output.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     // the standing "last known good" slot is only ever overwritten by an
-    // adjudicable run — polluted runs live solely in the per-round archive
-    if (adjudicable)
+    // adjudicable run of the FULL headline slice — focused slice runs and
+    // polluted runs live solely in their own out files / per-round archive
+    if (adjudicable && args.isEmpty)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_last_good.json"), line + "\n")
     spark.stop()
