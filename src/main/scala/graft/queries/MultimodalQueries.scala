@@ -132,5 +132,104 @@ object MultimodalQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(binaryMeta, decodeStub, frameSample)
+  /** Resize: the dimension-transform step of an image pipeline. The
+    * stub decoder's (width, height) are scaled to fit the longest side
+    * into 256 px with exact integer arithmetic (floor division,
+    * minimum 1 px — aspect-preserving), and the "resized payload" is
+    * represented by a re-keyed content hash, which is what a cache/
+    * dedup layer downstream of a real resizer keys on. All integer ops
+    * → bit-identical in the DuckDB replay. */
+  val resizeStub: Q = Q(
+    "m4_resize_stub",
+    """WITH h AS (SELECT doc_id, md5(text) AS ph,
+      |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |dims AS (SELECT doc_id, ph,
+      |    CAST(h % 1920 + 1 AS BIGINT) AS w,
+      |    CAST((h // 1920) % 1080 + 1 AS BIGINT) AS ht
+      |  FROM h),
+      |m AS (SELECT doc_id, ph, w, ht, GREATEST(w, ht) AS mx FROM dims)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(ht AS INT) AS height,
+      |  CAST(CASE WHEN mx <= 256 THEN w ELSE GREATEST(1, (w * 256) // mx) END AS INT) AS out_width,
+      |  CAST(CASE WHEN mx <= 256 THEN ht ELSE GREATEST(1, (ht * 256) // mx) END AS INT) AS out_height,
+      |  md5(ph || ':' ||
+      |    CAST(CASE WHEN mx <= 256 THEN w ELSE GREATEST(1, (w * 256) // mx) END AS VARCHAR) || 'x' ||
+      |    CAST(CASE WHEN mx <= 256 THEN ht ELSE GREATEST(1, (ht * 256) // mx) END AS VARCHAR)) AS resized_md5
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sp = s
+    import sp.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+        it.map { case (id, bytes) =>
+          // STUB: a real resizer rescales decoded pixels; the integer
+          // fit-to-256 dimension math and the re-keyed hash are real
+          digest.reset()
+          val ph = hex(digest.digest(bytes))
+          val h = java.lang.Long.parseLong(ph.substring(0, 15), 16)
+          val w = h % 1920 + 1
+          val ht = (h / 1920) % 1080 + 1
+          val mx = math.max(w, ht)
+          val (ow, oh) =
+            if (mx <= 256) (w, ht)
+            else (math.max(1L, w * 256 / mx), math.max(1L, ht * 256 / mx))
+          digest.reset()
+          val rm = hex(digest.digest(s"$ph:${ow}x$oh".getBytes("UTF-8")))
+          (id, w.toInt, ht.toInt, ow.toInt, oh.toInt, rm)
+        }
+      }
+      .toDF("doc_id", "width", "height", "out_width", "out_height", "resized_md5")
+      .orderBy("doc_id")
+  }
+
+  /** Feature extraction: the embedding step of an image pipeline — one
+    * fixed-width vector per payload, emitted as 8 integer feature
+    * columns (a real extractor returns floats from a vision model; the
+    * stub derives each lane from the payload hash so the whole vector
+    * is SQL-replayable and exactly comparable). The mapPartitions
+    * shape (model loaded once per partition, rows streamed through)
+    * is precisely the batched-inference integration point. */
+  val featureStub: Q = Q(
+    "m5_feature_extract_stub",
+    """WITH h AS (SELECT doc_id, md5(text) AS ph FROM documents)
+      |SELECT doc_id,
+      |  ('0x' || substr(md5(ph || ':f0'), 1, 15))::BIGINT AS f0,
+      |  ('0x' || substr(md5(ph || ':f1'), 1, 15))::BIGINT AS f1,
+      |  ('0x' || substr(md5(ph || ':f2'), 1, 15))::BIGINT AS f2,
+      |  ('0x' || substr(md5(ph || ':f3'), 1, 15))::BIGINT AS f3,
+      |  ('0x' || substr(md5(ph || ':f4'), 1, 15))::BIGINT AS f4,
+      |  ('0x' || substr(md5(ph || ':f5'), 1, 15))::BIGINT AS f5,
+      |  ('0x' || substr(md5(ph || ':f6'), 1, 15))::BIGINT AS f6,
+      |  ('0x' || substr(md5(ph || ':f7'), 1, 15))::BIGINT AS f7
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sp = s
+    import sp.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // model/codec init once per partition (the batched-inference
+        // integration point of a real extractor)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+        def lane(ph: String, i: Int): Long = {
+          digest.reset()
+          java.lang.Long.parseLong(
+            hex(digest.digest(s"$ph:f$i".getBytes("UTF-8"))).substring(0, 15), 16)
+        }
+        it.map { case (id, bytes) =>
+          digest.reset()
+          val ph = hex(digest.digest(bytes))
+          (id, lane(ph, 0), lane(ph, 1), lane(ph, 2), lane(ph, 3),
+            lane(ph, 4), lane(ph, 5), lane(ph, 6), lane(ph, 7))
+        }
+      }
+      .toDF("doc_id", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(binaryMeta, decodeStub, frameSample, resizeStub, featureStub)
 }

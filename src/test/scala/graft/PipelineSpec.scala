@@ -160,4 +160,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.length == graft.engine.Tables.t(spark, dir, "documents").count())
     assert(a.forall(r => r.getInt(2) >= 1 && r.getInt(3) >= 1))
   }
+
+  test("resize stub fits the 256 box and preserves aspect ratio") {
+    val rows = graft.queries.MultimodalQueries.resizeStub.fn(spark, dir).collect()
+    assert(rows.length == graft.engine.Tables.t(spark, dir, "documents").count())
+    rows.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(ow >= 1 && oh >= 1 && ow <= 256 && oh <= 256, s"out dims $ow x $oh")
+      if (math.max(w, h) <= 256) assert(ow == w && oh == h)
+      else {
+        // floor scaling: out = in * 256 / max(in dims), so the scaled
+        // aspect ratio is exact up to the floor
+        val mx = math.max(w, h).toLong
+        assert(ow == math.max(1L, w.toLong * 256 / mx).toInt)
+        assert(oh == math.max(1L, h.toLong * 256 / mx).toInt)
+      }
+    }
+  }
+
+  test("feature-extract stub is deterministic with 8 full-width lanes") {
+    val a = graft.queries.MultimodalQueries.featureStub.fn(spark, dir).collect()
+    val b = graft.queries.MultimodalQueries.featureStub.fn(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.length == graft.engine.Tables.t(spark, dir, "documents").count())
+    // lanes are independent 60-bit hashes: on any non-trivial corpus
+    // every lane must take many distinct values
+    val distinctPerLane = (1 to 8).map(i => a.map(_.getLong(i)).distinct.length)
+    assert(distinctPerLane.forall(_ > a.length / 2), s"lanes $distinctPerLane")
+  }
 }
