@@ -913,10 +913,88 @@ object TextQueries {
       .orderBy("doc_id", "term")
   }
 
+  /** The composed curation pipeline — the flow a training-data run
+    * actually executes, as ONE DataFrame program: exact dedup
+    * (winner-per-content, t1's recipe) → quality gate (t4's rounded
+    * score ≥ 0.65) → language gate (t3's langId = 'en') → per-source
+    * sequential context packing (t13's 4096-char bins) → per-bin
+    * stats. Every stage reuses the operator/recipe its standalone
+    * query gates, so this also proves the operators COMPOSE without
+    * breaking oracle-exactness. Scale shape: one dedup shuffle, one
+    * semi-join, per-row codegen'd scoring, one per-source window —
+    * no stage materializes to the driver. */
+  val curationPipeline: Q = Q(
+    "t30_curation_pipeline",
+    """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |d AS (SELECT dd.doc_id, dd.source, dd.n_chars, dd.text
+      |      FROM documents dd JOIN keep ON dd.doc_id = keep.doc_id),
+      |f AS (SELECT doc_id,
+      |    CAST(length(text) AS DOUBLE) AS nc,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+      |    CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) AS na
+      |  FROM d),
+      |q AS (SELECT doc_id,
+      |    FLOOR((0.5 * (nd / nt) + 0.3 * (1.0 - na / nc)
+      |      + 0.2 * LEAST(nt / 100.0, 1.0)) * 10000 + 0.5) / 10000 AS quality
+      |  FROM f),
+      |p AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM d),
+      |sc AS (SELECT doc_id,
+      |  (length(pt) - length(replace(pt, ' the ', ''))) / 5 AS s_en,
+      |  (length(pt) - length(replace(pt, ' el ', ''))) / 4
+      |    + (length(pt) - length(replace(pt, ' la ', ''))) / 4 AS s_es,
+      |  (length(pt) - length(replace(pt, ' der ', ''))) / 5
+      |    + (length(pt) - length(replace(pt, ' und ', ''))) / 5 AS s_de,
+      |  (length(pt) - length(replace(pt, ' le ', ''))) / 4
+      |    + (length(pt) - length(replace(pt, ' et ', ''))) / 4 AS s_fr
+      |  FROM p),
+      |lng AS (SELECT doc_id,
+      |  CASE WHEN s_es > s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |       WHEN s_de > s_en AND s_de > s_es AND s_de >= s_fr THEN 'de'
+      |       WHEN s_fr > s_en AND s_fr > s_es AND s_fr > s_de THEN 'fr'
+      |       ELSE 'en' END AS pred_lang
+      |  FROM sc),
+      |surv AS (SELECT d.source, d.doc_id, d.n_chars
+      |  FROM d JOIN q ON d.doc_id = q.doc_id JOIN lng ON d.doc_id = lng.doc_id
+      |  WHERE q.quality >= 0.65 AND lng.pred_lang = 'en'),
+      |o AS (SELECT source, doc_id, n_chars,
+      |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+      |  FROM surv),
+      |b AS (SELECT source, doc_id, n_chars,
+      |    CAST((prefix - n_chars) // 4096 AS BIGINT) AS bin FROM o)
+      |SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+      |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TextAnalysis
+    val d0 = t(s, dir, "documents")
+    val winners = d0.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val d = d0.join(winners, Seq("doc_id"), "left_semi")
+    val surv = d
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      .filter(col("quality") >= 0.65 && col("pred_lang") === "en")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    surv.withColumn("prefix", sum(col("n_chars")).over(w))
+      .withColumn("bin", expr("(prefix - n_chars) div 4096"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("source", "bin")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, tokenStats, langId, quality,
     fingerprint, ngramJaccard, minhashLsh, simhash,
     trainTestSplit, vocab, lengthBuckets, bpeTokens,
     seqPacking, contamination, stratifiedSample,
     blockDedup, repetitionScore, unigramLogprob, neardupComponents, countMin,
-    simhashNearDup, piiRedact, domainMix, chunkOverlap, tfidf)
+    simhashNearDup, piiRedact, domainMix, chunkOverlap, tfidf,
+    curationPipeline)
 }
