@@ -37,7 +37,11 @@ object Bench {
     // the sf0.1 co-purchase graph is dense — avg degree ~120 — so its
     // honest wedge table is ~70M rows and one query would dominate the
     // whole headline total; run it solo via the names arg instead.)
-    "gr1_pagerank_copurchase")
+    "gr1_pagerank_copurchase",
+    // round-9 addition: the composed dedup→quality→language→packing
+    // curation pipeline (NB: totals before r9 cover 29 queries, after
+    // 30 — compare per-query across rounds, not totals)
+    "t30_curation_pipeline")
 
   def main(args: Array[String]): Unit = {
     // optional arg: comma-separated query names for a focused local
