@@ -62,12 +62,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // same hook as Verify: A/B a config (e.g. the build-map layout or
     // required-mode conversion) over any bench slice
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+    extraConf.split(";").foreach { kv =>
       kv.split("=", 2) match {
         case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
         case _ =>
       }
-    })
+    }
 
     // warm-up: JVM + parquet footer + codegen paths
     SparkEntry.queries("q6_forecast_revenue")(spark, sfDir)
@@ -170,16 +171,18 @@ object Bench {
     // a polluted run for a green one.
     val adjudicable = bad.isEmpty && variance <= 0.5
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"queries":$qs,"samples":$samplesJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"extra_conf":"$extraConf","queries":$qs,"samples":$samplesJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // the same line to a stable file so the driver's parser never has to
     // fish it out of sbt log decorations
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_output.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     // the standing "last known good" slot is only ever overwritten by an
-    // adjudicable run of the FULL headline slice — focused slice runs and
+    // adjudicable run of the FULL headline slice under the STANDARD
+    // config — focused slices, A/B runs (non-empty extra conf, echoed in
+    // the line above so an artifact's config is never ambiguous), and
     // polluted runs live solely in their own out files / per-round archive
-    if (adjudicable && args.isEmpty)
+    if (adjudicable && args.isEmpty && extraConf.isEmpty)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_last_good.json"), line + "\n")
     spark.stop()

@@ -24,7 +24,19 @@ import org.apache.spark.sql.classic.GraftSqlBridge
 private[graft] object Checkpoints {
   val ReliableConf = "spark.graft.checkpoint.reliable"
 
-  /** Truncate lineage via the configured checkpoint flavor. */
+  /** Truncate lineage via the configured checkpoint flavor.
+    *
+    * Reliable mode forces EAGER semantics and persists the frame for
+    * the duration of the call: `Dataset.checkpoint` alone marks the
+    * RDD and writes the files in a SECOND job that would otherwise
+    * recompute the whole round's pipeline (Spark's documented
+    * `RDD.checkpoint` caveat) — persisting first means compute-once
+    * plus two cheap cached passes (materialize + file write), and the
+    * cache entry is dropped before returning so no CacheManager state
+    * leaks. Lazy cut callers (whose round's single action would have
+    * materialized the local checkpoint) pay one extra cheap job in
+    * reliable mode; the one-job-per-round pins apply to the default
+    * local mode. */
   def cut(df: DataFrame, eager: Boolean): DataFrame = {
     val spark = df.sparkSession
     val reliable = spark.conf.getOption(ReliableConf).exists(_.toBoolean)
@@ -32,7 +44,9 @@ private[graft] object Checkpoints {
       require(spark.sparkContext.getCheckpointDir.isDefined,
         s"$ReliableConf=true but no checkpoint dir — call " +
           "sparkContext.setCheckpointDir(<cluster-visible path>) first")
-      df.checkpoint(eager)
+      df.persist()
+      try df.checkpoint(eager = true)
+      finally df.unpersist(blocking = false)
     } else df.localCheckpoint(eager)
   }
 

@@ -80,7 +80,6 @@ object Graph {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
     require(scale > 0, s"scale must be positive, got $scale")
-    import org.apache.spark.sql.classic.GraftSqlBridge.unpersistCheckpoint
 
     // the edge list is read iters+2 times (node set, degrees, one
     // probe per round) — persisted so the caller's edge pipeline (often
@@ -135,7 +134,7 @@ object Graph {
             (lit(base) + expr(s"($dampingPct * coalesce(__c, 0L)) div 100"))
               .as("__r")),
         eager = true)
-      unpersistCheckpoint(prevCkpt)
+      Checkpoints.free(prevCkpt)
       prevCkpt = next
       ranks = next
       i += 1
@@ -185,7 +184,6 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst",
       maxIters: Int = 50): DataFrame = {
-    import org.apache.spark.sql.classic.GraftSqlBridge.unpersistCheckpoint
     val e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b")).persist()
     val sym = e.union(e.select(col("__b").as("__a"), col("__a").as("__b")))
     // hash-partitioned on __a so every propagation round's edge⋈labels
@@ -225,7 +223,7 @@ object Graph {
         .agg(sum(when(col("__comp") < col("__old"), 1L).otherwise(0L)))
         .collect()(0)
       converged = changedRow.isNullAt(0) || changedRow.getLong(0) == 0L
-      unpersistCheckpoint(prevCkpt)
+      Checkpoints.free(prevCkpt)
       prevCkpt = next
       labels = next.select(col("__id"), col("__comp"))
       iter += 1
@@ -399,7 +397,6 @@ object Graph {
       k: Int = 2,
       maxIters: Int = 50): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    import org.apache.spark.sql.classic.GraftSqlBridge.unpersistCheckpoint
 
     // canonical (u < v) distinct non-loop edges — HALF the rows of a
     // symmetrized table, which halves every round's checkpoint
@@ -438,7 +435,7 @@ object Graph {
       val cnt = next.count()
       converged = cnt == prevCount
       prevCount = cnt
-      unpersistCheckpoint(prevCkpt)
+      Checkpoints.free(prevCkpt)
       prevCkpt = next
       cur = next
       iter += 1

@@ -53,7 +53,7 @@ object GraphQueries {
     * degenerate-group cap — TPC-H baskets are ≤7 items, far under it,
     * so the projection is exactly the naive pair set here while staying
     * safe on retail-scale carts. */
-  private def copurchase(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[graft] def copurchase(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.operators.Graph.coOccurrence(
       t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),

@@ -158,7 +158,15 @@ object EventsStreaming {
                 case Some(s) if e.tus - s.last > gapUs =>
                   closed += SessionOut(uid, s.start, s.n, (s.last - s.start) / 1000000L)
                   Some(SessionState(e.tus, e.tus, 1))
-                case Some(s) => Some(SessionState(s.start, e.tus, s.n + 1))
+                case Some(s) =>
+                  // a LATE event (admitted because it beat the watermark)
+                  // may sort before the open session's bounds: fold it in
+                  // without rewinding `last` (a rewind would spuriously
+                  // split on the next in-order event and could produce
+                  // negative durations). This is the standard stateful
+                  // approximation — a late event always joins the OPEN
+                  // session; re-splitting history would need the batch op.
+                  Some(SessionState(math.min(s.start, e.tus), math.max(s.last, e.tus), s.n + 1))
                 case None => Some(SessionState(e.tus, e.tus, 1))
               }
             }

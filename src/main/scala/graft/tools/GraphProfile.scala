@@ -3,9 +3,6 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.engine.Tables.t
-import graft.operators.Graph
-
 /** Phase-split profile of the gr1 co-purchase PageRank (the
   * round-6/round-7/round-8 verdict ask): how much of the query is the
   * coOccurrence edge build (distinct incidence → size-capped group
@@ -38,11 +35,10 @@ object GraphProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def copurchase() = Graph.coOccurrence(
-      t(spark, sfDir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
-      "ok", "pk", maxGroupSize = 1024)
-      .select(col("src"), col("dst"))
+    // the EXACT edge build gr1 runs (shared code, not a re-derivation:
+    // if the headline recipe's cap/projection changes, this profiler
+    // keeps measuring the real thing)
+    def copurchase() = graft.queries.GraphQueries.copurchase(spark, sfDir)
     def symmetrized() = {
       val co = copurchase()
       co.unionAll(co.select(col("dst").as("src"), col("src").as("dst")))

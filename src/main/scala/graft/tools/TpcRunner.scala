@@ -174,7 +174,11 @@ object TpcRunner {
     if (!adjudicable) {
       System.err.println(
         f"[tpc] NOT ADJUDICABLE: variance=$variance%.3f exceeds the 0.5 floor")
-      sys.exit(1)
+      // only terminate a JVM we own (CLI runs); when invoked against a
+      // pre-existing session (tests, shells) the warning + the
+      // adjudicable:false stamp in results.json carry the signal — a
+      // sys.exit here would kill the caller's whole process
+      if (ownsSession) sys.exit(1)
     }
   }
 

@@ -74,4 +74,26 @@ class StatefulSessionSpec extends AnyFunSuite {
     // its last+gap, so it is still open/undecidable
     assert(out == expected, s"got $out")
   }
+
+  test("a late within-watermark event folds into the open session without splitting it") {
+    val dir = Files.createTempDirectory("graft_stateful_late")
+    // batch 1: session open with events at 12:00 and 12:20
+    writeFile(dir, "a.parquet", 60, Seq((1L, t0, 5L), (2L, t0 + 20 * Min, 5L)))
+    // batch 2: a LATE event (12:05 — before the carried state's last of
+    // 12:20, admitted because the 1 h watermark delay hasn't passed it)
+    // plus an in-order event at 12:40 and the watermark-driving sentinel.
+    // A naive rewind of `last` to 12:05 would make 12:40 look like a
+    // 35-min gap and split the session; correct output is ONE session
+    // of 4 events spanning 12:00→12:40.
+    writeFile(dir, "b.parquet", 1, Seq(
+      (3L, t0 + 5 * Min, 5L), (4L, t0 + 40 * Min, 5L),
+      (5L, t0 + 400L * 60 * Min, 99L)))
+    val out = EventsStreaming.sessionizeStreamStateful(
+      spark, dir.toString, "stateful_late",
+      watermarkDelay = "1 hour", maxFilesPerTrigger = Some(1))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .filter(_._1 != 99L).toSet
+    assert(out == Set((5L, t0, 4, 2400L)), s"got $out")
+  }
 }
