@@ -90,11 +90,7 @@ object Bench {
       beans.forEach(b => if (b.getCollectionTime > 0) total += b.getCollectionTime)
       total
     }
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted
-      val n = s.length
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-    }
+    import graft.tools.BenchProtocol.median
     val sampled: Seq[(String, Seq[Double], Double)] = slice.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def once(): Double = {
@@ -158,20 +154,39 @@ object Bench {
     // samples only (the cold run is excluded), so this measures host
     // noise, not cache warm-up.
     val okNames = ok.map(_._1).toSet
-    val rels = sampled.collect {
-      case (k, ts, _) if okNames(k) && ts.min > 0 =>
-        (ts.max - ts.min) / median(ts)
-    }
-    val variance = if (rels.nonEmpty) rels.sum / rels.size else 0.0
-    // Adjudicability gate: a run with any failed query, or with mean
-    // relative spread above 0.5 (host contention — rounds 7 and 8 both
-    // shipped variance > 1.3 artifacts that could not be compared to
-    // anything), is NOT a usable performance artifact. Stamp it in the
-    // JSON and exit non-zero so automation gating on rc cannot mistake
-    // a polluted run for a green one.
-    val adjudicable = bad.isEmpty && variance <= 0.5
+    val variance = graft.tools.BenchProtocol.meanRelSpread(
+      sampled.collect { case (k, ts, _) if okNames(k) => ts })
+    // Adjudicability gate (shared with TpcRunner via BenchProtocol): a
+    // run with any failed query, or with mean relative spread above the
+    // floor (host contention — rounds 7 and 8 both shipped variance
+    // > 1.3 artifacts that could not be compared to anything), is NOT a
+    // usable performance artifact. Stamp it in the JSON and exit
+    // non-zero so automation gating on rc cannot mistake a polluted run
+    // for a green one.
+    val adjudicable = graft.tools.BenchProtocol.adjudicable(bad.nonEmpty, variance)
+    // mechanical drift adjudication (round-9 verdict #8): per-query
+    // ratio vs the standing last-good artifact, computed BEFORE this run
+    // may overwrite the slot. Only queries present and >0 in both runs.
+    val lastGood: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("bench_last_good.json")
+      if (java.nio.file.Files.exists(p)) {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val q = om.readTree(java.nio.file.Files.readString(p)).get("queries")
+        if (q == null) Map.empty
+        else {
+          val b = Map.newBuilder[String, Double]
+          q.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble())
+          b.result()
+        }
+      } else Map.empty
+    } catch { case _: Exception => Map.empty }
+    val ratios = results.collect {
+      case (k, v) if v > 0 && lastGood.get(k).exists(_ > 0) =>
+        "\"" + k + "\":" + f"${v / lastGood(k)}%.3f"
+    }.mkString("{", ",", "}")
+    val extraConfJson = graft.tools.BenchProtocol.jsonEscape(extraConf)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"extra_conf":"$extraConf","queries":$qs,"samples":$samplesJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","queries":$qs,"ratio_vs_last_good":$ratios,"samples":$samplesJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // the same line to a stable file so the driver's parser never has to
     // fish it out of sbt log decorations
@@ -188,7 +203,7 @@ object Bench {
     spark.stop()
     if (!adjudicable) {
       System.err.println(
-        f"[bench] NOT ADJUDICABLE: variance=$variance%.3f (floor 0.5), failed=$failed")
+        f"[bench] NOT ADJUDICABLE: variance=$variance%.3f (floor ${graft.tools.BenchProtocol.VarianceFloor}), failed=$failed")
       sys.exit(1)
     }
   }

@@ -32,8 +32,10 @@ object Tables {
       // as raw int64 via the legacy conf (then ts arrives as LongType).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // µs/ms-encoded files arrive as timestamps; their epoch conversion
-      // must be wall-clock-naive like DuckDB's epoch_us, so pin UTC.
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      // must be wall-clock-naive like DuckDB's epoch_us, which needs a
+      // UTC session. Fail loudly rather than silently overriding a
+      // caller's deliberate non-UTC session for everything after us.
+      requireUtcSession(spark)
       normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
@@ -51,6 +53,19 @@ object Tables {
     * entry point ([[t]], `EventsStreaming.eventsStream`) pins it, and
     * this asserts it so a caller that later changes the session timezone
     * fails loudly instead of silently skewing every µs-encoded ts. */
+  /** The events ts contract is only wall-clock-correct under a UTC
+    * session; every entry point configures UTC in its session builder.
+    * A non-UTC session fails HERE, loudly, instead of being silently
+    * overridden (a `conf.set` would retroactively change timestamp
+    * semantics for everything else the caller runs afterwards). */
+  private[graft] def requireUtcSession(spark: SparkSession): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"events requires a UTC session timezone, found '$tz' — set " +
+        "spark.sql.session.timeZone=UTC in the session builder (all graft " +
+        "entry points do); refusing to mutate the caller's session")
+  }
+
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) | None => df

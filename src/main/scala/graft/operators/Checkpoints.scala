@@ -50,11 +50,23 @@ private[graft] object Checkpoints {
     } else df.localCheckpoint(eager)
   }
 
-  /** Free round N−1's checkpoint blocks the moment round N materializes
-    * (the Pregel discipline — without it a 7-run sf1 soak of the
-    * components loop degraded 9.8 s → 105 s on pure GC). Reliable-mode
-    * FILES are reaped by the ContextCleaner under
-    * `cleanCheckpoints=true`; this frees the block-manager side, which
-    * both flavors share. */
-  def free(df: DataFrame): Unit = GraftSqlBridge.unpersistCheckpoint(df)
+  /** Free round N−1's checkpoint the moment round N materializes (the
+    * Pregel discipline — without it a 7-run sf1 soak of the components
+    * loop degraded 9.8 s → 105 s on pure GC). Local mode frees the
+    * block-manager blocks; reliable mode additionally DELETES the
+    * superseded round's checkpoint files eagerly — the ContextCleaner
+    * only reaps them if `cleanCheckpoints=true` AND the RDD reference
+    * is GC'd, so a long loop would otherwise accumulate a file tree
+    * per round. Round N−1 is no longer referenced by any live plan
+    * once round N's checkpoint materialized, so deletion is safe; a
+    * later ContextCleaner sweep of the already-gone path is a no-op. */
+  def free(df: DataFrame): Unit = {
+    GraftSqlBridge.unpersistCheckpoint(df)
+    GraftSqlBridge.checkpointFileOf(df).foreach { path =>
+      val spark = df.sparkSession
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
+  }
 }

@@ -28,9 +28,11 @@ object EventsStreaming {
     * point, two execution modes. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     // ns-encoded files: Spark 4 rejects TIMESTAMP(NANOS) unless read as
-    // raw int64; µs-encoded NTZ files need the UTC pin for epoch math.
+    // raw int64; µs-encoded NTZ files need a UTC session for epoch math
+    // — fail loudly (like Tables.t) instead of silently overriding a
+    // caller's non-UTC session for everything that runs afterwards.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    Tables.requireUtcSession(spark)
     val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
     Tables.normalizeEventTs(
       spark.readStream
@@ -129,7 +131,7 @@ object EventsStreaming {
       // hook: forces a multi-file fixture through one-file-per-batch
       // micro-batches to exercise cross-batch session stitching)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      Tables.requireUtcSession(spark)
       Tables.normalizeEventTs(
         spark.readStream
           .schema(spark.read.parquet(dir).schema)

@@ -1,0 +1,74 @@
+package graft.tools
+
+/** The adjudicability protocol shared by the two benchmark drivers
+  * (`graft.Bench` at sf0.1 and [[TpcRunner]] at sf1) — one definition of
+  * the statistics and the gate so the drivers cannot drift (round-9
+  * advice: the two gates shared a comment but not code).
+  *
+  * Two dispersion statistics, two exposure regimes:
+  *   - [[meanRelSpread]] — mean per-query (max−min)/median. The honest
+  *     noise floor for SHORT runs (sf0.1, ~30 s exposure), where a quiet
+  *     window is realistic.
+  *   - [[trimmedSpread]] — mean per-query (second-min−min)/min. The
+  *     pollution-robust floor for LONG runs (sf1, minutes of exposure on
+  *     a bursty host): contention on this host is strictly additive
+  *     (5–20× spikes on isolated samples — results/tpc_sf1_r9/README),
+  *     so the MINIMUM is the reproducible statistic and its stability is
+  *     evidenced by the two smallest samples agreeing. A run where every
+  *     query's two best samples agree is adjudicable on its best-of-N
+  *     headline even when isolated spikes blow the full spread past any
+  *     floor.
+  */
+object BenchProtocol {
+
+  /** Dispersion above this means the chosen statistic is noise-dominated
+    * and the run must not stand as a performance artifact. */
+  val VarianceFloor = 0.5
+
+  def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Relative spread of one query's samples: (max−min)/median. */
+  def relSpread(ts: Seq[Double]): Double =
+    if (ts.size < 2 || median(ts) <= 0) 0.0 else (ts.max - ts.min) / median(ts)
+
+  /** Agreement of one query's two smallest samples: (s2−s1)/s1 — the
+    * dispersion of the best-of-N statistic itself. 0 for n<2. */
+  def pairSpread(ts: Seq[Double]): Double =
+    if (ts.size < 2) 0.0
+    else {
+      val s = ts.sorted
+      if (s.head <= 0) 0.0 else (s(1) - s.head) / s.head
+    }
+
+  /** Mean per-query relative spread — the full-spread noise floor. */
+  def meanRelSpread(samples: Seq[Seq[Double]]): Double = {
+    val rels = samples.collect { case ts if ts.nonEmpty && ts.min > 0 => relSpread(ts) }
+    if (rels.nonEmpty) rels.sum / rels.size else 0.0
+  }
+
+  /** Mean per-query best-pair spread — the trimmed-min noise floor. */
+  def trimmedSpread(samples: Seq[Seq[Double]]): Double = {
+    val rels = samples.collect { case ts if ts.nonEmpty && ts.min > 0 => pairSpread(ts) }
+    if (rels.nonEmpty) rels.sum / rels.size else 0.0
+  }
+
+  /** THE gate: any failed query, or dispersion past the floor, and the
+    * run is not a usable comparable. Which dispersion statistic to pass
+    * is the driver's exposure-regime choice (see class doc). */
+  def adjudicable(anyFailed: Boolean, dispersion: Double): Boolean =
+    !anyFailed && dispersion <= VarianceFloor
+
+  /** Minimal JSON string escaping (quotes, backslashes, control chars) —
+    * config values are interpolated into the one-line artifacts and must
+    * never be able to break the driver-side parser. */
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+}

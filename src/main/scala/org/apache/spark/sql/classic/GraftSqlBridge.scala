@@ -35,6 +35,17 @@ object GraftSqlBridge {
       case _ => ()
     }
 
+  /** Reliable-checkpoint file behind a checkpoint-backed Dataset, if
+    * any — lets iterative operators delete round N−1's checkpoint
+    * FILES eagerly in reliable mode instead of waiting for the
+    * ContextCleaner's weak-reference sweep. None for local checkpoints
+    * (no files) and non-checkpoint plans. */
+  def checkpointFileOf(df: DataFrame): Option[String] =
+    df.asInstanceOf[Dataset[_]].queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getCheckpointFile
+      case _ => None
+    }
+
   /** True when the session's CacheManager holds no cached plans — lets
     * library specs assert that an API's persist calls are paired with
     * unpersist before it returns (a long-lived session must not

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.BenchProtocol
+
+/** The shared adjudicability protocol (statistics + gate) used by both
+  * benchmark drivers — pinned here so the two drivers cannot drift
+  * (round-9 advice) and so the pollution-robustness claim behind the
+  * sf1 trimmed-min headline is itself tested: additive contention
+  * spikes must NOT break trimmed adjudicability, while a genuinely
+  * unstable floor must. */
+class BenchProtocolSpec extends AnyFunSuite {
+
+  test("median: odd, even, single") {
+    assert(BenchProtocol.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(BenchProtocol.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
+    assert(BenchProtocol.median(Seq(7.0)) == 7.0)
+  }
+
+  test("pairSpread is the agreement of the two smallest samples") {
+    assert(math.abs(BenchProtocol.pairSpread(Seq(1.0, 1.1, 50.0)) - 0.1) < 1e-9)
+    assert(BenchProtocol.pairSpread(Seq(9.0)) == 0.0)
+    assert(BenchProtocol.pairSpread(Seq(2.0, 2.0)) == 0.0)
+  }
+
+  test("additive contention spikes blow the full spread but not the trimmed one") {
+    // three queries, each with a stable floor and one 10x spike — the
+    // documented shape of this host's contention (results/tpc_sf1_r9)
+    val samples = Seq(
+      Seq(1.00, 1.05, 10.0),
+      Seq(2.00, 2.02, 21.0),
+      Seq(0.50, 0.52, 5.1))
+    assert(BenchProtocol.meanRelSpread(samples) > BenchProtocol.VarianceFloor,
+      "full spread must flag the spikes")
+    val trimmed = BenchProtocol.trimmedSpread(samples)
+    assert(trimmed < 0.06, s"trimmed spread must ignore isolated spikes, got $trimmed")
+    assert(BenchProtocol.adjudicable(anyFailed = false, trimmed))
+    assert(!BenchProtocol.adjudicable(anyFailed = false, BenchProtocol.meanRelSpread(samples)))
+  }
+
+  test("an unstable floor fails the trimmed gate too") {
+    val samples = Seq(Seq(1.0, 1.9, 2.0), Seq(1.0, 1.8, 9.0))
+    assert(BenchProtocol.trimmedSpread(samples) > BenchProtocol.VarianceFloor)
+    assert(!BenchProtocol.adjudicable(anyFailed = false, BenchProtocol.trimmedSpread(samples)))
+  }
+
+  test("any failed query fails the gate regardless of dispersion") {
+    assert(!BenchProtocol.adjudicable(anyFailed = true, 0.0))
+  }
+
+  test("failed-query sentinels (-1.0) are excluded from both dispersion statistics") {
+    val withFail = Seq(Seq(-1.0), Seq(1.0, 1.1, 1.2))
+    assert(BenchProtocol.meanRelSpread(withFail) < 0.5)
+    assert(BenchProtocol.trimmedSpread(withFail) < 0.5)
+  }
+
+  test("jsonEscape neutralizes quotes, backslashes and control chars") {
+    assert(BenchProtocol.jsonEscape("""a"b\c""") == """a\"b\\c""")
+    assert(BenchProtocol.jsonEscape("x\ny") == "x\\u000ay")
+    // an escaped extra-conf value embedded in a JSON line must parse
+    val v = BenchProtocol.jsonEscape("""spark.x="quoted;value"""")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(s"""{"extra_conf":"$v"}""")
+    assert(node.get("extra_conf").asText() == """spark.x="quoted;value"""")
+  }
+}

@@ -306,4 +306,31 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(files > 0, "reliable mode left no files in the checkpoint dir")
     } finally spark.conf.set(graft.operators.Checkpoints.ReliableConf, "false")
   }
+
+  test("reliable mode frees a superseded round's checkpoint FILES eagerly") {
+    import spark.implicits._
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt_free")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    spark.conf.set(graft.operators.Checkpoints.ReliableConf, "true")
+    try {
+      val a = graft.operators.Checkpoints.cut(
+        (1L to 100L).toDF("x"), eager = true)
+      val file = org.apache.spark.sql.classic.GraftSqlBridge.checkpointFileOf(a)
+      assert(file.isDefined, "reliable cut must be backed by a checkpoint file")
+      val p = new org.apache.hadoop.fs.Path(file.get)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(p), "checkpoint files must exist after the cut")
+      graft.operators.Checkpoints.free(a)
+      assert(!fs.exists(p),
+        "free() must delete a superseded reliable checkpoint's files eagerly " +
+          "(a long loop would otherwise accumulate one file tree per round)")
+    } finally spark.conf.set(graft.operators.Checkpoints.ReliableConf, "false")
+  }
+
+  test("local mode free() leaves no checkpoint files to delete (no-op on files)") {
+    import spark.implicits._
+    val a = graft.operators.Checkpoints.cut((1L to 10L).toDF("x"), eager = true)
+    assert(org.apache.spark.sql.classic.GraftSqlBridge.checkpointFileOf(a).isEmpty)
+    graft.operators.Checkpoints.free(a) // must not throw
+  }
 }
