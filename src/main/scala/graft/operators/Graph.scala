@@ -49,10 +49,11 @@ object Graph {
     * Scale posture: `edges` is joined once per round on `src` and
     * aggregated on `dst` — both plain key shuffles over the edge
     * table, no driver collects, no per-node state beyond one long.
-    * The edge+degree table is persisted across rounds (it is reused
-    * `iters` times) and unpersisted before returning; per-round
-    * storage is one checkpoint of (id, rank) which is freed as soon
-    * as the next round lands. Overflow bound: total mass is
+    * The edge table is persisted across rounds (it is reused `iters`
+    * times) and unpersisted before returning; per-round storage is one
+    * checkpoint of (id, deg, rank) — the out-degree rides in the round
+    * row so no round ever joins a degree table — freed as soon as the
+    * next round lands. Overflow bound: total mass is
     * ≤ nodes × scale, and the damping step multiplies a partial sum
     * by `dampingPct` ≤ 100 — `nodes × scale × 100 < 2^63` is REQUIRED
     * and enforced at runtime against the actual node count (e.g. the
@@ -91,26 +92,31 @@ object Graph {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .repartition(col("__src"))
       .persist()
-    // (id, deg) for every node; deg = 0 marks a dangling node (emits
-    // no shares). Reused every round → persisted, freed on exit.
     val nodes = e.select(col("__src").as("__id"))
       .union(e.select(col("__dst").as("__id"))).distinct()
+    // out-degree per node; deg = 0 marks a dangling node (emits no
+    // shares). Computed ONCE and then carried INSIDE every round's
+    // checkpoint row (id, deg, rank): joining a separate degree table
+    // back per round just to recover deg cost one join+shuffle per
+    // round — 67% of gr1's wall time was the rounds (GraphProfile, r9)
+    // and the degree join was a third of each round's shuffles. One
+    // extra long per checkpointed row buys its deletion.
     val deg = e.groupBy(col("__src").as("__id")).agg(count(lit(1)).as("__deg"))
-    val nodeDeg = nodes.join(deg, Seq("__id"), "left")
-      .select(col("__id"), coalesce(col("__deg"), lit(0L)).as("__deg"))
-      .persist()
     val base = (100L - dampingPct) * scale / 100L
 
-    // r0: one job materializes the initial ranks AND, through lineage,
-    // the nodeDeg cache (so the edge scan feeding it runs exactly once)
+    // r0: one job materializes (id, deg, rank=scale) for every node —
+    // the edge scan feeding nodes/deg runs exactly once, into this cut
     val init = Checkpoints.cut(
-      nodeDeg.select(col("__id"), lit(scale).as("__r")), eager = true)
+      nodes.join(deg, Seq("__id"), "left")
+        .select(col("__id"), coalesce(col("__deg"), lit(0L)).as("__deg"),
+          lit(scale).as("__r")),
+      eager = true)
     // enforce the documented overflow bound at runtime: total mass is
     // ≤ nodes × scale and the damping step multiplies a partial sum by
     // dampingPct ≤ 100, so nodes × scale × 100 must stay below 2^63 or
     // the (non-ANSI) long multiply wraps silently and every rank after
-    // it is garbage. One cheap count over the already-cached nodeDeg.
-    val nodeCount = nodeDeg.count()
+    // it is garbage. One cheap count over the materialized checkpoint.
+    val nodeCount = init.count()
     require(nodeCount <= Long.MaxValue / 100 / scale,
       s"pageRank overflow bound exceeded: $nodeCount nodes at scale=$scale " +
         s"(need nodes * scale * 100 < 2^63) — lower `scale`")
@@ -121,16 +127,15 @@ object Graph {
       // per-edge share = floor(rank / out-degree); summed per
       // destination; damping applied in integer space. All operands
       // non-negative → `div` == floor division == DuckDB `//`.
-      val shares = ranks.join(nodeDeg, Seq("__id"))
-        .filter(col("__deg") > 0)
+      val shares = ranks.filter(col("__deg") > 0)
         .select(col("__id"), expr("__r div __deg").as("__share"))
       val contrib = e.join(shares, e("__src") === shares("__id"))
         .groupBy(col("__dst").as("__cid"))
         .agg(sum(col("__share")).as("__c"))
       val next = Checkpoints.cut( // the ONE action of the round
-        nodeDeg.select(col("__id"))
+        ranks.select(col("__id"), col("__deg"))
           .join(contrib, col("__id") === col("__cid"), "left")
-          .select(col("__id"),
+          .select(col("__id"), col("__deg"),
             (lit(base) + expr(s"($dampingPct * coalesce(__c, 0L)) div 100"))
               .as("__r")),
         eager = true)
@@ -139,7 +144,6 @@ object Graph {
       ranks = next
       i += 1
     }
-    nodeDeg.unpersist(blocking = false)
     e.unpersist(blocking = false)
     ranks.select(col("__id").as("id"), col("__r").as("rank_scaled"))
   }
