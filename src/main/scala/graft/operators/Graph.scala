@@ -273,17 +273,23 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     // normalize to one canonical row per undirected non-loop edge;
-    // read 4× (degrees ×2 arms of the rank join, orientation, final
-    // node set) — persisted so the caller's edge pipeline runs once
+    // read 3× (both endpoint arms of the degree union, orientation
+    // base) — persisted so the caller's edge pipeline runs once
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("__u"),
         greatest(col(srcCol), col(dstCol)).as("__v"))
       .filter(col("__u") =!= col("__v"))
       .distinct()
       .persist()
+    // degrees are consumed THREE times (both arms of the rank join +
+    // the final full-node-set left join) — persisted so the
+    // union+aggregate over `und` runs once instead of three times
+    // (round-9 verdict: gr2 is the heaviest op overall and deg was
+    // recomputed per consumer)
     val deg = und.select(col("__u").as("__id"))
       .union(und.select(col("__v").as("__id")))
       .groupBy("__id").agg(count(lit(1)).as("__deg"))
+      .persist()
     // orient low-rank → high-rank, rank = (degree, id); carry b's
     // degree so wedge enumeration can order (y, z) by the same rank
     // without another join against deg
@@ -293,11 +299,15 @@ object Graph {
     val uLow = col("__du") < col("__dv") ||
       (col("__du") === col("__dv") && col("__u") < col("__v"))
     // oriented edges are read three times (two wedge arms + the closing
-    // probe) — persisted so the dedup/degree pipeline runs once
+    // probe) — persisted, AND hash-partitioned on the wedge key __a so
+    // both self-join arms inherit the cached partitioning and the wedge
+    // join (the operator's biggest shuffle input: O(m) rows × 2 arms)
+    // runs shuffle-free; only the closing probe re-keys on (__y, __z)
     val o = ranked.select(
       when(uLow, col("__u")).otherwise(col("__v")).as("__a"),
       when(uLow, col("__v")).otherwise(col("__u")).as("__b"),
       when(uLow, col("__dv")).otherwise(col("__du")).as("__db"))
+      .repartition(col("__a"))
       .persist()
     // wedges at the lowest-ranked corner x: (x→y, x→z) with y ≺ z
     val yLtZ = col("e1.__db") < col("e2.__db") ||
@@ -323,6 +333,7 @@ object Graph {
           coalesce(col("__t"), lit(0L)).as("triangles")),
       eager = true)
     o.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     und.unpersist(blocking = false)
     out
   }

@@ -124,8 +124,6 @@ object EventsStreaming {
       spark: SparkSession, dir: String, name: String,
       gapUs: Long = 1800000000L, watermarkDelay: String = "1 hour",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     val src = maxFilesPerTrigger.fold(eventsStream(spark, dir)) { n =>
       // trigger-capped source over ALL parquet files in the dir (test
       // hook: forces a multi-file fixture through one-file-per-batch
@@ -138,7 +136,31 @@ object EventsStreaming {
           .option("maxFilesPerTrigger", n)
           .parquet(dir))
     }
-    val q = src
+    val q = statefulSessions(src, gapUs, watermarkDelay)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** The core stateful-sessionization transform of
+    * [[sessionizeStreamStateful]], exposed so callers (and the
+    * checkpoint-recovery test) can attach their own fault-tolerant sink
+    * + durable `checkpointLocation` and control start/stop/restart —
+    * the exactly-once resumption path a production deployment runs.
+    * `src` must carry the normalized `ts` (epoch-nanos long) contract
+    * of [[eventsStream]]. */
+  def statefulSessions(
+      src: DataFrame, gapUs: Long = 1800000000L,
+      watermarkDelay: String = "1 hour"): org.apache.spark.sql.Dataset[SessionOut] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    src
       .selectExpr("user_id", "event_id", "ts div 1000 AS tus",
         "timestamp_micros(ts div 1000) AS event_ts")
       .withWatermark("event_ts", watermarkDelay)
@@ -182,14 +204,6 @@ object EventsStreaming {
             closed.iterator
           }
       }
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
   }
 
   case class EvT(user_id: Long, event_id: Long, tus: Long, event_ts: java.sql.Timestamp)
