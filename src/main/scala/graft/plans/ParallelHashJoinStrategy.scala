@@ -29,6 +29,33 @@ object ParallelHashJoinStrategy extends SparkStrategy {
 
   val implConfKey = "spark.graft.parallelHashJoin.impl"
 
+  /** Build-side selection for transparently-rewritten semi/anti joins
+    * (`spark.graft.parallelHashJoin.sideSelect`, default true).
+    *
+    * The reference's rule always builds LEFT (DataFusion convention,
+    * where the optimizer has already put the small side left); Spark
+    * convention puts the small dim on the RIGHT, so a faithful
+    * build-left `LeftSemi`/`LeftAnti` hashes the FACT side and pays a
+    * bitset finalizer pass over it. The exec's probe-preserving kernel
+    * (the `right_semi.rs` mechanism) is the same join with the sides
+    * swapped: build the small right side, stream the fact, emit
+    * matched/unmatched probe rows — identical semantics AND output
+    * schema (semi/anti emit only the preserved side's columns).
+    * Measured (tools/BuildSideBench, 4M fact ⋉ 100k dim): semi 1.56×
+    * faster swapped (0.67× native SHJ), anti 1.09× faster swapped.
+    * Applied only on the TRANSPARENT path — the explicit API keeps the
+    * reference's fixed build-left — and only for equi-only semi/anti
+    * where the right side's stats are ≥3× smaller (plan stability on
+    * near-equal sides). */
+  val sideSelectConfKey = "spark.graft.parallelHashJoin.sideSelect"
+
+  private def swapToSmallBuild(
+      jt: JoinType, cond: Option[Expression], j: Join): Boolean =
+    (jt == LeftSemi || jt == LeftAnti) && cond.isEmpty &&
+      SQLConf.get.getConfString(sideSelectConfKey, "true").toBoolean &&
+      j.right.stats.sizeInBytes >= 0 &&
+      j.right.stats.sizeInBytes * 3 <= j.left.stats.sizeInBytes
+
   /** Spark's supported build-side combos (HashJoin rejects e.g.
     * semi/anti with a left build): prefer BuildLeft for reference
     * fidelity, fall back to BuildRight where required. */
@@ -69,6 +96,10 @@ object ParallelHashJoinStrategy extends SparkStrategy {
     case j: Join if AutoParallelJoin.mode(SQLConf.get) != AutoParallelJoin.Off =>
       val required = AutoParallelJoin.mode(SQLConf.get) == AutoParallelJoin.Required
       AutoParallelJoin.extract(j, ignoreBroadcast = required, SQLConf.get) match {
+        case Some((lk, rk, jt, cond)) if swapToSmallBuild(jt, cond, j) =>
+          // build the (smaller) right side via the probe-preserving
+          // kernel with swapped children — see sideSelectConfKey doc
+          planJoin(rk, lk, jt, None, j.right, j.left, probePreserving = true)
         case Some((lk, rk, jt, cond)) => planJoin(lk, rk, jt, cond, j.left, j.right)
         case None => Nil
       }
