@@ -192,16 +192,22 @@ object TextDedup {
           / 10000.0).as("contamination"))
   }
 
-  /** 32-bit SimHash signature per document: every whitespace token
+  /** 60-bit SimHash signature per document: every whitespace token
     * votes ±1 on each signature bit (sign of its md5-derived hash bit),
     * positive vote sum sets the bit. Near-identical texts differ in a
     * few token votes, so their signatures sit within small Hamming
     * distance — a constant-size alternative to the k-long MinHash
-    * vector (the web-crawl dedup design). One shuffle: tokens group by
-    * document, 32 conditional sums per group, all codegen'd.
-    * Returns (idCol, simhash). Lazy and cache-free. */
+    * vector (the web-crawl dedup design: Manku et al., WWW'07, uses
+    * 64-bit signatures with Hamming ≤ 3). 60 bits = the full entropy
+    * of the md5-prefix token hash both engines compute identically,
+    * which keeps the signature SQL-replayable; a 32-bit variant
+    * measured at sf10 (500k docs) collapsed into ~2000-doc band
+    * buckets and went quadratic — signature width is what buys
+    * precision AND blocking selectivity at corpus scale. One shuffle:
+    * tokens group by document, 60 conditional sums per group, all
+    * codegen'd. Returns (idCol, simhash). Lazy and cache-free. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val B = 32
+    val B = 60
     val tok = df
       .select(col(idCol).as("__id"), explode(split(col(textCol), " ")).as("__tok"))
       .filter(length(col("__tok")) > 0)
@@ -215,16 +221,21 @@ object TextDedup {
   }
 
   /** SimHash near-duplicate pairs: (idA, idB, hamming) with idA < idB
-    * and Hamming distance ≤ `maxHamming` between 32-bit signatures.
+    * and Hamming distance ≤ `maxHamming` between 60-bit signatures.
     *
-    * Candidates come from byte-band blocking: the signature splits into
+    * Candidates come from band blocking: the signature splits into
     * `maxHamming + 1` bands, and by pigeonhole two signatures within
     * `maxHamming` bit flips agree on at least one whole band — so the
     * candidate join keys on (band index, band value), an equi shuffle
     * key, and never builds a cross product. Exact `bit_count(xor)`
-    * verifies each candidate. Subquadratic at corpus scale; a band of a
-    * boilerplate-heavy corpus can still run hot, in which case the same
-    * DF-capping idea as the n-gram index applies upstream.
+    * verifies each candidate. At the default `maxHamming = 3` the band
+    * key is 15 bits (32768 values): the sf10 soak (500k docs) that sank
+    * the 32-bit/8-bit-band variant (≈2000 docs per bucket → ~10⁹
+    * candidates, 15× the sf1 time at 10× the data) runs at ~15 docs
+    * per bucket here. Band width IS the subquadratic knob: past ~10⁷
+    * docs per language, widen the signature (two 60-bit halves) before
+    * widening buckets; a boilerplate-heavy corpus can additionally cap
+    * degenerate buckets upstream like the n-gram index does.
     *
     * The API is eager and leak-free: the signature table is cached for
     * the self-join's two branches, the pair set is materialized (it IS
@@ -237,7 +248,7 @@ object TextDedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val B = 32
+    val B = 60
     val bands = maxHamming + 1
     require(maxHamming >= 0 && B % bands == 0,
       s"maxHamming + 1 must divide $B, got $maxHamming")

@@ -345,12 +345,17 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** SimHash: 32-bit signature from token hashes (per-bit ±1 vote).
+  /** SimHash: 60-bit signature from token hashes (per-bit ±1 vote).
     * Token hash = first 60 bits of md5, which both engines compute
     * identically (`conv(substr(md5,1,15),16,10)` here,
     * `('0x'||substr(md5,1,15))::BIGINT` in DuckDB) — that makes the
     * whole signature SQL-replayable, so this moved from rows-only to the
-    * hash-exact gate. */
+    * hash-exact gate. 60 bits (the hash's full entropy) rather than 32:
+    * the sf10 soak showed 8-bit band keys collapsing into ~2000-doc
+    * buckets and going quadratic; 15-bit bands keep the blocking
+    * subquadratic AND cut the false-positive mass (at sf0.01 the 32-bit
+    * variant reported 1327 "near-dup" pairs against ~30 true planted
+    * ones — at 9.4% relative Hamming, same-language docs collide). */
   /** Shared oracle CTE block ending in `sig(doc_id, simhash)` — the SQL
     * replay of [[simhashDf]], shared by the t7 and t21 oracles. */
   private val simhashOracleCtes: String =
@@ -359,12 +364,12 @@ object TextQueries {
       |      FROM tok WHERE len(tok) > 0),
       |votes AS (SELECT doc_id, i,
       |            SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
-      |          FROM h, generate_series(0, 31) t(i) GROUP BY doc_id, i),
+      |          FROM h, generate_series(0, 59) t(i) GROUP BY doc_id, i),
       |sig AS (SELECT doc_id,
       |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM votes GROUP BY doc_id)""".stripMargin
 
-  /** 32-bit SimHash signature per doc (shared by t7 and t21) — the
+  /** 60-bit SimHash signature per doc (shared by t7 and t21) — the
     * library API pointed at the documents table. */
   private[queries] def simhashDf(
       s: org.apache.spark.sql.SparkSession,
@@ -378,17 +383,17 @@ object TextQueries {
     simhashDf(s, dir).orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairing — the missing half of t7: byte-band
-    * blocking (split the 32-bit signature into 4 bytes; by pigeonhole,
+  /** SimHash near-dup pairing — the missing half of t7: band blocking
+    * (split the 60-bit signature into 4 15-bit bands; by pigeonhole,
     * two signatures within Hamming distance 3 share at least one whole
-    * byte) generates candidates on an equi shuffle key, then the exact
+    * band) generates candidates on an equi shuffle key, then the exact
     * Hamming distance (`bit_count(xor)`) verifies. Subquadratic like
     * t6, but with a constant-size signature instead of a k-MinHash
-    * vector — the Google-crawl dedup design. */
+    * vector — the Google-crawl dedup design (Manku et al., WWW'07). */
   val simhashNearDup: Q = Q(
     "t21_simhash_neardup",
     s"""WITH $simhashOracleCtes,
-      |bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bk
+      |bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bk
       |          FROM sig, generate_series(0, 3) t(b)),
       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
       |           a.simhash AS sa, b.simhash AS sb

@@ -81,9 +81,14 @@ class TextDedupSpec extends AnyFunSuite {
   test("simhashPairs() pairs planted near-identical docs within the Hamming bound") {
     import spark.implicits._
     // near-identical docs share almost all token votes → tiny Hamming
-    // distance; disjoint-vocabulary docs land far apart
+    // distance; disjoint-vocabulary docs land far apart. 200 tokens
+    // with one changed ≈ 0.5% perturbation: the expected 60-bit
+    // Hamming distance is ~B·P(vote sum at the flip boundary)/4 ≈ 1.7,
+    // comfortably inside the bound (a 40-token fixture sat at ~4 —
+    // outside maxHamming=3 — because 1-in-40 is not "near-identical"
+    // at 60-bit precision)
     val base = (0 until 10).map { i =>
-      val words = (0 until 40).map(w => s"w${i}_$w")
+      val words = (0 until 200).map(w => s"w${i}_$w")
       (i.toLong, words.mkString(" "))
     }
     val nearDup = base.map { case (i, text) =>
