@@ -60,6 +60,15 @@ object GraphQueries {
       "ok", "pk", maxGroupSize = MaxBasket)
       .select(col("src"), col("dst"))
 
+  /** Both directions of a canonical (src < dst) edge list in ONE pass
+    * (explode over the two orientations) — `co.unionAll(co.swap)`
+    * would recompute the upstream pipeline once per arm. */
+  private[graft] def symmetrize(co: org.apache.spark.sql.DataFrame) = co
+    .select(explode(array(
+      struct(col("src"), col("dst")),
+      struct(col("dst").as("src"), col("src").as("dst")))).as("__p"))
+    .select(col("__p.src").as("src"), col("__p.dst").as("dst"))
+
   val pagerank1: Q = Q(
     "gr1_pagerank_copurchase",
     s"""WITH $prologue,
@@ -68,10 +77,11 @@ object GraphQueries {
       |${round(3)}
       |SELECT id AS part_id, r AS rank_scaled FROM r3
       |ORDER BY rank_scaled DESC, part_id LIMIT 100""".stripMargin) { (s, dir) =>
-    // pageRank wants directed edges: symmetrize the canonical pairs
-    val co = copurchase(s, dir)
-    val e = co.unionAll(
-      co.select(col("dst").as("src"), col("src").as("dst")))
+    // pageRank wants directed edges: symmetrize the canonical pairs.
+    // explode-of-both-orientations, NOT co.unionAll(co.swap) — the
+    // union's two arms would each recompute the whole (unpersisted)
+    // co-occurrence pipeline; one pass emits both directions
+    val e = symmetrize(copurchase(s, dir))
     graft.operators.Graph.pageRank(e, "src", "dst", iters = 3)
       .select(col("id").as("part_id"), col("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("part_id"))

@@ -39,10 +39,8 @@ object GraphProfile {
     // if the headline recipe's cap/projection changes, this profiler
     // keeps measuring the real thing)
     def copurchase() = graft.queries.GraphQueries.copurchase(spark, sfDir)
-    def symmetrized() = {
-      val co = copurchase()
-      co.unionAll(co.select(col("dst").as("src"), col("src").as("dst")))
-    }
+    def symmetrized() =
+      graft.queries.GraphQueries.symmetrize(copurchase())
 
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted; val n = s.length
