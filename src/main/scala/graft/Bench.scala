@@ -33,15 +33,18 @@ object Bench {
     "q2_min_cost_supplier", "t21_simhash_neardup", "t24_chunk_overlap",
     "t25_tfidf",
     // round-6 addition: iterative integer-fixed-point PageRank.
-    // (gr2_triangle_count is oracle-gated but NOT a headline query:
-    // the sf0.1 co-purchase graph is dense — avg degree ~120 — so its
-    // honest wedge table is ~70M rows and one query would dominate the
-    // whole headline total; run it solo via the names arg instead.)
     "gr1_pagerank_copurchase",
     // round-9 addition: the composed dedup→quality→language→packing
     // curation pipeline (NB: totals before r9 cover 29 queries, after
     // 30 — compare per-query across rounds, not totals)
-    "t30_curation_pipeline")
+    "t30_curation_pipeline",
+    // round-10 additions (totals after r10 cover 32 queries):
+    // gr2 joins the headline now that the deg-persist + pre-partitioned
+    // wedge join + one-pass corner credit cut it 32.9 s → ~7 s — it was
+    // excluded only for dominating the total, and the heaviest op
+    // deserves drift detection; v7 is the int8-quantized ANN path
+    // (integer coarse scoring + exact rerank).
+    "gr2_triangle_count", "v7_quantized_ann")
 
   def main(args: Array[String]): Unit = {
     // optional arg: comma-separated query names for a focused local

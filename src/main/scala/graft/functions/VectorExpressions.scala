@@ -158,6 +158,150 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Symmetric int8 scalar quantization: each component maps to
+  * `floor(x / max|x| * 127 + 0.5)` (round half up, range −127..127),
+  * packed into a BinaryType byte buffer — 1 byte per component vs 4
+  * for float32. The per-vector scale is NOT stored because cosine
+  * similarity cancels it (`(s_a·s_b·Σq_aq_b) / (s_a‖q_a‖·s_b‖q_b‖)`),
+  * so the coarse ANN pass runs on pure integers: bit-exact across
+  * engines by construction (no FP summation order to worry about) and
+  * 4× less memory bandwidth per scanned vector — the number that
+  * dominates a brute-force coarse pass at 100 TB. All-zero vectors
+  * quantize to all-zero bytes by convention (scale undefined).
+  * Null array element → null result, like [[DotProduct]]. */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_quantize_int8"
+  override def dataType: DataType = BinaryType
+
+  private def et: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case other => throw new IllegalArgumentException(s"expected array, got $other")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_quantize_int8 expects array<float|double>, got $other")
+    }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val t = et
+    val n = x.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = math.abs(t match {
+        case FloatType => x.getFloat(i).toDouble
+        case _ => x.getDouble(i)
+      })
+      if (v > mx) mx = v
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (mx != 0.0) {
+      i = 0
+      while (i < n) {
+        val v = t match {
+          case FloatType => x.getFloat(i).toDouble
+          case _ => x.getDouble(i)
+        }
+        out(i) = math.floor(v / mx * 127.0 + 0.5).toInt.toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = et match {
+      case FloatType => (arr: String, i: String) => s"(double) $arr.getFloat($i)"
+      case _ => (arr: String, i: String) => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val mx = ctx.freshName("mx")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $x.numElements();
+         |double $mx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $v = java.lang.Math.abs(${getter(x, i)});
+         |  if ($v > $mx) $mx = $v;
+         |}
+         |if (!${ev.isNull}) {
+         |  byte[] $out = new byte[$n];
+         |  if ($mx != 0.0) {
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $out[$i] = (byte)(int) java.lang.Math.floor(
+         |        ${getter(x, i)} / $mx * 127.0 + 0.5);
+         |    }
+         |  }
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
+/** Integer dot product over two [[QuantizeInt8]]-packed byte buffers:
+  * Σ a_i·b_i over min(len) signed bytes, as a long. Every term is an
+  * int multiply (|q| ≤ 127 ⇒ |term| ≤ 16129, no overflow at any real
+  * dimensionality), the sum is exact integer arithmetic — the coarse
+  * ANN score is therefore bit-identical across engines, partitionings,
+  * and aggregation orders, unlike any float dot product. */
+case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_int8_dot"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == BinaryType)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_int8_dot expects binary inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.length, $y.length);
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long)($x[$i] * $y[$i]);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8Dot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API. */
 object VectorFunctions {
   def dot(a: Column, b: Column)(implicit spark: org.apache.spark.sql.SparkSession): Column =
@@ -166,4 +310,11 @@ object VectorFunctions {
 
   def norm(a: Column)(implicit spark: org.apache.spark.sql.SparkSession): Column =
     GraftSqlBridge.column(VectorNorm(GraftSqlBridge.expression(spark, a)))
+
+  def quantizeInt8(a: Column)(implicit spark: org.apache.spark.sql.SparkSession): Column =
+    GraftSqlBridge.column(QuantizeInt8(GraftSqlBridge.expression(spark, a)))
+
+  def int8Dot(a: Column, b: Column)(implicit spark: org.apache.spark.sql.SparkSession): Column =
+    GraftSqlBridge.column(Int8Dot(
+      GraftSqlBridge.expression(spark, a), GraftSqlBridge.expression(spark, b)))
 }

@@ -63,6 +63,55 @@ object SimilaritySearch {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
 
+  /** Int8-quantized ANN top-k: coarse-score the WHOLE corpus on packed
+    * int8 vectors, exact-rerank only the `k × overFetch` best
+    * candidates on the original floats.
+    *
+    * The quantization is symmetric max-abs ([[graft.functions.QuantizeInt8]]):
+    * per-vector scales cancel inside cosine, so the coarse score is
+    * `Σq_aq_b / (√Σq_a² · √Σq_b²)` — pure integer sums, bit-exact
+    * across engines/partitionings by construction (no FP summation
+    * order), computed by the codegen'd [[graft.functions.Int8Dot]]
+    * kernel over BinaryType buffers. That is the 100 TB design point:
+    * the scan that touches every vector reads 1 byte/component instead
+    * of 4 (4× less memory bandwidth — what a brute-force coarse pass
+    * is bound by), and only `k × overFetch` rows ever touch the
+    * full-precision floats. Compose with the IVF partitioner when even
+    * a 1-byte full scan is too much. Deterministic end to end: both
+    * top-k selections tie-break on id. */
+  def quantizedTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      k: Int,
+      overFetch: Int = 4): DataFrame = {
+    implicit val sp: SparkSession = corpus.sparkSession
+    require(k >= 1 && overFetch >= 1, s"k and overFetch must be >= 1")
+    val q = query.select(
+      col(queryVecCol).as("__qe"),
+      VectorFunctions.quantizeInt8(col(queryVecCol)).as("__qq"),
+      VectorFunctions.norm(col(queryVecCol)).as("__qn"))
+      .withColumn("__qs", VectorFunctions.int8Dot(col("__qq"), col("__qq")))
+    val coarse = corpus
+      .select(col(idCol), col(vecCol),
+        VectorFunctions.quantizeInt8(col(vecCol)).as("__cq"))
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col(vecCol), col("__qe"), col("__qn"),
+        r4(VectorFunctions.int8Dot(col("__cq"), col("__qq")).cast("double") /
+          (sqrt(VectorFunctions.int8Dot(col("__cq"), col("__cq")).cast("double")) *
+            sqrt(col("__qs").cast("double")))).as("approx_cos"))
+      .orderBy(col("approx_cos").desc, col(idCol))
+      .limit(k * overFetch)
+    coarse
+      .select(col(idCol),
+        r4(VectorFunctions.dot(col(vecCol), col("__qe")) /
+          (VectorFunctions.norm(col(vecCol)) * col("__qn"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Random-hyperplane LSH signature: bit p of the result is the sign
     * of the vector's projection onto pseudo-hyperplane p, whose ±1
     * weights derive from md5 of (p, component index) — deterministic

@@ -285,5 +285,50 @@ object SimQueries {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup, annIvf, quantize)
+  /** Int8-quantized ANN with exact rerank — the memory-bandwidth scale
+    * path: the pass that touches EVERY vector reads packed int8 (1
+    * byte/component, 4× less than float32) and scores with pure
+    * integer arithmetic (codegen'd `Int8Dot` — bit-exact across
+    * engines and aggregation orders by construction, the determinism
+    * FP dot products only approximate); only the 4k over-fetched
+    * candidates are reranked on the original floats. Symmetric max-abs
+    * quantization (`floor(x/max|x|·127 + 0.5)`): per-vector scales
+    * cancel in cosine, so no scale column travels with the vector.
+    * The oracle replays quantization, integer coarse scoring, top-40
+    * candidate cut, and exact rerank verbatim. */
+  val quantizedAnn: Q = Q(
+    "v7_quantized_ann",
+    """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |mx AS (SELECT vec_id, MAX(ABS(ve[i])) AS mx
+      |       FROM d, generate_series(1, 64) t(i) GROUP BY vec_id),
+      |qv AS (SELECT d.vec_id, t.i,
+      |         CASE WHEN mx.mx = 0 THEN CAST(0 AS BIGINT)
+      |              ELSE CAST(FLOOR(ve[i] / mx.mx * 127 + 0.5) AS BIGINT) END AS q
+      |       FROM d JOIN mx USING (vec_id), generate_series(1, 64) t(i)),
+      |qq AS (SELECT i, q FROM qv WHERE vec_id = 0),
+      |coarse AS (SELECT cq.vec_id,
+      |             SUM(cq.q * qq.q) AS idot,
+      |             SUM(cq.q * cq.q) AS s1,
+      |             SUM(qq.q * qq.q) AS s2
+      |           FROM qv cq JOIN qq USING (i) WHERE cq.vec_id <> 0
+      |           GROUP BY cq.vec_id),
+      |cand AS (SELECT vec_id,
+      |           FLOOR(idot / (SQRT(s1) * SQRT(s2)) * 10000 + 0.5)/10000 AS approx_cos
+      |         FROM coarse ORDER BY approx_cos DESC, vec_id LIMIT 40),
+      |rr AS (SELECT d.vec_id, SUM(d.ve[i] * q.ve[i]) AS dot,
+      |         SUM(d.ve[i] * d.ve[i]) AS n1, SUM(q.ve[i] * q.ve[i]) AS n2
+      |       FROM d JOIN cand USING (vec_id),
+      |            (SELECT ve FROM d WHERE vec_id = 0) q,
+      |            generate_series(1, 64) t(i)
+      |       GROUP BY d.vec_id)
+      |SELECT vec_id, FLOOR(dot / (SQRT(n1) * SQRT(n2)) * 10000 + 0.5)/10000 AS cos_sim
+      |FROM rr ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    graft.operators.SimilaritySearch.quantizedTopK(
+      e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      e.filter(col("vec_id") === 0), "embedding", k = 10, overFetch = 4)
+  }
+
+  val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup, annIvf, quantize,
+    quantizedAnn)
 }

@@ -134,4 +134,62 @@ class SimilaritySearchSpec extends AnyFunSuite {
         threshold = 0.9, sizeHint = SimilaritySearch.maxExactRows + 1)
     }
   }
+
+  test("QuantizeInt8 packs symmetric max-abs int8; Int8Dot is exact integer math") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    import graft.functions.VectorFunctions
+    val vs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(2.0f, 2.0f, -2.0f, 1.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // all-zero → all-zero bytes
+      (4L, vec(99L).take(4)))
+    val df = vs.toDF("id", "v")
+      .select(col("id"), VectorFunctions.quantizeInt8(col("v")).as("q"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("q")).toMap
+    def ref(v: Array[Float]): Array[Byte] = {
+      val mx = v.map(x => math.abs(x.toDouble)).max
+      if (mx == 0.0) Array.fill[Byte](v.length)(0)
+      else v.map(x => math.floor(x.toDouble / mx * 127.0 + 0.5).toInt.toByte)
+    }
+    vs.foreach { case (id, v) =>
+      assert(got(id).toSeq == ref(v).toSeq, s"id=$id")
+    }
+    // every quantized value is in [-127, 127]
+    assert(got.values.flatten.forall(b => b >= -127 && b <= 127))
+    // Int8Dot against a BigInt reference, negative bytes included
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        VectorFunctions.int8Dot(col("a.q"), col("b.q")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((ia, va) <- vs; (ib, vb) <- vs) {
+      val expect = ref(va).zip(ref(vb)).map { case (x, y) => x.toLong * y.toLong }.sum
+      assert(pairs((ia, ib)) == expect, s"dot($ia,$ib)")
+    }
+  }
+
+  test("quantizedTopK ranks the planted near-copy first and reranks exactly") {
+    import spark.implicits._
+    val q = vec(4242L)
+    val corpus = ((1L, jitter(q, 0.01f)) +:
+      (2L to 60L).map(i => (i, vec(i * 17 + 3)))).toDF("id", "v")
+    val query = Seq(Tuple1(q)).toDF("qv")
+    val quant = SimilaritySearch.quantizedTopK(
+      corpus, "id", "v", query, "qv", k = 5, overFetch = 4).collect()
+    val exact = SimilaritySearch.cosineTopK(
+      corpus, "id", "v", query, "qv", k = 5).collect()
+    assert(quant.head.getLong(0) == 1L, "planted near-copy must rank first")
+    // the rerank is the SAME exact-cosine formula as the brute-force
+    // baseline, so any id both paths return must carry an identical score
+    val exactScores = exact.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    quant.foreach { r =>
+      exactScores.get(r.getLong(0)).foreach(s => assert(s == r.getDouble(1)))
+    }
+    // int8 coarse scoring over 64-dim-ish vectors with 4× over-fetch
+    // should recover most of the exact top-5 (recall, not equality —
+    // quantization noise may swap the tail)
+    val overlap = quant.map(_.getLong(0)).toSet
+      .intersect(exact.map(_.getLong(0)).toSet).size
+    assert(overlap >= 3, s"recall too low: $overlap/5")
+  }
 }
