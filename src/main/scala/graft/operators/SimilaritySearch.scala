@@ -341,6 +341,104 @@ object SimilaritySearch {
     * the corpus size as `sizeHint` when you know it — inputs past
     * `maxExactRows` are rejected loudly rather than left to burn a
     * cluster. */
+  /** Exact near-dup pairs with an int8-quantized coarse prefilter —
+    * the bandwidth-reduced variant of [[cosineNearDupPairs]].
+    *
+    * The quadratic stage (every pair inside a block pair) runs on
+    * [[graft.functions.QuantizeInt8]]-packed vectors: 1 byte per
+    * component instead of 4, and a pure-integer dot product — so the
+    * pass that does O(N²/B²) work per task moves 4× fewer bytes
+    * through shuffle and cache, and its scores are bit-exact in any
+    * order by construction. Pairs whose QUANTIZED cosine clears
+    * `threshold − margin` become candidates; only candidates touch the
+    * full-precision floats, where the EXACT cosine (same codegen'd
+    * kernel and rounding as [[cosineNearDupPairs]]) applies the real
+    * `threshold`. With an adequate margin the output is identical to
+    * the exact arm — 64-dim random-vector quantization error measures
+    * ~0.005 cosine, so the 0.05 default is 10× headroom; the margin is
+    * a recall knob, not a correctness knob, and the verify stage never
+    * admits a false positive. Same triangle blocking, same loud
+    * `maxExactRows` guard: quantization cuts the constant 4×, not the
+    * O(N²). */
+  def quantizedNearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      margin: Double = 0.05,
+      numBlocks: Int = 8,
+      sizeHint: Long = -1L): DataFrame = {
+    require(numBlocks >= 1, s"numBlocks must be positive, got $numBlocks")
+    require(margin >= 0.0, s"margin must be >= 0, got $margin")
+    require(sizeHint <= maxExactRows,
+      s"quantizedNearDupPairs is still the exact quadratic arm ($sizeHint " +
+        s"rows): use lshCandidates or ivfBuild/ivfTopK beyond $maxExactRows vectors")
+    implicit val sp: SparkSession = corpus.sparkSession
+    import sp.implicits._
+    val bound = threshold - margin
+    // quantized-only table for the quadratic stage: (id, qvec, Σq²)
+    val quant = corpus
+      .select(col(idCol).as("__id"),
+        VectorFunctions.quantizeInt8(col(vecCol)).as("__q"))
+      .select(col("__id"), col("__q"),
+        VectorFunctions.int8Dot(col("__q"), col("__q")).as("__s"))
+      .as[(Long, Array[Byte], Long)]
+    val tagged = quant.flatMap { case (id, q, s) =>
+      val b = Math.floorMod(id, numBlocks)
+      Iterator.single((b, b, 0.toByte, id, q, s)) ++
+        Iterator.range(b + 1, numBlocks).map(p => (b, p, 1.toByte, id, q, s)) ++
+        Iterator.range(0, b).map(p => (p, b, 2.toByte, id, q, s))
+    }
+    def idot(x: Array[Byte], y: Array[Byte]): Long = {
+      val n = math.min(x.length, y.length)
+      var s = 0L; var k = 0
+      while (k < n) { s += x(k) * y(k); k += 1 }
+      s
+    }
+    // same floor-based half-up rounding as r4 — integer operands, so
+    // the double division sees identical inputs on every engine
+    def approx(a: (Long, Array[Byte], Long), b: (Long, Array[Byte], Long)): Double =
+      math.floor(idot(a._2, b._2) / (math.sqrt(a._3.toDouble) *
+        math.sqrt(b._3.toDouble)) * 10000 + 0.5) / 10000.0
+    val cand = tagged
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Byte, Long, Array[Byte], Long)]) =>
+        val (p, q) = key
+        val aSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte], Long)]
+        val bSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte], Long)]
+        rows.foreach { case (_, _, tag, id, qv, s) =>
+          val entry = (id, qv, s)
+          if (tag == 0.toByte || tag == 1.toByte) aSide += entry
+          if (tag == 2.toByte) bSide += entry
+        }
+        if (p == q) {
+          val sorted = aSide.sortBy(_._1)
+          for {
+            i <- sorted.indices.iterator
+            j <- (i + 1 until sorted.length).iterator
+            if approx(sorted(i), sorted(j)) >= bound
+          } yield (sorted(i)._1, sorted(j)._1)
+        } else {
+          for {
+            a <- aSide.iterator
+            b <- bSide.iterator
+            if approx(a, b) >= bound
+          } yield if (a._1 < b._1) (a._1, b._1) else (b._1, a._1)
+        }
+      }
+      .toDF("idA", "idB")
+    // verify stage: only candidates touch the float vectors; exact
+    // cosine, same kernel + rounding + threshold as the exact arm
+    val va = corpus.select(col(idCol).as("idA"), col(vecCol).as("__va"))
+    val vb = corpus.select(col(idCol).as("idB"), col(vecCol).as("__vb"))
+    cand.join(va, "idA").join(vb, "idB")
+      .select(col("idA"), col("idB"),
+        r4(VectorFunctions.dot(col("__va"), col("__vb")) /
+          (VectorFunctions.norm(col("__va")) * VectorFunctions.norm(col("__vb"))))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   val maxExactRows: Long = 1L << 20
   def cosineNearDupPairs(
       corpus: DataFrame,

@@ -329,6 +329,50 @@ object SimQueries {
       e.filter(col("vec_id") === 0), "embedding", k = 10, overFetch = 4)
   }
 
+  /** Quantized-prefilter near-dup pairs — [[nearDup]]'s output through
+    * the bandwidth-reduced pipeline: the quadratic stage scores packed
+    * int8 vectors with integer arithmetic (1 byte/component, bit-exact
+    * in any order) against `threshold − margin`, and only surviving
+    * candidate pairs touch the floats for the exact-cosine verify at
+    * `threshold`. The oracle replays quantization, integer coarse
+    * scoring at 0.40, and exact verify at 0.45 verbatim; on this
+    * corpus the margin (10× the measured quantization error) makes the
+    * output identical to v4's — pinned by the ScalaTest, while the
+    * hash gate pins the pipeline itself. */
+  val quantizedNearDup: Q = Q(
+    "v8_quantized_neardup",
+    """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |mx AS (SELECT vec_id, MAX(ABS(ve[i])) AS mx
+      |       FROM d, generate_series(1, 64) t(i) GROUP BY vec_id),
+      |qv AS (SELECT d.vec_id, t.i,
+      |         CASE WHEN mx.mx = 0 THEN CAST(0 AS BIGINT)
+      |              ELSE CAST(FLOOR(ve[i] / mx.mx * 127 + 0.5) AS BIGINT) END AS q
+      |       FROM d JOIN mx USING (vec_id), generate_series(1, 64) t(i)),
+      |sq AS (SELECT vec_id, SUM(q * q) AS s FROM qv GROUP BY vec_id),
+      |ap AS (SELECT qa.vec_id AS a_id, qb.vec_id AS b_id, SUM(qa.q * qb.q) AS idot
+      |       FROM qv qa JOIN qv qb ON qa.i = qb.i AND qa.vec_id < qb.vec_id
+      |       GROUP BY qa.vec_id, qb.vec_id),
+      |cand AS (SELECT a_id, b_id FROM ap
+      |           JOIN sq sa ON sa.vec_id = a_id JOIN sq sb ON sb.vec_id = b_id
+      |         WHERE FLOOR(idot / (SQRT(sa.s) * SQRT(sb.s)) * 10000 + 0.5)/10000
+      |               >= CAST(0.40 AS DOUBLE)),
+      |ex AS (SELECT c.a_id, c.b_id, SUM(da.ve[i] * db.ve[i]) AS dot,
+      |         SUM(da.ve[i] * da.ve[i]) AS n1, SUM(db.ve[i] * db.ve[i]) AS n2
+      |       FROM cand c JOIN d da ON da.vec_id = c.a_id
+      |            JOIN d db ON db.vec_id = c.b_id, generate_series(1, 64) t(i)
+      |       GROUP BY c.a_id, c.b_id),
+      |sel AS (SELECT a_id, b_id,
+      |          FLOOR(dot / (SQRT(n1) * SQRT(n2)) * 10000 + 0.5)/10000 AS cos_sim
+      |        FROM ex)
+      |SELECT a_id, b_id, cos_sim FROM sel WHERE cos_sim >= CAST(0.45 AS DOUBLE)
+      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    graft.operators.SimilaritySearch.quantizedNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, margin = 0.05, numBlocks = 8)
+      .select(col("idA").as("a_id"), col("idB").as("b_id"), col("cos_sim"))
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup, annIvf, quantize,
-    quantizedAnn)
+    quantizedAnn, quantizedNearDup)
 }

@@ -192,4 +192,29 @@ class SimilaritySearchSpec extends AnyFunSuite {
       .intersect(exact.map(_.getLong(0)).toSet).size
     assert(overlap >= 3, s"recall too low: $overlap/5")
   }
+
+  test("quantizedNearDupPairs == exact pairs when the margin covers quantization error") {
+    import spark.implicits._
+    val base = (1L to 40L).map(i => (i, vec(i * 131 + 7)))
+    val planted = Seq((103L, jitter(base(2)._2, 0.01f)),
+      (117L, jitter(base(16)._2, 0.01f)))
+    val corpus = (base ++ planted).toDF("id", "v")
+    val exact = SimilaritySearch
+      .cosineNearDupPairs(corpus, "id", "v", threshold = 0.9, numBlocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val quant = SimilaritySearch
+      .quantizedNearDupPairs(corpus, "id", "v", threshold = 0.9,
+        margin = 0.05, numBlocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // identical pairs AND identical exact scores: the verify stage is
+    // the same kernel, the prefilter only prunes
+    assert(quant == exact, s"quant=$quant exact=$exact")
+    assert(quant.nonEmpty)
+    // margin 0 with a coarse threshold of 1.0 prunes everything —
+    // the prefilter is really filtering on quantized scores
+    val none = SimilaritySearch
+      .quantizedNearDupPairs(corpus, "id", "v", threshold = 1.0001,
+        margin = 0.0, numBlocks = 4).count()
+    assert(none == 0L)
+  }
 }
