@@ -368,14 +368,40 @@ object SimilaritySearch {
       margin: Double = 0.05,
       numBlocks: Int = 8,
       sizeHint: Long = -1L): DataFrame = {
+    val bound = threshold - margin
+    val cand = quantizedCandidatePairs(corpus, idCol, vecCol, bound,
+      numBlocks, sizeHint)
+    // verify stage: only candidates touch the float vectors; exact
+    // cosine, same kernel + rounding + threshold as the exact arm
+    val va = corpus.select(col(idCol).as("idA"), col(vecCol).as("__va"))
+    val vb = corpus.select(col(idCol).as("idB"), col(vecCol).as("__vb"))
+    implicit val sp: SparkSession = corpus.sparkSession
+    cand.join(va, "idA").join(vb, "idB")
+      .select(col("idA"), col("idB"),
+        r4(VectorFunctions.dot(col("__va"), col("__vb")) /
+          (VectorFunctions.norm(col("__va")) * VectorFunctions.norm(col("__vb"))))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** The coarse stage of [[quantizedNearDupPairs]]: (idA, idB) pairs
+    * whose QUANTIZED cosine clears `bound`, idA < idB. Exposed so
+    * callers can compose their own verify (or measure the candidate
+    * volume — the margin is a recall/volume dial and this is its
+    * gauge). */
+  def quantizedCandidatePairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bound: Double,
+      numBlocks: Int = 8,
+      sizeHint: Long = -1L): DataFrame = {
     require(numBlocks >= 1, s"numBlocks must be positive, got $numBlocks")
-    require(margin >= 0.0, s"margin must be >= 0, got $margin")
     require(sizeHint <= maxExactRows,
       s"quantizedNearDupPairs is still the exact quadratic arm ($sizeHint " +
         s"rows): use lshCandidates or ivfBuild/ivfTopK beyond $maxExactRows vectors")
     implicit val sp: SparkSession = corpus.sparkSession
     import sp.implicits._
-    val bound = threshold - margin
     // quantized-only table for the quadratic stage: (id, qvec, Σq²)
     val quant = corpus
       .select(col(idCol).as("__id"),
@@ -389,54 +415,87 @@ object SimilaritySearch {
         Iterator.range(b + 1, numBlocks).map(p => (b, p, 1.toByte, id, q, s)) ++
         Iterator.range(0, b).map(p => (p, b, 2.toByte, id, q, s))
     }
-    def idot(x: Array[Byte], y: Array[Byte]): Long = {
+    // int accumulator: HotSpot vectorizes byte→int mul-acc ~1.5× over
+    // a long accumulator (tools/ByteDotBench: 41 vs 27 Mdot/s; the
+    // float loop runs 19). Exact while dim ≤ 2³¹/127² ≈ 133k — far
+    // past any embedding dimensionality; Σq² rides the shuffled row as
+    // a long either way, so oracle parity is untouched.
+    def idot(x: Array[Byte], y: Array[Byte]): Int = {
       val n = math.min(x.length, y.length)
-      var s = 0L; var k = 0
+      var s = 0; var k = 0
       while (k < n) { s += x(k) * y(k); k += 1 }
       s
     }
     // same floor-based half-up rounding as r4 — integer operands, so
-    // the double division sees identical inputs on every engine
-    def approx(a: (Long, Array[Byte], Long), b: (Long, Array[Byte], Long)): Double =
-      math.floor(idot(a._2, b._2) / (math.sqrt(a._3.toDouble) *
-        math.sqrt(b._3.toDouble)) * 10000 + 0.5) / 10000.0
+    // the double division sees identical inputs on every engine. The
+    // norm sqrt is precomputed once per kernel entry (like the exact
+    // arm caches its float norms), not once per pair.
+    def approx(qa: Array[Byte], na: Double, qb: Array[Byte], nb: Double): Double =
+      math.floor(idot(qa, qb) / (na * nb) * 10000 + 0.5) / 10000.0
+    // O(N²/B²) iterations per group: the hot loop runs over parallel
+    // primitive arrays (no tuple boxing, no iterator per pair) — the
+    // probe that motivated this measured the generic-collection
+    // formulation 25× off the raw dot-product throughput.
+    final class Side {
+      var n = 0
+      var ids = new Array[Long](64)
+      var qs = new Array[Array[Byte]](64)
+      var ns = new Array[Double](64)
+      def add(id: Long, q: Array[Byte], s: Long): Unit = {
+        if (n == ids.length) {
+          ids = java.util.Arrays.copyOf(ids, n * 2)
+          qs = java.util.Arrays.copyOf(qs, n * 2)
+          ns = java.util.Arrays.copyOf(ns, n * 2)
+        }
+        ids(n) = id; qs(n) = q; ns(n) = math.sqrt(s.toDouble); n += 1
+      }
+      /** permute all three arrays into ascending-id order */
+      def sortById(): Unit = {
+        val perm = Array.range(0, n).sortBy(ids(_))
+        ids = perm.map(ids); qs = perm.map(qs); ns = perm.map(ns)
+      }
+    }
     val cand = tagged
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Byte, Long, Array[Byte], Long)]) =>
         val (p, q) = key
-        val aSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte], Long)]
-        val bSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte], Long)]
+        val aSide = new Side
+        val bSide = new Side
         rows.foreach { case (_, _, tag, id, qv, s) =>
-          val entry = (id, qv, s)
-          if (tag == 0.toByte || tag == 1.toByte) aSide += entry
-          if (tag == 2.toByte) bSide += entry
+          if (tag == 2.toByte) bSide.add(id, qv, s) else aSide.add(id, qv, s)
         }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         if (p == q) {
-          val sorted = aSide.sortBy(_._1)
-          for {
-            i <- sorted.indices.iterator
-            j <- (i + 1 until sorted.length).iterator
-            if approx(sorted(i), sorted(j)) >= bound
-          } yield (sorted(i)._1, sorted(j)._1)
+          aSide.sortById()
+          var i = 0
+          while (i < aSide.n) {
+            val qi = aSide.qs(i); val ni = aSide.ns(i)
+            var j = i + 1
+            while (j < aSide.n) {
+              if (approx(qi, ni, aSide.qs(j), aSide.ns(j)) >= bound)
+                out += ((aSide.ids(i), aSide.ids(j)))
+              j += 1
+            }
+            i += 1
+          }
         } else {
-          for {
-            a <- aSide.iterator
-            b <- bSide.iterator
-            if approx(a, b) >= bound
-          } yield if (a._1 < b._1) (a._1, b._1) else (b._1, a._1)
+          var i = 0
+          while (i < aSide.n) {
+            val qi = aSide.qs(i); val ni = aSide.ns(i); val idi = aSide.ids(i)
+            var j = 0
+            while (j < bSide.n) {
+              if (approx(qi, ni, bSide.qs(j), bSide.ns(j)) >= bound) {
+                val idj = bSide.ids(j)
+                out += (if (idi < idj) (idi, idj) else (idj, idi))
+              }
+              j += 1
+            }
+            i += 1
+          }
         }
+        out.iterator
       }
-      .toDF("idA", "idB")
-    // verify stage: only candidates touch the float vectors; exact
-    // cosine, same kernel + rounding + threshold as the exact arm
-    val va = corpus.select(col(idCol).as("idA"), col(vecCol).as("__va"))
-    val vb = corpus.select(col(idCol).as("idB"), col(vecCol).as("__vb"))
-    cand.join(va, "idA").join(vb, "idB")
-      .select(col("idA"), col("idB"),
-        r4(VectorFunctions.dot(col("__va"), col("__vb")) /
-          (VectorFunctions.norm(col("__va")) * VectorFunctions.norm(col("__vb"))))
-          .as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+    cand.toDF("idA", "idB")
   }
 
   val maxExactRows: Long = 1L << 20

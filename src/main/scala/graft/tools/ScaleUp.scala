@@ -88,11 +88,21 @@ object ScaleUp {
     val emb = rd("embeddings"); val vecS = stride(emb, "vec_id")
     wr(replicate(emb)((d, i) => d
       .withColumn("vec_id", col("vec_id") + lit(i * vecS))
-      // deterministic per-replica rotation-ish perturbation keeps
-      // replicas from being exact near-dup copies of each other
+      // replica i CYCLICALLY ROTATES every vector's components by i.
+      // Rotation is orthogonal, so WITHIN a replica all pairwise
+      // cosines are bit-identical to the originals (each replica
+      // contributes exactly the base corpus's near-dup pairs — honest
+      // 10× output for 10× data), while ACROSS replicas cosine is the
+      // base vectors' lag-i autocorrelation ≈ random-pair level. The
+      // previous additive ±0.037i shift gave every cross-replica pair
+      // a shared perturbation component: at reps=10 it made 54% of ALL
+      // pairs (~10⁸ at sf1) clear a 0.45 near-dup threshold — a
+      // degenerate corpus in which any candidate prefilter is
+      // worthless and pair-output volume, not kernel scaling, is what
+      // soaks measured. No arithmetic: the floats are copied verbatim.
       .withColumn("embedding", if (i == 0) col("embedding")
-        else expr(s"transform(embedding, (x, j) -> CAST(x + ${i * 0.037} * " +
-          s"CASE WHEN j % 2 = 0 THEN 1.0 ELSE -1.0 END AS FLOAT))"))),
+        else expr(s"transform(sequence(0, size(embedding) - 1), " +
+          s"j -> embedding[(j + $i) % size(embedding)])"))),
       "embeddings")
 
     println(s"[scaleup] wrote ${reps}x $src -> $out")
