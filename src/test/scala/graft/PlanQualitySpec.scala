@@ -161,6 +161,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(shuffles("q2_min_cost_supplier") <= 5, "q2 grew a shuffle")
   }
 
+  test("v7's coarse pass broadcasts the query and takes top-k without a global sort") {
+    // the int8 ANN scan must stream the corpus once against a broadcast
+    // query (no shuffle of corpus vectors for scoring) and select
+    // candidates via TakeOrderedAndProject — a full Sort before the
+    // limit would be a scale regression (sort O(N log N) over the
+    // corpus vs top-k's O(N))
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val nodes = finalPlan("v7_quantized_ann")
+    assert(nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "expected TakeOrderedAndProject for the candidate/output top-k")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "v7 must never globally sort the corpus")
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) == 0,
+      "v7's scoring passes must not shuffle corpus rows")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
   test("column pruning reaches the scan on a wide-table projection") {
     val s = planString("q13_customer_distribution")
     // orders is read for (o_orderkey, o_custkey, o_comment)-ish subsets,
