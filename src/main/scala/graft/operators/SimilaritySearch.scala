@@ -63,22 +63,29 @@ object SimilaritySearch {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
 
-  /** Int8-quantized ANN top-k: coarse-score the WHOLE corpus on packed
-    * int8 vectors, exact-rerank only the `k × overFetch` best
-    * candidates on the original floats.
+  /** Int8-quantized ANN top-k from a float corpus: coarse-score every
+    * vector on packed int8, exact-rerank only the `k × overFetch` best
+    * candidates on the floats.
     *
     * The quantization is symmetric max-abs ([[graft.functions.QuantizeInt8]]):
     * per-vector scales cancel inside cosine, so the coarse score is
     * `Σq_aq_b / (√Σq_a² · √Σq_b²)` — pure integer sums, bit-exact
     * across engines/partitionings by construction (no FP summation
     * order), computed by the codegen'd [[graft.functions.Int8Dot]]
-    * kernel over BinaryType buffers. That is the 100 TB design point:
-    * the scan that touches every vector reads 1 byte/component instead
-    * of 4 (4× less memory bandwidth — what a brute-force coarse pass
-    * is bound by), and only `k × overFetch` rows ever touch the
-    * full-precision floats. Compose with the IVF partitioner when even
-    * a 1-byte full scan is too much. Deterministic end to end: both
-    * top-k selections tie-break on id. */
+    * kernel over BinaryType buffers.
+    *
+    * This one-shot form quantizes ON THE FLY, so it still reads the
+    * float column once — its win is the integer arithmetic and that
+    * only `k × overFetch` rows reach the exact kernel. The 4×
+    * SCAN-BANDWIDTH win (1 byte/component instead of 4 — what a
+    * brute-force coarse pass is bound by at 100 TB) needs the
+    * quantized projection materialized at ingest and reused across
+    * queries: build it once with [[quantizeCorpus]], persist/write it,
+    * and serve queries with [[quantizedTopKIndexed]], whose coarse
+    * pass touches ONLY the 64-byte rows. Compose with the IVF
+    * partitioner when even a 1-byte full scan is too much.
+    * Deterministic end to end: both top-k selections tie-break on
+    * id. */
   def quantizedTopK(
       corpus: DataFrame,
       idCol: String,
@@ -89,19 +96,13 @@ object SimilaritySearch {
       overFetch: Int = 4): DataFrame = {
     implicit val sp: SparkSession = corpus.sparkSession
     require(k >= 1 && overFetch >= 1, s"k and overFetch must be >= 1")
-    val q = query.select(
-      col(queryVecCol).as("__qe"),
-      VectorFunctions.quantizeInt8(col(queryVecCol)).as("__qq"),
-      VectorFunctions.norm(col(queryVecCol)).as("__qn"))
-      .withColumn("__qs", VectorFunctions.int8Dot(col("__qq"), col("__qq")))
+    val q = quantizedQuery(query, queryVecCol)
     val coarse = corpus
       .select(col(idCol), col(vecCol),
         VectorFunctions.quantizeInt8(col(vecCol)).as("__cq"))
       .crossJoin(broadcast(q))
       .select(col(idCol), col(vecCol), col("__qe"), col("__qn"),
-        r4(VectorFunctions.int8Dot(col("__cq"), col("__qq")).cast("double") /
-          (sqrt(VectorFunctions.int8Dot(col("__cq"), col("__cq")).cast("double")) *
-            sqrt(col("__qs").cast("double")))).as("approx_cos"))
+        coarseCos.as("approx_cos"))
       .orderBy(col("approx_cos").desc, col(idCol))
       .limit(k * overFetch)
     coarse
@@ -111,6 +112,75 @@ object SimilaritySearch {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** The reusable int8 projection of a float corpus — (idCol, `qvec`
+    * binary, `qnorm2` = Σq² long), 65 bytes/64-dim vector vs 256.
+    * Materialize this at ingest (write/persist) and serve repeated ANN
+    * queries through [[quantizedTopKIndexed]] so the per-query full
+    * scan touches int8 only. */
+  def quantizeCorpus(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    implicit val sp: SparkSession = corpus.sparkSession
+    corpus
+      .select(col(idCol), VectorFunctions.quantizeInt8(col(vecCol)).as("qvec"))
+      .select(col(idCol), col("qvec"),
+        VectorFunctions.int8Dot(col("qvec"), col("qvec")).as("qnorm2"))
+  }
+
+  /** [[quantizedTopK]] over a pre-built [[quantizeCorpus]] projection:
+    * the coarse pass scans `quantized` (1 byte/component — the 4×
+    * bandwidth point), and only the `k × overFetch` survivors fetch
+    * their float vectors from `corpus` by id for the exact rerank.
+    * Returns the same result as the one-shot form on the same data. */
+  def quantizedTopKIndexed(
+      quantized: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      k: Int,
+      overFetch: Int = 4): DataFrame = {
+    implicit val sp: SparkSession = corpus.sparkSession
+    require(k >= 1 && overFetch >= 1, s"k and overFetch must be >= 1")
+    val q = quantizedQuery(query, queryVecCol)
+    // same integer score as coarseCos, but the self-dot comes from the
+    // projection's precomputed qnorm2 (identical long → identical
+    // double) instead of re-running Int8Dot per row
+    val coarse = quantized
+      .withColumnRenamed("qvec", "__cq")
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        r4(VectorFunctions.int8Dot(col("__cq"), col("__qq")).cast("double") /
+          (sqrt(col("qnorm2").cast("double")) * sqrt(col("__qs").cast("double"))))
+          .as("approx_cos"))
+      .orderBy(col("approx_cos").desc, col(idCol))
+      .limit(k * overFetch)
+    coarse
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .crossJoin(broadcast(q.select(col("__qe"), col("__qn"))))
+      .select(col(idCol),
+        r4(VectorFunctions.dot(col(vecCol), col("__qe")) /
+          (VectorFunctions.norm(col(vecCol)) * col("__qn"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Broadcastable single-row frame carrying the query's float vector,
+    * float norm, int8 packing, and integer self-dot. */
+  private def quantizedQuery(query: DataFrame, queryVecCol: String)(
+      implicit sp: SparkSession): DataFrame =
+    query.select(
+      col(queryVecCol).as("__qe"),
+      VectorFunctions.quantizeInt8(col(queryVecCol)).as("__qq"),
+      VectorFunctions.norm(col(queryVecCol)).as("__qn"))
+      .withColumn("__qs", VectorFunctions.int8Dot(col("__qq"), col("__qq")))
+
+  /** Integer coarse cosine over (`__cq`, `__qq`, `__qs`) — shared by
+    * the one-shot and indexed forms so their scores are identical. */
+  private def coarseCos(implicit sp: SparkSession): Column =
+    r4(VectorFunctions.int8Dot(col("__cq"), col("__qq")).cast("double") /
+      (sqrt(VectorFunctions.int8Dot(col("__cq"), col("__cq")).cast("double")) *
+        sqrt(col("__qs").cast("double"))))
 
   /** Random-hyperplane LSH signature: bit p of the result is the sign
     * of the vector's projection onto pseudo-hyperplane p, whose ±1
@@ -321,6 +391,26 @@ object SimilaritySearch {
       .limit(topK)
   }
 
+  val maxExactRows: Long = 1L << 20
+
+  /** Triangle-block replication shared by BOTH pairwise arms (exact
+    * floats and quantized int8), so the blocking invariant lives in one
+    * place: a row in block `b = floorMod(id, numBlocks)` (floorMod —
+    * a negative `%` block would silently drop its cross-block pairs)
+    * lands once in its diagonal group `(b, b)` with tag 0, and once in
+    * every cross group — tag 1 as the LEFT block of `(b, q>b)`, tag 2
+    * as the RIGHT block of `(p<b, b)`. Every unordered pair therefore
+    * meets in exactly one group: the diagonal if the ids share a
+    * block, else the one cross group `(min, max)` of their two
+    * blocks. */
+  private def blockTags[P](
+      id: Long, payload: P, numBlocks: Int): Iterator[(Int, Int, Byte, Long, P)] = {
+    val b = Math.floorMod(id, numBlocks)
+    Iterator.single((b, b, 0.toByte, id, payload)) ++
+      Iterator.range(b + 1, numBlocks).map(q => (b, q, 1.toByte, id, payload)) ++
+      Iterator.range(0, b).map(p => (p, b, 2.toByte, id, payload))
+  }
+
   /** Exact cosine near-duplicate pairs: (idA, idB, cos_sim) with
     * idA < idB and rounded cosine ≥ `threshold`.
     *
@@ -341,6 +431,66 @@ object SimilaritySearch {
     * the corpus size as `sizeHint` when you know it — inputs past
     * `maxExactRows` are rejected loudly rather than left to burn a
     * cluster. */
+  def cosineNearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numBlocks: Int = 8,
+      sizeHint: Long = -1L): DataFrame = {
+    require(numBlocks >= 1, s"numBlocks must be positive, got $numBlocks")
+    require(sizeHint <= maxExactRows,
+      s"cosineNearDupPairs is the exact quadratic arm: $sizeHint rows would " +
+        s"cost ~${sizeHint / 1000000}M^2 cosine evaluations; use " +
+        "lshCandidates (LSH buckets) or ivfBuild/ivfTopK (IVF clusters) " +
+        s"beyond $maxExactRows vectors")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val base = corpus.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
+    val tagged = base.flatMap { case (id, vec) => blockTags(id, vec, numBlocks) }
+    def dotd(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var k = 0
+      while (k < x.length) { d += x(k).toDouble * y(k).toDouble; k += 1 }
+      d
+    }
+    def nrm(x: Array[Float]): Double = math.sqrt(dotd(x, x))
+    // same floor-based half-up rounding as r4 (raw double arithmetic,
+    // bit-identical across engines)
+    def score(a: (Long, Array[Float], Double), b: (Long, Array[Float], Double)) =
+      math.floor(dotd(a._2, b._2) / (a._3 * b._3) * 10000 + 0.5) / 10000.0
+    val pairs = tagged
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Byte, Long, Array[Float])]) =>
+        val (p, q) = key
+        val aSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        val bSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        rows.foreach { case (_, _, tag, id, vec) =>
+          val entry = (id, vec, nrm(vec))
+          if (tag == 0.toByte || tag == 1.toByte) aSide += entry
+          if (tag == 2.toByte) bSide += entry
+        }
+        if (p == q) {
+          // within-block: ordered pairs by id
+          val sorted = aSide.sortBy(_._1)
+          for {
+            i <- sorted.indices.iterator
+            j <- (i + 1 until sorted.length).iterator
+            cos = score(sorted(i), sorted(j))
+            if cos >= threshold
+          } yield (sorted(i)._1, sorted(j)._1, cos)
+        } else {
+          // cross-block: full A×B, pair reported (smaller id, larger id)
+          for {
+            a <- aSide.iterator
+            b <- bSide.iterator
+            cos = score(a, b)
+            if cos >= threshold
+          } yield if (a._1 < b._1) (a._1, b._1, cos) else (b._1, a._1, cos)
+        }
+      }
+    pairs.toDF("idA", "idB", "cos_sim")
+  }
+
   /** Exact near-dup pairs with an int8-quantized coarse prefilter —
     * the bandwidth-reduced variant of [[cosineNearDupPairs]].
     *
@@ -409,12 +559,7 @@ object SimilaritySearch {
       .select(col("__id"), col("__q"),
         VectorFunctions.int8Dot(col("__q"), col("__q")).as("__s"))
       .as[(Long, Array[Byte], Long)]
-    val tagged = quant.flatMap { case (id, q, s) =>
-      val b = Math.floorMod(id, numBlocks)
-      Iterator.single((b, b, 0.toByte, id, q, s)) ++
-        Iterator.range(b + 1, numBlocks).map(p => (b, p, 1.toByte, id, q, s)) ++
-        Iterator.range(0, b).map(p => (p, b, 2.toByte, id, q, s))
-    }
+    val tagged = quant.flatMap { case (id, q, s) => blockTags(id, (q, s), numBlocks) }
     // int accumulator: HotSpot vectorizes byte→int mul-acc ~1.5× over
     // a long accumulator (tools/ByteDotBench: 41 vs 27 Mdot/s; the
     // float loop runs 19). Exact while dim ≤ 2³¹/127² ≈ 133k — far
@@ -455,116 +600,65 @@ object SimilaritySearch {
         ids = perm.map(ids); qs = perm.map(qs); ns = perm.map(ns)
       }
     }
+    // pairs are EMITTED LAZILY (like the exact arm): a buffered result
+    // would hold every passing pair of a (N/B)² group in task memory —
+    // under adversarial selectivity (the pre-rotation degenerate
+    // corpus passed 54% of ALL pairs) that is an OOM, not a slowdown
     val cand = tagged
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Byte, Long, Array[Byte], Long)]) =>
+      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Byte, Long, (Array[Byte], Long))]) =>
         val (p, q) = key
         val aSide = new Side
         val bSide = new Side
-        rows.foreach { case (_, _, tag, id, qv, s) =>
+        rows.foreach { case (_, _, tag, id, (qv, s)) =>
           if (tag == 2.toByte) bSide.add(id, qv, s) else aSide.add(id, qv, s)
         }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         if (p == q) {
           aSide.sortById()
-          var i = 0
-          while (i < aSide.n) {
-            val qi = aSide.qs(i); val ni = aSide.ns(i)
-            var j = i + 1
-            while (j < aSide.n) {
-              if (approx(qi, ni, aSide.qs(j), aSide.ns(j)) >= bound)
-                out += ((aSide.ids(i), aSide.ids(j)))
-              j += 1
+          new scala.collection.AbstractIterator[(Long, Long)] {
+            private var i = 0
+            private var j = 1
+            private var pair: (Long, Long) = _
+            advance()
+            private def advance(): Unit = {
+              pair = null
+              while (pair == null && i < aSide.n - 1) {
+                if (j >= aSide.n) { i += 1; j = i + 1 }
+                else {
+                  if (approx(aSide.qs(i), aSide.ns(i), aSide.qs(j), aSide.ns(j)) >= bound)
+                    pair = (aSide.ids(i), aSide.ids(j))
+                  j += 1
+                }
+              }
             }
-            i += 1
+            def hasNext: Boolean = pair != null
+            def next(): (Long, Long) = { val r = pair; advance(); r }
           }
         } else {
-          var i = 0
-          while (i < aSide.n) {
-            val qi = aSide.qs(i); val ni = aSide.ns(i); val idi = aSide.ids(i)
-            var j = 0
-            while (j < bSide.n) {
-              if (approx(qi, ni, bSide.qs(j), bSide.ns(j)) >= bound) {
-                val idj = bSide.ids(j)
-                out += (if (idi < idj) (idi, idj) else (idj, idi))
+          new scala.collection.AbstractIterator[(Long, Long)] {
+            private var i = 0
+            private var j = 0
+            private var pair: (Long, Long) = _
+            advance()
+            private def advance(): Unit = {
+              pair = null
+              while (pair == null && i < aSide.n) {
+                if (j >= bSide.n) { i += 1; j = 0 }
+                else {
+                  if (approx(aSide.qs(i), aSide.ns(i), bSide.qs(j), bSide.ns(j)) >= bound) {
+                    val idi = aSide.ids(i); val idj = bSide.ids(j)
+                    pair = if (idi < idj) (idi, idj) else (idj, idi)
+                  }
+                  j += 1
+                }
               }
-              j += 1
             }
-            i += 1
+            def hasNext: Boolean = pair != null
+            def next(): (Long, Long) = { val r = pair; advance(); r }
           }
         }
-        out.iterator
       }
     cand.toDF("idA", "idB")
   }
 
-  val maxExactRows: Long = 1L << 20
-  def cosineNearDupPairs(
-      corpus: DataFrame,
-      idCol: String,
-      vecCol: String,
-      threshold: Double,
-      numBlocks: Int = 8,
-      sizeHint: Long = -1L): DataFrame = {
-    require(numBlocks >= 1, s"numBlocks must be positive, got $numBlocks")
-    require(sizeHint <= maxExactRows,
-      s"cosineNearDupPairs is the exact quadratic arm: $sizeHint rows would " +
-        s"cost ~${sizeHint / 1000000}M^2 cosine evaluations; use " +
-        "lshCandidates (LSH buckets) or ivfBuild/ivfTopK (IVF clusters) " +
-        s"beyond $maxExactRows vectors")
-    val sp = corpus.sparkSession
-    import sp.implicits._
-    val base = corpus.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
-    // replicate each row to every block pair it participates in:
-    // tag 0 = same-block group, 1 = left block of (p,q), 2 = right block
-    // (floorMod keeps negative ids in [0, numBlocks) — a negative `%`
-    // block would silently drop its cross-block pairs)
-    val tagged = base.flatMap { case (id, vec) =>
-      val b = Math.floorMod(id, numBlocks)
-      Iterator.single((b, b, 0.toByte, id, vec)) ++
-        Iterator.range(b + 1, numBlocks).map(q => (b, q, 1.toByte, id, vec)) ++
-        Iterator.range(0, b).map(p => (p, b, 2.toByte, id, vec))
-    }
-    def dotd(x: Array[Float], y: Array[Float]): Double = {
-      var d = 0.0; var k = 0
-      while (k < x.length) { d += x(k).toDouble * y(k).toDouble; k += 1 }
-      d
-    }
-    def nrm(x: Array[Float]): Double = math.sqrt(dotd(x, x))
-    // same floor-based half-up rounding as r4 (raw double arithmetic,
-    // bit-identical across engines)
-    def score(a: (Long, Array[Float], Double), b: (Long, Array[Float], Double)) =
-      math.floor(dotd(a._2, b._2) / (a._3 * b._3) * 10000 + 0.5) / 10000.0
-    val pairs = tagged
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Byte, Long, Array[Float])]) =>
-        val (p, q) = key
-        val aSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
-        val bSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
-        rows.foreach { case (_, _, tag, id, vec) =>
-          val entry = (id, vec, nrm(vec))
-          if (tag == 0.toByte || tag == 1.toByte) aSide += entry
-          if (tag == 2.toByte) bSide += entry
-        }
-        if (p == q) {
-          // within-block: ordered pairs by id
-          val sorted = aSide.sortBy(_._1)
-          for {
-            i <- sorted.indices.iterator
-            j <- (i + 1 until sorted.length).iterator
-            cos = score(sorted(i), sorted(j))
-            if cos >= threshold
-          } yield (sorted(i)._1, sorted(j)._1, cos)
-        } else {
-          // cross-block: full A×B, pair reported (smaller id, larger id)
-          for {
-            a <- aSide.iterator
-            b <- bSide.iterator
-            cos = score(a, b)
-            if cos >= threshold
-          } yield if (a._1 < b._1) (a._1, b._1, cos) else (b._1, a._1, cos)
-        }
-      }
-    pairs.toDF("idA", "idB", "cos_sim")
-  }
 }

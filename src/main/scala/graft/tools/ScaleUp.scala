@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
   * Replication preserves the join topology (every FK is shifted by the
   * same per-replica stride as its PK) and — crucially for the dedup /
   * ANN workloads — does NOT create cross-replica near-duplicates:
-  * document words are vocabulary-tagged per replica and embeddings get
-  * a deterministic per-replica component offset, so posting lists, LSH
-  * buckets and pair counts scale like real data instead of exploding
-  * into N-cliques of self-copies.
+  * document words are vocabulary-tagged per replica and embeddings are
+  * cyclically component-rotated per replica (see the inline comment on
+  * the embeddings block for why the earlier additive offset was a
+  * degenerate corpus), so posting lists, LSH buckets and pair counts
+  * scale like real data instead of exploding into N-cliques of
+  * self-copies. Caveat: at reps > dim, rotation amounts wrap (replica
+  * dim+i repeats replica i's rotation) — those replica pairs are exact
+  * copies of each other, i.e. the corpus gains a controlled dose of
+  * true duplicates, which real crawls have anyway.
   *
   *   runMain graft.tools.ScaleUp [srcDir] [reps] [outDir]
   */
@@ -89,10 +94,14 @@ object ScaleUp {
     wr(replicate(emb)((d, i) => d
       .withColumn("vec_id", col("vec_id") + lit(i * vecS))
       // replica i CYCLICALLY ROTATES every vector's components by i.
-      // Rotation is orthogonal, so WITHIN a replica all pairwise
-      // cosines are bit-identical to the originals (each replica
-      // contributes exactly the base corpus's near-dup pairs — honest
-      // 10× output for 10× data), while ACROSS replicas cosine is the
+      // Rotation is orthogonal, so WITHIN a replica pairwise cosines
+      // equal the originals (exactly for the integer quantized scores;
+      // for float kernels up to summation-ORDER ulps, since the dot
+      // product now starts at a different offset — a pair sitting
+      // within an ulp of an r4 rounding boundary can in principle flip
+      // across a threshold in one replica only). Each replica thus
+      // contributes the base corpus's near-dup pairs — honest 10×
+      // output for 10× data — while ACROSS replicas cosine is the
       // base vectors' lag-i autocorrelation ≈ random-pair level. The
       // previous additive ±0.037i shift gave every cross-replica pair
       // a shared perturbation component: at reps=10 it made 54% of ALL

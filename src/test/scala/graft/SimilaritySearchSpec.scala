@@ -210,11 +210,34 @@ class SimilaritySearchSpec extends AnyFunSuite {
     // the same kernel, the prefilter only prunes
     assert(quant == exact, s"quant=$quant exact=$exact")
     assert(quant.nonEmpty)
-    // margin 0 with a coarse threshold of 1.0 prunes everything —
-    // the prefilter is really filtering on quantized scores
-    val none = SimilaritySearch
-      .quantizedNearDupPairs(corpus, "id", "v", threshold = 1.0001,
-        margin = 0.0, numBlocks = 4).count()
-    assert(none == 0L)
+    // pin the PREFILTER itself (not through the verify stage, which
+    // would mask a broken bound comparison): an impossible bound
+    // yields zero candidates, a permissive one yields all pairs, and
+    // the planted-pair bound yields a strict subset
+    val n = corpus.count()
+    def candAt(bound: Double): Long = SimilaritySearch
+      .quantizedCandidatePairs(corpus, "id", "v", bound, numBlocks = 4).count()
+    assert(candAt(1.0001) == 0L, "impossible bound must prune everything")
+    assert(candAt(-1.0) == n * (n - 1) / 2, "bound -1 must keep every pair")
+    val mid = candAt(0.85)
+    assert(mid >= 2 && mid < n * (n - 1) / 2, s"0.85 bound kept $mid")
+  }
+
+  test("quantizedTopKIndexed over a materialized projection matches the one-shot form") {
+    import spark.implicits._
+    val q = vec(777L)
+    val corpus = ((1L, jitter(q, 0.01f)) +:
+      (2L to 60L).map(i => (i, vec(i * 29 + 11)))).toDF("id", "v")
+    val query = Seq(Tuple1(q)).toDF("qv")
+    val projection = SimilaritySearch.quantizeCorpus(corpus, "id", "v")
+    assert(projection.columns.toSeq == Seq("id", "qvec", "qnorm2"))
+    val indexed = SimilaritySearch.quantizedTopKIndexed(
+      projection, corpus, "id", "v", query, "qv", k = 5, overFetch = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val oneShot = SimilaritySearch.quantizedTopK(
+      corpus, "id", "v", query, "qv", k = 5, overFetch = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed == oneShot,
+      s"indexed=$indexed oneShot=$oneShot")
   }
 }
