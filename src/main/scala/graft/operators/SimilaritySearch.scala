@@ -371,20 +371,71 @@ object SimilaritySearch {
       nprobe: Int = 4,
       filter: Column = lit(true)): DataFrame = {
     implicit val sp: SparkSession = index.assigned.sparkSession
+    val q = index.assigned.sparkSession.range(1).select(
+      typedLit(query).as("__qe"))
+      .select(col("__qe"), VectorFunctions.norm(col("__qe")).as("__qn"))
+    probedAssigned(index, query, nprobe, filter)
+      .crossJoin(broadcast(q))
+      .select(col(index.idCol), col("cluster").cast("long").as("cluster"),
+        r4(VectorFunctions.dot(col(index.vecCol), col("__qe")) /
+          (VectorFunctions.norm(col(index.vecCol)) * col("__qn"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(index.idCol))
+      .limit(topK)
+  }
+
+  /** The index rows inside the query's `nprobe` closest clusters
+    * (driver-side argmax over the k centroid rows — the standard IVF
+    * probe), with `filter` pre-applied. Shared by the float and the
+    * quantized probe paths so cluster selection cannot diverge. */
+  private def probedAssigned(
+      index: IvfIndex,
+      query: Array[Float],
+      nprobe: Int,
+      filter: Column): DataFrame = {
     val qn = normF(query)
-    val probeClusters = index.centroids.zipWithIndex
+    val probe = index.centroids.zipWithIndex
       .map { case ((cv, cn), ci) => (dotDF(cv, query) / (cn * qn), ci) }
       .sortBy { case (sim, ci) => (-sim, ci) }
       .take(nprobe)
       .map(_._2.toLong)
-    val q = index.assigned.sparkSession.range(1).select(
-      typedLit(query).as("__qe"))
-      .select(col("__qe"), VectorFunctions.norm(col("__qe")).as("__qn"))
     index.assigned
       .filter(filter)
-      .filter(col("cluster").isin(probeClusters.toIndexedSeq: _*))
+      .filter(col("cluster").isin(probe.toIndexedSeq: _*))
+  }
+
+  /** IVF-SQ8: both pruning levers composed — the IVF probe keeps only
+    * `~nprobe/k` of the corpus, the int8 coarse score ranks those
+    * probed rows with pure-integer arithmetic, and only `topK ×
+    * overFetch` survivors touch the floats for the exact rerank. At
+    * 100 TB this is the serving shape: a query reads `nprobe/k` of a
+    * 1-byte-per-component index partition (with [[quantizeCorpus]]
+    * materialized per cluster) and a few hundred float vectors, i.e.
+    * ~1/256th of the bytes the brute-force float scan reads at k=16 /
+    * nprobe=4. Returns (idCol, cos_sim), score-descending, id
+    * tiebreak; recall vs [[ivfTopK]] is governed by `overFetch`
+    * exactly as [[quantizedTopK]]'s is vs the brute-force baseline. */
+  def ivfQuantizedTopK(
+      index: IvfIndex,
+      query: Array[Float],
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4,
+      filter: Column = lit(true)): DataFrame = {
+    implicit val sp: SparkSession = index.assigned.sparkSession
+    require(topK >= 1 && overFetch >= 1, s"topK and overFetch must be >= 1")
+    val q = quantizedQuery(
+      index.assigned.sparkSession.range(1).select(typedLit(query).as("__qv")),
+      "__qv")
+    val coarse = probedAssigned(index, query, nprobe, filter)
+      .select(col(index.idCol), col(index.vecCol),
+        VectorFunctions.quantizeInt8(col(index.vecCol)).as("__cq"))
       .crossJoin(broadcast(q))
-      .select(col(index.idCol), col("cluster").cast("long").as("cluster"),
+      .select(col(index.idCol), col(index.vecCol), col("__qe"), col("__qn"),
+        coarseCos.as("approx_cos"))
+      .orderBy(col("approx_cos").desc, col(index.idCol))
+      .limit(topK * overFetch)
+    coarse
+      .select(col(index.idCol),
         r4(VectorFunctions.dot(col(index.vecCol), col("__qe")) /
           (VectorFunctions.norm(col(index.vecCol)) * col("__qn"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(index.idCol))

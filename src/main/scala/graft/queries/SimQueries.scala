@@ -164,7 +164,53 @@ object SimQueries {
     * while the gate holds, to keep the assignment identical to what the
     * production (float) path computes. */
   private def ivfOracleSql(
-      k: Int, iters: Int, nprobe: Int, topK: Int, dim: Int): String = {
+      k: Int, iters: Int, nprobe: Int, topK: Int, dim: Int): String =
+    s"""${ivfBuildSql(k, iters, nprobe, dim)},
+       |score AS (SELECT cd.vec_id, cd.cluster,
+       |            SUM(v.ve[t.i] * q.ve[t.i]) AS dot, vn.nrm AS n1, qn.nrm AS n2
+       |          FROM cand cd, d v, d q, vnorm vn, vnorm qn, generate_series(1, $dim) t(i)
+       |          WHERE v.vec_id = cd.vec_id AND q.vec_id = 0
+       |            AND vn.vec_id = cd.vec_id AND qn.vec_id = 0
+       |          GROUP BY cd.vec_id, cd.cluster, vn.nrm, qn.nrm)
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+       |  FLOOR(dot / (n1 * n2) * 10000 + 0.5) / 10000 AS cos_sim
+       |FROM score ORDER BY cos_sim DESC, vec_id LIMIT $topK""".stripMargin
+
+  /** IVF-SQ8: the [[ivfBuildSql]] probe pruned corpus, coarse-ranked by
+    * the INTEGER int8 score (same quantization CTEs as v7/v8), cut to
+    * `topK × overFetch`, exact-reranked on the floats. */
+  private def ivfQuantizedOracleSql(
+      k: Int, iters: Int, nprobe: Int, topK: Int, overFetch: Int, dim: Int): String =
+    s"""${ivfBuildSql(k, iters, nprobe, dim)},
+       |qmx AS (SELECT vec_id, MAX(ABS(ve[i])) AS mx
+       |        FROM d, generate_series(1, $dim) t(i) GROUP BY vec_id),
+       |qv AS (SELECT d.vec_id, t.i,
+       |         CASE WHEN qmx.mx = 0 THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(FLOOR(ve[i] / qmx.mx * 127 + 0.5) AS BIGINT) END AS q
+       |       FROM d JOIN qmx USING (vec_id), generate_series(1, $dim) t(i)),
+       |sq AS (SELECT vec_id, SUM(q * q) AS s FROM qv GROUP BY vec_id),
+       |qq AS (SELECT i, q FROM qv WHERE vec_id = 0),
+       |coarse AS (SELECT cd.vec_id, SUM(qv.q * qq.q) AS idot
+       |           FROM cand cd JOIN qv ON qv.vec_id = cd.vec_id
+       |                JOIN qq ON qq.i = qv.i
+       |           GROUP BY cd.vec_id),
+       |ctop AS (SELECT c.vec_id FROM coarse c
+       |           JOIN sq sa ON sa.vec_id = c.vec_id,
+       |           (SELECT s FROM sq WHERE vec_id = 0) qs
+       |         ORDER BY FLOOR(idot / (SQRT(sa.s) * SQRT(qs.s)) * 10000 + 0.5)/10000 DESC,
+       |           c.vec_id
+       |         LIMIT ${topK * overFetch}),
+       |rr AS (SELECT d.vec_id, SUM(d.ve[t.i] * q.ve[t.i]) AS dot,
+       |         vn.nrm AS n1, qn.nrm AS n2
+       |       FROM ctop ct, d, d q, vnorm vn, vnorm qn, generate_series(1, $dim) t(i)
+       |       WHERE d.vec_id = ct.vec_id AND q.vec_id = 0
+       |         AND vn.vec_id = ct.vec_id AND qn.vec_id = 0
+       |       GROUP BY d.vec_id, vn.nrm, qn.nrm)
+       |SELECT vec_id, FLOOR(dot / (n1 * n2) * 10000 + 0.5) / 10000 AS cos_sim
+       |FROM rr ORDER BY cos_sim DESC, vec_id LIMIT $topK""".stripMargin
+
+  private def ivfBuildSql(
+      k: Int, iters: Int, nprobe: Int, dim: Int): String = {
     // cosine argmax of every vector against centroid set `cents$idx`
     def assignCte(name: String, idx: Int): String =
       s"""$name AS (SELECT vec_id, c AS cluster FROM (
@@ -208,16 +254,7 @@ object SimQueries {
        |    SELECT c, ROW_NUMBER() OVER (ORDER BY sim DESC, c) AS rn FROM qsim) p
        |  WHERE rn <= $nprobe),
        |cand AS (SELECT a.vec_id, a.cluster FROM finalassign a
-       |         WHERE a.vec_id <> 0 AND a.cluster IN (SELECT c FROM probed)),
-       |score AS (SELECT cd.vec_id, cd.cluster,
-       |            SUM(v.ve[t.i] * q.ve[t.i]) AS dot, vn.nrm AS n1, qn.nrm AS n2
-       |          FROM cand cd, d v, d q, vnorm vn, vnorm qn, generate_series(1, $dim) t(i)
-       |          WHERE v.vec_id = cd.vec_id AND q.vec_id = 0
-       |            AND vn.vec_id = cd.vec_id AND qn.vec_id = 0
-       |          GROUP BY cd.vec_id, cd.cluster, vn.nrm, qn.nrm)
-       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
-       |  FLOOR(dot / (n1 * n2) * 10000 + 0.5) / 10000 AS cos_sim
-       |FROM score ORDER BY cos_sim DESC, vec_id LIMIT $topK""".stripMargin
+       |         WHERE a.vec_id <> 0 AND a.cluster IN (SELECT c FROM probed))""".stripMargin
   }
 
   /** ANN via IVF-flat: a coarse quantizer (k=16 centroids, Lloyd-refined)
@@ -373,6 +410,32 @@ object SimQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** IVF-SQ8 ANN — both pruning levers composed, the 100 TB serving
+    * shape: the IVF probe keeps ~nprobe/k of the corpus, the int8
+    * coarse score ranks the probed rows with pure-integer arithmetic,
+    * and only `topK × overFetch` survivors touch the floats for the
+    * exact rerank (~1/256th of the brute-force float-scan bytes at
+    * k=16 / nprobe=4 with a materialized quantized index). The oracle
+    * replays the ENTIRE stack — portable md5 seeding, 3 fixed-point
+    * Lloyd rounds, final assignment, driver-style probe selection,
+    * int8 quantization, integer coarse cut at 40, exact rerank —
+    * verbatim. */
+  val annIvfQuantized: Q = Q(
+    "v9_ivf_quantized_ann",
+    ivfQuantizedOracleSql(k = 16, iters = 3, nprobe = 4, topK = 10,
+      overFetch = 4, dim = 64)) { (s, dir) =>
+    val sp = s
+    import sp.implicits._
+    val e = t(s, dir, "embeddings")
+    val idx = graft.operators.SimilaritySearch
+      .ivfBuild(e, "vec_id", "embedding", k = 16, lloydIters = 3,
+        portableSeeds = true)
+    val qVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    graft.operators.SimilaritySearch.ivfQuantizedTopK(idx, qVec, topK = 10,
+      nprobe = 4, overFetch = 4, filter = col("vec_id") =!= 0)
+  }
+
   val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup, annIvf, quantize,
-    quantizedAnn, quantizedNearDup)
+    quantizedAnn, quantizedNearDup, annIvfQuantized)
 }

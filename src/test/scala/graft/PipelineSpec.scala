@@ -101,6 +101,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@10 too low: $recall")
   }
 
+  test("IVF-SQ8 returns exact scores and loses little recall vs the float probe") {
+    // v9 prunes the SAME probed clusters as v5 (shared probedAssigned),
+    // then int8-coarse-cuts to 40 before the exact rerank — so every
+    // returned score must be exactly the brute-force cosine, and the
+    // int8 cut should rarely drop a float-probe top-10 member
+    val exact = SimQueries.cosineTopK.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = SimQueries.annIvf.fn(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val sq8 = SimQueries.annIvfQuantized.fn(spark, dir).collect()
+    assert(sq8.nonEmpty)
+    sq8.foreach { r =>
+      exact.get(r.getLong(0)).foreach(s => assert(s == r.getDouble(1),
+        s"v9 rerank score for ${r.getLong(0)} differs from brute force"))
+    }
+    val overlap = sq8.map(_.getLong(0)).count(ivf.contains).toDouble / ivf.size
+    assert(overlap >= 0.7, s"IVF-SQ8 lost too much of the float probe's top-10: $overlap")
+  }
+
   test("stream-stream interval join matches the batch formulation") {
     val streamed = EventsStreaming.clickAttributionStream(spark, dir, "stream_attr")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
