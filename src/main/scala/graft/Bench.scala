@@ -38,13 +38,15 @@ object Bench {
     // curation pipeline (NB: totals before r9 cover 29 queries, after
     // 30 — compare per-query across rounds, not totals)
     "t30_curation_pipeline",
-    // round-10 additions (totals after r10 cover 32 queries):
+    // round-10 additions (totals after r10 cover 33 queries):
     // gr2 joins the headline now that the deg-persist + pre-partitioned
     // wedge join + one-pass corner credit cut it 32.9 s → ~7 s — it was
     // excluded only for dominating the total, and the heaviest op
-    // deserves drift detection; v7 is the int8-quantized ANN path
-    // (integer coarse scoring + exact rerank).
-    "gr2_triangle_count", "v7_quantized_ann")
+    // deserves drift detection; v7/v8 are the int8-quantized ANN and
+    // pairwise-near-dup paths (integer coarse scoring + exact
+    // rerank/verify). v9 (IVF-SQ8) stays off-headline like v5: the
+    // per-invocation Lloyd build would dominate its reading.
+    "gr2_triangle_count", "v7_quantized_ann", "v8_quantized_neardup")
 
   def main(args: Array[String]): Unit = {
     // optional arg: comma-separated query names for a focused local
