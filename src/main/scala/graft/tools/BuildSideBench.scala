@@ -30,6 +30,11 @@ object BuildSideBench {
     val factRows = if (args.nonEmpty) args(0).toLong else 4L * 1024 * 1024
     val dimRows = if (args.length > 1) args(1).toLong else 100000L
     val reps = if (args.length > 2) args(2).toInt else 5
+    // 4th arg `sparse`: scramble the join keys so they are no longer a
+    // dense 0..2N range — separates "the kernel shape is slower" from
+    // "Spark's LongHashedRelation got a dense-array fast path on this
+    // fixture" when reading the _vs_native ratios
+    val sparse = args.length > 3 && args(3) == "sparse"
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -41,11 +46,13 @@ object BuildSideBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     // fact keys cover 2× the dim domain → ~50% semi survival, ~50% anti
+    def scramble(c: org.apache.spark.sql.Column) =
+      if (sparse) c * lit(2654435761L) else c
     val fact = spark.range(0, factRows, 1, 64)
-      .select((col("id") % (dimRows * 2)).as("k"), (col("id") % 1000).as("v"))
+      .select(scramble(col("id") % (dimRows * 2)).as("k"), (col("id") % 1000).as("v"))
       .cache()
     val dim = spark.range(0, dimRows, 1, 8)
-      .select(col("id").as("d_k"), (col("id") * 7 % 100).as("d_v")).cache()
+      .select(scramble(col("id")).as("d_k"), (col("id") * 7 % 100).as("d_v")).cache()
     fact.count(); dim.count()
 
     def time(label: String)(mk: () => org.apache.spark.sql.DataFrame): Double = {
