@@ -383,6 +383,30 @@ object SimilaritySearch {
       .limit(topK)
   }
 
+  /** Diversity-balanced subsample over the LEARNED embedding clusters:
+    * at most `perCluster` rows per IVF cluster, chosen by ascending
+    * md5-derived content hash of the id (ties to the lower id) — the
+    * embedding-space counterpart of `Sampling.stratifiedKeep`, whose
+    * strata must be given columns. Balancing across semantic clusters
+    * is the standard counter to majority-topic domination when
+    * downsampling a training corpus. Deterministic and re-ingest
+    * stable: no RNG, the same corpus always yields the same sample;
+    * one window shuffle on the cluster key at any corpus size.
+    * Returns (idCol, cluster), cluster-then-id ordered. */
+  def clusterBalancedSample(index: IvfIndex, perCluster: Int): DataFrame = {
+    require(perCluster >= 1, s"perCluster must be >= 1, got $perCluster")
+    import org.apache.spark.sql.expressions.Window
+    index.assigned
+      .select(col(index.idCol), col("cluster"),
+        expr(s"CAST(conv(substr(md5(CAST(${index.idCol} AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("__h"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("__h"), col(index.idCol))))
+      .filter(col("__rn") <= perCluster)
+      .select(col(index.idCol), col("cluster").cast("long").as("cluster"))
+      .orderBy(col("cluster"), col(index.idCol))
+  }
+
   /** The index rows inside the query's `nprobe` closest clusters
     * (driver-side argmax over the k centroid rows — the standard IVF
     * probe), with `filter` pre-applied. Shared by the float and the

@@ -436,6 +436,29 @@ object SimQueries {
       nprobe = 4, overFetch = 4, filter = col("vec_id") =!= 0)
   }
 
+  /** Cluster-balanced diversity sample — ≤20 rows per LEARNED IVF
+    * cluster, chosen by ascending content hash (the embedding-space
+    * counterpart of t15's given-strata sampling; balancing across
+    * semantic clusters is the standard counter to majority-topic
+    * domination when downsampling a corpus). Deterministic end to end:
+    * the oracle replays the full IVF build (shared [[ivfBuildSql]]
+    * CTEs) plus the md5-ordered per-cluster window. */
+  val clusterSample: Q = Q(
+    "v10_cluster_balanced_sample",
+    s"""${ivfBuildSql(k = 16, iters = 3, nprobe = 4, dim = 64)},
+      |samp AS (SELECT vec_id, cluster,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster
+      |      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+      |        vec_id) AS rn
+      |  FROM finalassign)
+      |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM samp
+      |WHERE rn <= 20 ORDER BY cluster, vec_id""".stripMargin) { (s, dir) =>
+    val idx = graft.operators.SimilaritySearch
+      .ivfBuild(t(s, dir, "embeddings"), "vec_id", "embedding", k = 16,
+        lloydIters = 3, portableSeeds = true)
+    graft.operators.SimilaritySearch.clusterBalancedSample(idx, perCluster = 20)
+  }
+
   val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup, annIvf, quantize,
-    quantizedAnn, quantizedNearDup, annIvfQuantized)
+    quantizedAnn, quantizedNearDup, annIvfQuantized, clusterSample)
 }

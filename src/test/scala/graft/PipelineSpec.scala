@@ -120,6 +120,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(overlap >= 0.7, s"IVF-SQ8 lost too much of the float probe's top-10: $overlap")
   }
 
+  test("cluster-balanced sample caps every cluster and is re-run deterministic") {
+    val a = SimQueries.clusterSample.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val b = SimQueries.clusterSample.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.nonEmpty)
+    assert(a.toSeq == b.toSeq, "sample must be identical across invocations")
+    val perCluster = a.groupBy(_._2).view.mapValues(_.length)
+    assert(perCluster.values.forall(_ <= 20), s"a cluster exceeded the cap")
+    assert(perCluster.size > 1, "sample collapsed into one cluster")
+    assert(a.map(_._1).distinct.length == a.length, "duplicate ids in sample")
+  }
+
   test("stream-stream interval join matches the batch formulation") {
     val streamed = EventsStreaming.clickAttributionStream(spark, dir, "stream_attr")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
