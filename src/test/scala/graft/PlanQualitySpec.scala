@@ -179,6 +179,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
   }
 
+  test("v10's balanced sample pays one window shuffle over the assignment") {
+    // the sampling stage itself must stay one cluster-keyed exchange +
+    // the rank filter — if the window formulation ever degrades into a
+    // per-cluster self-join or a global sort-and-collect shape, this
+    // trips before a bench round does. (The IVF build upstream owns its
+    // own exchanges; they are bounded by the k-means loop, not the
+    // sampling logic, so the assert is an upper bound over the whole
+    // final plan.)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nodes = finalPlan("v10_cluster_balanced_sample")
+    assert(nodes.exists(_.isInstanceOf[WindowExec]),
+      "expected the row_number window in v10's plan")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) <= 4,
+      "v10 grew a shuffle beyond the assignment + window + output budget")
+  }
+
   test("column pruning reaches the scan on a wide-table projection") {
     val s = planString("q13_customer_distribution")
     // orders is read for (o_orderkey, o_custkey, o_comment)-ish subsets,
