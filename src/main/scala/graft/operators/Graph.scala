@@ -335,8 +335,15 @@ object Graph {
     // million edges at 1% fpp on the driver — at billions of edges,
     // raise fpp or flip the knob off and pay the shuffle.
     val spark = edges.sparkSession
-    val useBloom = spark.conf.getOption("spark.graft.triangles.bloom")
-      .forall(_.toBoolean)
+    val useBloom = spark.conf.getOption("spark.graft.triangles.bloom") match {
+      case None => true
+      case Some(v) if v.equalsIgnoreCase("true") => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"spark.graft.triangles.bloom must be true or false, got '$v'")
+    }
+    var bloomBc: Option[org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter]] = None
     val closable =
       if (!useBloom) wedges
       else {
@@ -344,6 +351,7 @@ object Graph {
         val bf = o.select(xxhash64(col("__a"), col("__b")).as("__h"))
           .stat.bloomFilter("__h", math.max(edgeCount, 1L), 0.01)
         val bfB = spark.sparkContext.broadcast(bf)
+        bloomBc = Some(bfB)
         val mightClose =
           udf((h: Long) => bfB.value.mightContainLong(h))
         wedges.filter(mightClose(xxhash64(col("__y"), col("__z"))))
@@ -369,6 +377,11 @@ object Graph {
     o.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     und.unpersist(blocking = false)
+    // the eager cut above materialized the result, so the Bloom
+    // broadcast is no longer referenced by any live plan — destroy it
+    // here or a long session benching triangleCounts in a loop
+    // accumulates one driver+executor-resident filter per call
+    bloomBc.foreach(_.destroy())
     out
   }
 

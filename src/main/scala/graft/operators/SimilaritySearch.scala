@@ -102,7 +102,7 @@ object SimilaritySearch {
         VectorFunctions.quantizeInt8(col(vecCol)).as("__cq"))
       .crossJoin(broadcast(q))
       .select(col(idCol), col(vecCol), col("__qe"), col("__qn"),
-        coarseCos.as("approx_cos"))
+        coarseCosSelf.as("approx_cos"))
       .orderBy(col("approx_cos").desc, col(idCol))
       .limit(k * overFetch)
     coarse
@@ -143,16 +143,10 @@ object SimilaritySearch {
     implicit val sp: SparkSession = corpus.sparkSession
     require(k >= 1 && overFetch >= 1, s"k and overFetch must be >= 1")
     val q = quantizedQuery(query, queryVecCol)
-    // same integer score as coarseCos, but the self-dot comes from the
-    // projection's precomputed qnorm2 (identical long → identical
-    // double) instead of re-running Int8Dot per row
     val coarse = quantized
       .withColumnRenamed("qvec", "__cq")
       .crossJoin(broadcast(q))
-      .select(col(idCol),
-        r4(VectorFunctions.int8Dot(col("__cq"), col("__qq")).cast("double") /
-          (sqrt(col("qnorm2").cast("double")) * sqrt(col("__qs").cast("double"))))
-          .as("approx_cos"))
+      .select(col(idCol), coarseCos(col("qnorm2")).as("approx_cos"))
       .orderBy(col("approx_cos").desc, col(idCol))
       .limit(k * overFetch)
     coarse
@@ -175,12 +169,20 @@ object SimilaritySearch {
       VectorFunctions.norm(col(queryVecCol)).as("__qn"))
       .withColumn("__qs", VectorFunctions.int8Dot(col("__qq"), col("__qq")))
 
-  /** Integer coarse cosine over (`__cq`, `__qq`, `__qs`) — shared by
-    * the one-shot and indexed forms so their scores are identical. */
-  private def coarseCos(implicit sp: SparkSession): Column =
+  /** Integer coarse cosine over (`__cq`, `__qq`, `__qs`) — ONE
+    * definition shared by every quantized scoring site (one-shot,
+    * indexed, IVF-SQ8) so the rounding/cast structure cannot
+    * desynchronize. `selfDot` is the corpus row's Σq²: recomputed via
+    * `Int8Dot(__cq, __cq)` by the on-the-fly forms, read from the
+    * materialized `qnorm2` column by the indexed form — identical
+    * longs, identical doubles. */
+  private def coarseCos(selfDot: Column)(implicit sp: SparkSession): Column =
     r4(VectorFunctions.int8Dot(col("__cq"), col("__qq")).cast("double") /
-      (sqrt(VectorFunctions.int8Dot(col("__cq"), col("__cq")).cast("double")) *
-        sqrt(col("__qs").cast("double"))))
+      (sqrt(selfDot.cast("double")) * sqrt(col("__qs").cast("double"))))
+
+  /** The on-the-fly flavor of [[coarseCos]]. */
+  private def coarseCosSelf(implicit sp: SparkSession): Column =
+    coarseCos(VectorFunctions.int8Dot(col("__cq"), col("__cq")))
 
   /** Random-hyperplane LSH signature: bit p of the result is the sign
     * of the vector's projection onto pseudo-hyperplane p, whose ±1
@@ -455,7 +457,7 @@ object SimilaritySearch {
         VectorFunctions.quantizeInt8(col(index.vecCol)).as("__cq"))
       .crossJoin(broadcast(q))
       .select(col(index.idCol), col(index.vecCol), col("__qe"), col("__qn"),
-        coarseCos.as("approx_cos"))
+        coarseCosSelf.as("approx_cos"))
       .orderBy(col("approx_cos").desc, col(index.idCol))
       .limit(topK * overFetch)
     coarse
@@ -593,6 +595,9 @@ object SimilaritySearch {
       margin: Double = 0.05,
       numBlocks: Int = 8,
       sizeHint: Long = -1L): DataFrame = {
+    require(margin >= 0.0,
+      s"margin must be >= 0, got $margin — a negative margin would raise the " +
+        "coarse bound ABOVE the threshold and silently drop true near-dup pairs")
     val bound = threshold - margin
     val cand = quantizedCandidatePairs(corpus, idCol, vecCol, bound,
       numBlocks, sizeHint)

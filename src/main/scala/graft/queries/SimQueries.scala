@@ -163,6 +163,20 @@ object SimQueries {
     * point before the argmax on both sides — deliberately not done
     * while the gate holds, to keep the assignment identical to what the
     * production (float) path computes. */
+  /** Shared int8-quantization CTE block over a prior `d(vec_id, ve)`
+    * CTE — symmetric max-abs `floor(ve[i]/max|ve|*127 + 0.5)`, ending
+    * in `qv(vec_id, i, q)` and `sq(vec_id, s = Σq²)`. ONE definition
+    * for the v7/v8/v9 oracles so the quantization convention (the
+    * zero-vector guard, the rounding) cannot drift between gates. */
+  private def int8QuantCtes(dim: Int): String =
+    s"""qmx AS (SELECT vec_id, MAX(ABS(ve[i])) AS mx
+       |        FROM d, generate_series(1, $dim) t(i) GROUP BY vec_id),
+       |qv AS (SELECT d.vec_id, t.i,
+       |         CASE WHEN qmx.mx = 0 THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(FLOOR(ve[i] / qmx.mx * 127 + 0.5) AS BIGINT) END AS q
+       |       FROM d JOIN qmx USING (vec_id), generate_series(1, $dim) t(i)),
+       |sq AS (SELECT vec_id, SUM(q * q) AS s FROM qv GROUP BY vec_id)""".stripMargin
+
   private def ivfOracleSql(
       k: Int, iters: Int, nprobe: Int, topK: Int, dim: Int): String =
     s"""${ivfBuildSql(k, iters, nprobe, dim)},
@@ -182,13 +196,7 @@ object SimQueries {
   private def ivfQuantizedOracleSql(
       k: Int, iters: Int, nprobe: Int, topK: Int, overFetch: Int, dim: Int): String =
     s"""${ivfBuildSql(k, iters, nprobe, dim)},
-       |qmx AS (SELECT vec_id, MAX(ABS(ve[i])) AS mx
-       |        FROM d, generate_series(1, $dim) t(i) GROUP BY vec_id),
-       |qv AS (SELECT d.vec_id, t.i,
-       |         CASE WHEN qmx.mx = 0 THEN CAST(0 AS BIGINT)
-       |              ELSE CAST(FLOOR(ve[i] / qmx.mx * 127 + 0.5) AS BIGINT) END AS q
-       |       FROM d JOIN qmx USING (vec_id), generate_series(1, $dim) t(i)),
-       |sq AS (SELECT vec_id, SUM(q * q) AS s FROM qv GROUP BY vec_id),
+       |${int8QuantCtes(dim)},
        |qq AS (SELECT i, q FROM qv WHERE vec_id = 0),
        |coarse AS (SELECT cd.vec_id, SUM(qv.q * qq.q) AS idot
        |           FROM cand cd JOIN qv ON qv.vec_id = cd.vec_id
@@ -335,23 +343,17 @@ object SimQueries {
     * candidate cut, and exact rerank verbatim. */
   val quantizedAnn: Q = Q(
     "v7_quantized_ann",
-    """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-      |mx AS (SELECT vec_id, MAX(ABS(ve[i])) AS mx
-      |       FROM d, generate_series(1, 64) t(i) GROUP BY vec_id),
-      |qv AS (SELECT d.vec_id, t.i,
-      |         CASE WHEN mx.mx = 0 THEN CAST(0 AS BIGINT)
-      |              ELSE CAST(FLOOR(ve[i] / mx.mx * 127 + 0.5) AS BIGINT) END AS q
-      |       FROM d JOIN mx USING (vec_id), generate_series(1, 64) t(i)),
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |${int8QuantCtes(64)},
       |qq AS (SELECT i, q FROM qv WHERE vec_id = 0),
-      |coarse AS (SELECT cq.vec_id,
-      |             SUM(cq.q * qq.q) AS idot,
-      |             SUM(cq.q * cq.q) AS s1,
-      |             SUM(qq.q * qq.q) AS s2
+      |coarse AS (SELECT cq.vec_id, SUM(cq.q * qq.q) AS idot
       |           FROM qv cq JOIN qq USING (i) WHERE cq.vec_id <> 0
       |           GROUP BY cq.vec_id),
-      |cand AS (SELECT vec_id,
-      |           FLOOR(idot / (SQRT(s1) * SQRT(s2)) * 10000 + 0.5)/10000 AS approx_cos
-      |         FROM coarse ORDER BY approx_cos DESC, vec_id LIMIT 40),
+      |cand AS (SELECT c.vec_id,
+      |           FLOOR(idot / (SQRT(sa.s) * SQRT(qs.s)) * 10000 + 0.5)/10000 AS approx_cos
+      |         FROM coarse c JOIN sq sa ON sa.vec_id = c.vec_id,
+      |           (SELECT s FROM sq WHERE vec_id = 0) qs
+      |         ORDER BY approx_cos DESC, c.vec_id LIMIT 40),
       |rr AS (SELECT d.vec_id, SUM(d.ve[i] * q.ve[i]) AS dot,
       |         SUM(d.ve[i] * d.ve[i]) AS n1, SUM(q.ve[i] * q.ve[i]) AS n2
       |       FROM d JOIN cand USING (vec_id),
@@ -378,14 +380,8 @@ object SimQueries {
     * hash gate pins the pipeline itself. */
   val quantizedNearDup: Q = Q(
     "v8_quantized_neardup",
-    """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-      |mx AS (SELECT vec_id, MAX(ABS(ve[i])) AS mx
-      |       FROM d, generate_series(1, 64) t(i) GROUP BY vec_id),
-      |qv AS (SELECT d.vec_id, t.i,
-      |         CASE WHEN mx.mx = 0 THEN CAST(0 AS BIGINT)
-      |              ELSE CAST(FLOOR(ve[i] / mx.mx * 127 + 0.5) AS BIGINT) END AS q
-      |       FROM d JOIN mx USING (vec_id), generate_series(1, 64) t(i)),
-      |sq AS (SELECT vec_id, SUM(q * q) AS s FROM qv GROUP BY vec_id),
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |${int8QuantCtes(64)},
       |ap AS (SELECT qa.vec_id AS a_id, qb.vec_id AS b_id, SUM(qa.q * qb.q) AS idot
       |       FROM qv qa JOIN qv qb ON qa.i = qb.i AND qa.vec_id < qb.vec_id
       |       GROUP BY qa.vec_id, qb.vec_id),
