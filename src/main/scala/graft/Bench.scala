@@ -172,19 +172,23 @@ object Bench {
     // mechanical drift adjudication (round-9 verdict #8): per-query
     // ratio vs the standing last-good artifact, computed BEFORE this run
     // may overwrite the slot. Only queries present and >0 in both runs.
-    val lastGood: Map[String, Double] = try {
+    val (lastGood: Map[String, Double], lastGoodVariance: Option[Double]) = try {
       val p = java.nio.file.Paths.get("bench_last_good.json")
       if (java.nio.file.Files.exists(p)) {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val q = om.readTree(java.nio.file.Files.readString(p)).get("queries")
-        if (q == null) Map.empty
-        else {
-          val b = Map.newBuilder[String, Double]
-          q.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble())
-          b.result()
-        }
-      } else Map.empty
-    } catch { case _: Exception => Map.empty }
+        val root = om.readTree(java.nio.file.Files.readString(p))
+        val q = root.get("queries")
+        val qs =
+          if (q == null) Map.empty[String, Double]
+          else {
+            val b = Map.newBuilder[String, Double]
+            q.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble())
+            b.result()
+          }
+        val v = Option(root.get("variance")).map(_.asDouble())
+        (qs, v)
+      } else (Map.empty[String, Double], None)
+    } catch { case _: Exception => (Map.empty[String, Double], None) }
     val ratios = results.collect {
       case (k, v) if v > 0 && lastGood.get(k).exists(_ > 0) =>
         "\"" + k + "\":" + f"${v / lastGood(k)}%.3f"
@@ -201,10 +205,24 @@ object Bench {
     // adjudicable run of the FULL headline slice under the STANDARD
     // config — focused slices, A/B runs (non-empty extra conf, echoed in
     // the line above so an artifact's config is never ambiguous), and
-    // polluted runs live solely in their own out files / per-round archive
-    if (adjudicable && args.isEmpty && extraConf.isEmpty)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_last_good.json"), line + "\n")
+    // polluted runs live solely in their own out files / per-round archive.
+    // MONOTONE-NOISE GUARD (round-10 verdict #5): an adjudicable-but-
+    // noisier run must not shadow a cleaner standing artifact — round 10
+    // ended with a 0.472-variance run silently replacing the committed
+    // 0.253 one. Refuse the overwrite when this run's variance exceeds
+    // the standing artifact's by more than 0.1 (bench_output.json above
+    // is still always written).
+    if (adjudicable && args.isEmpty && extraConf.isEmpty) {
+      val noisier = graft.tools.BenchProtocol.noisierThanStanding(
+        variance, lastGoodVariance)
+      if (noisier)
+        System.err.println(
+          f"[bench] keeping standing bench_last_good.json: this run's variance $variance%.3f " +
+            f"exceeds the standing ${lastGoodVariance.get}%.3f by more than ${graft.tools.BenchProtocol.NoiseDegradeTolerance}%.2f")
+      else
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("bench_last_good.json"), line + "\n")
+    }
     spark.stop()
     if (!adjudicable) {
       System.err.println(

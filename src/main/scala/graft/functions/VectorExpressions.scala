@@ -256,11 +256,16 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
 }
 
 /** Integer dot product over two [[QuantizeInt8]]-packed byte buffers:
-  * Σ a_i·b_i over min(len) signed bytes, as a long. Every term is an
+  * Σ a_i·b_i over the signed bytes, as a long. Every term is an
   * int multiply (|q| ≤ 127 ⇒ |term| ≤ 16129, no overflow at any real
   * dimensionality), the sum is exact integer arithmetic — the coarse
   * ANN score is therefore bit-identical across engines, partitionings,
-  * and aggregation orders, unlike any float dot product. */
+  * and aggregation orders, unlike any float dot product.
+  *
+  * Mismatched buffer lengths THROW rather than silently truncating:
+  * BinaryType carries no dimension schema, so a corpus and a query
+  * quantized at different dims would otherwise produce a
+  * plausible-but-wrong score undetectable downstream. */
 case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "graft_int8_dot"
   override def dataType: DataType = LongType
@@ -275,7 +280,7 @@ case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
+    val n = Int8Dot.checkedLength(x.length, y.length)
     var s = 0L
     var i = 0
     while (i < n) { s += x(i) * y(i); i += 1 }
@@ -288,7 +293,7 @@ case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($x.length, $y.length);
+         |int $n = graft.functions.Int8Dot.checkedLength($x.length, $y.length);
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += (long)($x[$i] * $y[$i]);
@@ -300,6 +305,17 @@ case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Int8Dot =
     copy(left = newLeft, right = newRight)
+}
+
+object Int8Dot {
+  /** Shared by the interpreted and codegen'd paths (public because the
+    * generated Java calls it): equal lengths or a loud failure. */
+  def checkedLength(a: Int, b: Int): Int = {
+    if (a != b) throw new IllegalArgumentException(
+      s"graft_int8_dot: mismatched int8 buffer lengths $a vs $b — " +
+        "corpus and query were quantized at different dimensionalities")
+    a
+  }
 }
 
 /** Column-level API. */

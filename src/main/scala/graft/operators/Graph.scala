@@ -347,7 +347,10 @@ object Graph {
     val closable =
       if (!useBloom) wedges
       else {
-        val edgeCount = o.count() // cheap: o is persisted
+        // count() is o's materialization point: it runs the orientation
+        // pipeline once and warms the persisted cache that the two wedge
+        // arms and the closing probe then read shuffle-free
+        val edgeCount = o.count()
         val bf = o.select(xxhash64(col("__a"), col("__b")).as("__h"))
           .stat.bloomFilter("__h", math.max(edgeCount, 1L), 0.01)
         val bfB = spark.sparkContext.broadcast(bf)
@@ -378,10 +381,13 @@ object Graph {
     deg.unpersist(blocking = false)
     und.unpersist(blocking = false)
     // the eager cut above materialized the result, so the Bloom
-    // broadcast is no longer referenced by any live plan — destroy it
-    // here or a long session benching triangleCounts in a loop
-    // accumulates one driver+executor-resident filter per call
-    bloomBc.foreach(_.destroy())
+    // broadcast is no longer referenced by any live plan — release the
+    // executor copies here or a long session benching triangleCounts in
+    // a loop accumulates one resident filter per call. unpersist (not
+    // destroy): a speculative/zombie task from the materialization job
+    // may still dereference the broadcast after this line, and unpersist
+    // allows a transparent re-broadcast where destroy would throw.
+    bloomBc.foreach(_.unpersist(blocking = false))
     out
   }
 

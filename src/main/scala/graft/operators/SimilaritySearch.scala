@@ -400,8 +400,11 @@ object SimilaritySearch {
     import org.apache.spark.sql.expressions.Window
     index.assigned
       .select(col(index.idCol), col("cluster"),
-        expr(s"CAST(conv(substr(md5(CAST(${index.idCol} AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-          .as("__h"))
+        // built from column functions, not an interpolated SQL string, so
+        // id column names needing backticks (dots, spaces) resolve like
+        // every other col(idCol) path in this file
+        conv(substring(md5(col(index.idCol).cast("string")), 1, 15), 16, 10)
+          .cast("long").as("__h"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("cluster")).orderBy(col("__h"), col(index.idCol))))
       .filter(col("__rn") <= perCluster)

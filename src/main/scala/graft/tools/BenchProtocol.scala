@@ -62,6 +62,18 @@ object BenchProtocol {
   def adjudicable(anyFailed: Boolean, dispersion: Double): Boolean =
     !anyFailed && dispersion <= VarianceFloor
 
+  /** How much noisier than the standing last-good artifact a new run may
+    * be and still replace it. Keeps the slot monotone-ish in cleanliness:
+    * small drift is fine (hosts vary), but an adjudicable-yet-clearly-
+    * noisier run must not shadow a cleaner committed baseline. */
+  val NoiseDegradeTolerance = 0.1
+
+  /** True when the candidate run is too noisy to replace the standing
+    * last-good artifact (see [[NoiseDegradeTolerance]]). A missing
+    * standing variance (no artifact yet / old format) never blocks. */
+  def noisierThanStanding(candidate: Double, standing: Option[Double]): Boolean =
+    standing.exists(s => candidate > s + NoiseDegradeTolerance)
+
   /** Minimal JSON string escaping (quotes, backslashes, control chars) —
     * config values are interpolated into the one-line artifacts and must
     * never be able to break the driver-side parser. */

@@ -55,6 +55,18 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(BenchProtocol.trimmedSpread(withFail) < 0.5)
   }
 
+  test("monotone-noise guard: a clearly noisier run must not replace the standing artifact") {
+    // the round-10 incident shape: standing 0.253, candidate 0.472
+    assert(BenchProtocol.noisierThanStanding(0.472, Some(0.253)))
+    // drift within tolerance is allowed
+    assert(!BenchProtocol.noisierThanStanding(0.30, Some(0.253)))
+    assert(!BenchProtocol.noisierThanStanding(0.353, Some(0.253)))
+    // a cleaner run always replaces
+    assert(!BenchProtocol.noisierThanStanding(0.10, Some(0.253)))
+    // no standing artifact (or pre-guard format) never blocks
+    assert(!BenchProtocol.noisierThanStanding(0.49, None))
+  }
+
   test("jsonEscape neutralizes quotes, backslashes and control chars") {
     assert(BenchProtocol.jsonEscape("""a"b\c""") == """a\"b\\c""")
     assert(BenchProtocol.jsonEscape("x\ny") == "x\\u000ay")
