@@ -355,9 +355,16 @@ object Graph {
           .stat.bloomFilter("__h", math.max(edgeCount, 1L), 0.01)
         val bfB = spark.sparkContext.broadcast(bf)
         bloomBc = Some(bfB)
-        val mightClose =
-          udf((h: Long) => bfB.value.mightContainLong(h))
-        wedges.filter(mightClose(xxhash64(col("__y"), col("__z"))))
+        // codegen'd might-contain over the broadcast (round-10 verdict:
+        // the previous udf() here pushed every wedge row through boxed
+        // lambda dispatch — the largest intermediate in the library
+        // filtered by the slowest call mechanism available)
+        val mightClose = org.apache.spark.sql.classic.GraftSqlBridge.column(
+          graft.functions.BloomMightContain(
+            org.apache.spark.sql.classic.GraftSqlBridge.expression(
+              spark, xxhash64(col("__y"), col("__z"))),
+            bfB))
+        wedges.filter(mightClose)
       }
     val tri = closable.join(
       o.select(col("__a").as("__y"), col("__b").as("__z")), Seq("__y", "__z"))
