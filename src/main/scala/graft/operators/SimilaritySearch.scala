@@ -497,9 +497,23 @@ object SimilaritySearch {
     * Triangle-blocked distributed all-pairs: each vector lands in
     * block floorMod(id, numBlocks); each of the B·(B+1)/2 block pairs
     * (p ≤ q) is one shuffle group whose task sees exactly two blocks
-    * and runs the tight pairwise kernel (double-accumulated dot, fixed
-    * loop order, so scores are bit-exact). Replication factor B, task
+    * and runs the tight pairwise kernel. Replication factor B, task
     * memory 2·N/B vectors, nothing on the driver.
+    *
+    * ==The blocking shuffle ships int8, not float32==
+    * By default (`spark.graft.neardup.exact=int8`) the quadratic stage
+    * runs on the packed int8 payload and admits a pair only when its
+    * integer coarse cosine PLUS a per-pair CERTIFIED error bound
+    * (computed from each vector's quantization scale and exact float
+    * norm — see [[certifiedCandidatePairs]]) clears the threshold: a
+    * mathematical no-false-negative guarantee, not a tuned margin.
+    * Only admitted pairs fetch their float vectors, where the exact
+    * kernel (same rounding, same loop order) applies the real
+    * threshold — so the output is IDENTICAL to the float kernel's
+    * while the O(N·B) blocking shuffle moves ~3–4× fewer bytes and
+    * the quadratic inner loop reads 1 byte per component. Set
+    * `spark.graft.neardup.exact=float` to run the legacy float-shuffled
+    * kernel (the A/B baseline).
     *
     * ==This is the EXACT arm — it is quadratic by design==
     * O(N²) flops are inherent to exact pairwise: the builder's sf1
@@ -518,6 +532,30 @@ object SimilaritySearch {
       threshold: Double,
       numBlocks: Int = 8,
       sizeHint: Long = -1L): DataFrame = {
+    val impl = corpus.sparkSession.conf
+      .getOption("spark.graft.neardup.exact").getOrElse("int8")
+    impl match {
+      case "int8" =>
+        val cand = certifiedCandidatePairs(corpus, idCol, vecCol, threshold,
+          numBlocks, sizeHint)
+        exactVerify(cand, corpus, idCol, vecCol, threshold)
+      case "float" =>
+        floatNearDupPairs(corpus, idCol, vecCol, threshold, numBlocks, sizeHint)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.neardup.exact must be int8 or float, got '$other'")
+    }
+  }
+
+  /** The legacy float-shuffled exact kernel — retained as the A/B
+    * baseline for the int8-certified default path (identical output is
+    * a tested invariant, not an assumption). */
+  private def floatNearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numBlocks: Int,
+      sizeHint: Long): DataFrame = {
     require(numBlocks >= 1, s"numBlocks must be positive, got $numBlocks")
     require(sizeHint <= maxExactRows,
       s"cosineNearDupPairs is the exact quadratic arm: $sizeHint rows would " +
@@ -604,8 +642,21 @@ object SimilaritySearch {
     val bound = threshold - margin
     val cand = quantizedCandidatePairs(corpus, idCol, vecCol, bound,
       numBlocks, sizeHint)
-    // verify stage: only candidates touch the float vectors; exact
-    // cosine, same kernel + rounding + threshold as the exact arm
+    exactVerify(cand, corpus, idCol, vecCol, threshold)
+  }
+
+  /** The shared verify stage of both pairwise arms: only (idA, idB)
+    * candidates touch the float vectors — fetched by id, never
+    * replicated through the blocking shuffle — and the EXACT cosine
+    * (same codegen'd kernel, rounding, and threshold everywhere)
+    * makes the final call. A false positive entering here costs one
+    * dot product; it can never reach the output. */
+  private def exactVerify(
+      cand: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
     val va = corpus.select(col(idCol).as("idA"), col(vecCol).as("__va"))
     val vb = corpus.select(col(idCol).as("idB"), col(vecCol).as("__vb"))
     implicit val sp: SparkSession = corpus.sparkSession
@@ -628,73 +679,183 @@ object SimilaritySearch {
       vecCol: String,
       bound: Double,
       numBlocks: Int = 8,
-      sizeHint: Long = -1L): DataFrame = {
-    require(numBlocks >= 1, s"numBlocks must be positive, got $numBlocks")
-    require(sizeHint <= maxExactRows,
-      s"quantizedNearDupPairs is still the exact quadratic arm ($sizeHint " +
-        s"rows): use lshCandidates or ivfBuild/ivfTopK beyond $maxExactRows vectors")
-    implicit val sp: SparkSession = corpus.sparkSession
-    import sp.implicits._
-    // quantized-only table for the quadratic stage: (id, qvec, Σq²)
-    val quant = corpus
-      .select(col(idCol).as("__id"),
-        VectorFunctions.quantizeInt8(col(vecCol)).as("__q"))
-      .select(col("__id"), col("__q"),
-        VectorFunctions.int8Dot(col("__q"), col("__q")).as("__s"))
-      .as[(Long, Array[Byte], Long)]
-    val tagged = quant.flatMap { case (id, q, s) => blockTags(id, (q, s), numBlocks) }
-    // int accumulator: HotSpot vectorizes byte→int mul-acc ~1.5× over
-    // a long accumulator (tools/ByteDotBench: 41 vs 27 Mdot/s; the
-    // float loop runs 19). Exact while dim ≤ 2³¹/127² ≈ 133k — far
-    // past any embedding dimensionality; Σq² rides the shuffled row as
-    // a long either way, so oracle parity is untouched.
+      sizeHint: Long = -1L): DataFrame =
+    blockedCandidatePairs(corpus, idCol, vecCol, numBlocks, sizeHint,
+      // same floor-based half-up rounding as r4 — integer dot and
+      // integer-derived norms, so the double division sees identical
+      // inputs on every engine (this is the v8 oracle's replayed rule)
+      (a, i, b, j) => {
+        val c = QSide.idot(a.qs(i), b.qs(j))
+        math.floor(c / (a.ns(i) * b.ns(j)) * 10000 + 0.5) / 10000.0 >= bound
+      })
+
+  /** CERTIFIED candidate pairs — the admission rule behind the exact
+    * arm's int8 shuffle: admit (a, b) iff
+    *
+    *   coarse + bound + ε ≥ threshold,   where
+    *   coarse = s_a·s_b·Σq_aq_b / (‖v_a‖·‖v_b‖)        (reconstructed dot)
+    *   bound  = (s_b/2·A1_a + s_a/2·A1_b + s_a·s_b·d/4) / (‖v_a‖·‖v_b‖)
+    *
+    * with s the per-vector quantization scale (max|v|/127 — EXACTLY a
+    * float, since the components are floats), A1 = s·Σ|q| the L1 norm
+    * of the reconstructed vector, and ‖v‖ the exact float norm carried
+    * through the shuffle. `bound` is a hard bound on
+    * |cos_exact − coarse|: writing v = s·q + e with |e_i| ≤ s/2
+    * (half-up rounding), the dot error expands to
+    * s_a·⟨q_a,e_b⟩ + s_b·⟨q_b,e_a⟩ + ⟨e_a,e_b⟩, whose three terms are
+    * bounded by the three summands above. ε = 2·10⁻⁴ swallows the r4
+    * rounding half-step (5·10⁻⁵) and every float32/double evaluation
+    * wobble with two orders of magnitude to spare (and costs nothing:
+    * scores are 4-decimal quantities). Hence NO FALSE NEGATIVES —
+    * every pair the exact kernel would emit is admitted — while false
+    * positives die in [[exactVerify]]. Measured 64-dim bound ≈ 0.02
+    * cosine vs ~0.005 actual error. */
+  def certifiedCandidatePairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numBlocks: Int = 8,
+      sizeHint: Long = -1L): DataFrame =
+    blockedCandidatePairs(corpus, idCol, vecCol, numBlocks, sizeHint,
+      (a, i, b, j) => {
+        val den = a.nfs(i) * b.nfs(j)
+        if (den == 0.0) false // zero vector: exact arm scores NaN, drops
+        else {
+          val sa = a.ss(i); val sb = b.ss(j)
+          val coarse = sa * sb * QSide.idot(a.qs(i), b.qs(j))
+          val eb = 0.5 * (sb * a.a1s(i) + sa * b.a1s(j)) +
+            0.25 * sa * sb * a.qs(i).length
+          (coarse + eb) / den + 2e-4 >= threshold
+        }
+      })
+
+  /** Parallel-primitive-array side storage for the blocked kernel: the
+    * O(N²/B²) hot loop must touch no tuples, no iterators-per-pair, no
+    * boxed fields (the probe that motivated this measured the
+    * generic-collection formulation 25× off raw dot throughput).
+    * Per-row derived stats (Σq², Σ|q|, scale) are recomputed here from
+    * the packed payload — O(d) per ROW against O(d) per PAIR in the
+    * loop — which keeps them out of the shuffle entirely; integer
+    * recomputation is bit-identical to shipping them. */
+  private final class QSide {
+    var n = 0
+    var ids = new Array[Long](64)
+    var qs = new Array[Array[Byte]](64) // sliced q bytes (payload minus header)
+    var ns = new Array[Double](64) // sqrt(Σq²) — quantized norm (margin rule)
+    var ss = new Array[Double](64) // quantization scale s = max|v|/127
+    var a1s = new Array[Double](64) // s·Σ|q| — reconstructed L1 norm
+    var nfs = new Array[Double](64) // exact float L2 norm (certified rule)
+    def add(id: Long, payload: Array[Byte]): Unit = {
+      if (n == ids.length) {
+        ids = java.util.Arrays.copyOf(ids, n * 2)
+        qs = java.util.Arrays.copyOf(qs, n * 2)
+        ns = java.util.Arrays.copyOf(ns, n * 2)
+        ss = java.util.Arrays.copyOf(ss, n * 2)
+        a1s = java.util.Arrays.copyOf(a1s, n * 2)
+        nfs = java.util.Arrays.copyOf(nfs, n * 2)
+      }
+      val q = java.util.Arrays.copyOfRange(payload, QSide.HeaderBytes, payload.length)
+      var sq = 0L; var l1 = 0L; var k = 0
+      while (k < q.length) { sq += q(k) * q(k); l1 += math.abs(q(k)); k += 1 }
+      val s = QSide.readFloat(payload, 0) / 127.0
+      ids(n) = id; qs(n) = q
+      ns(n) = math.sqrt(sq.toDouble)
+      ss(n) = s
+      a1s(n) = s * l1
+      nfs(n) = QSide.readFloat(payload, 4)
+      n += 1
+    }
+    /** permute all six arrays into ascending-id order */
+    def sortById(): Unit = {
+      val perm = Array.range(0, n).sortBy(ids(_))
+      ids = perm.map(ids); qs = perm.map(qs); ns = perm.map(ns)
+      ss = perm.map(ss); a1s = perm.map(a1s); nfs = perm.map(nfs)
+    }
+  }
+
+  private object QSide {
+    /** packed payload header: [max|v| float][‖v‖ float], then q bytes */
+    val HeaderBytes = 8
+    def readFloat(b: Array[Byte], off: Int): Double =
+      java.lang.Float.intBitsToFloat(
+        ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+          ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)).toDouble
+    def writeFloat(b: Array[Byte], off: Int, v: Float): Unit = {
+      val bits = java.lang.Float.floatToIntBits(v)
+      b(off) = (bits >>> 24).toByte; b(off + 1) = (bits >>> 16).toByte
+      b(off + 2) = (bits >>> 8).toByte; b(off + 3) = bits.toByte
+    }
+    /** int accumulator: HotSpot vectorizes byte→int mul-acc ~1.5× over
+      * a long accumulator (tools/ByteDotBench: 41 vs 27 Mdot/s; the
+      * float loop runs 19). Exact while dim ≤ 2³¹/127² ≈ 133k — far
+      * past any embedding dimensionality. */
     def idot(x: Array[Byte], y: Array[Byte]): Int = {
       val n = math.min(x.length, y.length)
       var s = 0; var k = 0
       while (k < n) { s += x(k) * y(k); k += 1 }
       s
     }
-    // same floor-based half-up rounding as r4 — integer operands, so
-    // the double division sees identical inputs on every engine. The
-    // norm sqrt is precomputed once per kernel entry (like the exact
-    // arm caches its float norms), not once per pair.
-    def approx(qa: Array[Byte], na: Double, qb: Array[Byte], nb: Double): Double =
-      math.floor(idot(qa, qb) / (na * nb) * 10000 + 0.5) / 10000.0
-    // O(N²/B²) iterations per group: the hot loop runs over parallel
-    // primitive arrays (no tuple boxing, no iterator per pair) — the
-    // probe that motivated this measured the generic-collection
-    // formulation 25× off the raw dot-product throughput.
-    final class Side {
-      var n = 0
-      var ids = new Array[Long](64)
-      var qs = new Array[Array[Byte]](64)
-      var ns = new Array[Double](64)
-      def add(id: Long, q: Array[Byte], s: Long): Unit = {
-        if (n == ids.length) {
-          ids = java.util.Arrays.copyOf(ids, n * 2)
-          qs = java.util.Arrays.copyOf(qs, n * 2)
-          ns = java.util.Arrays.copyOf(ns, n * 2)
-        }
-        ids(n) = id; qs(n) = q; ns(n) = math.sqrt(s.toDouble); n += 1
+  }
+
+  /** The shared triangle-blocked quadratic stage of BOTH pairwise arms.
+    *
+    * What moves through the O(N·B) blocking shuffle is ONE packed
+    * binary payload per replica — 8 header bytes (quantization max and
+    * float norm, both exactly representable floats) plus d int8
+    * components — instead of the d·4-byte float vector: at d = 64 that
+    * is ~3–4× fewer shuffle bytes for the stage that replicates every
+    * row B times, and the quadratic inner loop reads 1 byte per
+    * component (the cache-bandwidth term that dominates an exact
+    * pairwise pass at scale). `admit` is the per-pair coarse rule —
+    * margin-based ([[quantizedCandidatePairs]]) or error-certified
+    * ([[certifiedCandidatePairs]]); floats are NEVER seen here, only
+    * in the per-candidate [[exactVerify]]. */
+  private def blockedCandidatePairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numBlocks: Int,
+      sizeHint: Long,
+      admit: (QSide, Int, QSide, Int) => Boolean): DataFrame = {
+    require(numBlocks >= 1, s"numBlocks must be positive, got $numBlocks")
+    require(sizeHint <= maxExactRows,
+      s"the blocked pairwise kernel is still the exact quadratic arm ($sizeHint " +
+        s"rows): use lshCandidates or ivfBuild/ivfTopK beyond $maxExactRows vectors")
+    implicit val sp: SparkSession = corpus.sparkSession
+    import sp.implicits._
+    // pre-shuffle projection: quantize (codegen'd — the same expression
+    // the materialized-index path uses, so conventions cannot drift),
+    // plus the two header floats. max|v| over float components IS a
+    // float, so packing it as one loses nothing; the float norm is a
+    // coarse-denominator/bound input whose float32 rounding is
+    // swallowed by the certified ε.
+    val packed = corpus
+      .select(col(idCol).cast("long").as("__id"),
+        VectorFunctions.quantizeInt8(col(vecCol)).as("__q"),
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))).as("__mx"),
+        VectorFunctions.norm(col(vecCol)).as("__nf"))
+      .as[(Long, Array[Byte], Double, Double)]
+      .map { case (id, q, mx, nf) =>
+        val payload = new Array[Byte](QSide.HeaderBytes + q.length)
+        QSide.writeFloat(payload, 0, mx.toFloat)
+        QSide.writeFloat(payload, 4, nf.toFloat)
+        System.arraycopy(q, 0, payload, QSide.HeaderBytes, q.length)
+        (id, payload)
       }
-      /** permute all three arrays into ascending-id order */
-      def sortById(): Unit = {
-        val perm = Array.range(0, n).sortBy(ids(_))
-        ids = perm.map(ids); qs = perm.map(qs); ns = perm.map(ns)
-      }
-    }
-    // pairs are EMITTED LAZILY (like the exact arm): a buffered result
+    val tagged = packed.flatMap { case (id, p) => blockTags(id, p, numBlocks) }
+    // pairs are EMITTED LAZILY (like the float arm): a buffered result
     // would hold every passing pair of a (N/B)² group in task memory —
     // under adversarial selectivity (the pre-rotation degenerate
     // corpus passed 54% of ALL pairs) that is an OOM, not a slowdown
     val cand = tagged
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Byte, Long, (Array[Byte], Long))]) =>
+      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Byte, Long, Array[Byte])]) =>
         val (p, q) = key
-        val aSide = new Side
-        val bSide = new Side
-        rows.foreach { case (_, _, tag, id, (qv, s)) =>
-          if (tag == 2.toByte) bSide.add(id, qv, s) else aSide.add(id, qv, s)
+        val aSide = new QSide
+        val bSide = new QSide
+        rows.foreach { case (_, _, tag, id, payload) =>
+          if (tag == 2.toByte) bSide.add(id, payload) else aSide.add(id, payload)
         }
         if (p == q) {
           aSide.sortById()
@@ -708,7 +869,7 @@ object SimilaritySearch {
               while (pair == null && i < aSide.n - 1) {
                 if (j >= aSide.n) { i += 1; j = i + 1 }
                 else {
-                  if (approx(aSide.qs(i), aSide.ns(i), aSide.qs(j), aSide.ns(j)) >= bound)
+                  if (admit(aSide, i, aSide, j))
                     pair = (aSide.ids(i), aSide.ids(j))
                   j += 1
                 }
@@ -728,7 +889,7 @@ object SimilaritySearch {
               while (pair == null && i < aSide.n) {
                 if (j >= bSide.n) { i += 1; j = 0 }
                 else {
-                  if (approx(aSide.qs(i), aSide.ns(i), bSide.qs(j), bSide.ns(j)) >= bound) {
+                  if (admit(aSide, i, bSide, j)) {
                     val idi = aSide.ids(i); val idj = bSide.ids(j)
                     pair = if (idi < idj) (idi, idj) else (idj, idi)
                   }

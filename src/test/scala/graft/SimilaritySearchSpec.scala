@@ -193,6 +193,39 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(overlap >= 3, s"recall too low: $overlap/5")
   }
 
+  test("exact arm: the int8-certified default is bit-identical to the float kernel") {
+    import spark.implicits._
+    // 300 random vectors plus the hard cases: an exact duplicate (cos
+    // 1.0), a tight near-copy, a zero vector (NaN score — dropped by
+    // both arms), negative ids. Full-output equality (ids AND scores)
+    // at a low and a high threshold is the certified-bound contract:
+    // no false negative survives the coarse admission, no false
+    // positive survives the verify.
+    val base = (1L to 300L).map(i => (i - 150L, vec(i * 37 + 11)))
+    val extra = Seq(
+      (400L, base(5)._2.clone()),
+      (401L, jitter(base(9)._2, 0.02f)),
+      (402L, Array.fill(base.head._2.length)(0f)))
+    val corpus = (base ++ extra).toDF("id", "v")
+    for (th <- Seq(0.45, 0.9)) {
+      spark.conf.set("spark.graft.neardup.exact", "float")
+      val fl = try SimilaritySearch
+        .cosineNearDupPairs(corpus, "id", "v", threshold = th, numBlocks = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      finally spark.conf.unset("spark.graft.neardup.exact")
+      val i8 = SimilaritySearch // default impl = int8-certified
+        .cosineNearDupPairs(corpus, "id", "v", threshold = th, numBlocks = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(i8 == fl, s"threshold $th: int8=$i8 float=$fl")
+      assert(i8.nonEmpty, s"threshold $th produced no pairs — test is vacuous")
+    }
+    // unknown impl values fail loudly, not silently fall back
+    spark.conf.set("spark.graft.neardup.exact", "f16")
+    try intercept[IllegalArgumentException] {
+      SimilaritySearch.cosineNearDupPairs(corpus, "id", "v", threshold = 0.9)
+    } finally spark.conf.unset("spark.graft.neardup.exact")
+  }
+
   test("quantizedNearDupPairs == exact pairs when the margin covers quantization error") {
     import spark.implicits._
     val base = (1L to 40L).map(i => (i, vec(i * 131 + 7)))
