@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   * rows. Identical semantics and output schema (semi/anti emit only
   * the preserved side), no bitset pass, small hash table.
   *
-  *   runMain graft.tools.BuildSideBench [factRows] [dimRows] [reps]
+  *   runMain graft.tools.BuildSideBench [factRows] [dimRows] [reps] [dense|sparse] [chain|open]
+  *
+  * The 5th arg pins the build-map layout
+  * (`spark.graft.parallelHashJoin.map`) so the chain-vs-open default
+  * decision (round-10 verdict #6) runs through the same harness.
   *
   * Arms (all shuffled-hash, broadcast disabled):
   *   semi_build_fact   parallelHashJoin(fact, dim, left_semi)  — faithful
@@ -44,6 +48,10 @@ object BuildSideBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    args.drop(4).headOption.foreach { layout =>
+      spark.conf.set(graft.plans.ParallelHashJoinExec.mapImplKey, layout)
+      println(s"""{"map_layout":"$layout"}""")
+    }
 
     // fact keys cover 2× the dim domain → ~50% semi survival, ~50% anti
     def scramble(c: org.apache.spark.sql.Column) =
