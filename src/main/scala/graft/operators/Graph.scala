@@ -274,7 +274,9 @@ object Graph {
       dstCol: String = "dst"): DataFrame = {
     // normalize to one canonical row per undirected non-loop edge;
     // read 3× (both endpoint arms of the degree union, orientation
-    // base) — persisted so the caller's edge pipeline runs once
+    // base) — persisted so the caller's edge pipeline runs once, and
+    // FREED as soon as deg + o below materialize (see the disk-footprint
+    // note there)
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("__u"),
         greatest(col(srcCol), col(dstCol)).as("__v"))
@@ -282,14 +284,15 @@ object Graph {
       .distinct()
       .persist()
     // degrees are consumed THREE times (both arms of the rank join +
-    // the final full-node-set left join) — persisted so the
-    // union+aggregate over `und` runs once instead of three times
-    // (round-9 verdict: gr2 is the heaviest op overall and deg was
-    // recomputed per consumer)
-    val deg = und.select(col("__u").as("__id"))
-      .union(und.select(col("__v").as("__id")))
-      .groupBy("__id").agg(count(lit(1)).as("__deg"))
-      .persist()
+    // the final full-node-set left join) — an eager lineage CUT (not a
+    // plain persist): one row per node, so the snapshot is tiny, and
+    // cutting here is half of what lets the whole edge-build pipeline's
+    // shuffle files be reclaimed mid-query (below)
+    val deg = Checkpoints.cut(
+      und.select(col("__u").as("__id"))
+        .union(und.select(col("__v").as("__id")))
+        .groupBy("__id").agg(count(lit(1)).as("__deg")),
+      eager = true)
     // orient low-rank → high-rank, rank = (degree, id); carry b's
     // degree so wedge enumeration can order (y, z) by the same rank
     // without another join against deg
@@ -299,16 +302,32 @@ object Graph {
     val uLow = col("__du") < col("__dv") ||
       (col("__du") === col("__dv") && col("__u") < col("__v"))
     // oriented edges are read three times (two wedge arms + the closing
-    // probe) — persisted, AND hash-partitioned on the wedge key __a so
-    // both self-join arms inherit the cached partitioning and the wedge
-    // join (the operator's biggest shuffle input: O(m) rows × 2 arms)
-    // runs shuffle-free; only the closing probe re-keys on (__y, __z)
-    val o = ranked.select(
-      when(uLow, col("__u")).otherwise(col("__v")).as("__a"),
-      when(uLow, col("__v")).otherwise(col("__u")).as("__b"),
-      when(uLow, col("__dv")).otherwise(col("__du")).as("__db"))
-      .repartition(col("__a"))
-      .persist()
+    // probe) — hash-partitioned on the wedge key __a so both self-join
+    // arms inherit the snapshot's partitioning (LogicalRDD preserves it)
+    // and the wedge join (the operator's biggest shuffle input: O(m)
+    // rows × 2 arms) runs shuffle-free; only the closing probe re-keys
+    // on (__y, __z).
+    //
+    // EAGER LINEAGE CUT, not a plain persist — the round-11 sf10 run
+    // found the real scale-killer is the operator's SIMULTANEOUS shuffle
+    // footprint, not any one stage: the edge build (co-occurrence,
+    // distinct, degree agg, two rank joins, this repartition) leaves
+    // ~35 GB of shuffle files at 120M edges that Spark keeps referenced
+    // through plan lineage until the query ends, stacking under the
+    // wedge/closing phase's own ~30 GB and exhausting a 78 GB local
+    // disk. Cutting o (and deg above) drops every upstream shuffle
+    // dependency; once triangleCounts returns, the ContextCleaner
+    // reclaims those files at the next GC — which the wedge phase
+    // reliably triggers — so the two phases' disk use no longer stack.
+    val o = Checkpoints.cut(
+      ranked.select(
+        when(uLow, col("__u")).otherwise(col("__v")).as("__a"),
+        when(uLow, col("__v")).otherwise(col("__u")).as("__b"),
+        when(uLow, col("__dv")).otherwise(col("__du")).as("__db"))
+        .repartition(col("__a")),
+      eager = true)
+    // und is fully consumed (deg and o are both materialized snapshots)
+    und.unpersist(blocking = false)
     // wedges at the lowest-ranked corner x: (x→y, x→z) with y ≺ z
     val yLtZ = col("e1.__db") < col("e2.__db") ||
       (col("e1.__db") === col("e2.__db") && col("e1.__b") < col("e2.__b"))
@@ -347,12 +366,31 @@ object Graph {
     val closable =
       if (!useBloom) wedges
       else {
-        // count() is o's materialization point: it runs the orientation
-        // pipeline once and warms the persisted cache that the two wedge
-        // arms and the closing probe then read shuffle-free
+        // cheap: o is an eagerly-materialized checkpoint snapshot
         val edgeCount = o.count()
+        // EXPLICIT treeAggregate build over the uncapped sketch
+        // (`BloomFilter.create`), NOT `stat.bloomFilter`: Spark routes
+        // the latter through the runtime-filter aggregate, whose bitmap
+        // is silently clamped to
+        // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (2²⁶ bits
+        // = 8 MB). Measured at gr2's scales (tools/BloomDiag): 1% fpp
+        // at 1M edges, 22% at 12M (sf1), 100% — a NO-OP filter — at
+        // 120M (sf10), where the unfiltered closing join then sorts all
+        // 4.1B wedges and exhausts local disk. The honest size is
+        // ~1.2 MB per million edges at 1% fpp; the hash pass is
+        // coalesced so each concurrent task holds one filter copy
+        // (8 × 143 MB at sf10), not one per core.
+        val sp2 = spark
+        import sp2.implicits._
+        val parts = math.min(8,
+          math.max(1, o.rdd.getNumPartitions))
         val bf = o.select(xxhash64(col("__a"), col("__b")).as("__h"))
-          .stat.bloomFilter("__h", math.max(edgeCount, 1L), 0.01)
+          .as[Long].rdd.coalesce(parts)
+          .treeAggregate(
+            org.apache.spark.util.sketch.BloomFilter.create(
+              math.max(edgeCount, 1L), 0.01))(
+            (f, h) => { f.putLong(h); f },
+            (a, b) => { a.mergeInPlace(b); a })
         val bfB = spark.sparkContext.broadcast(bf)
         bloomBc = Some(bfB)
         // codegen'd might-contain over the broadcast (round-10 verdict:
@@ -384,9 +422,8 @@ object Graph {
         .select(col("__id").as("id"),
           coalesce(col("__t"), lit(0L)).as("triangles")),
       eager = true)
-    o.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    und.unpersist(blocking = false)
+    Checkpoints.free(o)
+    Checkpoints.free(deg)
     // the eager cut above materialized the result, so the Bloom
     // broadcast is no longer referenced by any live plan — release the
     // executor copies here or a long session benching triangleCounts in
