@@ -384,13 +384,27 @@ object Graph {
         import sp2.implicits._
         val parts = math.min(8,
           math.max(1, o.rdd.getNumPartitions))
+        // filters are CREATED INSIDE each task (not treeAggregate, whose
+        // zeroValue ships the whole empty bitmap in the task binary — a
+        // 274 MB broadcast per call at sf10 that lingers on the heap and
+        // OOM'd repeated in-session runs) and MERGED EXECUTOR-SIDE
+        // through a one-partition shuffle (not reduce, whose simultaneous
+        // task results tripped spark.driver.maxResultSize at 8 × 143 MB);
+        // the driver receives exactly one merged filter
+        val expectedItems = math.max(edgeCount, 1L)
         val bf = o.select(xxhash64(col("__a"), col("__b")).as("__h"))
           .as[Long].rdd.coalesce(parts)
-          .treeAggregate(
-            org.apache.spark.util.sketch.BloomFilter.create(
-              math.max(edgeCount, 1L), 0.01))(
-            (f, h) => { f.putLong(h); f },
-            (a, b) => { a.mergeInPlace(b); a })
+          .mapPartitions { it =>
+            val f = org.apache.spark.util.sketch.BloomFilter.create(
+              expectedItems, 0.01)
+            it.foreach(f.putLong)
+            Iterator.single(f)
+          }
+          .coalesce(1, shuffle = true)
+          .mapPartitions { fs =>
+            Iterator.single(fs.reduce { (a, b) => a.mergeInPlace(b); a })
+          }
+          .collect().head
         val bfB = spark.sparkContext.broadcast(bf)
         bloomBc = Some(bfB)
         // codegen'd might-contain over the broadcast (round-10 verdict:
