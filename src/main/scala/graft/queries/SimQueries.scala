@@ -455,6 +455,60 @@ object SimQueries {
     graft.operators.SimilaritySearch.clusterBalancedSample(idx, perCluster = 20)
   }
 
+  /** Embedding-based corpus DEDUP, end to end — the semantic-dedup
+    * pipeline a training-data curator actually runs: exact-threshold
+    * near-dup pairs over the embedding column (via the int8-shuffled
+    * certified kernel — the default [[graft.operators.SimilaritySearch
+    * .cosineNearDupPairs]] path), transitive closure into duplicate
+    * clusters (same min-label propagation as t19's shingle-LSH dedup),
+    * lowest-id survivor per cluster marked canonical. The embedding-
+    * space counterpart of t19: same output contract, different
+    * candidate generator — a user picks lexical (shingle) or semantic
+    * (embedding) dedup per corpus, or runs both.
+    *
+    * Scale posture: the pairwise stage is the certified int8 kernel
+    * (blocked, ~76 B/row through the one replicated shuffle); the
+    * closure is 1-job-per-round propagation over pair-touching nodes
+    * only; singletons rejoin via the final left join without ever
+    * entering the loop. The oracle replays the exact float pairwise
+    * (the certified arm's output is bit-identical to it) and closes
+    * components with a recursive CTE. */
+  val embeddingDedup: Q = Q(
+    "v11_embedding_dedup",
+    """WITH RECURSIVE p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |             CAST(a.embedding AS DOUBLE[]) AS va, CAST(b.embedding AS DOUBLE[]) AS vb
+      |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      |s AS (SELECT a_id, b_id, SUM(va[i] * vb[i]) AS dot,
+      |        SUM(va[i] * va[i]) AS n1, SUM(vb[i] * vb[i]) AS n2
+      |      FROM p, generate_series(1, 64) t(i) GROUP BY a_id, b_id),
+      |pairs AS (SELECT a_id, b_id FROM s
+      |          WHERE FLOOR(dot / (SQRT(n1) * SQRT(n2)) * 10000 + 0.5)/10000 >= 0.45),
+      |eb AS (SELECT a_id AS es, b_id AS ed FROM pairs
+      |       UNION ALL SELECT b_id, a_id FROM pairs),
+      |r AS (
+      |  SELECT vec_id, vec_id AS comp FROM embeddings
+      |  UNION
+      |  SELECT eb.ed AS vec_id, r.comp FROM r JOIN eb ON eb.es = r.vec_id
+      |)
+      |SELECT vec_id, MIN(comp) AS comp_id,
+      |  CASE WHEN MIN(comp) = vec_id THEN 1 ELSE 0 END AS is_canonical
+      |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val pairs = graft.operators.SimilaritySearch.cosineNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, numBlocks = 8)
+      .select(col("idA"), col("idB"))
+    val comps = graft.operators.TextDedup.components(pairs, "idA", "idB", maxIters = 20)
+    t(s, dir, "embeddings").select(col("vec_id"))
+      .join(comps.select(col("id").as("lid"), col("componentId").as("comp")),
+        col("vec_id") === col("lid"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("comp_id"),
+        when(coalesce(col("comp"), col("vec_id")) === col("vec_id"), 1)
+          .otherwise(0).as("is_canonical"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup, annIvf, quantize,
-    quantizedAnn, quantizedNearDup, annIvfQuantized, clusterSample)
+    quantizedAnn, quantizedNearDup, annIvfQuantized, clusterSample,
+    embeddingDedup)
 }
