@@ -57,3 +57,17 @@ case class BloomMightContain(child: Expression, bloom: Broadcast[BloomFilter])
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
 }
+
+object BloomMightContain {
+  /** The one blessed construction of the Column form — every call site
+    * (the triangle operator and the diagnostics) goes through here so
+    * the bridge wiring cannot drift between them. */
+  def column(
+      spark: org.apache.spark.sql.SparkSession,
+      hash: org.apache.spark.sql.Column,
+      bloom: Broadcast[BloomFilter]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.GraftSqlBridge.column(
+      BloomMightContain(
+        org.apache.spark.sql.classic.GraftSqlBridge.expression(spark, hash),
+        bloom))
+}

@@ -411,11 +411,8 @@ object Graph {
         // the previous udf() here pushed every wedge row through boxed
         // lambda dispatch — the largest intermediate in the library
         // filtered by the slowest call mechanism available)
-        val mightClose = org.apache.spark.sql.classic.GraftSqlBridge.column(
-          graft.functions.BloomMightContain(
-            org.apache.spark.sql.classic.GraftSqlBridge.expression(
-              spark, xxhash64(col("__y"), col("__z"))),
-            bfB))
+        val mightClose = graft.functions.BloomMightContain.column(
+          spark, xxhash64(col("__y"), col("__z")), bfB)
         wedges.filter(mightClose)
       }
     val tri = closable.join(

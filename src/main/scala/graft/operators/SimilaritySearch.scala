@@ -566,9 +566,13 @@ object SimilaritySearch {
     import sp.implicits._
     val base = corpus.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
     val tagged = base.flatMap { case (id, vec) => blockTags(id, vec, numBlocks) }
+    // min-length bound (the DotProduct expression's convention): a
+    // degenerate empty-vector row must score NaN-and-drop against any
+    // partner, not index past its buffer
     def dotd(x: Array[Float], y: Array[Float]): Double = {
+      val n = math.min(x.length, y.length)
       var d = 0.0; var k = 0
-      while (k < x.length) { d += x(k).toDouble * y(k).toDouble; k += 1 }
+      while (k < n) { d += x(k).toDouble * y(k).toDouble; k += 1 }
       d
     }
     def nrm(x: Array[Float]): Double = math.sqrt(dotd(x, x))
@@ -833,7 +837,13 @@ object SimilaritySearch {
     val packed = corpus
       .select(col(idCol).cast("long").as("__id"),
         VectorFunctions.quantizeInt8(col(vecCol)).as("__q"),
-        array_max(transform(col(vecCol), x => abs(x.cast("double")))).as("__mx"),
+        // coalesce: array_max of an EMPTY vector is null, which would
+        // NPE the non-nullable tuple decode below — 0.0 gives that row
+        // s = 0, nf = 0, so both admission rules drop it, matching the
+        // float kernel's NaN-score drop (bit-identity incl. degenerates)
+        coalesce(
+          array_max(transform(col(vecCol), x => abs(x.cast("double")))),
+          lit(0.0)).as("__mx"),
         VectorFunctions.norm(col(vecCol)).as("__nf"))
       .as[(Long, Array[Byte], Double, Double)]
       .map { case (id, q, mx, nf) =>

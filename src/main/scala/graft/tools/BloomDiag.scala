@@ -25,11 +25,8 @@ object BloomDiag {
       val bf = members.stat.bloomFilter("h", n, 0.01)
       println(s"[bloomdiag] n=$n impl=${bf.getClass.getSimpleName} bitSize=${bf.bitSize()}")
       val bfB = spark.sparkContext.broadcast(bf)
-      val mc = org.apache.spark.sql.classic.GraftSqlBridge.column(
-        graft.functions.BloomMightContain(
-          org.apache.spark.sql.classic.GraftSqlBridge.expression(
-            spark, xxhash64(col("id"))),
-          bfB))
+      val mc = graft.functions.BloomMightContain.column(
+        spark, xxhash64(col("id")), bfB)
       // probe ids disjoint from members: [n, 2n)
       val fp = spark.range(n, 2 * n, 1, 32).filter(mc).count()
       // sanity: every member must pass

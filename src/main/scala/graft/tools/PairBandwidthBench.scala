@@ -44,20 +44,24 @@ object PairBandwidthBench {
             (m.shuffleWriteMetrics.bytesWritten, m.shuffleWriteMetrics.recordsWritten))
       }
     })
+    // per-arm attribution by stage-id DIFFERENCE, never by clearing:
+    // the listener bus is async, and a cleared map would lose (or
+    // misattribute to the next arm) any completion event that lands
+    // after the sum — the exact number this tool exists to adjudicate
+    var seen = Set.empty[Int]
     def drain(label: String): Long = {
-      // listener events are async (and the bus is private[spark]);
-      // a short settle is ample for a batch tool
-      Thread.sleep(2000)
+      Thread.sleep(5000) // settle the async bus (private[spark], unpollable)
       val entries = {
         val it = stageBytes.entrySet().iterator()
         val b = Seq.newBuilder[(Int, Long, Long)]
         while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue._1, e.getValue._2)) }
         b.result()
       }
-      stageBytes.clear()
-      val total = entries.map(_._2).sum
-      println(f"[pairbw] $label total shuffle write: ${total / 1e6}%.1f MB over ${entries.size} stages")
-      entries.sortBy(-_._2).take(4).foreach { case (sid, by, rec) =>
+      val fresh = entries.filterNot(e => seen.contains(e._1))
+      seen ++= fresh.map(_._1)
+      val total = fresh.map(_._2).sum
+      println(f"[pairbw] $label total shuffle write: ${total / 1e6}%.1f MB over ${fresh.size} stages")
+      fresh.sortBy(-_._2).take(4).foreach { case (sid, by, rec) =>
         println(f"[pairbw]   stage $sid%5d: ${by / 1e6}%9.1f MB, $rec%11d records")
       }
       total

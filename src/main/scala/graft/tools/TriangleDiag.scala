@@ -55,16 +55,39 @@ object TriangleDiag {
       .select(col("e1.__a").as("__x"), col("e1.__b").as("__y"),
         col("e2.__b").as("__z"))
     timed("wedges_raw")(wedges.count())
-    val bf = timed("bloom_build")(
+    import spark.implicits._
+    // the CLAMPED stat.bloomFilter reading is kept deliberately as the
+    // regression probe for the sf10 finding (its bitmap saturates at
+    // 2^26 bits — wedges_bloomed_capped ≈ wedges_raw at 120M edges);
+    // wedges_bloomed_uncapped is what production (Graph.triangleCounts)
+    // actually runs
+    val bfCapped = timed("bloom_build_capped")(
       o.select(xxhash64(col("__a"), col("__b")).as("__h"))
         .stat.bloomFilter("__h", math.max(edgeCount, 1L), 0.01))
+    val bfCappedB = spark.sparkContext.broadcast(bfCapped)
+    timed("wedges_bloomed_capped")(wedges.filter(
+      graft.functions.BloomMightContain.column(
+        spark, xxhash64(col("__y"), col("__z")), bfCappedB)).count())
+    bfCappedB.unpersist(blocking = false)
+    val expectedItems = math.max(edgeCount, 1L)
+    val bf = timed("bloom_build_uncapped")(
+      o.select(xxhash64(col("__a"), col("__b")).as("__h")).as[Long]
+        .rdd.coalesce(8)
+        .mapPartitions { it =>
+          val f = org.apache.spark.util.sketch.BloomFilter.create(
+            expectedItems, 0.01)
+          it.foreach(f.putLong)
+          Iterator.single(f)
+        }
+        .coalesce(1, shuffle = true)
+        .mapPartitions { fs =>
+          Iterator.single(fs.reduce { (a, b) => a.mergeInPlace(b); a })
+        }
+        .collect().head)
     val bfB = spark.sparkContext.broadcast(bf)
-    val mightClose = org.apache.spark.sql.classic.GraftSqlBridge.column(
-      graft.functions.BloomMightContain(
-        org.apache.spark.sql.classic.GraftSqlBridge.expression(
-          spark, xxhash64(col("__y"), col("__z"))),
-        bfB))
-    timed("wedges_bloomed")(wedges.filter(mightClose).count())
+    timed("wedges_bloomed_uncapped")(wedges.filter(
+      graft.functions.BloomMightContain.column(
+        spark, xxhash64(col("__y"), col("__z")), bfB)).count())
     spark.stop()
   }
 }

@@ -205,7 +205,10 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val extra = Seq(
       (400L, base(5)._2.clone()),
       (401L, jitter(base(9)._2, 0.02f)),
-      (402L, Array.fill(base.head._2.length)(0f)))
+      (402L, Array.fill(base.head._2.length)(0f)),
+      // EMPTY vector: the float arm NaN-drops it; the int8 packed
+      // projection must coalesce its null array_max rather than NPE
+      (403L, Array.empty[Float]))
     val corpus = (base ++ extra).toDF("id", "v")
     for (th <- Seq(0.45, 0.9)) {
       spark.conf.set("spark.graft.neardup.exact", "float")
