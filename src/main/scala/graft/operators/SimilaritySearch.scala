@@ -538,7 +538,7 @@ object SimilaritySearch {
       case "int8" =>
         val cand = certifiedCandidatePairs(corpus, idCol, vecCol, threshold,
           numBlocks, sizeHint)
-        exactVerify(cand, corpus, idCol, vecCol, threshold)
+        exactVerify(cand, corpus, idCol, vecCol, threshold, sizeHint)
       case "float" =>
         floatNearDupPairs(corpus, idCol, vecCol, threshold, numBlocks, sizeHint)
       case other => throw new IllegalArgumentException(
@@ -566,10 +566,16 @@ object SimilaritySearch {
     import sp.implicits._
     val base = corpus.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
     val tagged = base.flatMap { case (id, vec) => blockTags(id, vec, numBlocks) }
-    // min-length bound (the DotProduct expression's convention): a
-    // degenerate empty-vector row must score NaN-and-drop against any
-    // partner, not index past its buffer
+    // empty-vector rows score NaN-and-drop against any partner (norm
+    // 0); NON-empty mismatched dimensions fail loudly — silent
+    // min-length truncation would produce plausible-but-wrong cosines
+    // for a mixed-dimension corpus, the exact failure mode Int8Dot
+    // already rejects (same policy in QSide.idot)
     def dotd(x: Array[Float], y: Array[Float]): Double = {
+      if (x.length != y.length && x.length != 0 && y.length != 0)
+        throw new IllegalArgumentException(
+          s"mixed-dimension corpus: cosine over ${x.length}- vs " +
+            s"${y.length}-component vectors would silently truncate")
       val n = math.min(x.length, y.length)
       var d = 0.0; var k = 0
       while (k < n) { d += x(k).toDouble * y(k).toDouble; k += 1 }
@@ -646,7 +652,7 @@ object SimilaritySearch {
     val bound = threshold - margin
     val cand = quantizedCandidatePairs(corpus, idCol, vecCol, bound,
       numBlocks, sizeHint)
-    exactVerify(cand, corpus, idCol, vecCol, threshold)
+    exactVerify(cand, corpus, idCol, vecCol, threshold, sizeHint)
   }
 
   /** The shared verify stage of both pairwise arms: only (idA, idB)
@@ -654,17 +660,58 @@ object SimilaritySearch {
     * replicated through the blocking shuffle — and the EXACT cosine
     * (same codegen'd kernel, rounding, and threshold everywhere)
     * makes the final call. A false positive entering here costs one
-    * dot product; it can never reach the output. */
+    * dot product; it can never reach the output.
+    *
+    * ==The fetch is BROADCAST, not shuffled, whenever the corpus fits==
+    * The shuffle formulation (`cand ⋈ va ⋈ vb` as two shuffled hash
+    * joins) re-keys the candidate table twice, and after the first join
+    * every candidate CARRIES its idA float vector through the second
+    * exchange — measured at 200k vectors / 3.2M candidates this single
+    * term was 629 MB, the int8 arm's dominant remaining shuffle
+    * (round-11 `PairBandwidthBench` stage attribution). The corpus
+    * float side itself is small — this arm is loudly capped at
+    * [[maxExactRows]] (1M) vectors, ≈270 MB of 64-dim floats worst
+    * case, ~50 MB at the bench's 200k — so broadcasting the (id, vec)
+    * fetch side to both joins deletes every candidate-side exchange:
+    * candidates stay where the blocked kernel produced them and each
+    * task resolves its own float lookups locally. Zero verify-stage
+    * shuffle, same rows out (a join strategy is not a semantics).
+    *
+    * `spark.graft.neardup.verify`: `auto` (default — broadcast when
+    * the corpus row count, from `sizeHint` or one cheap count, is ≤
+    * `spark.graft.neardup.verify.broadcastMaxRows`, default
+    * [[maxExactRows]]), `broadcast` (force), `shuffle` (the legacy
+    * shuffled-join shape, the A/B baseline and the fallback a derived
+    * library should pick if it ever lifts the cap past driver
+    * memory). */
   private def exactVerify(
       cand: DataFrame,
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      sizeHint: Long = -1L): DataFrame = {
+    implicit val sp: SparkSession = corpus.sparkSession
+    val mode = sp.conf.getOption("spark.graft.neardup.verify").getOrElse("auto")
+    val maxBcRows = sp.conf
+      .getOption("spark.graft.neardup.verify.broadcastMaxRows")
+      .map(_.toLong).getOrElse(maxExactRows)
+    val useBroadcast = mode match {
+      case "broadcast" => true
+      case "shuffle" => false
+      case "auto" =>
+        // one O(N) count against an O(N²) pass that already ran; it
+        // also closes the sizeHint=-1 blind spot the static guard has
+        val n = if (sizeHint >= 0) sizeHint
+                else corpus.select(col(idCol)).count()
+        n <= maxBcRows
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.neardup.verify must be auto, broadcast or shuffle, got '$other'")
+    }
     val va = corpus.select(col(idCol).as("idA"), col(vecCol).as("__va"))
     val vb = corpus.select(col(idCol).as("idB"), col(vecCol).as("__vb"))
-    implicit val sp: SparkSession = corpus.sparkSession
-    cand.join(va, "idA").join(vb, "idB")
+    val (fa, fb) = if (useBroadcast) (broadcast(va), broadcast(vb)) else (va, vb)
+    cand.join(fa, "idA").join(fb, "idB")
       .select(col("idA"), col("idB"),
         r4(VectorFunctions.dot(col("__va"), col("__vb")) /
           (VectorFunctions.norm(col("__va")) * VectorFunctions.norm(col("__vb"))))
@@ -795,6 +842,14 @@ object SimilaritySearch {
       * float loop runs 19). Exact while dim ≤ 2³¹/127² ≈ 133k — far
       * past any embedding dimensionality. */
     def idot(x: Array[Byte], y: Array[Byte]): Int = {
+      // empty (degenerate) q-arrays dot to 0 and their rows are
+      // dropped by the admission rules (norm/den 0); non-empty
+      // mismatches fail loudly — same policy as Int8Dot and the float
+      // kernel, never silent min-length truncation
+      if (x.length != y.length && x.length != 0 && y.length != 0)
+        throw new IllegalArgumentException(
+          s"mixed-dimension corpus: int8 dot over ${x.length}- vs " +
+            s"${y.length}-component vectors would silently truncate")
       val n = math.min(x.length, y.length)
       var s = 0; var k = 0
       while (k < n) { s += x(k) * y(k); k += 1 }

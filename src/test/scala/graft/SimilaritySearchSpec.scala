@@ -259,6 +259,135 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(mid >= 2 && mid < n * (n - 1) / 2, s"0.85 bound kept $mid")
   }
 
+  test("verify stage: broadcast, shuffle and auto fetch modes emit identical pairs") {
+    import spark.implicits._
+    val base = (1L to 120L).map(i => (i, vec(i * 53 + 3)))
+    val planted = Seq((300L, jitter(base(4)._2, 0.02f)),
+      (301L, jitter(base(40)._2, 0.02f)))
+    val corpus = (base ++ planted).toDF("id", "v")
+    def run(mode: String): Set[(Long, Long, Double)] = {
+      spark.conf.set("spark.graft.neardup.verify", mode)
+      try SimilaritySearch
+        .cosineNearDupPairs(corpus, "id", "v", threshold = 0.45, numBlocks = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      finally spark.conf.unset("spark.graft.neardup.verify")
+    }
+    val bc = run("broadcast"); val sh = run("shuffle"); val auto = run("auto")
+    assert(bc.nonEmpty, "vacuous: no pairs produced")
+    assert(bc == sh, s"broadcast=$bc shuffle=$sh")
+    assert(auto == sh, s"auto=$auto shuffle=$sh")
+    // the broadcast mode must actually plan broadcast joins for the
+    // float fetch — that is the whole point (no candidate-carrying
+    // exchange); auto at 122 rows picks the same plan
+    spark.conf.set("spark.graft.neardup.verify", "broadcast")
+    val plan = try SimilaritySearch
+      .cosineNearDupPairs(corpus, "id", "v", threshold = 0.45, numBlocks = 4)
+      .queryExecution.executedPlan.toString
+    finally spark.conf.unset("spark.graft.neardup.verify")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"verify fetch not broadcast:\n$plan")
+    // auto with a tiny broadcastMaxRows must fall back to the shuffle
+    // shape (the >driver-memory escape hatch), and still match
+    spark.conf.set("spark.graft.neardup.verify.broadcastMaxRows", "10")
+    val autoSmall = try run("auto")
+    finally spark.conf.unset("spark.graft.neardup.verify.broadcastMaxRows")
+    assert(autoSmall == sh)
+    // unknown modes fail loudly
+    spark.conf.set("spark.graft.neardup.verify", "mmap")
+    try intercept[IllegalArgumentException] {
+      SimilaritySearch.cosineNearDupPairs(corpus, "id", "v", threshold = 0.45)
+    } finally spark.conf.unset("spark.graft.neardup.verify")
+  }
+
+  test("property: certified and margin admission are supersets of the exact pairs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // the no-false-negative proof lives in a comment
+    // (certifiedCandidatePairs scaladoc); this pins it generatively on
+    // the bound's edge cases — mixed magnitudes (1e10), denormals
+    // (1e-40: s underflows toward 0), zeros, negatives — which the
+    // structured fixtures above never exercise
+    val compGen: Gen[Float] = Gen.frequency(
+      (8, Gen.chooseNum(-1.0, 1.0).map(_.toFloat)),
+      (1, Gen.chooseNum(-1.0, 1.0).map(x => (x * 1e10).toFloat)),
+      (1, Gen.chooseNum(-1.0, 1.0).map(x => (x * 1e-40).toFloat)),
+      (2, Gen.const(0f)))
+    val dimP = 12
+    val vecGen: Gen[Array[Float]] = Gen.frequency(
+      (12, Gen.listOfN(dimP, compGen).map(_.toArray)),
+      (1, Gen.const(Array.fill(dimP)(0f))))
+    val corpusGen: Gen[(List[Array[Float]], Double)] = for {
+      n <- Gen.chooseNum(12, 24)
+      vs <- Gen.listOfN(n, vecGen)
+      th <- Gen.chooseNum(0.1, 0.95)
+    } yield (vs, th)
+    def dotd(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var k = 0
+      while (k < x.length) { d += x(k).toDouble * y(k).toDouble; k += 1 }
+      d
+    }
+    var nonVacuous = 0
+    for (seed <- 1 to 12) {
+      val (raw, th) = corpusGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      // plant a near-copy so most cases have at least one true pair
+      val vs = raw :+ jitter(raw.head, 1e-4f)
+      val ids = vs.indices.map(i => i.toLong - 5) // include negatives
+      // exact pairs per the library's contract: r4-rounded double cosine
+      val exact = (for {
+        i <- vs.indices; j <- (i + 1) until vs.size
+        den = math.sqrt(dotd(vs(i), vs(i))) * math.sqrt(dotd(vs(j), vs(j)))
+        cos = math.floor(dotd(vs(i), vs(j)) / den * 10000 + 0.5) / 10000.0
+        if cos >= th
+        a = ids(i); b = ids(j)
+      } yield if (a < b) (a, b) else (b, a)).toSet
+      if (exact.nonEmpty) nonVacuous += 1
+      val df = ids.zip(vs).toDF("id", "v")
+      val cert = SimilaritySearch
+        .certifiedCandidatePairs(df, "id", "v", th, numBlocks = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.subsetOf(cert),
+        s"seed=$seed th=$th certified dropped true pairs: ${exact.diff(cert)}")
+      val marg = SimilaritySearch
+        .quantizedCandidatePairs(df, "id", "v", th - 0.05, numBlocks = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.subsetOf(marg),
+        s"seed=$seed th=$th margin rule dropped true pairs: ${exact.diff(marg)}")
+    }
+    assert(nonVacuous >= 6, s"only $nonVacuous/12 cases had true pairs — weak corpus")
+  }
+
+  test("mixed-dimension corpora fail loudly in both exact kernels (no silent truncation)") {
+    import spark.implicits._
+    val corpus = ((1L to 20L).map(i => (i, vec(i * 97 + 1))) :+
+      (99L, vec(3L).take(dim / 2))).toDF("id", "v")
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    for (impl <- Seq("float", "int8")) {
+      spark.conf.set("spark.graft.neardup.exact", impl)
+      val e = try intercept[Throwable] {
+        SimilaritySearch
+          .cosineNearDupPairs(corpus, "id", "v", threshold = -1.0, numBlocks = 2)
+          .count()
+      } finally spark.conf.unset("spark.graft.neardup.exact")
+      assert(rootMsg(e).contains("mixed-dimension"),
+        s"$impl arm: expected loud mixed-dimension failure, got $e")
+    }
+    // empty vectors remain the allowed degenerate: dropped, not thrown
+    val withEmpty = ((1L to 20L).map(i => (i, vec(i * 97 + 1))) :+
+      (99L, Array.empty[Float])).toDF("id", "v")
+    for (impl <- Seq("float", "int8")) {
+      spark.conf.set("spark.graft.neardup.exact", impl)
+      try assert(SimilaritySearch
+        .cosineNearDupPairs(withEmpty, "id", "v", threshold = 2.0).count() == 0L)
+      finally spark.conf.unset("spark.graft.neardup.exact")
+    }
+  }
+
   test("quantizedTopKIndexed over a materialized projection matches the one-shot form") {
     import spark.implicits._
     val q = vec(777L)
