@@ -79,6 +79,11 @@ object Bench {
     SparkEntry.queries("q6_forecast_revenue")(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
 
+    // host-band canary, sampled at both ends of the run (see
+    // BenchProtocol.canarySeconds): canary_sec calibrates cross-round
+    // ratios, canary_drift exposes intra-run band movement
+    val canaryStart = graft.tools.BenchProtocol.canarySeconds(spark)
+
     // One warm-up + median-of-5 per query: the warm-up run materializes
     // the query's plan-keyed caches and codegen so the 5 measured
     // samples are statistically homogeneous (warm); the MEDIAN is the
@@ -172,7 +177,8 @@ object Bench {
     // mechanical drift adjudication (round-9 verdict #8): per-query
     // ratio vs the standing last-good artifact, computed BEFORE this run
     // may overwrite the slot. Only queries present and >0 in both runs.
-    val (lastGood: Map[String, Double], lastGoodVariance: Option[Double]) = try {
+    val (lastGood: Map[String, Double], lastGoodVariance: Option[Double],
+        lastGoodCanary: Option[Double]) = try {
       val p = java.nio.file.Paths.get("bench_last_good.json")
       if (java.nio.file.Files.exists(p)) {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -186,16 +192,33 @@ object Bench {
             b.result()
           }
         val v = Option(root.get("variance")).map(_.asDouble())
-        (qs, v)
-      } else (Map.empty[String, Double], None)
-    } catch { case _: Exception => (Map.empty[String, Double], None) }
+        val c = Option(root.get("canary_sec")).map(_.asDouble()).filter(_ > 0)
+        (qs, v, c)
+      } else (Map.empty[String, Double], None, None)
+    } catch { case _: Exception => (Map.empty[String, Double], None, None) }
     val ratios = results.collect {
       case (k, v) if v > 0 && lastGood.get(k).exists(_ > 0) =>
         "\"" + k + "\":" + f"${v / lastGood(k)}%.3f"
     }.mkString("{", ",", "}")
+    // canary at the run's tail: the band can shift DURING a 30 s run
+    val canaryEnd = graft.tools.BenchProtocol.canarySeconds(spark)
+    val canary = (canaryStart + canaryEnd) / 2.0
+    val canaryDrift = (canaryEnd - canaryStart) / canaryStart
+    // canary-normalized cross-round ratios: raw ratio ÷ (this run's
+    // canary / standing run's canary). A host-band shift inflates raw
+    // ratios AND the canary ratio by the same factor; a real code
+    // regression inflates only the former. Present only when the
+    // standing artifact carries a canary (post-r12 artifacts).
+    val ratiosNorm = lastGoodCanary.map { lgc =>
+      val factor = canary / lgc
+      results.collect {
+        case (k, v) if v > 0 && lastGood.get(k).exists(_ > 0) =>
+          "\"" + k + "\":" + f"${v / lastGood(k) / factor}%.3f"
+      }.mkString("{", ",", "}")
+    }.getOrElse("{}")
     val extraConfJson = graft.tools.BenchProtocol.jsonEscape(extraConf)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","queries":$qs,"ratio_vs_last_good":$ratios,"samples":$samplesJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // the same line to a stable file so the driver's parser never has to
     // fish it out of sbt log decorations
@@ -215,10 +238,17 @@ object Bench {
     if (adjudicable && args.isEmpty && extraConf.isEmpty) {
       val noisier = graft.tools.BenchProtocol.noisierThanStanding(
         variance, lastGoodVariance)
-      if (noisier)
+      // escape hatch (round-11 advice): if the host band durably
+      // degrades, every future run would be refused and the slot could
+      // never move again — the explicit override force-accepts this
+      // run as the new baseline
+      val forceAccept = sys.env.get("SPARK_GRAFT_BENCH_ACCEPT_BASELINE")
+        .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+      if (noisier && !forceAccept)
         System.err.println(
           f"[bench] keeping standing bench_last_good.json: this run's variance $variance%.3f " +
-            f"exceeds the standing ${lastGoodVariance.get}%.3f by more than ${graft.tools.BenchProtocol.NoiseDegradeTolerance}%.2f")
+            f"exceeds the standing ${lastGoodVariance.get}%.3f by more than ${graft.tools.BenchProtocol.NoiseDegradeTolerance}%.2f " +
+            "(set SPARK_GRAFT_BENCH_ACCEPT_BASELINE=1 to force-accept if the host band has durably degraded)")
       else
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("bench_last_good.json"), line + "\n")

@@ -23,6 +23,96 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** The previous triangleCounts call's Bloom broadcasts, destroyed at
+    * the start of the NEXT bloom build (deferred destroy): each call's
+    * end only `unpersist`s — zombie-task safe, but the driver-resident
+    * blocks survive until the ContextCleaner GC-sweeps the handles, so
+    * a driver looping triangleCounts could accumulate filter sets
+    * between GCs. This bounds driver retention to one call's filters
+    * without ever destroying a broadcast a live task might read. */
+  private var previousBloomBcs: Seq[org.apache.spark.broadcast.Broadcast[
+    org.apache.spark.util.sketch.BloomFilter]] = Nil
+
+  private def releasePreviousBloom(): Unit = synchronized {
+    previousBloomBcs.foreach { b =>
+      try b.destroy() catch { case _: Exception => () } // already destroyed: fine
+    }
+    previousBloomBcs = Nil
+  }
+
+  private def rememberBloom(bcs: Seq[org.apache.spark.broadcast.Broadcast[
+    org.apache.spark.util.sketch.BloomFilter]]): Unit = synchronized {
+    previousBloomBcs = bcs
+  }
+
+  /** KEY-SHARDED broadcast Bloom build over a hash RDD — the uncapped,
+    * driver-cliff-free replacement for both `stat.bloomFilter` (bitmap
+    * silently clamped to 8 MB — a NO-OP filter past ~10M items) and the
+    * r11 monolithic merge (ONE collected filter object, ~1.2 B/item:
+    * ~143 MB at 120M items and tripping spark.driver.maxResultSize /
+    * broadcast practicality around ~800M).
+    *
+    * Item hash h routes to shard floorMod(h, S); each shard is an
+    * independent `BloomFilter.create(expectedItems/S, fpp)` — same
+    * bits-per-item as a monolithic build, and xxhash64-uniform keys
+    * split evenly across shards, so the compound fpp matches the
+    * monolithic filter's. S = ceil(expectedItems·1.2 / shardBytes):
+    * per-OBJECT size stays ≤ ~shardBytes no matter the item count.
+    * Filters are created inside tasks (never shipped empty through a
+    * closure), OR-merged EXECUTOR-side by reduceByKey with map-side
+    * combine, and each merged shard reaches the driver in its OWN
+    * action — `spark.driver.maxResultSize` gates one shard at a time,
+    * never the total. Each shard broadcasts separately; probes route by
+    * the same floorMod through [[graft.functions.BloomMightContain]].
+    *
+    * The caller owns the returned broadcasts' lifecycle (unpersist /
+    * deferred destroy). */
+  def buildShardedBloom(
+      spark: org.apache.spark.sql.SparkSession,
+      hashes: org.apache.spark.rdd.RDD[Long],
+      expectedItems: Long,
+      fpp: Double = 0.01,
+      shardBytes: Long = 64L << 20,
+      maxBuildTasks: Int = 8): Seq[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]] = {
+    require(shardBytes > 0, s"shardBytes must be positive, got $shardBytes")
+    val items = math.max(expectedItems, 1L)
+    // ~9.585 bits/item at 1% fpp (optimalNumOfBits) ≈ 1.2 B/item; the
+    // estimate only sizes SHARD COUNT, the filters size themselves
+    val bitsPerItem = -math.log(fpp) / (math.log(2) * math.log(2))
+    val totalBytes = (items * bitsPerItem / 8.0).toLong
+    val shards = math.max(1L, (totalBytes + shardBytes - 1) / shardBytes).toInt
+    val perShard = math.max(1L, (items + shards - 1) / shards)
+    val parts = math.min(maxBuildTasks, math.max(1, hashes.getNumPartitions))
+    val merged = hashes.coalesce(parts)
+      .mapPartitions { it =>
+        val fs = Array.fill(shards)(
+          org.apache.spark.util.sketch.BloomFilter.create(perShard, fpp))
+        it.foreach(h => fs(java.lang.Math.floorMod(h, shards)).putLong(h))
+        Iterator.tabulate(shards)(s => (s, fs(s)))
+      }
+      .reduceByKey(new org.apache.spark.HashPartitioner(shards),
+        (a, b) => { a.mergeInPlace(b); a })
+    merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // one action per shard: with HashPartitioner and nonnegative int
+    // keys shard s lives in partition s, but the result is placed by
+    // its own key, not by that assumption
+    val shardFilters = new Array[
+      org.apache.spark.util.sketch.BloomFilter](shards)
+    (0 until shards).foreach { p =>
+      spark.sparkContext
+        .runJob(merged,
+          (it: Iterator[(Int, org.apache.spark.util.sketch.BloomFilter)]) =>
+            it.toArray,
+          Seq(p))
+        .flatten.foreach { case (s, f) => shardFilters(s) = f }
+    }
+    merged.unpersist(blocking = false)
+    require(shardFilters.forall(_ != null),
+      s"bloom shard merge lost a shard (${shardFilters.count(_ == null)} of $shards)")
+    shardFilters.toSeq.map(spark.sparkContext.broadcast(_))
+  }
+
   /** Fixed-iteration PageRank in pure integer fixed-point arithmetic.
     *
     * Ranks are maintained as scaled longs (`scale` = 1.0), every
@@ -361,58 +451,71 @@ object Graph {
       case Some(v) => throw new IllegalArgumentException(
         s"spark.graft.triangles.bloom must be true or false, got '$v'")
     }
-    var bloomBc: Option[org.apache.spark.broadcast.Broadcast[
-      org.apache.spark.util.sketch.BloomFilter]] = None
+    var bloomBcs: Seq[org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter]] = Nil
     val closable =
       if (!useBloom) wedges
       else {
+        // a NEW build destroys the PREVIOUS call's broadcasts (not just
+        // unpersist): unpersist at the end of each call removes executor
+        // copies but leaves the driver-resident blocks until the
+        // ContextCleaner GC-sweeps the handle, so a long driver session
+        // looping triangleCounts could stack several ~143 MB filters of
+        // driver heap between GCs. Destroying them here — one call
+        // later — is zombie-task safe: the previous call's jobs are long
+        // finished by the time a new build starts.
+        Graph.releasePreviousBloom()
         // cheap: o is an eagerly-materialized checkpoint snapshot
         val edgeCount = o.count()
-        // EXPLICIT treeAggregate build over the uncapped sketch
-        // (`BloomFilter.create`), NOT `stat.bloomFilter`: Spark routes
-        // the latter through the runtime-filter aggregate, whose bitmap
-        // is silently clamped to
+        // EXPLICIT build over the uncapped sketch (`BloomFilter.create`),
+        // NOT `stat.bloomFilter`: Spark routes the latter through the
+        // runtime-filter aggregate, whose bitmap is silently clamped to
         // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (2²⁶ bits
         // = 8 MB). Measured at gr2's scales (tools/BloomDiag): 1% fpp
         // at 1M edges, 22% at 12M (sf1), 100% — a NO-OP filter — at
         // 120M (sf10), where the unfiltered closing join then sorts all
         // 4.1B wedges and exhausts local disk. The honest size is
         // ~1.2 MB per million edges at 1% fpp; the hash pass is
-        // coalesced so each concurrent task holds one filter copy
+        // coalesced so each concurrent task holds one filter-set copy
         // (8 × 143 MB at sf10), not one per core.
+        //
+        // The build is KEY-SHARDED so no single filter object outgrows
+        // what a driver can collect or a torrent broadcast should carry:
+        // each edge hash h routes to shard floorMod(h, S), each shard is
+        // an independent filter sized expectedItems/S (same bits-per-item
+        // ⇒ same fpp as the monolithic build — xxhash64 splits the keys
+        // uniformly), shards OR-merge executor-side via reduceByKey, and
+        // the driver fetches each merged shard in its OWN action — so
+        // spark.driver.maxResultSize gates one ≤~64 MB shard at a time,
+        // never the whole 1.2 MB-per-million-edges total. The r11
+        // monolithic merge hit exactly that cliff in reverse: one merged
+        // 143 MB filter at sf10, tripping toward maxResultSize/broadcast
+        // practicality around ~800M edges. Shard count scales with the
+        // edge count (spark.graft.triangles.bloom.shardBytes, default
+        // 64 MB per shard) so the per-action and per-object sizes stay
+        // flat at any scale; sf0.1-sized graphs degenerate to S = 1.
         val sp2 = spark
         import sp2.implicits._
-        val parts = math.min(8,
-          math.max(1, o.rdd.getNumPartitions))
+        val shardBytes = spark.conf
+          .getOption("spark.graft.triangles.bloom.shardBytes")
+          .map(_.toLong).getOrElse(64L << 20)
         // filters are CREATED INSIDE each task (not treeAggregate, whose
         // zeroValue ships the whole empty bitmap in the task binary — a
-        // 274 MB broadcast per call at sf10 that lingers on the heap and
-        // OOM'd repeated in-session runs) and MERGED EXECUTOR-SIDE
-        // through a one-partition shuffle (not reduce, whose simultaneous
-        // task results tripped spark.driver.maxResultSize at 8 × 143 MB);
-        // the driver receives exactly one merged filter
-        val expectedItems = math.max(edgeCount, 1L)
-        val bf = o.select(xxhash64(col("__a"), col("__b")).as("__h"))
-          .as[Long].rdd.coalesce(parts)
-          .mapPartitions { it =>
-            val f = org.apache.spark.util.sketch.BloomFilter.create(
-              expectedItems, 0.01)
-            it.foreach(f.putLong)
-            Iterator.single(f)
-          }
-          .coalesce(1, shuffle = true)
-          .mapPartitions { fs =>
-            Iterator.single(fs.reduce { (a, b) => a.mergeInPlace(b); a })
-          }
-          .collect().head
-        val bfB = spark.sparkContext.broadcast(bf)
-        bloomBc = Some(bfB)
-        // codegen'd might-contain over the broadcast (round-10 verdict:
-        // the previous udf() here pushed every wedge row through boxed
-        // lambda dispatch — the largest intermediate in the library
-        // filtered by the slowest call mechanism available)
+        // 274 MB broadcast per call at sf10 that lingered on the heap and
+        // OOM'd repeated in-session runs); shard merge + per-shard
+        // collect semantics documented on buildShardedBloom
+        bloomBcs = Graph.buildShardedBloom(spark,
+          o.select(xxhash64(col("__a"), col("__b")).as("__h")).as[Long].rdd,
+          expectedItems = math.max(edgeCount, 1L),
+          fpp = 0.01,
+          shardBytes = shardBytes)
+        // codegen'd might-contain over the broadcast shard set (round-10
+        // verdict: the previous udf() here pushed every wedge row through
+        // boxed lambda dispatch — the largest intermediate in the library
+        // filtered by the slowest call mechanism available); the
+        // expression routes each probe by the same floorMod(h, S)
         val mightClose = graft.functions.BloomMightContain.column(
-          spark, xxhash64(col("__y"), col("__z")), bfB)
+          spark, xxhash64(col("__y"), col("__z")), bloomBcs)
         wedges.filter(mightClose)
       }
     val tri = closable.join(
@@ -436,13 +539,16 @@ object Graph {
     Checkpoints.free(o)
     Checkpoints.free(deg)
     // the eager cut above materialized the result, so the Bloom
-    // broadcast is no longer referenced by any live plan — release the
+    // broadcasts are no longer referenced by any live plan — release the
     // executor copies here or a long session benching triangleCounts in
-    // a loop accumulates one resident filter per call. unpersist (not
+    // a loop accumulates one resident filter set per call. unpersist (not
     // destroy): a speculative/zombie task from the materialization job
-    // may still dereference the broadcast after this line, and unpersist
-    // allows a transparent re-broadcast where destroy would throw.
-    bloomBc.foreach(_.unpersist(blocking = false))
+    // may still dereference a broadcast after this line, and unpersist
+    // allows a transparent re-broadcast where destroy would throw. The
+    // driver-resident blocks are bounded by the deferred destroy at the
+    // START of the next bloom build (releasePreviousBloom).
+    bloomBcs.foreach(_.unpersist(blocking = false))
+    Graph.rememberBloom(bloomBcs)
     out
   }
 

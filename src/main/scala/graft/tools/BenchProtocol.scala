@@ -74,6 +74,32 @@ object BenchProtocol {
   def noisierThanStanding(candidate: Double, standing: Option[Double]): Boolean =
     standing.exists(s => candidate > s + NoiseDegradeTolerance)
 
+  /** Host-band CANARY (round-11 verdict #4): a fixed synthetic
+    * CPU-bound calibration query — chained xxhash64 over a codegen'd
+    * range scan, no input data, no shuffle, no disk — whose wall time
+    * moves with host allocation (steal, thermal, cold-window) and with
+    * NOTHING in this repository. Two consecutive verdicts had to
+    * adjudicate "uniform inflation on untouched queries" narratively;
+    * the canary makes it mechanical: cross-round per-query ratios are
+    * reported raw AND divided by the canary ratio, so a band shift
+    * shows up as canary drift instead of 30 phantom regressions. */
+  val CanaryRows: Long = 2000000000L
+
+  /** Median-of-`samples` canary wall time (one unrecorded warm run
+    * first). ~1 s per sample on an uncontended 32-thread host. */
+  def canarySeconds(spark: org.apache.spark.sql.SparkSession, samples: Int = 3): Double = {
+    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, CanaryRows, 1L, 32)
+        .select(sum(xxhash64(xxhash64(xxhash64(col("id"))))))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm: codegen + JIT
+    BenchProtocol.median(Seq.fill(samples)(once()))
+  }
+
   /** Minimal JSON string escaping (quotes, backslashes, control chars) —
     * config values are interpolated into the one-line artifacts and must
     * never be able to break the driver-side parser. */

@@ -20,7 +20,12 @@ class BloomMightContainSpec extends AnyFunSuite {
   private def mightContain(
       bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
       c: org.apache.spark.sql.Column) =
-    GraftSqlBridge.column(BloomMightContain(GraftSqlBridge.expression(spark, c), bf))
+    GraftSqlBridge.column(BloomMightContain(GraftSqlBridge.expression(spark, c), Seq(bf)))
+
+  private def mightContainSharded(
+      bfs: Seq[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]],
+      c: org.apache.spark.sql.Column) =
+    GraftSqlBridge.column(BloomMightContain(GraftSqlBridge.expression(spark, c), bfs))
 
   test("no false negatives; few false positives; codegen and interpreted agree") {
     import spark.implicits._
@@ -47,6 +52,41 @@ class BloomMightContainSpec extends AnyFunSuite {
       val withNull = Seq[java.lang.Long](members.head, null).toDF("h")
       assert(withNull.filter(mightContain(bfB, col("h"))).count() == 1L)
     } finally bfB.unpersist(blocking = false)
+  }
+
+  test("sharded probe: no false negatives across shards, fpp parity with monolithic") {
+    import spark.implicits._
+    // the triangle operator's sharded build, replayed in miniature:
+    // insert by floorMod(h, S), probe through the sharded expression —
+    // including NEGATIVE hashes (xxhash64 spans the full long range,
+    // floorMod keeps the route nonnegative)
+    val shards = 3
+    val members = (0L until 30000L).map(i => i * -2654435761L)
+    val fs = Array.fill(shards)(org.apache.spark.util.sketch.BloomFilter
+      .create(members.size / shards + 1, 0.01))
+    members.foreach(h => fs(java.lang.Math.floorMod(h, shards)).putLong(h))
+    val bfs = fs.toSeq.map(spark.sparkContext.broadcast(_))
+    val mono = org.apache.spark.util.sketch.BloomFilter.create(members.size, 0.01)
+    members.foreach(mono.putLong)
+    try {
+      val probe = (0L until 60000L).map(i => i * -2654435761L).toDF("h")
+      val hits = probe.filter(mightContainSharded(bfs, col("h")))
+        .as[Long].collect().toSet
+      assert(members.forall(hits.contains), "false negative across shards")
+      // fpp parity: same bits-per-item ⇒ shard fp count within 2× of the
+      // monolithic filter's on the same 30k non-members (both ~1%)
+      val nonMembers = (30000L until 60000L).map(i => i * -2654435761L)
+      val fpSharded = hits.size - members.size
+      val fpMono = nonMembers.count(mono.mightContainLong)
+      assert(fpSharded <= math.max(60, 2 * fpMono),
+        s"sharded fpp out of family: sharded=$fpSharded mono=$fpMono")
+      // interpreted parity for the multi-shard codegen route
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = try probe.filter(mightContainSharded(bfs, col("h")))
+        .as[Long].collect().toSet
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      assert(interp == hits)
+    } finally bfs.foreach(_.unpersist(blocking = false))
   }
 
   test("non-bigint input is rejected at analysis") {

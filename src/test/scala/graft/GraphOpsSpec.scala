@@ -114,6 +114,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got(1L) == 3L && got(5L) == 0L && got(7L) == 0L)
   }
 
+  test("triangleCounts multi-shard bloom path matches bloom-off (forced tiny shards)") {
+    // shardBytes=16 forces S = ceil(edges·1.2/16) shards on this small
+    // graph — the sf>10 build shape (many bounded shard filters, one
+    // collect action each) exercised end-to-end through the operator
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val hub = (1L to 30L).map(i => (100L, i))
+    val ring = (1L to 30L).map(i => (i, if (i == 30L) 1L else i + 1L))
+    val edges = k4 ++ hub ++ ring
+    spark.conf.set("spark.graft.triangles.bloom.shardBytes", "16")
+    val sharded = try runTri(edges)
+    finally spark.conf.unset("spark.graft.triangles.bloom.shardBytes")
+    spark.conf.set("spark.graft.triangles.bloom", "false")
+    val off = try runTri(edges)
+    finally spark.conf.unset("spark.graft.triangles.bloom")
+    assert(sharded == off)
+    assert(sharded == triModel(edges))
+  }
+
   test("triangleCounts handles skewed hub graphs (degree orientation)") {
     // hub 0 connected to 1..30, plus a ring 1-2, 2-3, ..., 30-1:
     // every ring edge closes a triangle with the hub
