@@ -257,8 +257,29 @@ object Graph {
     * so zero decreases IS the fixpoint.) Wall-time is
     * `rounds × (one job)` instead of `rounds × 2 × (job-launch +
     * slowest-stage)`, which is what keeps the loop from serializing on
-    * a busy driver/cluster. O(component diameter) rounds, nothing but
-    * the one-row change count ever reaches the driver.
+    * a busy driver/cluster. Nothing but the one-row change count ever
+    * reaches the driver.
+    *
+    * ==O(log diameter) rounds: POINTER JUMPING, not bare propagation==
+    * Bare min-label relaxation moves a label ONE hop per round —
+    * O(diameter) rounds, which the r12 sf1 replay hit in production
+    * shape: the semantic near-dup graph (`v11_embedding_dedup` at sf1)
+    * contains a label-propagation chain longer than 20 hops, and real
+    * crawl dedup graphs chain arbitrarily (A≈B≈C≈… without A≈C).
+    * Each round therefore follows the relaxation with one POINTER JUMP,
+    * `comp(v) ← min(m(v), m(m(v)))` — the label of my label, a
+    * node-table-sized self-join — which makes label distances halve
+    * per round on a chain (the classic pointer-doubling/hash-to-min
+    * argument): a diameter-1000 chain converges in ~15 rounds instead
+    * of 1000. Correctness is invariant-preserving: m(v) is always the
+    * id of a node in v's component, hence m(m(v)) is a label from that
+    * same component, labels stay monotone-decreasing and bounded by
+    * the component minimum, and the no-decrease fixpoint still implies
+    * "constant label per component = component min". The jump join is
+    * over the (id, label) table only — the big per-round edge join is
+    * unchanged, and each round remains exactly one Spark job.
+    * `spark.graft.components.jump=false` restores bare propagation
+    * (the A/B baseline).
     *
     * The edge table is hash-partitioned on the probe key and persisted
     * across rounds, so per round only the small (id, label) side moves;
@@ -300,17 +321,35 @@ object Graph {
     e.unpersist(blocking = false)
     var iter = 0
     var converged = false
+    val jump = edges.sparkSession.conf
+      .getOption("spark.graft.components.jump").forall(_.toBoolean)
     while (!converged && iter < maxIters) {
       // min label over neighbors (self-loop included). The self-loop row
       // (__a == __b) joins to the node's own current label, so
       // min-filtered on it == the PREVIOUS label — carried as __old in
       // the same shuffle, no extra pass over the data.
-      val next = Checkpoints.cut(
+      val relaxed =
         eb.join(labels, eb("__a") === labels("__id"))
           .groupBy(eb("__b").as("__id"))
           .agg(min(col("__comp")).as("__comp"),
-            min(when(eb("__a") === eb("__b"), col("__comp"))).as("__old")),
-        eager = false)
+            min(when(eb("__a") === eb("__b"), col("__comp"))).as("__old"))
+      // pointer jump: comp(v) ← min(m(v), m(m(v))) — the label of my
+      // label (see scaladoc). Every label IS a node id present in
+      // `relaxed` (self-loops put every node there), so the left join
+      // never actually misses; the coalesce is belt-and-braces. The two
+      // references to `relaxed` share one physical aggregation: both
+      // sides canonicalize to the same exchange and ReuseExchange dedups
+      // the expensive edge-join+agg subtree.
+      val stepped =
+        if (!jump) relaxed
+        else relaxed.as("x").join(
+            relaxed.select(col("__id").as("__jid"), col("__comp").as("__jm")).as("j"),
+            col("x.__comp") === col("__jid"), "left")
+          .select(col("x.__id").as("__id"),
+            least(col("x.__comp"), coalesce(col("__jm"), col("x.__comp")))
+              .as("__comp"),
+            col("x.__old").as("__old"))
+      val next = Checkpoints.cut(stepped, eager = false)
       // the ONE action of the round: materializes the (lazy) checkpoint
       // and reduces the change count in the same job
       val changedRow = next

@@ -233,6 +233,32 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: pointer jumping converges long chains in O(log d) rounds") {
+    import spark.implicits._
+    // a 201-node path: bare propagation needs ~200 rounds; the pointer
+    // jump halves label distance per round, so 20 suffice (this is the
+    // exact failure the r12 sf1 replay hit in v11's near-dup graph —
+    // a chain of pairwise near-dups longer than maxIters)
+    val chain = (0 until 200).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+    val out = Graph.connectedComponents(chain, maxIters = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size == 201 && out.values.forall(_ == 0L))
+    // bare propagation (the A/B baseline) cannot do it in 20
+    spark.conf.set("spark.graft.components.jump", "false")
+    try intercept[IllegalStateException] {
+      Graph.connectedComponents(chain, maxIters = 20).collect()
+    } finally spark.conf.unset("spark.graft.components.jump")
+    // and both modes agree where both converge
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 5L), (9L, 9L), (4L, 5L)).toDF("src", "dst")
+    val jumped = Graph.connectedComponents(edges).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    spark.conf.set("spark.graft.components.jump", "false")
+    val bare = try Graph.connectedComponents(edges).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    finally spark.conf.unset("spark.graft.components.jump")
+    assert(jumped == bare)
+  }
+
   /** Sequential reference peel. */
   private def kCoreModel(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
     var cur = edges.filter(e => e._1 != e._2)
