@@ -26,7 +26,10 @@ if "--skip-spark" not in flags:
 con = duckdb.connect()
 for p in glob.glob(f"{SF}/*.parquet"):
     name = os.path.basename(p)[:-8]
-    con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{p}'")
+    # testdata tables are single files; ScaleUp-synthesized slices are
+    # Spark-written DIRECTORIES of part files — glob those
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
