@@ -115,9 +115,11 @@ object PairBandwidthBench {
       spark.conf.set("spark.graft.neardup.verify", verify)
       SimilaritySearch.cosineNearDupPairs(emb, "vec_id", "embedding", threshold)
     }
-    val fl = pairsOf("float", "auto")
-    val i8s = pairsOf("int8", "shuffle")
-    val i8b = pairsOf("int8", "broadcast")
+    // persist each arm's pair set once — exceptAll otherwise recomputes
+    // the full pairwise kernel per comparison side (up to 3× per arm)
+    val fl = pairsOf("float", "auto").persist()
+    val i8s = pairsOf("int8", "shuffle").persist()
+    val i8b = pairsOf("int8", "broadcast").persist()
     val onlyF = fl.exceptAll(i8b).count()
     val onlyB = i8b.exceptAll(fl).count()
     val onlyS = i8s.exceptAll(i8b).count()

@@ -24,6 +24,13 @@ if "--skip-spark" not in flags:
         sys.exit("sbt run failed")
 
 con = duckdb.connect()
+# In-memory DuckDB cannot spill without a temp_directory; the sf1 heavy
+# oracles (gr1's 3-iteration PageRank CTE chain) OOM without one.
+spill = os.environ.get("GRAFT_DUCK_SPILL")
+if spill:
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '48GB')}'")
 for p in glob.glob(f"{SF}/*.parquet"):
     name = os.path.basename(p)[:-8]
     # testdata tables are single files; ScaleUp-synthesized slices are
