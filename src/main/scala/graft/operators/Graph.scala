@@ -212,8 +212,16 @@ object Graph {
         s"(need nodes * scale * 100 < 2^63) — lower `scale`")
     var ranks = init
     var prevCkpt = init
+    // `spark.graft.pagerank.roundLog=true`: print each round's wall time
+    // — the per-round cost is where reliable-checkpoint overhead and
+    // round-to-round skew live, and a whole-query timing can't separate
+    // them (a cluster operator deciding on `spark.graft.checkpoint
+    // .reliable` needs the per-round table, not the total)
+    val roundLog = edges.sparkSession.conf
+      .getOption("spark.graft.pagerank.roundLog").contains("true")
     var i = 0
     while (i < iters) {
+      val t0 = if (roundLog) System.nanoTime() else 0L
       // per-edge share = floor(rank / out-degree); summed per
       // destination; damping applied in integer space. All operands
       // non-negative → `div` == floor division == DuckDB `//`.
@@ -229,6 +237,8 @@ object Graph {
             (lit(base) + expr(s"($dampingPct * coalesce(__c, 0L)) div 100"))
               .as("__r")),
         eager = true)
+      if (roundLog)
+        println(f"[graft] pageRank round ${i + 1}/$iters: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       Checkpoints.free(prevCkpt)
       prevCkpt = next
       ranks = next

@@ -15,16 +15,32 @@ import graft.operators.SimilaritySearch
   * thing each variant exists to cut: SHUFFLE BYTES, alongside wall
   * time, and proving all outputs bit-identical on the same corpus.
   *
-  *   runMain graft.tools.PairBandwidthBench [sfDir] [threshold]
+  *   runMain graft.tools.PairBandwidthBench [sfDir] [threshold] [arms]
   *
-  * Defaults: /tmp/graft_sf10 (200k vectors × 64 dims), threshold 0.45.
-  * Per-stage shuffle-write bytes are printed sorted descending so the
-  * dominant exchanges are adjudicable from the artifact.
+  * Defaults: /tmp/graft_sf10 (200k vectors × 64 dims), threshold 0.45,
+  * arms `float,int8shuffle,int8bc` (comma list, RUN IN THE GIVEN ORDER
+  * — reversing it within one JVM separates a real arm cost from warm-up
+  * / heap-state order effects). Per-stage shuffle-write bytes AND
+  * executor task time are printed sorted by bytes so both the dominant
+  * exchanges and the dominant compute stages are adjudicable from the
+  * artifact. The cross-arm identity check runs over whichever arms ran.
   */
 object PairBandwidthBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf10")
     val threshold = if (args.length > 1) args(1).toDouble else 0.45
+    val armOrder =
+      if (args.length > 2) args(2).split(",").toSeq
+      else Seq("float", "int8shuffle", "int8bc")
+    // arm name -> (label, neardup.exact, neardup.verify)
+    val armDefs = Map(
+      "float" -> ("float arm", "float", "auto"),
+      "int8shuffle" -> ("int8 + shuffle-verify", "int8", "shuffle"),
+      "int8bc" -> ("int8 + broadcast-verify", "int8", "broadcast"))
+    val unknown = armOrder.filterNot(armDefs.contains)
+    require(unknown.isEmpty, s"unknown arms: ${unknown.mkString(",")} " +
+      s"(valid: ${armDefs.keys.mkString(",")})")
+
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -33,17 +49,20 @@ object PairBandwidthBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // stage-granular shuffle accounting; attribution by stage-id
-    // DIFFERENCE, never by clearing: the listener bus is async, and a
-    // cleared map would lose (or misattribute to the next arm) any
+    // stage-granular shuffle + executor-time accounting; attribution by
+    // stage-id DIFFERENCE, never by clearing: the listener bus is async,
+    // and a cleared map would lose (or misattribute to the next arm) any
     // completion event that lands late
-    val stageBytes = new ConcurrentHashMap[Int, (Long, Long)]()
+    final case class St(bytes: Long, records: Long, execMs: Long, tasks: Int)
+    val stageBytes = new ConcurrentHashMap[Int, St]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val m = sc.stageInfo.taskMetrics
         if (m != null)
           stageBytes.put(sc.stageInfo.stageId,
-            (m.shuffleWriteMetrics.bytesWritten, m.shuffleWriteMetrics.recordsWritten))
+            St(m.shuffleWriteMetrics.bytesWritten,
+              m.shuffleWriteMetrics.recordsWritten,
+              m.executorRunTime, sc.stageInfo.numTasks))
       }
     })
     var seen = Set.empty[Int]
@@ -64,24 +83,28 @@ object PairBandwidthBench {
       }
       val entries = {
         val it = stageBytes.entrySet().iterator()
-        val b = Seq.newBuilder[(Int, Long, Long)]
-        while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue._1, e.getValue._2)) }
+        val b = Seq.newBuilder[(Int, St)]
+        while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
         b.result()
       }
       val fresh = entries.filterNot(e => seen.contains(e._1))
       seen ++= fresh.map(_._1)
-      val total = fresh.map(_._2).sum
+      val total = fresh.map(_._2.bytes).sum
+      val execTot = fresh.map(_._2.execMs).sum
       val ids = fresh.map(_._1)
       val range = if (ids.isEmpty) "-" else s"${ids.min}..${ids.max}"
-      println(f"[pairbw] $label total shuffle write: ${total / 1e6}%.1f MB over ${fresh.size} stages (ids $range)")
-      fresh.sortBy(-_._2).take(4).foreach { case (sid, by, rec) =>
-        println(f"[pairbw]   stage $sid%5d: ${by / 1e6}%9.1f MB, $rec%11d records")
+      println(f"[pairbw] $label total shuffle write: ${total / 1e6}%.1f MB, " +
+        f"executor time ${execTot / 1e3}%.1f s over ${fresh.size} stages (ids $range)")
+      fresh.sortBy(e => (-e._2.bytes, -e._2.execMs)).take(6).foreach { case (sid, st) =>
+        println(f"[pairbw]   stage $sid%5d: ${st.bytes / 1e6}%9.1f MB, " +
+          f"${st.records}%11d records, ${st.execMs / 1e3}%8.1f s exec, ${st.tasks}%4d tasks")
       }
       total
     }
 
     val emb = Tables.t(spark, dir, "embeddings")
-    println(s"[pairbw] dir=$dir vectors=${emb.count()} threshold=$threshold")
+    println(s"[pairbw] dir=$dir vectors=${emb.count()} threshold=$threshold " +
+      s"arms=${armOrder.mkString(",")}")
     drain("warmup(count)")
 
     def timed[A](name: String)(f: => A): (A, Double) = {
@@ -91,7 +114,8 @@ object PairBandwidthBench {
       println(f"[pairbw] $name: $s%.1f s")
       (r, s)
     }
-    def runArm(name: String, exact: String, verify: String): (Long, Double, Long) = {
+    def runArm(arm: String): (Long, Double, Long) = {
+      val (name, exact, verify) = armDefs(arm)
       spark.conf.set("spark.graft.neardup.exact", exact)
       spark.conf.set("spark.graft.neardup.verify", verify)
       val (n, t) = timed(name)(
@@ -100,37 +124,43 @@ object PairBandwidthBench {
       (n, t, b)
     }
 
-    val (nFloat, tFloat, bFloat) = runArm("float arm", "float", "auto")
-    // the int8 arm's verify fetch: legacy shuffled joins vs broadcast —
-    // the ONLY difference between these two arms is the verify shape,
-    // so their shuffle delta is the verify stage's cost, attributed
-    // within one run
-    val (nShuf, tShuf, bShuf) = runArm("int8 + shuffle-verify", "int8", "shuffle")
-    val (nBc, tBc, bBc) = runArm("int8 + broadcast-verify", "int8", "broadcast")
+    val results = armOrder.map(a => a -> runArm(a)).toMap
 
-    println(s"[pairbw] pairs: float=$nFloat int8shuf=$nShuf int8bc=$nBc")
-    // bit-identity across all three arms: same (idA, idB, cos_sim) rows
-    def pairsOf(exact: String, verify: String) = {
+    println(s"[pairbw] pairs: " +
+      armOrder.map(a => s"$a=${results(a)._1}").mkString(" "))
+    // bit-identity across the arms that ran: same (idA, idB, cos_sim) rows
+    def pairsOf(arm: String) = {
+      val (_, exact, verify) = armDefs(arm)
       spark.conf.set("spark.graft.neardup.exact", exact)
       spark.conf.set("spark.graft.neardup.verify", verify)
       SimilaritySearch.cosineNearDupPairs(emb, "vec_id", "embedding", threshold)
     }
     // persist each arm's pair set once — exceptAll otherwise recomputes
     // the full pairwise kernel per comparison side (up to 3× per arm)
-    val fl = pairsOf("float", "auto").persist()
-    val i8s = pairsOf("int8", "shuffle").persist()
-    val i8b = pairsOf("int8", "broadcast").persist()
-    val onlyF = fl.exceptAll(i8b).count()
-    val onlyB = i8b.exceptAll(fl).count()
-    val onlyS = i8s.exceptAll(i8b).count()
-    val identical = onlyF == 0 && onlyB == 0 && onlyS == 0 && nFloat == nBc && nShuf == nBc
-    println(s"[pairbw] exceptAll float-vs-bc=$onlyF/$onlyB shuffle-vs-bc=$onlyS " +
-      (if (identical) "IDENTICAL" else "MISMATCH"))
-    println(f"""[pairbw] {"vectors":${emb.count()},"threshold":$threshold,"pairs":$nFloat,""" +
-      f""""float_sec":$tFloat%.1f,"int8_shufflev_sec":$tShuf%.1f,"int8_bcv_sec":$tBc%.1f,""" +
-      f""""float_shuffle_mb":${bFloat / 1e6}%.1f,"int8_shufflev_mb":${bShuf / 1e6}%.1f,""" +
-      f""""int8_bcv_mb":${bBc / 1e6}%.1f,"verify_stage_delta_mb":${(bShuf - bBc) / 1e6}%.1f,""" +
-      f""""identical":$identical}""")
+    val sets = armOrder.map(a => a -> pairsOf(a).persist()).toMap
+    val ref = armOrder.head
+    val diffs = armOrder.tail.map { a =>
+      val d1 = sets(ref).exceptAll(sets(a)).count()
+      val d2 = sets(a).exceptAll(sets(ref)).count()
+      (a, d1, d2)
+    }
+    val counts = armOrder.map(a => results(a)._1)
+    val identical = diffs.forall(d => d._2 == 0 && d._3 == 0) &&
+      counts.forall(_ == counts.head)
+    println(s"[pairbw] exceptAll vs $ref: " +
+      diffs.map { case (a, d1, d2) => s"$a=$d1/$d2" }.mkString(" ") +
+      (if (identical) " IDENTICAL" else " MISMATCH"))
+    def g(a: String, f: ((Long, Double, Long)) => String): String =
+      results.get(a).map(f).getOrElse("null")
+    println(s"""[pairbw] {"vectors":${emb.count()},"threshold":$threshold,""" +
+      s""""arm_order":"${armOrder.mkString(",")}","pairs":${counts.head},""" +
+      s""""float_sec":${g("float", r => f"${r._2}%.1f")},""" +
+      s""""int8_shufflev_sec":${g("int8shuffle", r => f"${r._2}%.1f")},""" +
+      s""""int8_bcv_sec":${g("int8bc", r => f"${r._2}%.1f")},""" +
+      s""""float_shuffle_mb":${g("float", r => f"${r._3 / 1e6}%.1f")},""" +
+      s""""int8_shufflev_mb":${g("int8shuffle", r => f"${r._3 / 1e6}%.1f")},""" +
+      s""""int8_bcv_mb":${g("int8bc", r => f"${r._3 / 1e6}%.1f")},""" +
+      s""""identical":$identical}""")
     spark.stop()
   }
 }

@@ -14,7 +14,7 @@ import graft.operators.Checkpoints
   * rounds; t19 near-dup components — LSH pairs + propagation rounds)
   * run under BOTH checkpoint flavors against the same data.
   *
-  *   runMain graft.tools.ReliableSoak [sfDir] [samples]
+  *   runMain graft.tools.ReliableSoak [sfDir] [samples] [query,query,...]
   *
   * Per (query, mode): 1 warm-up + `samples` timed runs to a noop sink;
   * per-run checkpoint-dir hygiene (the eager round-N−1 file deletion in
@@ -36,8 +36,14 @@ object ReliableSoak {
     spark.sparkContext.setLogLevel("WARN")
     val ckDir = Files.createTempDirectory("graft_reliable_soak")
     spark.sparkContext.setCheckpointDir(ckDir.toString)
+    // per-round wall lines interleave with the per-run totals, so the
+    // artifact answers WHERE the reliable-vs-local delta lives (round
+    // cost vs round skew) — the round-11 verdict's open question
+    spark.conf.set("spark.graft.pagerank.roundLog", "true")
 
-    val queries = Seq("gr1_pagerank_copurchase", "t19_neardup_components")
+    val queries =
+      if (args.length > 2) args(2).split(",").toSeq
+      else Seq("gr1_pagerank_copurchase", "t19_neardup_components")
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
