@@ -27,24 +27,30 @@ object GraphQueries {
   /** Shared CTE prefix: deduped (order, part) incidence with the
     * mega-basket cap, directed co-purchase edges both ways, node set,
     * out-degrees, initial ranks. Mirrored 1:1 by the Spark side. */
+  /** Every CTE is MATERIALIZED: DuckDB may otherwise inline a CTE per
+    * reference, and the iterative oracles reference `e`/`deg`/`n` once
+    * per unrolled round — at sf1 the re-inlined edge pipeline spilled
+    * past 70 GB of temp disk before failing (r12 replay), while the
+    * materialized form computes each layer exactly once (the shape
+    * `gr3_kcore`'s peel layers always used). */
   private val prologue =
-    s"""li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |okx AS (SELECT ok FROM li0 GROUP BY ok HAVING COUNT(*) <= $MaxBasket),
-      |li AS (SELECT li0.ok, li0.pk FROM li0 JOIN okx ON li0.ok = okx.ok),
-      |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+    s"""li0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |okx AS MATERIALIZED (SELECT ok FROM li0 GROUP BY ok HAVING COUNT(*) <= $MaxBasket),
+      |li AS MATERIALIZED (SELECT li0.ok, li0.pk FROM li0 JOIN okx ON li0.ok = okx.ok),
+      |e AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
       |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
-      |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-      |deg AS (SELECT src AS id, COUNT(*) AS dg FROM e GROUP BY src),
-      |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM n)""".stripMargin
+      |n AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS dg FROM e GROUP BY src),
+      |r0 AS MATERIALIZED (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM n)""".stripMargin
 
   /** One unrolled PageRank round: shares = floor(r/deg) joined through
     * the edges, damped in integer space. DuckDB `//` == Spark `div`
     * (floor division; all operands non-negative). */
   private def round(i: Int): String =
-    s"""c$i AS (SELECT e.dst AS id, CAST(SUM(p.r // deg.dg) AS BIGINT) AS c
+    s"""c$i AS MATERIALIZED (SELECT e.dst AS id, CAST(SUM(p.r // deg.dg) AS BIGINT) AS c
        |      FROM e JOIN r${i - 1} p ON e.src = p.id
        |      JOIN deg ON deg.id = p.id GROUP BY e.dst),
-       |r$i AS (SELECT n.id,
+       |r$i AS MATERIALIZED (SELECT n.id,
        |        CAST(150000000 + (85 * COALESCE(c$i.c, 0)) // 100 AS BIGINT) AS r
        |      FROM n LEFT JOIN c$i ON n.id = c$i.id)""".stripMargin
 
@@ -96,7 +102,7 @@ object GraphQueries {
   val triangles1: Q = Q(
     "gr2_triangle_count",
     s"""WITH $prologue,
-      |und AS (SELECT src AS u, dst AS v FROM e WHERE src < dst),
+      |und AS MATERIALIZED (SELECT src AS u, dst AS v FROM e WHERE src < dst),
       |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
       |        FROM und e1
       |        JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
