@@ -473,6 +473,119 @@ object SimilaritySearch {
 
   val maxExactRows: Long = 1L << 20
 
+  /** Resolve `numBlocks = 0` (auto) for the blocked pairwise kernels:
+    * `spark.graft.neardup.blocks` if set, else the smallest B whose
+    * B·(B+1)/2 block-pair groups give at least two groups per shuffle
+    * partition — so the balanced slot packing (below) always has
+    * enough items to fill every partition evenly, and the kernel's
+    * task granularity scales with the cluster instead of being pinned
+    * to a constant written for one machine. Task memory shrinks as
+    * 2·N/B while shuffle volume grows as N·B·payload: with the int8
+    * payload at ~76 B/row and the arm capped at [[maxExactRows]],
+    * even a 1000-partition resolution (B ≈ 63) ships ~5 GB — noise
+    * next to the O(N²) compute the extra partitions divide. */
+  private def resolveNumBlocks(sp: SparkSession, numBlocks: Int): Int = {
+    require(numBlocks >= 0,
+      s"numBlocks must be positive, or 0 for auto, got $numBlocks")
+    if (numBlocks > 0) numBlocks
+    else sp.conf.getOption("spark.graft.neardup.blocks").map(_.toInt) match {
+      case Some(b) if b != 0 => // 0 = auto, same semantics as the parameter
+        require(b > 0, s"spark.graft.neardup.blocks must be positive or 0, got $b")
+        b
+      case _ =>
+        val p = sp.conf.get("spark.sql.shuffle.partitions").toInt
+        var b = 8 // floor: below 8 blocks the groups get too chunky to pack
+        while (b.toLong * (b + 1) / 2 < 2L * p) b += 1
+        b
+    }
+  }
+
+  /** Assign every block-pair group a distinct Int shuffle key whose
+    * murmur3 hash lands in a partition chosen by weighted LPT packing
+    * — so the quadratic groups spread EVENLY over the shuffle's
+    * partitions instead of wherever `hash((p, q)) % P` happens to
+    * throw them.
+    *
+    * Why: the scoring stage is byte-small but CPU-huge (~30 s of
+    * executor time per group at 200k vectors), and plain hash
+    * placement of G keys into P partitions leaves ~P·(1−1/P)^G
+    * partitions EMPTY while others stack 2–3 groups — measured 24
+    * busy tasks for 36 groups on 32 partitions, wall 90.6 s against a
+    * 31 s work/threads ideal (round-12 `PairBandwidthBench` stage
+    * attribution). AQE cannot repair it: coalescing merges by BYTES
+    * and never splits a partition.
+    *
+    * How: a cross group (p < q) scores n·n pairs from 2n rows, a
+    * diagonal group n²/2 from n rows — weight 2 vs 1, and work tracks
+    * rows², so balancing weights balances bytes too. Groups are
+    * packed heaviest-first onto the least-loaded partition
+    * (deterministic LPT), then each group gets a key that Spark's own
+    * `HashPartitioning` — `pmod(murmur3(key, seed = 42), P)`,
+    * reproduced driver-side via `Murmur3_x86_32.hashInt` — maps to
+    * its chosen partition. The keys are found by scanning ints in
+    * order, so the whole assignment is deterministic; a spec pins the
+    * driver-side prediction against Spark's actual task placement. */
+  private[graft] def balancedSlots(
+      numBlocks: Int, numPartitions: Int): Map[(Int, Int), Int] = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    val groups = for { p <- 0 until numBlocks; q <- p until numBlocks }
+      yield (p, q)
+    // heaviest first; (p, q) tiebreak keeps the pack deterministic
+    val lpt = groups.sortBy { case (p, q) => (if (p == q) 1 else 0, p, q) }
+    val load = new Array[Long](numPartitions)
+    val keysByBin =
+      Array.fill(numPartitions)(scala.collection.mutable.Queue.empty[Int])
+    var nextKey = 0
+    def keyFor(bin: Int): Int = {
+      while (keysByBin(bin).isEmpty) {
+        val b = Math.floorMod(Murmur3_x86_32.hashInt(nextKey, 42), numPartitions)
+        keysByBin(b).enqueue(nextKey)
+        nextKey += 1
+      }
+      keysByBin(bin).dequeue()
+    }
+    lpt.map { case g @ (p, q) =>
+      var bin = 0
+      var i = 1
+      while (i < numPartitions) {
+        if (load(i) < load(bin)) bin = i
+        i += 1
+      }
+      load(bin) += (if (p == q) 1L else 2L)
+      g -> keyFor(bin)
+    }.toMap
+  }
+
+  /** The shared shuffle of both pairwise kernels: group the tagged
+    * replicas into their B·(B+1)/2 block-pair tasks.
+    * `spark.graft.neardup.slots` = `balanced` (default — the
+    * [[balancedSlots]] placement) or `hash` (the legacy
+    * group-by-(p, q) placement, kept as the A/B baseline for the
+    * placement policy). Both run the same kernel `f`; placement is
+    * scheduling, not semantics. */
+  private def groupBlocked[P, R: org.apache.spark.sql.Encoder](
+      tagged: org.apache.spark.sql.Dataset[(Int, Int, Byte, Long, P)],
+      numBlocks: Int)(
+      f: Iterator[(Int, Int, Byte, Long, P)] => Iterator[R])
+      : org.apache.spark.sql.Dataset[R] = {
+    val sp = tagged.sparkSession
+    import sp.implicits._
+    val mode =
+      sp.conf.getOption("spark.graft.neardup.slots").getOrElse("balanced")
+    mode match {
+      case "balanced" =>
+        val parts = sp.conf.get("spark.sql.shuffle.partitions").toInt
+        val slots = balancedSlots(numBlocks, parts)
+        tagged.groupByKey(r => slots((r._1, r._2)))
+          .flatMapGroups((_: Int, rows) => f(rows))
+      case "hash" =>
+        tagged.groupByKey(r => (r._1, r._2))
+          .flatMapGroups((_: (Int, Int), rows) => f(rows))
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.neardup.slots must be balanced or hash, got '$other'")
+    }
+  }
+
   /** Triangle-block replication shared by BOTH pairwise arms (exact
     * floats and quantized int8), so the blocking invariant lives in one
     * place: a row in block `b = floorMod(id, numBlocks)` (floorMod —
@@ -530,17 +643,18 @@ object SimilaritySearch {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      numBlocks: Int = 8,
+      numBlocks: Int = 0,
       sizeHint: Long = -1L): DataFrame = {
+    val blocks = resolveNumBlocks(corpus.sparkSession, numBlocks)
     val impl = corpus.sparkSession.conf
       .getOption("spark.graft.neardup.exact").getOrElse("int8")
     impl match {
       case "int8" =>
         val cand = certifiedCandidatePairs(corpus, idCol, vecCol, threshold,
-          numBlocks, sizeHint)
+          blocks, sizeHint)
         exactVerify(cand, corpus, idCol, vecCol, threshold, sizeHint)
       case "float" =>
-        floatNearDupPairs(corpus, idCol, vecCol, threshold, numBlocks, sizeHint)
+        floatNearDupPairs(corpus, idCol, vecCol, threshold, blocks, sizeHint)
       case other => throw new IllegalArgumentException(
         s"spark.graft.neardup.exact must be int8 or float, got '$other'")
     }
@@ -586,18 +700,21 @@ object SimilaritySearch {
     // bit-identical across engines)
     def score(a: (Long, Array[Float], Double), b: (Long, Array[Float], Double)) =
       math.floor(dotd(a._2, b._2) / (a._3 * b._3) * 10000 + 0.5) / 10000.0
-    val pairs = tagged
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Byte, Long, Array[Float])]) =>
-        val (p, q) = key
+    val pairs = groupBlocked(tagged, numBlocks) { rows =>
         val aSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
         val bSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        // a group holds tag-0 rows (diagonal) XOR tag-1/2 rows (cross)
+        // — blockTags gives every replica of a group the same shape,
+        // so the tag identifies the group kind without carrying (p, q)
+        // through the key
+        var diagonal = false
         rows.foreach { case (_, _, tag, id, vec) =>
           val entry = (id, vec, nrm(vec))
-          if (tag == 0.toByte || tag == 1.toByte) aSide += entry
-          if (tag == 2.toByte) bSide += entry
+          if (tag == 0.toByte) { diagonal = true; aSide += entry }
+          else if (tag == 1.toByte) aSide += entry
+          else bSide += entry
         }
-        if (p == q) {
+        if (diagonal) {
           // within-block: ordered pairs by id
           val sorted = aSide.sortBy(_._1)
           for {
@@ -644,7 +761,7 @@ object SimilaritySearch {
       vecCol: String,
       threshold: Double,
       margin: Double = 0.05,
-      numBlocks: Int = 8,
+      numBlocks: Int = 0,
       sizeHint: Long = -1L): DataFrame = {
     require(margin >= 0.0,
       s"margin must be >= 0, got $margin — a negative margin would raise the " +
@@ -729,9 +846,10 @@ object SimilaritySearch {
       idCol: String,
       vecCol: String,
       bound: Double,
-      numBlocks: Int = 8,
+      numBlocks: Int = 0,
       sizeHint: Long = -1L): DataFrame =
-    blockedCandidatePairs(corpus, idCol, vecCol, numBlocks, sizeHint,
+    blockedCandidatePairs(corpus, idCol, vecCol,
+      resolveNumBlocks(corpus.sparkSession, numBlocks), sizeHint,
       // same floor-based half-up rounding as r4 — integer dot and
       // integer-derived norms, so the double division sees identical
       // inputs on every engine (this is the v8 oracle's replayed rule)
@@ -766,9 +884,10 @@ object SimilaritySearch {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      numBlocks: Int = 8,
+      numBlocks: Int = 0,
       sizeHint: Long = -1L): DataFrame =
-    blockedCandidatePairs(corpus, idCol, vecCol, numBlocks, sizeHint,
+    blockedCandidatePairs(corpus, idCol, vecCol,
+      resolveNumBlocks(corpus.sparkSession, numBlocks), sizeHint,
       (a, i, b, j) => {
         val den = a.nfs(i) * b.nfs(j)
         if (den == 0.0) false // zero vector: exact arm scores NaN, drops
@@ -913,16 +1032,17 @@ object SimilaritySearch {
     // would hold every passing pair of a (N/B)² group in task memory —
     // under adversarial selectivity (the pre-rotation degenerate
     // corpus passed 54% of ALL pairs) that is an OOM, not a slowdown
-    val cand = tagged
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Byte, Long, Array[Byte])]) =>
-        val (p, q) = key
+    val cand = groupBlocked(tagged, numBlocks) { rows =>
         val aSide = new QSide
         val bSide = new QSide
+        // diagonal groups hold tag-0 rows only (see the float kernel)
+        var diagonal = false
         rows.foreach { case (_, _, tag, id, payload) =>
-          if (tag == 2.toByte) bSide.add(id, payload) else aSide.add(id, payload)
+          if (tag == 0.toByte) { diagonal = true; aSide.add(id, payload) }
+          else if (tag == 1.toByte) aSide.add(id, payload)
+          else bSide.add(id, payload)
         }
-        if (p == q) {
+        if (diagonal) {
           aSide.sortById()
           new scala.collection.AbstractIterator[(Long, Long)] {
             private var i = 0

@@ -132,7 +132,7 @@ object SimQueries {
       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
     graft.operators.SimilaritySearch.cosineNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.45, numBlocks = 8)
+        threshold = 0.45, numBlocks = 0)
       .select(col("idA").as("a_id"), col("idB").as("b_id"), col("cos_sim"))
       .orderBy("a_id", "b_id")
   }
@@ -401,7 +401,7 @@ object SimQueries {
       |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
     graft.operators.SimilaritySearch.quantizedNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.45, margin = 0.05, numBlocks = 8)
+        threshold = 0.45, margin = 0.05, numBlocks = 0)
       .select(col("idA").as("a_id"), col("idB").as("b_id"), col("cos_sim"))
       .orderBy("a_id", "b_id")
   }
@@ -495,7 +495,7 @@ object SimQueries {
       |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val pairs = graft.operators.SimilaritySearch.cosineNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.45, numBlocks = 8)
+        threshold = 0.45, numBlocks = 0)
       .select(col("idA"), col("idB"))
     val comps = graft.operators.TextDedup.components(pairs, "idA", "idB", maxIters = 20)
     t(s, dir, "embeddings").select(col("vec_id"))

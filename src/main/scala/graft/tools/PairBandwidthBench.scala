@@ -32,11 +32,15 @@ object PairBandwidthBench {
     val armOrder =
       if (args.length > 2) args(2).split(",").toSeq
       else Seq("float", "int8shuffle", "int8bc")
-    // arm name -> (label, neardup.exact, neardup.verify)
+    // arm name -> (label, neardup.exact, neardup.verify, slots, blocks)
+    // blocks "0" = auto (resolved from shuffle partitions); the
+    // `int8hash8` arm is the round-11 shipped shape — hash placement
+    // of 36 block-pair groups, the r12 balanced-slot A/B baseline
     val armDefs = Map(
-      "float" -> ("float arm", "float", "auto"),
-      "int8shuffle" -> ("int8 + shuffle-verify", "int8", "shuffle"),
-      "int8bc" -> ("int8 + broadcast-verify", "int8", "broadcast"))
+      "float" -> ("float arm", "float", "auto", "balanced", "0"),
+      "int8shuffle" -> ("int8 + shuffle-verify", "int8", "shuffle", "balanced", "0"),
+      "int8bc" -> ("int8 + broadcast-verify", "int8", "broadcast", "balanced", "0"),
+      "int8hash8" -> ("int8 + bc-verify + hash-slots B=8", "int8", "broadcast", "hash", "8"))
     val unknown = armOrder.filterNot(armDefs.contains)
     require(unknown.isEmpty, s"unknown arms: ${unknown.mkString(",")} " +
       s"(valid: ${armDefs.keys.mkString(",")})")
@@ -115,9 +119,11 @@ object PairBandwidthBench {
       (r, s)
     }
     def runArm(arm: String): (Long, Double, Long) = {
-      val (name, exact, verify) = armDefs(arm)
+      val (name, exact, verify, slots, blocks) = armDefs(arm)
       spark.conf.set("spark.graft.neardup.exact", exact)
       spark.conf.set("spark.graft.neardup.verify", verify)
+      spark.conf.set("spark.graft.neardup.slots", slots)
+      spark.conf.set("spark.graft.neardup.blocks", blocks)
       val (n, t) = timed(name)(
         SimilaritySearch.cosineNearDupPairs(emb, "vec_id", "embedding", threshold).count())
       val b = drain(name)
@@ -130,9 +136,11 @@ object PairBandwidthBench {
       armOrder.map(a => s"$a=${results(a)._1}").mkString(" "))
     // bit-identity across the arms that ran: same (idA, idB, cos_sim) rows
     def pairsOf(arm: String) = {
-      val (_, exact, verify) = armDefs(arm)
+      val (_, exact, verify, slots, blocks) = armDefs(arm)
       spark.conf.set("spark.graft.neardup.exact", exact)
       spark.conf.set("spark.graft.neardup.verify", verify)
+      spark.conf.set("spark.graft.neardup.slots", slots)
+      spark.conf.set("spark.graft.neardup.blocks", blocks)
       SimilaritySearch.cosineNearDupPairs(emb, "vec_id", "embedding", threshold)
     }
     // persist each arm's pair set once — exceptAll otherwise recomputes

@@ -99,13 +99,63 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val planted = Seq((103L, jitter(base(2)._2, 0.01f)),
       (117L, jitter(base(16)._2, 0.01f)))
     val corpus = (base ++ planted).toDF("id", "v")
-    for (blocks <- Seq(1, 4, 8)) {
+    // 0 = auto (resolved from the session's shuffle partitions)
+    for (blocks <- Seq(1, 4, 8, 0)) {
       val pairs = SimilaritySearch
         .cosineNearDupPairs(corpus, "id", "v", threshold = 0.98, numBlocks = blocks)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(pairs == Set((3L, 103L), (17L, 117L)),
         s"blocks=$blocks found $pairs")
     }
+  }
+
+  test("balancedSlots: distinct keys, even weighted load, LPT determinism") {
+    for ((b, p) <- Seq((8, 32), (11, 32), (8, 4), (3, 7), (1, 5), (16, 200))) {
+      val slots = SimilaritySearch.balancedSlots(b, p)
+      val groups = for { x <- 0 until b; y <- x until b } yield (x, y)
+      assert(slots.keySet == groups.toSet)
+      // injective: two groups sharing a key would merge their quadratic
+      // kernels into one flatMapGroups call with mixed tags
+      assert(slots.values.toSeq.distinct.size == slots.size)
+      // weighted bin loads (cross 2, diagonal 1) even to within one
+      // largest item — the LPT guarantee that motivates the scheme
+      val load = new Array[Long](p)
+      slots.foreach { case ((x, y), k) =>
+        val bin = Math.floorMod(
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42), p)
+        load(bin) += (if (x == y) 1L else 2L)
+      }
+      val total = groups.map { case (x, y) => if (x == y) 1L else 2L }.sum
+      if (total >= 2L * p) // enough work to occupy every bin
+        assert(load.max - load.min <= 2,
+          s"b=$b p=$p loads ${load.mkString(",")}")
+      // deterministic: same inputs, same assignment
+      assert(slots == SimilaritySearch.balancedSlots(b, p))
+    }
+  }
+
+  test("balancedSlots placement prediction matches Spark's actual shuffle") {
+    // the whole scheme rests on reproducing HashPartitioning's
+    // pmod(murmur3(key, 42), P) driver-side; pin the prediction
+    // against where Spark REALLY places each groupByKey key (AQE
+    // coalescing off: it renumbers tiny partitions after the fact)
+    import spark.implicits._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val keys = SimilaritySearch.balancedSlots(8, p).values.toSeq
+      val actual = keys.toDS()
+        .groupByKey(identity)
+        .mapGroups((k, _) => (k, org.apache.spark.TaskContext.getPartitionId()))
+        .collect().toMap
+      keys.foreach { k =>
+        val predicted = Math.floorMod(
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42), p)
+        assert(actual(k) == predicted, s"key $k: predicted $predicted, " +
+          s"Spark placed ${actual(k)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("cosineNearDupPairs handles negative ids (floorMod blocking)") {
