@@ -75,14 +75,29 @@ object Bench {
       }
     }
 
+    // Warm-up and canary are NOT allowed to be single points of failure
+    // (round-12 verdict #2: the canary's ANSI overflow killed the whole
+    // artifact before the first measurement). A throw here degrades the
+    // run — canary_sec:-1, a stderr note — but the per-query loop still
+    // produces an adjudicable-degraded JSON the driver can parse.
+    def guarded(label: String)(body: => Double): Double =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $label failed (degraded, continuing): ${e.getMessage}")
+          -1.0
+      }
+
     // warm-up: JVM + parquet footer + codegen paths
-    SparkEntry.queries("q6_forecast_revenue")(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
+    guarded("warm-up q6") {
+      SparkEntry.queries("q6_forecast_revenue")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      0.0
+    }
 
     // host-band canary, sampled at both ends of the run (see
     // BenchProtocol.canarySeconds): canary_sec calibrates cross-round
     // ratios, canary_drift exposes intra-run band movement
-    val canaryStart = graft.tools.BenchProtocol.canarySeconds(spark)
+    val canaryStart = guarded("canary(start)")(graft.tools.BenchProtocol.canarySeconds(spark))
 
     // One warm-up + median-of-5 per query: the warm-up run materializes
     // the query's plan-keyed caches and codegen so the 5 measured
@@ -200,16 +215,20 @@ object Bench {
       case (k, v) if v > 0 && lastGood.get(k).exists(_ > 0) =>
         "\"" + k + "\":" + f"${v / lastGood(k)}%.3f"
     }.mkString("{", ",", "}")
-    // canary at the run's tail: the band can shift DURING a 30 s run
-    val canaryEnd = graft.tools.BenchProtocol.canarySeconds(spark)
-    val canary = (canaryStart + canaryEnd) / 2.0
-    val canaryDrift = (canaryEnd - canaryStart) / canaryStart
+    // canary at the run's tail: the band can shift DURING a 30 s run.
+    // Either sample failing yields canary_sec:-1 / canary_drift:0 —
+    // normalization is then unavailable but the artifact stays whole.
+    val canaryEnd = guarded("canary(end)")(graft.tools.BenchProtocol.canarySeconds(spark))
+    val canary =
+      if (canaryStart > 0 && canaryEnd > 0) (canaryStart + canaryEnd) / 2.0 else -1.0
+    val canaryDrift =
+      if (canaryStart > 0 && canaryEnd > 0) (canaryEnd - canaryStart) / canaryStart else 0.0
     // canary-normalized cross-round ratios: raw ratio ÷ (this run's
     // canary / standing run's canary). A host-band shift inflates raw
     // ratios AND the canary ratio by the same factor; a real code
     // regression inflates only the former. Present only when the
     // standing artifact carries a canary (post-r12 artifacts).
-    val ratiosNorm = lastGoodCanary.map { lgc =>
+    val ratiosNorm = lastGoodCanary.filter(_ => canary > 0).map { lgc =>
       val factor = canary / lgc
       results.collect {
         case (k, v) if v > 0 && lastGood.get(k).exists(_ > 0) =>

@@ -488,7 +488,15 @@ object SimilaritySearch {
     require(numBlocks >= 0,
       s"numBlocks must be positive, or 0 for auto, got $numBlocks")
     if (numBlocks > 0) numBlocks
-    else sp.conf.getOption("spark.graft.neardup.blocks").map(_.toInt) match {
+    else sp.conf.getOption("spark.graft.neardup.blocks").map { raw =>
+      // loud-failure convention of this file's other knobs: name the
+      // conf key and the offending value, not a bare NumberFormatException
+      try raw.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.neardup.blocks must be an integer (positive, or 0 " +
+            s"for auto), got '$raw'")
+      }
+    } match {
       case Some(b) if b != 0 => // 0 = auto, same semantics as the parameter
         require(b > 0, s"spark.graft.neardup.blocks must be positive or 0, got $b")
         b
@@ -562,8 +570,30 @@ object SimilaritySearch {
     * [[balancedSlots]] placement) or `hash` (the legacy
     * group-by-(p, q) placement, kept as the A/B baseline for the
     * placement policy). Both run the same kernel `f`; placement is
-    * scheduling, not semantics. */
-  private def groupBlocked[P, R: org.apache.spark.sql.Encoder](
+    * scheduling, not semantics.
+    *
+    * ==The balanced exchange is pinned, not assumed==
+    * [[balancedSlots]] predicts the key→partition map driver-side, so
+    * the placement is only real if the executed exchange has EXACTLY
+    * the partition count the prediction used. A `groupByKey` exchange
+    * (`ENSURE_REQUIREMENTS` origin) gives Spark two ways to break that
+    * silently: AQE partition coalescing merges the byte-small scoring
+    * partitions (they carry kilobytes but seconds of CPU — exactly
+    * what byte-based coalescing mis-judges), and a
+    * `spark.sql.shuffle.partitions` change between plan build and
+    * action shifts P (round-12 advice). The balanced branch therefore
+    * shuffles via `repartition(parts, slot)` — a `REPARTITION_BY_NUM`
+    * exchange, which AQE's `CoalesceShufflePartitions` rule never
+    * touches and whose partition count is baked into the plan — then
+    * sorts within partitions and splits slot runs in `mapPartitions`,
+    * the same exchange+sort shape `flatMapGroups`' sort-based grouping
+    * produces, with the partition count now a structural guarantee.
+    *
+    * Kernel contract (both kernels honor it, and the splitter enforces
+    * it defensively): `f` drains its input iterator before emitting —
+    * its lazy output may reference materialized state but never the
+    * input iterator. */
+  private[graft] def groupBlocked[P, R: org.apache.spark.sql.Encoder](
       tagged: org.apache.spark.sql.Dataset[(Int, Int, Byte, Long, P)],
       numBlocks: Int)(
       f: Iterator[(Int, Int, Byte, Long, P)] => Iterator[R])
@@ -576,8 +606,35 @@ object SimilaritySearch {
       case "balanced" =>
         val parts = sp.conf.get("spark.sql.shuffle.partitions").toInt
         val slots = balancedSlots(numBlocks, parts)
-        tagged.groupByKey(r => slots((r._1, r._2)))
-          .flatMapGroups((_: Int, rows) => f(rows))
+        // the slot replaces (p, q) in the tuple — the kernels key off
+        // the tag alone (see blockTags), so the schema and encoder are
+        // unchanged and the slot is a plain Int column to shuffle on
+        val slotted = tagged.map(r => (slots((r._1, r._2)), 0, r._3, r._4, r._5))(
+          tagged.encoder)
+        slotted
+          .repartition(parts, col("_1"))
+          .sortWithinPartitions(col("_1"))
+          .mapPartitions { it =>
+            val buf = it.buffered
+            new scala.collection.AbstractIterator[R] {
+              private var run: Iterator[(Int, Int, Byte, Long, P)] = Iterator.empty
+              private var out: Iterator[R] = Iterator.empty
+              @annotation.tailrec
+              override final def hasNext: Boolean =
+                out.hasNext || (buf.hasNext && {
+                  while (run.hasNext) run.next() // enforce the drain contract
+                  val key = buf.head._1
+                  run = new scala.collection.AbstractIterator[(Int, Int, Byte, Long, P)] {
+                    def hasNext: Boolean = buf.hasNext && buf.head._1 == key
+                    def next(): (Int, Int, Byte, Long, P) = buf.next()
+                  }
+                  out = f(run)
+                  hasNext
+                })
+              override def next(): R =
+                if (hasNext) out.next() else Iterator.empty.next()
+            }
+          }
       case "hash" =>
         tagged.groupByKey(r => (r._1, r._2))
           .flatMapGroups((_: (Int, Int), rows) => f(rows))

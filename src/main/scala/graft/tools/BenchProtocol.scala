@@ -86,13 +86,25 @@ object BenchProtocol {
   val CanaryRows: Long = 2000000000L
 
   /** Median-of-`samples` canary wall time (one unrecorded warm run
-    * first). ~1 s per sample on an uncontended 32-thread host. */
-  def canarySeconds(spark: org.apache.spark.sql.SparkSession, samples: Int = 3): Double = {
-    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    * first). ~1 s per sample on an uncontended 32-thread host.
+    *
+    * The summand is the chained hash mod 2^20, NOT the raw hash: xxhash64
+    * output is uniform over the full i64 range, so `sum(raw)` overflows
+    * Long within a handful of adds and Spark 4's default ANSI mode turns
+    * that into a fatal `ARITHMETIC_OVERFLOW` (this killed the entire
+    * round-12 driver bench — BENCH_r12.json is that crash report). The
+    * mod bounds the total at rows·2^20 ≈ 2^51 < Long.MaxValue while the
+    * CPU profile is unchanged (the three chained hashes dominate; pmod is
+    * one extra codegen'd op per row). `rows` is a parameter so the spec
+    * can exercise this exact code path at a size a unit test can afford.
+    */
+  def canarySeconds(spark: org.apache.spark.sql.SparkSession, samples: Int = 3,
+                    rows: Long = CanaryRows): Double = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
     def once(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0L, CanaryRows, 1L, 32)
-        .select(sum(xxhash64(xxhash64(xxhash64(col("id"))))))
+      spark.range(0L, rows, 1L, 32)
+        .select(sum(pmod(xxhash64(xxhash64(xxhash64(col("id")))), lit(1L << 20))))
         .collect()
       (System.nanoTime() - t0) / 1e9
     }

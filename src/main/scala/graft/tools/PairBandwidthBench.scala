@@ -40,7 +40,14 @@ object PairBandwidthBench {
       "float" -> ("float arm", "float", "auto", "balanced", "0"),
       "int8shuffle" -> ("int8 + shuffle-verify", "int8", "shuffle", "balanced", "0"),
       "int8bc" -> ("int8 + broadcast-verify", "int8", "broadcast", "balanced", "0"),
-      "int8hash8" -> ("int8 + bc-verify + hash-slots B=8", "int8", "broadcast", "hash", "8"))
+      "int8hash8" -> ("int8 + bc-verify + hash-slots B=8", "int8", "broadcast", "hash", "8"),
+      // round-13 decomposition arms (round-12 advice): the r12 headline
+      // A/B pitted hash-B8 against balanced-auto, conflating the
+      // PLACEMENT lever with the 36→66-group GRANULARITY increase.
+      // `int8hash0` isolates granularity (hash placement, auto blocks);
+      // `int8bal8` isolates placement (balanced slots, B=8 groups).
+      "int8hash0" -> ("int8 + bc-verify + hash-slots auto-blocks", "int8", "broadcast", "hash", "0"),
+      "int8bal8" -> ("int8 + bc-verify + balanced-slots B=8", "int8", "broadcast", "balanced", "8"))
     val unknown = armOrder.filterNot(armDefs.contains)
     require(unknown.isEmpty, s"unknown arms: ${unknown.mkString(",")} " +
       s"(valid: ${armDefs.keys.mkString(",")})")

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.tools.BenchProtocol
@@ -65,6 +66,26 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!BenchProtocol.noisierThanStanding(0.10, Some(0.253)))
     // no standing artifact (or pre-guard format) never blocks
     assert(!BenchProtocol.noisierThanStanding(0.49, None))
+  }
+
+  test("canarySeconds runs end-to-end under default ANSI mode (round-12 overflow regression)") {
+    // The round-12 canary summed RAW chained xxhash64 values — uniform
+    // over the full i64 range, so the sum overflowed within a handful of
+    // adds and ANSI mode killed every full Bench run before the first
+    // measurement (BENCH_r12.json is that crash report). This CALLS the
+    // real code path at a size a unit test can afford: 200k uniform
+    // 64-bit hashes would overflow a raw sum with near-certainty, so a
+    // green run here proves the summand is bounded. ANSI stays at the
+    // Spark 4 default (on) — same mode as the driver's session.
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "the regression only bites under ANSI; the session must run the default")
+    val sec = BenchProtocol.canarySeconds(spark, samples = 1, rows = 200000L)
+    assert(sec > 0.0, s"canarySeconds must return a positive wall time, got $sec")
   }
 
   test("jsonEscape neutralizes quotes, backslashes and control chars") {

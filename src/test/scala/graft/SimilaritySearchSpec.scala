@@ -158,6 +158,78 @@ class SimilaritySearchSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("balanced placement survives AQE coalescing (REPARTITION_BY_NUM pin)") {
+    // The scoring partitions are byte-small but CPU-huge — exactly what
+    // AQE's byte-based coalescing mis-judges. The balanced branch now
+    // shuffles via repartition(parts, slot) (REPARTITION_BY_NUM origin,
+    // never coalesced) instead of groupByKey (ENSURE_REQUIREMENTS,
+    // coalescible), so the driver-side prediction must hold with AQE
+    // AND coalescing ON over data small enough that an
+    // ENSURE_REQUIREMENTS shuffle WOULD have been merged. This runs the
+    // real groupBlocked path with a kernel that records its runtime
+    // partition id per group.
+    import spark.implicits._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevCoalesce =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val b = 8
+      val slots = SimilaritySearch.balancedSlots(b, p)
+      // one tagged replica set over tiny payloads: bytes ≈ nothing, so
+      // a coalescible exchange would collapse to a handful of partitions
+      val tagged = spark.range(0, 64).as[Long].flatMap { id =>
+        val blk = Math.floorMod(id, b)
+        Iterator.single((blk.toInt, blk.toInt, 0.toByte, id, Array[Byte](1))) ++
+          Iterator.range(blk.toInt + 1, b).map(q => (blk.toInt, q, 1.toByte, id, Array[Byte](1))) ++
+          Iterator.range(0, blk.toInt).map(x => (x, blk.toInt, 2.toByte, id, Array[Byte](1)))
+      }
+      val observed = SimilaritySearch.groupBlocked(tagged, b) { rows =>
+        val key = rows.next()._1 // balanced branch: _1 IS the slot key
+        while (rows.hasNext) rows.next() // drain per the kernel contract
+        Iterator.single((key, org.apache.spark.TaskContext.getPartitionId()))
+      }.collect().toMap
+      // every slot key must land in its PREDICTED partition at runtime
+      // — with AQE on; coalescing would renumber and break this
+      slots.values.foreach { k =>
+        val predicted = Math.floorMod(
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42), p)
+        assert(observed(k) == predicted,
+          s"slot $k: predicted partition $predicted, ran in ${observed(k)}")
+      }
+      // and the groups must spread over the full partition range, not a
+      // coalesced handful (B=8 → 36 groups over p partitions)
+      val busy = observed.values.toSet.size
+      assert(busy == math.min(p, slots.size),
+        s"expected ${math.min(p, slots.size)} busy partitions, got $busy")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
+  test("neardup.blocks conf parse failure names the key and value") {
+    val prev = spark.conf.getOption("spark.graft.neardup.blocks")
+    spark.conf.set("spark.graft.neardup.blocks", "thirty-two")
+    try {
+      import spark.implicits._
+      val corpus = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("id", "v")
+      val e = intercept[IllegalArgumentException] {
+        SimilaritySearch.cosineNearDupPairs(corpus, "id", "v",
+          threshold = 0.9, numBlocks = 0).collect()
+      }
+      assert(e.getMessage.contains("spark.graft.neardup.blocks"))
+      assert(e.getMessage.contains("thirty-two"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.neardup.blocks", v)
+        case None => spark.conf.unset("spark.graft.neardup.blocks")
+      }
+    }
+  }
+
   test("cosineNearDupPairs handles negative ids (floorMod blocking)") {
     import spark.implicits._
     // the same planted geometry shifted to negative ids: with `%`
