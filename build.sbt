@@ -28,7 +28,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Panama Vector API (VectorDotKernel): javac needs the incubator module
+// at compile time, the forked run/test JVMs at class-load time. JVMs
+// without the flag are fine — the Scala side probes availability once
+// per JVM and falls back to the scalar kernel (bit-identical results).
+Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 24g default on the 128 GiB bench host: at 8g the local[32] driver

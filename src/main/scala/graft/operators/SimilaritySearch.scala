@@ -904,16 +904,15 @@ object SimilaritySearch {
       vecCol: String,
       bound: Double,
       numBlocks: Int = 0,
-      sizeHint: Long = -1L): DataFrame =
+      sizeHint: Long = -1L): DataFrame = {
+    val mode = resolveKernelMode(corpus.sparkSession)
     blockedCandidatePairs(corpus, idCol, vecCol,
       resolveNumBlocks(corpus.sparkSession, numBlocks), sizeHint,
       // same floor-based half-up rounding as r4 — integer dot and
       // integer-derived norms, so the double division sees identical
       // inputs on every engine (this is the v8 oracle's replayed rule)
-      (a, i, b, j) => {
-        val c = QSide.idot(a.qs(i), b.qs(j))
-        math.floor(c / (a.ns(i) * b.ns(j)) * 10000 + 0.5) / 10000.0 >= bound
-      })
+      () => pickRule(mode, new QuantRuleScalar(bound), new QuantRuleVector(bound)))
+  }
 
   /** CERTIFIED candidate pairs — the admission rule behind the exact
     * arm's int8 shuffle: admit (a, b) iff
@@ -942,20 +941,12 @@ object SimilaritySearch {
       vecCol: String,
       threshold: Double,
       numBlocks: Int = 0,
-      sizeHint: Long = -1L): DataFrame =
+      sizeHint: Long = -1L): DataFrame = {
+    val mode = resolveKernelMode(corpus.sparkSession)
     blockedCandidatePairs(corpus, idCol, vecCol,
       resolveNumBlocks(corpus.sparkSession, numBlocks), sizeHint,
-      (a, i, b, j) => {
-        val den = a.nfs(i) * b.nfs(j)
-        if (den == 0.0) false // zero vector: exact arm scores NaN, drops
-        else {
-          val sa = a.ss(i); val sb = b.ss(j)
-          val coarse = sa * sb * QSide.idot(a.qs(i), b.qs(j))
-          val eb = 0.5 * (sb * a.a1s(i) + sa * b.a1s(j)) +
-            0.25 * sa * sb * a.qs(i).length
-          (coarse + eb) / den + 2e-4 >= threshold
-        }
-      })
+      () => pickRule(mode, new CertRuleScalar(threshold), new CertRuleVector(threshold)))
+  }
 
   /** Parallel-primitive-array side storage for the blocked kernel: the
     * O(N²/B²) hot loop must touch no tuples, no iterators-per-pair, no
@@ -965,10 +956,24 @@ object SimilaritySearch {
     * the packed payload — O(d) per ROW against O(d) per PAIR in the
     * loop — which keeps them out of the shuffle entirely; integer
     * recomputation is bit-identical to shipping them. */
-  private final class QSide {
+  private[graft] final class QSide {
     var n = 0
+    /** q-length of the corpus (0 until the first NON-empty row lands —
+      * empty rows are legal degenerates). All non-empty rows must share
+      * it; the per-group check in [[blockedCandidatePairs]] enforces
+      * cross-side equality once, keeping the quadratic loop check-free. */
+    var dim = 0
     var ids = new Array[Long](64)
-    var qs = new Array[Array[Byte]](64) // sliced q bytes (payload minus header)
+    /** FLAT row-major q bytes, stride [[dim]] (row i at i·dim). One
+      * contiguous buffer instead of an Array[Array[Byte]]: the inner
+      * pair loop streams the j side sequentially (hardware prefetch,
+      * no per-row pointer chase) and hands the SIMD kernel plain
+      * (buffer, offset) ranges — KernelShapeBench measured the flat +
+      * direct-call SIMD shape at 13.1 ns/pair vs 42.7 for the nested
+      * layout, at the real ~18k-rows-per-side working set. Empty rows
+      * occupy an all-zero slot: their dot is 0 and their norms are 0,
+      * exactly the semantics the per-row arrays had. */
+    var qbuf = new Array[Byte](0)
     var ns = new Array[Double](64) // sqrt(Σq²) — quantized norm (margin rule)
     var ss = new Array[Double](64) // quantization scale s = max|v|/127
     var a1s = new Array[Double](64) // s·Σ|q| — reconstructed L1 norm
@@ -976,32 +981,146 @@ object SimilaritySearch {
     def add(id: Long, payload: Array[Byte]): Unit = {
       if (n == ids.length) {
         ids = java.util.Arrays.copyOf(ids, n * 2)
-        qs = java.util.Arrays.copyOf(qs, n * 2)
         ns = java.util.Arrays.copyOf(ns, n * 2)
         ss = java.util.Arrays.copyOf(ss, n * 2)
         a1s = java.util.Arrays.copyOf(a1s, n * 2)
         nfs = java.util.Arrays.copyOf(nfs, n * 2)
+        if (dim > 0) qbuf = java.util.Arrays.copyOf(qbuf, ids.length * dim)
       }
-      val q = java.util.Arrays.copyOfRange(payload, QSide.HeaderBytes, payload.length)
-      var sq = 0L; var l1 = 0L; var k = 0
-      while (k < q.length) { sq += q(k) * q(k); l1 += math.abs(q(k)); k += 1 }
+      val qLen = payload.length - QSide.HeaderBytes
+      if (qLen > 0) {
+        if (dim == 0) {
+          // first non-empty row fixes the stride; rows already added
+          // were all empty and their all-zero slots are already correct
+          dim = qLen
+          qbuf = new Array[Byte](ids.length * dim)
+        } else if (qLen != dim)
+          throw new IllegalArgumentException(
+            s"mixed-dimension corpus: int8 dot over $dim- vs " +
+              s"$qLen-component vectors would silently truncate")
+        System.arraycopy(payload, QSide.HeaderBytes, qbuf, n * dim, dim)
+      }
+      var sq = 0L; var l1 = 0L; var k = QSide.HeaderBytes
+      while (k < payload.length) {
+        sq += payload(k) * payload(k); l1 += math.abs(payload(k)); k += 1
+      }
       val s = QSide.readFloat(payload, 0) / 127.0
-      ids(n) = id; qs(n) = q
+      ids(n) = id
       ns(n) = math.sqrt(sq.toDouble)
       ss(n) = s
       a1s(n) = s * l1
       nfs(n) = QSide.readFloat(payload, 4)
       n += 1
     }
-    /** permute all six arrays into ascending-id order */
+    /** permute all parallel arrays (and the flat buffer's row slots)
+      * into ascending-id order */
     def sortById(): Unit = {
       val perm = Array.range(0, n).sortBy(ids(_))
-      ids = perm.map(ids); qs = perm.map(qs); ns = perm.map(ns)
+      ids = perm.map(ids); ns = perm.map(ns)
       ss = perm.map(ss); a1s = perm.map(a1s); nfs = perm.map(nfs)
+      if (dim > 0) {
+        val nb = new Array[Byte](qbuf.length)
+        var r = 0
+        while (r < n) {
+          System.arraycopy(qbuf, perm(r) * dim, nb, r * dim, dim); r += 1
+        }
+        qbuf = nb
+      }
     }
   }
 
-  private object QSide {
+  /** Primitive-signature admission rule for the blocked pairwise
+    * kernel. A SAM with Int parameters instead of a `Function4`:
+    * Scala's FunctionN beyond arity 2 box every Int argument, and the
+    * quadratic loop calls this once per PAIR — 2×10¹⁰ admissions at
+    * 200k vectors. Implementations bake their dot-kernel choice in as
+    * a DIRECT static call (never a function-value hop): the Panama
+    * Vector API only reaches its measured throughput when the kernel
+    * inlines into the loop (a megamorphic callsite de-optimizes it to
+    * per-op vector-object allocation — the r13 kernel A/B measured
+    * exactly that: 3.7× in isolation, ~0% end-to-end through a
+    * Function2 indirection). */
+  private[graft] trait PairRule extends Serializable {
+    def admit(a: QSide, i: Int, b: QSide, j: Int): Boolean
+  }
+
+  /** The quantized-margin admission ([[quantizedCandidatePairs]]) —
+    * scalar and SIMD twins, bit-identical (integer dot). The zero-
+    * denominator short-circuit replaces the old NaN-compares-false
+    * path: same outcome (an all-zero q row admits nothing), one branch
+    * instead of a NaN-propagating divide. */
+  private final class QuantRuleScalar(bound: Double) extends PairRule {
+    def admit(a: QSide, i: Int, b: QSide, j: Int): Boolean = {
+      val den = a.ns(i) * b.ns(j)
+      if (den == 0.0) false
+      else {
+        val c = QSide.sdotRange(a.qbuf, i * a.dim, b.qbuf, j * b.dim, a.dim)
+        math.floor(c / den * 10000 + 0.5) / 10000.0 >= bound
+      }
+    }
+  }
+  private final class QuantRuleVector(bound: Double) extends PairRule {
+    def admit(a: QSide, i: Int, b: QSide, j: Int): Boolean = {
+      val den = a.ns(i) * b.ns(j)
+      if (den == 0.0) false
+      else {
+        val c = VectorDotKernel.dotRange(a.qbuf, i * a.dim, b.qbuf, j * b.dim, a.dim)
+        math.floor(c / den * 10000 + 0.5) / 10000.0 >= bound
+      }
+    }
+  }
+
+  /** The certified-bound admission ([[certifiedCandidatePairs]]) —
+    * scalar and SIMD twins. When `den != 0` both rows are non-empty, so
+    * `a.dim` is the shared stride (per-group check) and the old
+    * `qs(i).length` bound term. */
+  private final class CertRuleScalar(threshold: Double) extends PairRule {
+    def admit(a: QSide, i: Int, b: QSide, j: Int): Boolean = {
+      val den = a.nfs(i) * b.nfs(j)
+      if (den == 0.0) false // zero vector: exact arm scores NaN, drops
+      else {
+        val sa = a.ss(i); val sb = b.ss(j)
+        val coarse =
+          sa * sb * QSide.sdotRange(a.qbuf, i * a.dim, b.qbuf, j * b.dim, a.dim)
+        val eb = 0.5 * (sb * a.a1s(i) + sa * b.a1s(j)) + 0.25 * sa * sb * a.dim
+        (coarse + eb) / den + 2e-4 >= threshold
+      }
+    }
+  }
+  private final class CertRuleVector(threshold: Double) extends PairRule {
+    def admit(a: QSide, i: Int, b: QSide, j: Int): Boolean = {
+      val den = a.nfs(i) * b.nfs(j)
+      if (den == 0.0) false // zero vector: exact arm scores NaN, drops
+      else {
+        val sa = a.ss(i); val sb = b.ss(j)
+        val coarse = sa * sb *
+          VectorDotKernel.dotRange(a.qbuf, i * a.dim, b.qbuf, j * b.dim, a.dim)
+        val eb = 0.5 * (sb * a.a1s(i) + sa * b.a1s(j)) + 0.25 * sa * sb * a.dim
+        (coarse + eb) / den + 2e-4 >= threshold
+      }
+    }
+  }
+
+  /** Executor-side kernel pick for a rule family: called ONCE PER GROUP
+    * inside the blocked kernel, so `auto` probes the module on the JVM
+    * that actually runs the loop (heterogeneous clusters degrade to
+    * scalar per-executor, bit-identically) and the quadratic loop runs
+    * a monomorphic rule with zero per-pair branches. `vector` fails
+    * loudly on a module-less JVM. */
+  private def pickRule(
+      mode: String, scalar: => PairRule, vector: => PairRule): PairRule =
+    mode match {
+      case "scalar" => scalar
+      case "vector" =>
+        if (!QSide.vectorAvailable) throw new IllegalStateException(
+          "spark.graft.neardup.kernel=vector but jdk.incubator.vector is " +
+            "not loadable in this JVM — add --add-modules " +
+            "jdk.incubator.vector, or use kernel=auto for scalar fallback")
+        vector
+      case _ => if (QSide.vectorAvailable) vector else scalar
+    }
+
+  private[graft] object QSide {
     /** packed payload header: [max|v| float][‖v‖ float], then q bytes */
     val HeaderBytes = 8
     def readFloat(b: Array[Byte], off: Int): Double =
@@ -1013,25 +1132,71 @@ object SimilaritySearch {
       b(off) = (bits >>> 24).toByte; b(off + 1) = (bits >>> 16).toByte
       b(off + 2) = (bits >>> 8).toByte; b(off + 3) = bits.toByte
     }
-    /** int accumulator: HotSpot vectorizes byte→int mul-acc ~1.5× over
-      * a long accumulator (tools/ByteDotBench: 41 vs 27 Mdot/s; the
-      * float loop runs 19). Exact while dim ≤ 2³¹/127² ≈ 133k — far
-      * past any embedding dimensionality. */
-    def idot(x: Array[Byte], y: Array[Byte]): Int = {
-      // empty (degenerate) q-arrays dot to 0 and their rows are
-      // dropped by the admission rules (norm/den 0); non-empty
-      // mismatches fail loudly — same policy as Int8Dot and the float
-      // kernel, never silent min-length truncation
+    /** Shared dimension policy of every int8 dot path: empty
+      * (degenerate) q-arrays dot to 0 and their rows are dropped by the
+      * admission rules (norm/den 0); non-empty mismatches fail loudly —
+      * same policy as Int8Dot and the float kernel, never silent
+      * min-length truncation. Returns the effective length. */
+    private def checkDims(x: Array[Byte], y: Array[Byte]): Int = {
       if (x.length != y.length && x.length != 0 && y.length != 0)
         throw new IllegalArgumentException(
           s"mixed-dimension corpus: int8 dot over ${x.length}- vs " +
             s"${y.length}-component vectors would silently truncate")
-      val n = math.min(x.length, y.length)
+      math.min(x.length, y.length)
+    }
+
+    /** Scalar kernel. int accumulator: HotSpot vectorizes byte→int
+      * mul-acc ~1.5× over a long accumulator (tools/ByteDotBench: 41 vs
+      * 27 Mdot/s; the float loop runs 19). Exact while
+      * dim ≤ 2³¹/127² ≈ 133k — far past any embedding dimensionality. */
+    def idot(x: Array[Byte], y: Array[Byte]): Int = {
+      val n = checkDims(x, y)
       var s = 0; var k = 0
       while (k < n) { s += x(k) * y(k); k += 1 }
       s
     }
+
+    /** Panama SIMD kernel availability, probed ONCE per JVM (executors
+      * decide for their own JVM — a cluster whose executors lack
+      * `--add-modules jdk.incubator.vector` degrades to the scalar
+      * loop, never crashes, and the two kernels are bit-identical so
+      * heterogeneous fleets stay correct). The probe both loads the
+      * class and sanity-checks one dot. */
+    lazy val vectorAvailable: Boolean =
+      try VectorDotKernel.dot(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6), 3) == 32
+      catch { case _: Throwable => false }
+
+    /** SIMD kernel with the shared dimension policy. Caller must have
+      * established availability ([[vectorAvailable]]). */
+    def vdot(x: Array[Byte], y: Array[Byte]): Int =
+      VectorDotKernel.dot(x, y, checkDims(x, y))
+
+    /** Scalar dot over flat (buffer, offset) ranges — the scalar twin
+      * of `VectorDotKernel.dotRange`, for the flat [[QSide]] layout.
+      * Range validity is the caller's (the per-group dim check). */
+    def sdotRange(x: Array[Byte], xo: Int, y: Array[Byte], yo: Int, n: Int): Int = {
+      var s = 0; var k = 0
+      while (k < n) { s += x(xo + k) * y(yo + k); k += 1 }
+      s
+    }
   }
+
+  /** Plan-time VALIDATION of the int8 dot-kernel knob for the pairwise
+    * arms: `spark.graft.neardup.kernel` = `auto` (default — Panama SIMD
+    * when the executor JVM has `--add-modules jdk.incubator.vector`,
+    * scalar otherwise), `scalar` (force the scalar loop), or `vector`
+    * (force SIMD, failing LOUDLY on a JVM without the module — the
+    * honest A/B arm). Integer addition is associative, so every choice
+    * is bit-identical; this knob is scheduling, never semantics. The
+    * actual kernel PICK happens executor-side, once per group
+    * ([[pickRule]]) — this only rejects bad values before any job
+    * launches. */
+  private def resolveKernelMode(sp: SparkSession): String =
+    sp.conf.getOption("spark.graft.neardup.kernel").getOrElse("auto") match {
+      case m @ ("auto" | "scalar" | "vector") => m
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.neardup.kernel must be auto, scalar or vector, got '$other'")
+    }
 
   /** The shared triangle-blocked quadratic stage of BOTH pairwise arms.
     *
@@ -1052,7 +1217,7 @@ object SimilaritySearch {
       vecCol: String,
       numBlocks: Int,
       sizeHint: Long,
-      admit: (QSide, Int, QSide, Int) => Boolean): DataFrame = {
+      admitFactory: () => PairRule): DataFrame = {
     require(numBlocks >= 1, s"numBlocks must be positive, got $numBlocks")
     require(sizeHint <= maxExactRows,
       s"the blocked pairwise kernel is still the exact quadratic arm ($sizeHint " +
@@ -1090,6 +1255,10 @@ object SimilaritySearch {
     // under adversarial selectivity (the pre-rotation degenerate
     // corpus passed 54% of ALL pairs) that is an OOM, not a slowdown
     val cand = groupBlocked(tagged, numBlocks) { rows =>
+        // rule instantiated HERE, on the executor, once per group: the
+        // kernel pick (auto = per-JVM Panama probe) happens where the
+        // loop runs, and the loop's admit callsite is monomorphic
+        val admit = admitFactory()
         val aSide = new QSide
         val bSide = new QSide
         // diagonal groups hold tag-0 rows only (see the float kernel)
@@ -1099,6 +1268,13 @@ object SimilaritySearch {
           else if (tag == 1.toByte) aSide.add(id, payload)
           else bSide.add(id, payload)
         }
+        // cross-SIDE stride equality, checked once per group so the
+        // quadratic loop carries no per-pair dimension checks (within-
+        // side mismatches already failed loudly in QSide.add)
+        if (aSide.dim > 0 && bSide.dim > 0 && aSide.dim != bSide.dim)
+          throw new IllegalArgumentException(
+            s"mixed-dimension corpus: int8 dot over ${aSide.dim}- vs " +
+              s"${bSide.dim}-component vectors would silently truncate")
         if (diagonal) {
           aSide.sortById()
           new scala.collection.AbstractIterator[(Long, Long)] {
@@ -1111,7 +1287,7 @@ object SimilaritySearch {
               while (pair == null && i < aSide.n - 1) {
                 if (j >= aSide.n) { i += 1; j = i + 1 }
                 else {
-                  if (admit(aSide, i, aSide, j))
+                  if (admit.admit(aSide, i, aSide, j))
                     pair = (aSide.ids(i), aSide.ids(j))
                   j += 1
                 }
@@ -1131,7 +1307,7 @@ object SimilaritySearch {
               while (pair == null && i < aSide.n) {
                 if (j >= bSide.n) { i += 1; j = 0 }
                 else {
-                  if (admit(aSide, i, bSide, j)) {
+                  if (admit.admit(aSide, i, bSide, j)) {
                     val idi = aSide.ids(i); val idj = bSide.ids(j)
                     pair = if (idi < idj) (idi, idj) else (idj, idi)
                   }

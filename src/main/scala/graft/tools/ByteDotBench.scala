@@ -76,5 +76,22 @@ object ByteDotBench {
       while (i < n) { var j = i + 1; while (j < n) { s += floatRef(floats(i), floats(j)).toLong; j += 1 }; i += 1 }
       s
     }
+    // Panama SIMD kernel (round-13): the explicit-vector formulation of
+    // intAcc — same byte arrays, same exact result, explicit widening
+    // lanes instead of hoping C2's auto-vectorizer fires
+    if (graft.operators.SimilaritySearch.QSide.vectorAvailable)
+      time("panama") {
+        var s = 0L
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            s += graft.operators.VectorDotKernel.dot(bytes(i), bytes(j), dim); j += 1
+          }
+          i += 1
+        }
+        s
+      }
+    else println("    panama  UNAVAILABLE (run with --add-modules jdk.incubator.vector)")
   }
 }

@@ -32,22 +32,28 @@ object PairBandwidthBench {
     val armOrder =
       if (args.length > 2) args(2).split(",").toSeq
       else Seq("float", "int8shuffle", "int8bc")
-    // arm name -> (label, neardup.exact, neardup.verify, slots, blocks)
-    // blocks "0" = auto (resolved from shuffle partitions); the
+    // arm name -> (label, neardup.exact, neardup.verify, slots, blocks,
+    // kernel). blocks "0" = auto (resolved from shuffle partitions); the
     // `int8hash8` arm is the round-11 shipped shape — hash placement
     // of 36 block-pair groups, the r12 balanced-slot A/B baseline
     val armDefs = Map(
-      "float" -> ("float arm", "float", "auto", "balanced", "0"),
-      "int8shuffle" -> ("int8 + shuffle-verify", "int8", "shuffle", "balanced", "0"),
-      "int8bc" -> ("int8 + broadcast-verify", "int8", "broadcast", "balanced", "0"),
-      "int8hash8" -> ("int8 + bc-verify + hash-slots B=8", "int8", "broadcast", "hash", "8"),
+      "float" -> ("float arm", "float", "auto", "balanced", "0", "auto"),
+      "int8shuffle" -> ("int8 + shuffle-verify", "int8", "shuffle", "balanced", "0", "auto"),
+      "int8bc" -> ("int8 + broadcast-verify", "int8", "broadcast", "balanced", "0", "auto"),
+      "int8hash8" -> ("int8 + bc-verify + hash-slots B=8", "int8", "broadcast", "hash", "8", "auto"),
       // round-13 decomposition arms (round-12 advice): the r12 headline
       // A/B pitted hash-B8 against balanced-auto, conflating the
       // PLACEMENT lever with the 36→66-group GRANULARITY increase.
       // `int8hash0` isolates granularity (hash placement, auto blocks);
       // `int8bal8` isolates placement (balanced slots, B=8 groups).
-      "int8hash0" -> ("int8 + bc-verify + hash-slots auto-blocks", "int8", "broadcast", "hash", "0"),
-      "int8bal8" -> ("int8 + bc-verify + balanced-slots B=8", "int8", "broadcast", "balanced", "8"))
+      "int8hash0" -> ("int8 + bc-verify + hash-slots auto-blocks", "int8", "broadcast", "hash", "0", "auto"),
+      "int8bal8" -> ("int8 + bc-verify + balanced-slots B=8", "int8", "broadcast", "balanced", "8", "auto"),
+      // round-13 kernel arms: the scoring stage went compute-bound in
+      // r12, so the next lever is the per-pair dot itself — Panama SIMD
+      // (`vector`, bit-identical by integer associativity) vs the
+      // scalar loop, everything else the shipped default shape
+      "int8scalar" -> ("int8 + bc-verify + scalar dot", "int8", "broadcast", "balanced", "0", "scalar"),
+      "int8simd" -> ("int8 + bc-verify + Panama SIMD dot", "int8", "broadcast", "balanced", "0", "vector"))
     val unknown = armOrder.filterNot(armDefs.contains)
     require(unknown.isEmpty, s"unknown arms: ${unknown.mkString(",")} " +
       s"(valid: ${armDefs.keys.mkString(",")})")
@@ -126,11 +132,12 @@ object PairBandwidthBench {
       (r, s)
     }
     def runArm(arm: String): (Long, Double, Long) = {
-      val (name, exact, verify, slots, blocks) = armDefs(arm)
+      val (name, exact, verify, slots, blocks, kernel) = armDefs(arm)
       spark.conf.set("spark.graft.neardup.exact", exact)
       spark.conf.set("spark.graft.neardup.verify", verify)
       spark.conf.set("spark.graft.neardup.slots", slots)
       spark.conf.set("spark.graft.neardup.blocks", blocks)
+      spark.conf.set("spark.graft.neardup.kernel", kernel)
       val (n, t) = timed(name)(
         SimilaritySearch.cosineNearDupPairs(emb, "vec_id", "embedding", threshold).count())
       val b = drain(name)
@@ -143,11 +150,12 @@ object PairBandwidthBench {
       armOrder.map(a => s"$a=${results(a)._1}").mkString(" "))
     // bit-identity across the arms that ran: same (idA, idB, cos_sim) rows
     def pairsOf(arm: String) = {
-      val (_, exact, verify, slots, blocks) = armDefs(arm)
+      val (_, exact, verify, slots, blocks, kernel) = armDefs(arm)
       spark.conf.set("spark.graft.neardup.exact", exact)
       spark.conf.set("spark.graft.neardup.verify", verify)
       spark.conf.set("spark.graft.neardup.slots", slots)
       spark.conf.set("spark.graft.neardup.blocks", blocks)
+      spark.conf.set("spark.graft.neardup.kernel", kernel)
       SimilaritySearch.cosineNearDupPairs(emb, "vec_id", "embedding", threshold)
     }
     // persist each arm's pair set once — exceptAll otherwise recomputes

@@ -230,6 +230,53 @@ class SimilaritySearchSpec extends AnyFunSuite {
     }
   }
 
+  test("SIMD int8 dot is bit-identical to the scalar kernel (all tail shapes)") {
+    // Integer addition is associative, so the Panama kernel's lane
+    // order cannot change the result — pin it anyway, per length 0..70
+    // (covers both widening chains' main loops AND their scalar tails)
+    // over seeded random extremes including ±127 saturation values.
+    assert(SimilaritySearch.QSide.vectorAvailable,
+      "test JVM must have --add-modules jdk.incubator.vector (build.sbt javaOptions)")
+    val rnd = new scala.util.Random(20260815L)
+    for (n <- 0 to 70; _ <- 1 to 3) {
+      val x = Array.fill[Byte](n)((rnd.nextInt(255) - 127).toByte)
+      val y = Array.fill[Byte](n)((rnd.nextInt(255) - 127).toByte)
+      assert(SimilaritySearch.QSide.vdot(x, y) == SimilaritySearch.QSide.idot(x, y),
+        s"n=$n: vector and scalar kernels diverged")
+    }
+    // worst-case magnitude: ±127 everywhere, n=64 (the corpus dim)
+    val all127 = Array.fill[Byte](64)(127)
+    val allNeg = Array.fill[Byte](64)(-127)
+    assert(SimilaritySearch.QSide.vdot(all127, allNeg) == 64 * 127 * -127)
+    // dimension policy is shared with the scalar path
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.QSide.vdot(Array[Byte](1, 2), Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("neardup.kernel knob: scalar and vector arms produce identical pairs; bad value loud") {
+    import spark.implicits._
+    val base = (1L to 40L).map(i => (i, vec(i)))
+    val planted = Seq((103L, jitter(base(2)._2, 0.01f)))
+    val corpus = (base ++ planted).toDF("id", "v")
+    def run(kernel: String) = {
+      spark.conf.set("spark.graft.neardup.kernel", kernel)
+      try SimilaritySearch.quantizedNearDupPairs(corpus, "id", "v",
+          threshold = 0.98, margin = 0.05, numBlocks = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      finally spark.conf.unset("spark.graft.neardup.kernel")
+    }
+    val scalar = run("scalar")
+    val vector = run("vector")
+    assert(scalar == vector, "kernel arms diverged")
+    assert(scalar.map(p => (p._1, p._2)) == Set((3L, 103L)))
+    spark.conf.set("spark.graft.neardup.kernel", "simd")
+    try intercept[IllegalArgumentException] {
+      SimilaritySearch.quantizedNearDupPairs(corpus, "id", "v",
+        threshold = 0.98, margin = 0.05, numBlocks = 4).collect()
+    } finally spark.conf.unset("spark.graft.neardup.kernel")
+  }
+
   test("cosineNearDupPairs handles negative ids (floorMod blocking)") {
     import spark.implicits._
     // the same planted geometry shifted to negative ids: with `%`
