@@ -179,8 +179,16 @@ object Bench {
     // samples only (the cold run is excluded), so this measures host
     // noise, not cache warm-up.
     val okNames = ok.map(_._1).toSet
-    val variance = graft.tools.BenchProtocol.meanRelSpread(
-      sampled.collect { case (k, ts, _) if okNames(k) => ts })
+    val okSamples = sampled.collect { case (k, ts, _) if okNames(k) => ts }
+    val variance = graft.tools.BenchProtocol.meanRelSpread(okSamples)
+    // the gating statistic: same mean relSpread, but each ESCALATED
+    // query (the sampler flagged its own window and bought replacement
+    // samples) drops its single attributed host-steal sample first —
+    // see BenchProtocol.meanRelSpreadTrimmed's scaladoc. Both numbers
+    // are emitted; `variance` keeps its historic raw semantics for
+    // cross-round reading.
+    val varianceTrimmed =
+      graft.tools.BenchProtocol.meanRelSpreadTrimmed(okSamples)
     // Adjudicability gate (shared with TpcRunner via BenchProtocol): a
     // run with any failed query, or with mean relative spread above the
     // floor (host contention — rounds 7 and 8 both shipped variance
@@ -188,7 +196,8 @@ object Bench {
     // usable performance artifact. Stamp it in the JSON and exit
     // non-zero so automation gating on rc cannot mistake a polluted run
     // for a green one.
-    val adjudicable = graft.tools.BenchProtocol.adjudicable(bad.nonEmpty, variance)
+    val adjudicable =
+      graft.tools.BenchProtocol.adjudicable(bad.nonEmpty, varianceTrimmed)
     // mechanical drift adjudication (round-9 verdict #8): per-query
     // ratio vs the standing last-good artifact, computed BEFORE this run
     // may overwrite the slot. Only queries present and >0 in both runs.
@@ -206,7 +215,10 @@ object Bench {
             q.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble())
             b.result()
           }
-        val v = Option(root.get("variance")).map(_.asDouble())
+        // gate against the standing artifact's TRIMMED variance when it
+        // has one (post-r13 artifacts); older artifacts fall back to raw
+        val v = Option(root.get("variance_trimmed"))
+          .orElse(Option(root.get("variance"))).map(_.asDouble())
         val c = Option(root.get("canary_sec")).map(_.asDouble()).filter(_ > 0)
         (qs, v, c)
       } else (Map.empty[String, Double], None, None)
@@ -237,7 +249,7 @@ object Bench {
     }.getOrElse("{}")
     val extraConfJson = graft.tools.BenchProtocol.jsonEscape(extraConf)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"variance_trimmed":$varianceTrimmed%.3f,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // the same line to a stable file so the driver's parser never has to
     // fish it out of sbt log decorations
@@ -256,7 +268,7 @@ object Bench {
     // is still always written).
     if (adjudicable && args.isEmpty && extraConf.isEmpty) {
       val noisier = graft.tools.BenchProtocol.noisierThanStanding(
-        variance, lastGoodVariance)
+        varianceTrimmed, lastGoodVariance)
       // escape hatch (round-11 advice): if the host band durably
       // degrades, every future run would be refused and the slot could
       // never move again — the explicit override force-accepts this
@@ -265,7 +277,7 @@ object Bench {
         .exists(v => v == "1" || v.equalsIgnoreCase("true"))
       if (noisier && !forceAccept)
         System.err.println(
-          f"[bench] keeping standing bench_last_good.json: this run's variance $variance%.3f " +
+          f"[bench] keeping standing bench_last_good.json: this run's trimmed variance $varianceTrimmed%.3f " +
             f"exceeds the standing ${lastGoodVariance.get}%.3f by more than ${graft.tools.BenchProtocol.NoiseDegradeTolerance}%.2f " +
             "(set SPARK_GRAFT_BENCH_ACCEPT_BASELINE=1 to force-accept if the host band has durably degraded)")
       else
@@ -275,7 +287,7 @@ object Bench {
     spark.stop()
     if (!adjudicable) {
       System.err.println(
-        f"[bench] NOT ADJUDICABLE: variance=$variance%.3f (floor ${graft.tools.BenchProtocol.VarianceFloor}), failed=$failed")
+        f"[bench] NOT ADJUDICABLE: variance_trimmed=$varianceTrimmed%.3f (raw $variance%.3f, floor ${graft.tools.BenchProtocol.VarianceFloor}), failed=$failed")
       sys.exit(1)
     }
   }

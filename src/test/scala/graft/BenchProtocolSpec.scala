@@ -46,6 +46,32 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!BenchProtocol.adjudicable(anyFailed = false, BenchProtocol.trimmedSpread(samples)))
   }
 
+  test("escalation-trimmed spread drops exactly one sample, only for escalated queries") {
+    // the r13 postpanama shape: a 7-sample (escalated) query whose six
+    // tight samples bracket one 4x host steal — raw spread reads it as
+    // unstable, trimmed attributes the one steal the escalation bought
+    // samples to re-measure
+    val escalatedOneSpike = Seq(4.28, 4.56, 4.88, 5.17, 7.96, 8.06, 19.92)
+    val raw = BenchProtocol.meanRelSpread(Seq(escalatedOneSpike))
+    val trimmed = BenchProtocol.meanRelSpreadTrimmed(Seq(escalatedOneSpike))
+    assert(raw > 3.0, s"raw must keep the spike, got $raw")
+    assert(trimmed < 0.8 && trimmed > 0.5,
+      s"trimmed must drop ONLY the single worst sample, got $trimmed")
+    // a NON-escalated query (designed 5 samples) is never trimmed, even
+    // when its worst sample is an outlier
+    val fiveWithSpike = Seq(1.0, 1.0, 1.1, 1.1, 5.0)
+    assert(BenchProtocol.meanRelSpreadTrimmed(Seq(fiveWithSpike)) ==
+      BenchProtocol.meanRelSpread(Seq(fiveWithSpike)))
+    // two spikes in an escalated window still blow the floor: one drop
+    // cannot launder genuine instability
+    val escalatedTwoSpikes = Seq(1.0, 1.0, 1.05, 1.1, 1.1, 9.0, 10.0)
+    assert(BenchProtocol.meanRelSpreadTrimmed(Seq(escalatedTwoSpikes)) >
+      BenchProtocol.VarianceFloor)
+    // failed-query sentinels are excluded, as in the raw statistic
+    assert(BenchProtocol.meanRelSpreadTrimmed(
+      Seq(Seq(-1.0), Seq(1.0, 1.0, 1.0, 1.0, 1.0))) == 0.0)
+  }
+
   test("any failed query fails the gate regardless of dispersion") {
     assert(!BenchProtocol.adjudicable(anyFailed = true, 0.0))
   }
