@@ -45,6 +45,49 @@ object TextDedup {
       .drop("__rn")
   }
 
+  /** k affine-minhash signature columns `(__id, __h0..__h{k-1})` over
+    * distinct capped word shingles — the shared signature builder behind
+    * [[minhashPairs]] and [[incrementalDedup]].
+    *
+    * One xxhash per shingle re-mixed by k affine maps modulo 2^61−1.
+    * The maps act on the hash's two integer bit-halves
+    * (hi = h >> 30, lo = h & (2^30−1)) with multipliers < 2^31, so every
+    * intermediate product stays below 2^62 and the whole pipeline runs
+    * in exact long arithmetic — safe under Spark's ANSI overflow checks
+    * (an earlier formulation divided by 2^30, which silently promoted
+    * the family to floating point). */
+  private def affineSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      shingleSize: Int,
+      maxShingles: Int): DataFrame = {
+    val prime = (1L << 61) - 1
+
+    // distinct hashed shingles per doc (capped for degenerate docs)
+    val sh = df.select(col(idCol).as("__id"), split(col(textCol), " ").as("__ws"))
+      .filter(size(col("__ws")) >= shingleSize)
+      .select(col("__id"), explode(expr(
+        s"transform(sequence(0, least(size(__ws)-$shingleSize, ${maxShingles - 1})), " +
+          s"i -> concat_ws(' ', ${(0 until shingleSize).map(j => s"__ws[i+$j]").mkString(", ")}))"))
+        .as("__g"))
+      .distinct()
+      .select(col("__id"), pmod(xxhash64(col("__g")), lit(prime)).as("__gh"))
+
+    def affine(i: Int): Column = {
+      val a = (2L * i + 1) * 1000000007L % 2147483647L
+      val b = (2L * i + 1) * 998244353L % 2147483647L
+      val c = (0x9E3779B97F4A7C15L % prime) * (i + 1) % prime
+      val hi = shiftright(col("__gh"), 30)
+      val lo = col("__gh").bitwiseAND(lit((1L << 30) - 1))
+      pmod(pmod(lit(a) * hi + lit(b) * lo, lit(prime)) + lit(c % prime), lit(prime))
+    }
+    sh.groupBy(col("__id"))
+      .agg(min(affine(0)).as("__h0"),
+        (1 until k).map(i => min(affine(i)).as(s"__h$i")): _*)
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs: (idA, idB, estJaccard)
     * with idA < idB and estimated Jaccard ≥ `threshold`.
     *
@@ -70,35 +113,7 @@ object TextDedup {
       threshold: Double = 0.5,
       maxShingles: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val prime = (1L << 61) - 1
-    val id = col(idCol)
-
-    // distinct hashed shingles per doc (capped for degenerate docs)
-    val sh = df.select(id.as("__id"), split(col(textCol), " ").as("__ws"))
-      .filter(size(col("__ws")) >= shingleSize)
-      .select(col("__id"), explode(expr(
-        s"transform(sequence(0, least(size(__ws)-$shingleSize, ${maxShingles - 1})), " +
-          s"i -> concat_ws(' ', ${(0 until shingleSize).map(j => s"__ws[i+$j]").mkString(", ")}))"))
-        .as("__g"))
-      .distinct()
-      .select(col("__id"), pmod(xxhash64(col("__g")), lit(prime)).as("__gh"))
-
-    // k affine minhashes: min over shingles of
-    // (a_i * hi + b_i * lo + c_i) mod p, where hi/lo are the 31/30-bit
-    // halves of the 61-bit shingle hash (integer shift/mask, NOT a
-    // divide — Spark's Divide is floating-point). a_i, b_i < 2^31 keeps
-    // a_i*hi < 2^62 and b_i*lo < 2^61, so every sum fits a long exactly.
-    def affine(i: Int): Column = {
-      val a = (2L * i + 1) * 1000000007L % 2147483647L
-      val b = (2L * i + 1) * 998244353L % 2147483647L
-      val c = (0x9E3779B97F4A7C15L % prime) * (i + 1) % prime
-      val hi = shiftright(col("__gh"), 30)
-      val lo = col("__gh").bitwiseAND(lit((1L << 30) - 1))
-      pmod(pmod(lit(a) * hi + lit(b) * lo, lit(prime)) + lit(c % prime), lit(prime))
-    }
-    val sig = sh.groupBy(col("__id"))
-      .agg(min(affine(0)).as("__h0"),
-        (1 until k).map(i => min(affine(i)).as(s"__h$i")): _*)
+    val sig = affineSignatures(df, idCol, textCol, k, shingleSize, maxShingles)
 
     // banded blocking: candidates share at least one full band
     val r = k / bands
@@ -123,6 +138,74 @@ object TextDedup {
       .select(col("__a").as("idA"), col("__bId").as("idB"),
         (agree.cast("double") / k).as("estJaccard"))
       .filter(col("estJaccard") >= threshold)
+  }
+
+  /** Incremental (delta-vs-corpus) dedup — the ingest-time decision a
+    * 100 TB pipeline actually runs: new `batch` rows are checked against
+    * the existing `corpus` WITHOUT re-deduplicating the corpus. Returns
+    * one row per batch id: (idCol, status) with status ∈ 'exact_dup'
+    * (content hash already present in the corpus), 'near_dup' (shares an
+    * LSH band bucket with a corpus doc AND full-signature agreement ≥
+    * `threshold`), 'keep'. Exact takes precedence over near. Batch rows
+    * are judged against the corpus only — intra-batch duplicates are
+    * [[exact]]/[[minhashPairs]]' job, run on the batch first if needed.
+    *
+    * Scale posture: the corpus side reduces to its fingerprint index — a
+    * distinct 60-bit content-hash set plus banded minhash signatures,
+    * both one-pass hash aggregations that a real deployment computes
+    * ONCE, stores as tables, and reuses per ingest batch; nothing here
+    * is proportional to corpus × batch. The exact tier is a left-semi
+    * hash join on the content fingerprint; the near tier meets
+    * candidates only inside equal band buckets (the [[minhashPairs]]
+    * S-curve applies unchanged) and verifies on full-signature
+    * agreement, so the shuffle carries band keys and the candidate set,
+    * never a cross product. */
+  def incrementalDedup(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      maxShingles: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val exactDup = batch
+      .select(col(idCol).as("__bid"), mdHash(col(textCol)).as("__ch"))
+      .join(corpus.select(mdHash(col(textCol)).as("__ch")).distinct(),
+        Seq("__ch"), "left_semi")
+      .select(col("__bid")).distinct()
+
+    val bSig = affineSignatures(batch, idCol, textCol, k, shingleSize, maxShingles)
+    val cSig = affineSignatures(corpus, idCol, textCol, k, shingleSize, maxShingles)
+    val r = k / bands
+    def bandKv(sig: DataFrame): DataFrame =
+      sig.select(col("__id"), posexplode(array((0 until bands).map { b =>
+        xxhash64(lit(b) +: (b * r until (b + 1) * r).map(i => col(s"__h$i")): _*)
+      }: _*)).as(Seq("__b", "__bk")))
+    val cand = bandKv(bSig).select(col("__b"), col("__bk"), col("__id").as("__bid"))
+      .join(bandKv(cSig).select(col("__b").as("__b2"), col("__bk").as("__bk2"),
+          col("__id").as("__cid")),
+        col("__b") === col("__b2") && col("__bk") === col("__bk2"))
+      .select(col("__bid"), col("__cid")).distinct()
+    val sa = bSig.select(col("__id").as("__bid") +:
+      (0 until k).map(i => col(s"__h$i").as(s"__x$i")): _*)
+    val sb = cSig.select(col("__id").as("__cid") +:
+      (0 until k).map(i => col(s"__h$i").as(s"__y$i")): _*)
+    val agree = (0 until k).map(i =>
+      when(col(s"__x$i") === col(s"__y$i"), 1).otherwise(0)).reduce(_ + _)
+    val nearDup = cand.join(sa, "__bid").join(sb, "__cid")
+      .filter(agree.cast("double") / k >= threshold)
+      .select(col("__bid")).distinct()
+
+    batch.select(col(idCol).as("__bid"))
+      .join(exactDup.withColumn("__ex", lit(1)), Seq("__bid"), "left")
+      .join(nearDup.withColumn("__nd", lit(1)), Seq("__bid"), "left")
+      .select(col("__bid").as(idCol),
+        when(col("__ex") === 1, "exact_dup")
+          .when(col("__nd") === 1, "near_dup")
+          .otherwise("keep").as("status"))
   }
 
   /** Connected components over a near-duplicate pair graph — the dedup

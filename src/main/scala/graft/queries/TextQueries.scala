@@ -232,15 +232,22 @@ object TextQueries {
   /** Oracle CTE block ending in `pairs(a_id, b_id, est_jaccard)` — the
     * exact SQL replay of [[lshPairs]], shared by the t6 and t19 oracles
     * so the edge set can never diverge between them. */
-  private val lshOracleCtes: String = {
-    val oracleAgree = (0 until lshK)
-      .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+  /** Per-pair signature agreement / band-collision SQL fragments over
+    * aliases `sa`/`sb` — shared by the t6/t19 pair CTE and the t26
+    * incremental (batch-vs-corpus) near tier. */
+  private val lshOracleAgree: String = (0 until lshK)
+    .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+  private val lshOracleBands: String = (0 until 4)
+    .map(b => s"(sa.h${2 * b} = sb.h${2 * b} AND sa.h${2 * b + 1} = sb.h${2 * b + 1})")
+    .mkString(" OR ")
+
+  /** Oracle CTE prefix ending in `sig(doc_id, h0..h{k-1})` — the exact
+    * SQL replay of [[lshSignatures]], shared by every LSH-family oracle
+    * so the signature construction can never diverge between them. */
+  private val lshSigCtes: String = {
     val oracleSigCols = lshSeeds.zipWithIndex.map { case ((a, b, c), i) =>
       s"MIN((($a * h1) + ($b * h2) + $c) % $lshM61) AS h$i"
     }.mkString(",\n        ")
-    val oracleBands = (0 until 4)
-      .map(b => s"(sa.h${2 * b} = sb.h${2 * b} AND sa.h${2 * b + 1} = sb.h${2 * b + 1})")
-      .mkString(" OR ")
     s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
       |       FROM w, generate_series(1, 1000) t(i) WHERE i <= len(ws) - 2),
@@ -248,18 +255,24 @@ object TextQueries {
       |         (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM sh)),
       |sig AS (SELECT doc_id,
       |        $oracleSigCols
-      |        FROM hh GROUP BY doc_id),
-      |pairs AS (SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
-      |    ${Num.oraR4(s"($oracleAgree) / ${lshK}.0")} AS est_jaccard
-      |  FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id AND ($oracleBands)
-      |  WHERE ${Num.oraR4(s"($oracleAgree) / ${lshK}.0")} >= 0.5)""".stripMargin
+      |        FROM hh GROUP BY doc_id)""".stripMargin
   }
+
+  private val lshOracleCtes: String =
+    s"""$lshSigCtes,
+      |pairs AS (SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
+      |    ${Num.oraR4(s"($lshOracleAgree) / ${lshK}.0")} AS est_jaccard
+      |  FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id AND ($lshOracleBands)
+      |  WHERE ${Num.oraR4(s"($lshOracleAgree) / ${lshK}.0")} >= 0.5)""".stripMargin
 
   /** MinHash+LSH near-dup pairs (unordered): signature build, one
     * posexplode band pass, bucket-join candidates, full-signature
     * verification. Shared by t6 (pair listing) and t19 (connected
     * components over these pairs as edges). */
-  private[queries] def lshPairs(
+  /** (doc_id, h0..h{k-1}) affine-minhash signatures over the md5-derived
+    * 60-bit shingle hashes — the Spark twin of the `sig` CTE in
+    * [[lshSigCtes]]. */
+  private[queries] def lshSignatures(
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val hh = shingleStrings(t(s, dir, "documents"))
@@ -269,7 +282,13 @@ object TextQueries {
     val sigCols = lshSeeds.zipWithIndex.map { case ((a, b, c), i) =>
       min((lit(a) * col("h1") + lit(b) * col("h2") + lit(c)) % lit(lshM61)).as(s"h$i")
     }
-    val sig = hh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
+    hh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  private[queries] def lshPairs(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sig = lshSignatures(s, dir).persist()
     // one posexplode pass → (doc_id, band, h_even, h_odd)
     val bandArr = array((0 until 4).map(b =>
       struct(col(s"h${2 * b}").as("he"), col(s"h${2 * b + 1}").as("ho"))): _*)
@@ -995,11 +1014,90 @@ object TextQueries {
       .orderBy("source", "bin")
   }
 
+  /** Incremental (delta-vs-corpus) dedup — the ingest-time shape a
+    * 100 TB pipeline actually runs: you never re-dedup the corpus, you
+    * check the newly-arrived batch against the corpus's fingerprint
+    * index. Batch = `doc_id % 7 = 4` (a deterministic ~14% "new ingest"
+    * slice — residue 4 is the one whose batch catches real cross-split
+    * exact duplicates in the sf0.1 testdata; smaller SFs have no
+    * duplicate texts at all, there the exact tier is spec-proven),
+    * corpus = the rest. Each batch doc gets a status: exact_dup
+    * (its content hash already exists in the corpus — a left-semi hash
+    * join on the 60-bit md5 fingerprint), near_dup (shares an LSH band
+    * bucket with a corpus doc AND ≥ half the full signature agrees —
+    * the t6 machinery pointed across the split), else keep; exact
+    * takes precedence. Reuses [[lshSignatures]]/[[lshSigCtes]] so the
+    * near-dup semantics can never diverge from the standing LSH family.
+    *
+    * Scale posture: the corpus reduces to a distinct content-hash set
+    * plus banded signatures — the index a deployment computes once,
+    * stores, and reuses per batch; per-ingest cost is proportional to
+    * the batch and its matched buckets, never corpus × batch. Library
+    * twin over arbitrary (id, text) frames:
+    * [[graft.operators.TextDedup.incrementalDedup]]. */
+  val incrementalDedup: Q = Q(
+    "t26_incremental_dedup",
+    s"""WITH $lshSigCtes,
+      |ch AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS chash
+      |       FROM documents),
+      |ex AS (SELECT DISTINCT b.doc_id FROM ch b JOIN ch c ON b.chash = c.chash
+      |       WHERE b.doc_id % 7 = 4 AND c.doc_id % 7 <> 4),
+      |nd AS (SELECT DISTINCT sa.doc_id
+      |       FROM sig sa JOIN sig sb
+      |         ON sa.doc_id % 7 = 4 AND sb.doc_id % 7 <> 4 AND ($lshOracleBands)
+      |       WHERE ($lshOracleAgree) >= ${lshK / 2})
+      |SELECT d.doc_id,
+      |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+      |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+      |       ELSE 'keep' END AS status
+      |FROM documents d
+      |LEFT JOIN ex ON ex.doc_id = d.doc_id
+      |LEFT JOIN nd ON nd.doc_id = d.doc_id
+      |WHERE d.doc_id % 7 = 4 ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val isBatch = col("doc_id") % 7 === 4
+    val ch = docs.select(col("doc_id"), mdHash(col("text")).as("chash"))
+    val ex = ch.filter(isBatch)
+      .join(ch.filter(col("doc_id") % 7 =!= 4).select("chash").distinct(),
+        Seq("chash"), "left_semi")
+      .select("doc_id")
+    val sig = lshSignatures(s, dir).persist()
+    val bandArr = array((0 until 4).map(b =>
+      struct(col(s"h${2 * b}").as("he"), col(s"h${2 * b + 1}").as("ho"))): _*)
+    val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
+      .select(col("doc_id"), col("band"), col("bh.he"), col("bh.ho"))
+    val cand = bands.filter(isBatch)
+      .select(col("band"), col("he"), col("ho"), col("doc_id").as("a_id"))
+      .join(bands.filter(col("doc_id") % 7 =!= 4)
+        .select(col("band").as("band2"), col("he").as("he2"),
+          col("ho").as("ho2"), col("doc_id").as("b_id")),
+        col("band") === col("band2") && col("he") === col("he2") &&
+          col("ho") === col("ho2"))
+      .select("a_id", "b_id").distinct()
+    val sa = sig.select(col("doc_id").as("a_id") +:
+      (0 until lshK).map(i => col(s"h$i").as(s"a$i")): _*)
+    val sb = sig.select(col("doc_id").as("b_id") +:
+      (0 until lshK).map(i => col(s"h$i").as(s"b$i")): _*)
+    val agree = (0 until lshK).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    val nd = cand.join(sa, "a_id").join(sb, "b_id")
+      .filter(agree >= lshK / 2)
+      .select(col("a_id").as("doc_id")).distinct()
+    docs.filter(isBatch).select("doc_id")
+      .join(ex.withColumn("__ex", lit(1)), Seq("doc_id"), "left")
+      .join(nd.withColumn("__nd", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__ex") === 1, "exact_dup")
+          .when(col("__nd") === 1, "near_dup")
+          .otherwise("keep").as("status"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, tokenStats, langId, quality,
     fingerprint, ngramJaccard, minhashLsh, simhash,
     trainTestSplit, vocab, lengthBuckets, bpeTokens,
     seqPacking, contamination, stratifiedSample,
     blockDedup, repetitionScore, unigramLogprob, neardupComponents, countMin,
     simhashNearDup, piiRedact, domainMix, chunkOverlap, tfidf,
-    curationPipeline)
+    curationPipeline, incrementalDedup)
 }

@@ -88,8 +88,13 @@ object V11Profile {
     val (nPairs, tPairs) = timed("pairwise+verify")(pairsDf.count())
     val bPairs = drain("pairwise+verify")
 
-    val comps = TextDedup.components(pairsDf, "idA", "idB", maxIters = 20)
-    val (nComp, tComp) = timed("closure (components)")(comps.count())
+    // components() is EAGER (one action per propagation round), so the
+    // construction call itself is the closure's wall time — time the call
+    // plus the final count together, or the rounds attribute to nothing.
+    val ((comps, nComp), tComp) = timed("closure (components)") {
+      val c = TextDedup.components(pairsDf, "idA", "idB", maxIters = 20)
+      (c, c.count())
+    }
     val bComp = drain("closure")
 
     val (nOut, tFinal) = timed("final join")(

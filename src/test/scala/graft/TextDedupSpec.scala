@@ -33,6 +33,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(TextDedup.exact(kept, "doc_id", "text").count() == kept.count())
   }
 
+  test("incrementalDedup() classifies batch docs against the corpus with exact precedence") {
+    import spark.implicits._
+    val corpus = (0 until 10).map { i =>
+      (i.toLong, (0 until 30).map(w => s"c${i}_$w").mkString(" "))
+    }
+    val corpusDf = corpus.toDF("id", "text")
+    val batch = Seq(
+      (100L, corpus(3)._2), // exact copy (also signature-identical → precedence check)
+      (101L, corpus(5)._2.split(" ").updated(7, "CHANGED").mkString(" ")), // near dup
+      (102L, (0 until 30).map(w => s"n_$w").mkString(" ")) // fresh
+    ).toDF("id", "text")
+    val st = TextDedup.incrementalDedup(corpusDf, batch, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st.size == 3, s"one status row per batch doc, got $st")
+    assert(st(100L) == "exact_dup", s"exact copy must win over near: $st")
+    assert(st(101L) == "near_dup", s"planted near-dup missed: $st")
+    assert(st(102L) == "keep", s"fresh doc must survive: $st")
+    // judged against the corpus only: an intra-batch duplicate pair is
+    // NOT flagged (both fresh rows keep)
+    val intra = Seq(
+      (200L, (0 until 30).map(w => s"x_$w").mkString(" ")),
+      (201L, (0 until 30).map(w => s"x_$w").mkString(" "))
+    ).toDF("id", "text")
+    val st2 = TextDedup.incrementalDedup(corpusDf, intra, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st2 == Map(200L -> "keep", 201L -> "keep"), s"got $st2")
+  }
+
   test("minhashPairs() finds planted near-duplicates with high recall") {
     import spark.implicits._
     // plant: 20 base docs, each with a near-duplicate (one word changed
