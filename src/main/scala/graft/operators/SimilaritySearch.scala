@@ -829,6 +829,64 @@ object SimilaritySearch {
     exactVerify(cand, corpus, idCol, vecCol, threshold, sizeHint)
   }
 
+  /** Incremental (delta-vs-corpus) embedding dedup — the vector twin of
+    * [[graft.operators.TextDedup.incrementalDedup]]: each `batch` row is
+    * statused against the standing `corpus` WITHOUT re-deduplicating the
+    * corpus. Returns one row per batch id:
+    * (idCol, n_dups, best_sim, status) where n_dups counts corpus
+    * vectors with exact rounded cosine ≥ `threshold`, best_sim is the
+    * maximum such cosine (−1.0 when none), and status ∈ 'dup' | 'keep'.
+    *
+    * Shape: the corpus side is its [[quantizeCorpus]] int8 projection —
+    * the index a deployment materializes at ingest (1 byte/component, 4×
+    * scan bandwidth) and reuses per batch. The coarse pass scans that
+    * index once against the BROADCAST quantized batch (a delta is small
+    * by design) with the margin-admission rule shared with
+    * [[quantizedNearDupPairs]] (`coarseCos ≥ threshold − margin`); only
+    * admitted (batch, corpus) pairs touch float vectors for the exact
+    * verify. Per-batch cost is one 1-byte corpus scan + the admitted
+    * pairs — never a float corpus × batch product. When even a 1-byte
+    * full scan is too much (the 100 TB regime), compose with the IVF
+    * partitioner first ([[ivfBuild]]) and feed the probed subset in as
+    * `corpus`. */
+  def incrementalNearDup(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.45,
+      margin: Double = 0.05): DataFrame = {
+    implicit val sp: SparkSession = corpus.sparkSession
+    require(margin >= 0.0,
+      s"margin must be >= 0, got $margin — a negative margin would raise the " +
+        "coarse bound ABOVE the threshold and silently drop true dups")
+    val cq = quantizeCorpus(corpus, idCol, vecCol)
+      .select(col(idCol).as("__cid"), col("qvec").as("__cq"),
+        col("qnorm2").as("__cn2"))
+    val bq = batch.select(col(idCol).as("__bid"),
+        VectorFunctions.quantizeInt8(col(vecCol)).as("__qq"))
+      .withColumn("__qs", VectorFunctions.int8Dot(col("__qq"), col("__qq")))
+    val admitted = cq.crossJoin(broadcast(bq))
+      .filter(coarseCos(col("__cn2")) >= threshold - margin)
+      .select(col("__bid"), col("__cid"))
+    val bf = batch.select(col(idCol).as("__bid"), col(vecCol).as("__bv"))
+    val cf = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+    val sims = admitted.join(broadcast(bf), "__bid").join(cf, "__cid")
+      .select(col("__bid"),
+        r4(VectorFunctions.dot(col("__cv"), col("__bv")) /
+          (VectorFunctions.norm(col("__cv")) * VectorFunctions.norm(col("__bv"))))
+          .as("__sim"))
+      .filter(col("__sim") >= threshold)
+    val agg = sims.groupBy("__bid")
+      .agg(count(lit(1)).as("__n"), max(col("__sim")).as("__best"))
+    batch.select(col(idCol).as("__bid"))
+      .join(agg, Seq("__bid"), "left")
+      .select(col("__bid").as(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_dups"),
+        coalesce(col("__best"), lit(-1.0)).as("best_sim"),
+        when(col("__n").isNotNull, "dup").otherwise("keep").as("status"))
+  }
+
   /** The shared verify stage of both pairwise arms: only (idA, idB)
     * candidates touch the float vectors — fetched by id, never
     * replicated through the blocking shuffle — and the EXACT cosine

@@ -508,7 +508,52 @@ object SimQueries {
       .orderBy("vec_id")
   }
 
+  /** Incremental (delta-vs-corpus) EMBEDDING dedup — the vector twin of
+    * t26: newly-ingested vectors (batch = `vec_id % 7 = 4`) are statused
+    * against the standing corpus (the rest) via the materialized int8
+    * index: one 1-byte-per-component coarse scan against the broadcast
+    * quantized batch (margin admission, v8's rule), exact float verify
+    * on admitted pairs only. Output per batch vector: how many corpus
+    * near-dups (rounded cosine ≥ 0.45), the best similarity, and the
+    * keep/dup decision. Oracle replays quantization, coarse cut at
+    * 0.40, and the exact verify over the cross split. Library surface:
+    * [[graft.operators.SimilaritySearch.incrementalNearDup]]. */
+  val incrementalEmbeddingDedup: Q = Q(
+    "v12_incremental_embedding_dedup",
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |${int8QuantCtes(64)},
+      |ap AS (SELECT qb.vec_id AS b_id, qc.vec_id AS c_id, SUM(qb.q * qc.q) AS idot
+      |       FROM qv qb JOIN qv qc ON qb.i = qc.i
+      |       WHERE qb.vec_id % 7 = 4 AND qc.vec_id % 7 <> 4
+      |       GROUP BY qb.vec_id, qc.vec_id),
+      |cand AS (SELECT a.b_id, a.c_id FROM ap a
+      |           JOIN sq s1 ON s1.vec_id = a.b_id JOIN sq s2 ON s2.vec_id = a.c_id
+      |         WHERE FLOOR(idot / (SQRT(s1.s) * SQRT(s2.s)) * 10000 + 0.5)/10000
+      |               >= CAST(0.40 AS DOUBLE)),
+      |ex AS (SELECT c.b_id, c.c_id, SUM(db.ve[i] * dc.ve[i]) AS dot,
+      |         SUM(db.ve[i] * db.ve[i]) AS n1, SUM(dc.ve[i] * dc.ve[i]) AS n2
+      |       FROM cand c JOIN d db ON db.vec_id = c.b_id
+      |            JOIN d dc ON dc.vec_id = c.c_id, generate_series(1, 64) t(i)
+      |       GROUP BY c.b_id, c.c_id),
+      |sims AS (SELECT b_id,
+      |           FLOOR(dot / (SQRT(n1) * SQRT(n2)) * 10000 + 0.5)/10000 AS sim
+      |         FROM ex),
+      |agg AS (SELECT b_id, CAST(COUNT(*) AS BIGINT) AS n_dups, MAX(sim) AS best_sim
+      |        FROM sims WHERE sim >= CAST(0.45 AS DOUBLE) GROUP BY b_id)
+      |SELECT e.vec_id, CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups,
+      |  CAST(COALESCE(a.best_sim, -1.0) AS DOUBLE) AS best_sim,
+      |  CASE WHEN a.b_id IS NOT NULL THEN 'dup' ELSE 'keep' END AS status
+      |FROM embeddings e LEFT JOIN agg a ON a.b_id = e.vec_id
+      |WHERE e.vec_id % 7 = 4 ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    graft.operators.SimilaritySearch.incrementalNearDup(
+        e.filter(col("vec_id") % 7 =!= 4),
+        e.filter(col("vec_id") % 7 === 4),
+        "vec_id", "embedding", threshold = 0.45, margin = 0.05)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup, annIvf, quantize,
     quantizedAnn, quantizedNearDup, annIvfQuantized, clusterSample,
-    embeddingDedup)
+    embeddingDedup, incrementalEmbeddingDedup)
 }

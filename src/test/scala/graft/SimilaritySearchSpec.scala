@@ -337,6 +337,40 @@ class SimilaritySearchSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalNearDup statuses batch vectors against the corpus (brute-force agreement)") {
+    import spark.implicits._
+    val corpus = (1L to 40L).map(i => (i, vec(i))).toDF("id", "v")
+    val batch = Seq(
+      (101L, jitter(vec(7L), 0.01f)), // planted near-copy of corpus id 7
+      (102L, vec(1002L)),             // fresh
+      (103L, jitter(vec(23L), 0.01f)) // planted near-copy of corpus id 23
+    ).toDF("id", "v")
+    val out = SimilaritySearch.incrementalNearDup(
+        corpus, batch, "id", "v", threshold = 0.9, margin = 0.05)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    assert(out.size == 3, s"one row per batch vector: $out")
+    // brute-force oracle: same r4 rounding as the operator
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val r = d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+      math.floor(r * 10000 + 0.5) / 10000.0
+    }
+    val cvecs = (1L to 40L).map(i => i -> vec(i)).toMap
+    val bvecs = Map(101L -> jitter(vec(7L), 0.01f), 102L -> vec(1002L),
+      103L -> jitter(vec(23L), 0.01f))
+    for ((bid, bv) <- bvecs) {
+      val sims = cvecs.values.map(cv => cos(cv, bv)).filter(_ >= 0.9)
+      val (n, best, status) = out(bid)
+      assert(n == sims.size, s"$bid: n_dups $n vs brute ${sims.size}")
+      assert(best == (if (sims.isEmpty) -1.0 else sims.max), s"$bid best_sim")
+      assert(status == (if (sims.isEmpty) "keep" else "dup"), s"$bid status")
+    }
+    assert(out(101L)._3 == "dup" && out(103L)._3 == "dup" && out(102L)._3 == "keep",
+      s"planted copies must be dups, fresh must keep: $out")
+  }
+
   test("quantizedTopK ranks the planted near-copy first and reranks exactly") {
     import spark.implicits._
     val q = vec(4242L)
