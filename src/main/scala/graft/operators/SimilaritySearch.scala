@@ -866,9 +866,112 @@ object SimilaritySearch {
     val bq = batch.select(col(idCol).as("__bid"),
         VectorFunctions.quantizeInt8(col(vecCol)).as("__qq"))
       .withColumn("__qs", VectorFunctions.int8Dot(col("__qq"), col("__qq")))
-    val admitted = cq.crossJoin(broadcast(bq))
-      .filter(coarseCos(col("__cn2")) >= threshold - margin)
-      .select(col("__bid"), col("__cid"))
+    // The coarse scan is the N·M hot loop: `kernel` (default) runs it as
+    // one flat-buffer pass per corpus partition — the batch's quantized
+    // bytes sit in ONE row-major array (the QSide layout) and each
+    // corpus row calls the int8 dot kernel (Panama SIMD under
+    // `spark.graft.neardup.kernel` auto/vector, scalar twin otherwise)
+    // as a direct static call, the shape KernelShapeBench measured at
+    // ~13 ns/pair vs ~160 ns/pair for per-row expression eval through
+    // the broadcast-nested-loop join. `expr` keeps that BNLJ
+    // formulation as the A/B baseline. Integer dots + identical IEEE
+    // double sequence (div, ×10000, floor) make the two arms
+    // bit-identical — the knob is scheduling, never semantics.
+    val mode = sp.conf.getOption("spark.graft.increment.coarse").getOrElse("kernel")
+    val bound = threshold - margin
+    val admitted: DataFrame = mode match {
+      case "expr" =>
+        cq.crossJoin(broadcast(bq))
+          .filter(coarseCos(col("__cn2")) >= bound)
+          .select(col("__bid"), col("__cid"))
+      case "kernel" =>
+        import sp.implicits._
+        val kMode = resolveKernelMode(sp)
+        // O(batch) driver fetch, the same bytes the expr arm broadcasts
+        // through the BNLJ — loudly capped like every exact arm
+        val brows = bq.select(col("__bid").cast("long"), col("__qq"), col("__qs"))
+          .as[(Long, Array[Byte], Long)].collect()
+        require(brows.length <= maxExactRows,
+          s"incrementalNearDup batch has ${brows.length} rows — the " +
+            s"broadcast coarse scan is capped at $maxExactRows; split the " +
+            "ingest batch or prune the corpus side with ivfBuild")
+        var bdim = 0
+        brows.foreach { case (_, q, _) =>
+          if (q.nonEmpty) {
+            if (bdim == 0) bdim = q.length
+            else if (q.length != bdim) throw new IllegalArgumentException(
+              s"mixed-dimension batch: int8 dot over $bdim- vs " +
+                s"${q.length}-component vectors would silently truncate")
+          }
+        }
+        val nb = brows.length
+        val ids = new Array[Long](nb)
+        val dens = new Array[Double](nb)
+        val buf = new Array[Byte](nb * math.max(bdim, 1))
+        var j = 0
+        brows.foreach { case (id, q, qs) =>
+          ids(j) = id
+          dens(j) = if (q.isEmpty) 0.0 else math.sqrt(qs.toDouble)
+          if (q.nonEmpty) System.arraycopy(q, 0, buf, j * bdim, bdim)
+          j += 1
+        }
+        val bc = sp.sparkContext.broadcast((ids, dens, buf, bdim))
+        cq.select(col("__cid").cast("long"), col("__cq"), col("__cn2"))
+          .as[(Long, Array[Byte], Long)]
+          .mapPartitions { it =>
+            val (bids, bdens, bbuf, bd) = bc.value
+            // kernel pick happens HERE, on the executor JVM that runs
+            // the loop — heterogeneous clusters degrade bit-identically
+            val useVector = kMode match {
+              case "scalar" => false
+              case "vector" =>
+                if (!QSide.vectorAvailable) throw new IllegalStateException(
+                  "spark.graft.neardup.kernel=vector but jdk.incubator.vector " +
+                    "is not loadable in this JVM — add --add-modules " +
+                    "jdk.incubator.vector, or use kernel=auto for scalar fallback")
+                true
+              case _ => QSide.vectorAvailable
+            }
+            it.flatMap { case (cid, cqv, cn2) =>
+              if (cqv.isEmpty || cn2 == 0L || bd == 0) Iterator.empty
+              else if (cqv.length != bd) throw new IllegalArgumentException(
+                s"mixed-dimension corpus vs batch: int8 dot over " +
+                  s"${cqv.length}- vs $bd-component vectors would silently truncate")
+              else {
+                // raw while + direct static kernel call: Iterator
+                // combinators here boxed every probe index and cost
+                // ~4× on the N·M wall (the KernelShapeBench lesson)
+                val cden = math.sqrt(cn2.toDouble)
+                val hits = Array.newBuilder[(Long, Long)]
+                var jj = 0
+                if (useVector) {
+                  while (jj < bids.length) {
+                    val dj = bdens(jj)
+                    if (dj != 0.0) {
+                      val c = VectorDotKernel.dotRange(cqv, 0, bbuf, jj * bd, bd)
+                      if (math.floor(c / (cden * dj) * 10000 + 0.5) / 10000.0 >= bound)
+                        hits += ((bids(jj), cid))
+                    }
+                    jj += 1
+                  }
+                } else {
+                  while (jj < bids.length) {
+                    val dj = bdens(jj)
+                    if (dj != 0.0) {
+                      val c = QSide.sdotRange(cqv, 0, bbuf, jj * bd, bd)
+                      if (math.floor(c / (cden * dj) * 10000 + 0.5) / 10000.0 >= bound)
+                        hits += ((bids(jj), cid))
+                    }
+                    jj += 1
+                  }
+                }
+                hits.result().iterator
+              }
+            }
+          }.toDF("__bid", "__cid")
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.increment.coarse must be kernel or expr, got '$other'")
+    }
     val bf = batch.select(col(idCol).as("__bid"), col(vecCol).as("__bv"))
     val cf = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
     val sims = admitted.join(broadcast(bf), "__bid").join(cf, "__cid")

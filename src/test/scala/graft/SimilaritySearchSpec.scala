@@ -369,6 +369,21 @@ class SimilaritySearchSpec extends AnyFunSuite {
     }
     assert(out(101L)._3 == "dup" && out(103L)._3 == "dup" && out(102L)._3 == "keep",
       s"planted copies must be dups, fresh must keep: $out")
+    // the flat-kernel coarse scan (default) and the BNLJ expression arm
+    // are bit-identical — the knob is scheduling, never semantics
+    spark.conf.set("spark.graft.increment.coarse", "expr")
+    try {
+      val outExpr = SimilaritySearch.incrementalNearDup(
+          corpus, batch, "id", "v", threshold = 0.9, margin = 0.05)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+      assert(outExpr == out, s"expr arm diverged: $outExpr vs $out")
+    } finally spark.conf.unset("spark.graft.increment.coarse")
+    // bad knob value fails loudly
+    spark.conf.set("spark.graft.increment.coarse", "bogus")
+    try intercept[IllegalArgumentException] {
+      SimilaritySearch.incrementalNearDup(corpus, batch, "id", "v", 0.9, 0.05)
+    } finally spark.conf.unset("spark.graft.increment.coarse")
   }
 
   test("quantizedTopK ranks the planted near-copy first and reranks exactly") {
