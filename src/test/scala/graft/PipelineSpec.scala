@@ -174,6 +174,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming ingest dedup grows its index across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.IngestStreaming
+    def doc(seed: String): String = (0 until 60).map(w => s"${seed}_$w").mkString(" ")
+    val corpus = Seq((1L, doc("c1")), (2L, doc("c2")), (3L, doc("c3")))
+      .toDF("id", "text")
+    val xNear = doc("x").split(" ").updated(7, "CHANGED").mkString(" ")
+    // the plant must be batch-detectable BEFORE the streaming run, so a
+    // failure below isolates to micro-batch/index-fold logic, not LSH luck
+    val probe = graft.operators.TextDedup.incrementalDedup(
+        Seq((100L, doc("x"))).toDF("id", "text"),
+        Seq((200L, xNear)).toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(probe(200L) == "near_dup", s"plant not batch-detectable: $probe")
+    // two micro-batches as two source files, written in arrival order
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val srcDir = s"$root/src"
+    // batch 1: fresh doc X (survivor-to-be) + exact copy of corpus doc 2
+    Seq((100L, doc("x")), (101L, doc("c2"))).toDF("id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Thread.sleep(1100) // file source orders batches by modification time
+    // batch 2: near-dup of batch-1 SURVIVOR X (not in the static corpus)
+    // + a fresh doc
+    Seq((200L, xNear), (201L, doc("z"))).toDF("id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = IngestStreaming.incrementalDedupStream(
+      corpus, stream, "id", "text", s"$root/status", s"$root/survivors")
+    try { q.processAllAvailable() } finally q.stop()
+    val st = spark.read.parquet(s"$root/status")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st.size == 4, s"one status per streamed doc: $st")
+    assert(st(100L) == "keep", s"fresh batch-1 doc must keep: $st")
+    assert(st(101L) == "exact_dup", s"copy of corpus doc must be exact: $st")
+    assert(st(200L) == "near_dup",
+      s"near-copy of a batch-1 SURVIVOR must be flagged (growing index): $st")
+    assert(st(201L) == "keep", s"fresh batch-2 doc must keep: $st")
+    val surv = spark.read.parquet(s"$root/survivors")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(100L, 201L), s"survivor fold must track keeps: $surv")
+  }
+
   test("embedding arrays round-trip through a parquet sink") {
     val out = java.nio.file.Files.createTempDirectory("graft_emb").toString
     val e = graft.engine.Tables.t(spark, dir, "embeddings")
