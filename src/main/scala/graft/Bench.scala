@@ -98,6 +98,11 @@ object Bench {
     // BenchProtocol.canarySeconds): canary_sec calibrates cross-round
     // ratios, canary_drift exposes intra-run band movement
     val canaryStart = guarded("canary(start)")(graft.tools.BenchProtocol.canarySeconds(spark))
+    // second canary AXIS: a fixed synthetic shuffle (bandwidth/IO probe,
+    // BenchProtocol.canaryShuffleSeconds) — attribution only, the CPU
+    // canary above stays the normalizer
+    val canaryShStart =
+      guarded("canary_shuffle(start)")(graft.tools.BenchProtocol.canaryShuffleSeconds(spark))
 
     // One warm-up + median-of-5 per query: the warm-up run materializes
     // the query's plan-keyed caches and codegen so the 5 measured
@@ -235,6 +240,13 @@ object Bench {
       if (canaryStart > 0 && canaryEnd > 0) (canaryStart + canaryEnd) / 2.0 else -1.0
     val canaryDrift =
       if (canaryStart > 0 && canaryEnd > 0) (canaryEnd - canaryStart) / canaryStart else 0.0
+    val canaryShEnd =
+      guarded("canary_shuffle(end)")(graft.tools.BenchProtocol.canaryShuffleSeconds(spark))
+    val canaryShuffle =
+      if (canaryShStart > 0 && canaryShEnd > 0) (canaryShStart + canaryShEnd) / 2.0 else -1.0
+    val canaryShuffleDrift =
+      if (canaryShStart > 0 && canaryShEnd > 0) (canaryShEnd - canaryShStart) / canaryShStart
+      else 0.0
     // canary-normalized cross-round ratios: raw ratio ÷ (this run's
     // canary / standing run's canary). A host-band shift inflates raw
     // ratios AND the canary ratio by the same factor; a real code
@@ -249,7 +261,7 @@ object Bench {
     }.getOrElse("{}")
     val extraConfJson = graft.tools.BenchProtocol.jsonEscape(extraConf)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"variance_trimmed":$varianceTrimmed%.3f,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"canary_shuffle_sec":$canaryShuffle%.3f,"canary_shuffle_drift":$canaryShuffleDrift%.3f,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"variance_trimmed":$varianceTrimmed%.3f,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // the same line to a stable file so the driver's parser never has to
     // fish it out of sbt log decorations

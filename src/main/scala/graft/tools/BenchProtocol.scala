@@ -135,6 +135,45 @@ object BenchProtocol {
     BenchProtocol.median(Seq.fill(samples)(once()))
   }
 
+  /** Rows of the BANDWIDTH canary's fixed shuffle — sized so one sample
+    * is ~1 s on an uncontended 32-thread host (like [[CanaryRows]]). */
+  val CanaryShuffleRows: Long = 25000000L
+
+  /** Second canary AXIS (round-13, from the r13 canary-table honest
+    * reading): the CPU canary is a pure compute probe — chained hashes,
+    * no shuffle, no disk — so it cannot see this host's OTHER contention
+    * axis, memory-bandwidth/IO (the additive-spike model of
+    * `results/tpc_sf1_r9/README`; shuffle-heavy queries like gr2/t19 are
+    * its usual victims while the CPU canary reads flat). This probe is a
+    * fixed synthetic SHUFFLE — a hash exchange of `rows` longs and the
+    * sum on the far side, no input data, nothing from this repository —
+    * so its wall time moves with shuffle write/read bandwidth and spill-
+    * path contention. `repartition(n, col)` is a REPARTITION_BY_NUM
+    * exchange, which AQE's partition coalescing never touches, so the
+    * probed shuffle shape is identical run to run.
+    *
+    * Role: attribution, not normalization. Cross-round ratios stay
+    * normalized by the CPU canary ([[canarySeconds]]); when a reading
+    * disagrees with its norm column, this canary's drift says whether
+    * the bandwidth axis was active (r13's standing-vs-prepanama reading
+    * needed exactly this and had to fall back to narrative). */
+  def canaryShuffleSeconds(spark: org.apache.spark.sql.SparkSession, samples: Int = 3,
+                           rows: Long = CanaryShuffleRows): Double = {
+    import org.apache.spark.sql.functions.{col, sum}
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      // sum(0..rows-1) = rows·(rows−1)/2 ≈ 2^49 at the default size —
+      // exact in Long, safe under ANSI (the lesson of canarySeconds)
+      spark.range(0L, rows, 1L, 32)
+        .repartition(64, col("id"))
+        .select(sum(col("id")))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm: codegen + shuffle-path JIT
+    BenchProtocol.median(Seq.fill(samples)(once()))
+  }
+
   /** Minimal JSON string escaping (quotes, backslashes, control chars) —
     * config values are interpolated into the one-line artifacts and must
     * never be able to break the driver-side parser. */

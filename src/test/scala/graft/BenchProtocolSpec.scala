@@ -114,6 +114,21 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(sec > 0.0, s"canarySeconds must return a positive wall time, got $sec")
   }
 
+  test("canaryShuffleSeconds runs end-to-end under default ANSI mode") {
+    // the bandwidth-axis probe: CALLS the real code path (fixed hash
+    // exchange + far-side sum) at a unit-test size; the sum of a range
+    // is exact in Long by construction, but this pins the whole shuffle
+    // pipeline green under the driver session's default ANSI
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val sec = BenchProtocol.canaryShuffleSeconds(spark, samples = 1, rows = 200000L)
+    assert(sec > 0.0, s"canaryShuffleSeconds must return a positive wall time, got $sec")
+  }
+
   test("jsonEscape neutralizes quotes, backslashes and control chars") {
     assert(BenchProtocol.jsonEscape("""a"b\c""") == """a\"b\\c""")
     assert(BenchProtocol.jsonEscape("x\ny") == "x\\u000ay")
