@@ -333,7 +333,12 @@ object Graph {
     var converged = false
     val jump = edges.sparkSession.conf
       .getOption("spark.graft.components.jump").forall(_.toBoolean)
+    // `spark.graft.components.roundLog=true`: per-round wall time +
+    // change count (same diagnostic contract as pagerank.roundLog)
+    val roundLog = edges.sparkSession.conf
+      .getOption("spark.graft.components.roundLog").contains("true")
     while (!converged && iter < maxIters) {
+      val t0 = System.nanoTime()
       // min label over neighbors (self-loop included). The self-loop row
       // (__a == __b) joins to the node's own current label, so
       // min-filtered on it == the PREVIOUS label — carried as __old in
@@ -366,6 +371,11 @@ object Graph {
         .agg(sum(when(col("__comp") < col("__old"), 1L).otherwise(0L)))
         .collect()(0)
       converged = changedRow.isNullAt(0) || changedRow.getLong(0) == 0L
+      if (roundLog) {
+        val changed = if (changedRow.isNullAt(0)) 0L else changedRow.getLong(0)
+        println(f"[graft] components round ${iter + 1}: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s, $changed changed")
+      }
       Checkpoints.free(prevCkpt)
       prevCkpt = next
       labels = next.select(col("__id"), col("__comp"))

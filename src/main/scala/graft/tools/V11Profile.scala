@@ -36,6 +36,14 @@ object V11Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same hook as Verify/Bench: e.g.
+    // SPARK_GRAFT_EXTRA_CONF="spark.graft.components.roundLog=true"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ =>
+      }
+    })
 
     val stageBytes = new ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
