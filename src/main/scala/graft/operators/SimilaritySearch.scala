@@ -360,6 +360,45 @@ object SimilaritySearch {
     IvfIndex(cents, assigned, idCol, vecCol)
   }
 
+  /** Assign NEW vectors to an EXISTING index's centroids — the
+    * between-rebuilds maintenance path of every production IVF
+    * deployment: ingest batches join the inverted index immediately
+    * (one broadcast of the k centroid rows, one map over the batch —
+    * cost ∝ batch, the corpus is never touched), and the coarse
+    * quantizer is re-trained by a periodic [[ivfBuild]] when drift
+    * accumulates. Returns (idCol, cluster, cos_sim) — the assigned
+    * cluster and the rounded cosine to its centroid. Ties break to the
+    * lower cluster index, exactly like the build's own assignment. */
+  def ivfAssign(index: IvfIndex, batch: DataFrame): DataFrame = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val bc = sp.sparkContext.broadcast(index.centroids)
+    batch.select(col(index.idCol).cast("long"), col(index.vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cs = bc.value
+        val c = nearestCentroid(cs, v)
+        val sim = dotDF(cs(c)._1, v) / (cs(c)._2 * normF(v))
+        (id, c.toLong, math.floor(sim * 10000 + 0.5) / 10000.0)
+      }
+      .toDF(index.idCol, "cluster", "cos_sim")
+  }
+
+  /** The growing-index fold: [[ivfAssign]]-shaped placement of `batch`
+    * into `index.assigned`, returning the index with the batch rows
+    * serving queries ([[ivfTopK]]) immediately. Centroids are unchanged
+    * by design — rebalancing is [[ivfBuild]]'s periodic job. */
+  def ivfAppend(index: IvfIndex, batch: DataFrame): IvfIndex = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val bc = sp.sparkContext.broadcast(index.centroids)
+    val placed = batch.select(col(index.idCol).cast("long"), col(index.vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, nearestCentroid(bc.value, v)) }
+      .toDF(index.idCol, index.vecCol, "cluster")
+    index.copy(assigned = index.assigned.unionByName(placed))
+  }
+
   /** ANN top-k against an IVF index: the query's `nprobe` closest
     * centroids are picked on the driver over k rows, candidates are
     * the vectors assigned to those clusters (~nprobe/k of the corpus),

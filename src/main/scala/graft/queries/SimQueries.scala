@@ -217,8 +217,12 @@ object SimQueries {
        |SELECT vec_id, FLOOR(dot / (n1 * n2) * 10000 + 0.5) / 10000 AS cos_sim
        |FROM rr ORDER BY cos_sim DESC, vec_id LIMIT $topK""".stripMargin
 
-  private def ivfBuildSql(
-      k: Int, iters: Int, nprobe: Int, dim: Int): String = {
+  /** The centroid-build prefix of [[ivfBuildSql]]: `d` (optionally
+    * filtered — how v13 builds the index over the CORPUS split only),
+    * seeding, `iters` unrolled fixed-point Lloyd rounds, ending in
+    * `cents$iters`/`cnorm$iters` + `finalassign`. */
+  private def ivfCentroidSql(
+      k: Int, iters: Int, dim: Int, dWhere: String = ""): String = {
     // cosine argmax of every vector against centroid set `cents$idx`
     def assignCte(name: String, idx: Int): String =
       s"""$name AS (SELECT vec_id, c AS cluster FROM (
@@ -239,7 +243,7 @@ object SimQueries {
          |cents$j AS (SELECT p.c, p.i, COALESCE(s.m, p.comp) AS comp
          |  FROM cents${j - 1} p LEFT JOIN sums$j s ON s.c = p.c AND s.i = p.i),
          |cnorm$j AS (SELECT c, SQRT(SUM(comp*comp)) AS nrm FROM cents$j GROUP BY c)""".stripMargin
-    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings$dWhere),
        |vnorm AS (SELECT vec_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
        |          FROM d, generate_series(1, $dim) t(i) GROUP BY vec_id),
        |cnt AS (SELECT COUNT(*) AS n FROM d),
@@ -253,7 +257,12 @@ object SimQueries {
        |    generate_series(1, $dim) t(i)),
        |cnorm0 AS (SELECT c, SQRT(SUM(comp*comp)) AS nrm FROM cents0 GROUP BY c),
        |${(1 to iters).map(iterCtes).mkString(",\n")},
-       |${assignCte("finalassign", iters)},
+       |${assignCte("finalassign", iters)}""".stripMargin
+  }
+
+  private def ivfBuildSql(
+      k: Int, iters: Int, nprobe: Int, dim: Int): String =
+    s"""${ivfCentroidSql(k, iters, dim)},
        |qsim AS (SELECT cc.c, SUM(q.ve[cc.i] * cc.comp) / (cn.nrm * qn.nrm) AS sim
        |         FROM d q, cents$iters cc, cnorm$iters cn, vnorm qn
        |         WHERE q.vec_id = 0 AND qn.vec_id = 0 AND cn.c = cc.c
@@ -263,7 +272,6 @@ object SimQueries {
        |  WHERE rn <= $nprobe),
        |cand AS (SELECT a.vec_id, a.cluster FROM finalassign a
        |         WHERE a.vec_id <> 0 AND a.cluster IN (SELECT c FROM probed))""".stripMargin
-  }
 
   /** ANN via IVF-flat: a coarse quantizer (k=16 centroids, Lloyd-refined)
     * maps every vector to its nearest-centroid cluster; a query probes
@@ -553,7 +561,47 @@ object SimQueries {
       .orderBy("vec_id")
   }
 
+  /** Incremental IVF index maintenance — the third leg of the
+    * incremental trilogy (t26 text, v12 embedding dedup, v13 index):
+    * newly-ingested vectors (vec_id % 7 = 4) are assigned to the
+    * centroids of an index built over the CORPUS split only — the
+    * between-rebuilds path every production IVF deployment runs (one
+    * broadcast of k centroid rows, one map over the batch; the corpus
+    * is never touched, re-training is [[ivfBuild]]'s periodic job).
+    * Output per batch vector: assigned cluster + rounded cosine to its
+    * centroid. Oracle replays the corpus-only build (portable md5
+    * seeding, 3 fixed-point Lloyd rounds) and the batch assignment
+    * argmax verbatim. Library surface:
+    * [[graft.operators.SimilaritySearch.ivfAssign]] /
+    * [[graft.operators.SimilaritySearch.ivfAppend]]. */
+  val incrementalIvfAssign: Q = Q(
+    "v13_incremental_ivf_assign",
+    s"""${ivfCentroidSql(16, 3, 64, " WHERE vec_id % 7 <> 4")},
+      |db AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+      |       FROM embeddings WHERE vec_id % 7 = 4),
+      |bnorm AS (SELECT vec_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
+      |          FROM db, generate_series(1, 64) t(i) GROUP BY vec_id),
+      |bsim AS (SELECT b.vec_id, cc.c, SUM(b.ve[cc.i] * cc.comp) / (cn.nrm * bn.nrm) AS sim
+      |         FROM db b, cents3 cc, cnorm3 cn, bnorm bn
+      |         WHERE cn.c = cc.c AND bn.vec_id = b.vec_id
+      |         GROUP BY b.vec_id, cc.c, cn.nrm, bn.nrm),
+      |ba AS (SELECT vec_id, c AS cluster, sim FROM (
+      |    SELECT vec_id, c, sim,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+      |    FROM bsim) r WHERE rn = 1)
+      |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+      |  FLOOR(sim * 10000 + 0.5) / 10000 AS cos_sim
+      |FROM ba ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val idx = graft.operators.SimilaritySearch.ivfBuild(
+      e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
+      k = 16, lloydIters = 3, portableSeeds = true)
+    graft.operators.SimilaritySearch
+      .ivfAssign(idx, e.filter(col("vec_id") % 7 === 4))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup, annIvf, quantize,
     quantizedAnn, quantizedNearDup, annIvfQuantized, clusterSample,
-    embeddingDedup, incrementalEmbeddingDedup)
+    embeddingDedup, incrementalEmbeddingDedup, incrementalIvfAssign)
 }

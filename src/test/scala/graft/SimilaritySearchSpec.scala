@@ -386,6 +386,39 @@ class SimilaritySearchSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.increment.coarse")
   }
 
+  test("ivfAssign/ivfAppend place new vectors on the existing centroids") {
+    import spark.implicits._
+    val corpus = (1L to 60L).map(i => (i, vec(i))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 4, lloydIters = 2)
+    val batch = Seq((200L, vec(200L)), (201L, vec(201L)),
+      (202L, jitter(vec(999L), 0.01f))).toDF("id", "v")
+    val placed = SimilaritySearch.ivfAssign(idx, batch)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(placed.size == 3)
+    // brute-force agreement with the index's own (public) centroids:
+    // argmax cosine, ties to the lower cluster — and the reported
+    // cosine is the r4-rounded score against exactly that centroid
+    def cos(c: Array[Double], n: Double, v: Array[Float]): Double = {
+      val d = c.zip(v).map { case (x, y) => x * y.toDouble }.sum
+      d / (n * math.sqrt(v.map(x => x.toDouble * x).sum))
+    }
+    for ((id, bv) <- Seq(200L -> vec(200L), 201L -> vec(201L),
+        202L -> jitter(vec(999L), 0.01f))) {
+      val sims = idx.centroids.map { case (c, n) => cos(c, n, bv) }
+      val expect = sims.indexOf(sims.max).toLong
+      assert(placed(id)._1 == expect, s"$id placed ${placed(id)._1}, brute $expect")
+      assert(placed(id)._2 ==
+        math.floor(sims.max * 10000 + 0.5) / 10000.0, s"$id cos_sim")
+    }
+    // append: batch rows serve queries through the SAME index immediately
+    val grown = SimilaritySearch.ivfAppend(idx, batch)
+    assert(grown.assigned.count() == 63)
+    val hit = SimilaritySearch.ivfTopK(grown, vec(999L), topK = 1, nprobe = 4)
+      .collect().head
+    assert(hit.getLong(0) == 202L,
+      s"appended near-copy must be retrievable, got ${hit.getLong(0)}")
+  }
+
   test("quantizedTopK ranks the planted near-copy first and reranks exactly") {
     import spark.implicits._
     val q = vec(4242L)
