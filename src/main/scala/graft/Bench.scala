@@ -46,7 +46,12 @@ object Bench {
     // pairwise-near-dup paths (integer coarse scoring + exact
     // rerank/verify). v9 (IVF-SQ8) stays off-headline like v5: the
     // per-invocation Lloyd build would dominate its reading.
-    "gr2_triangle_count", "v7_quantized_ann", "v8_quantized_neardup")
+    "gr2_triangle_count", "v7_quantized_ann", "v8_quantized_neardup",
+    // round-13 additions (totals after r13 cover 36 queries): the
+    // incremental-ingest trilogy — delta-vs-corpus text dedup, the
+    // flat-kernel embedding twin, and IVF assignment without rebuild
+    "t26_incremental_dedup", "v12_incremental_embedding_dedup",
+    "v13_incremental_ivf_assign")
 
   def main(args: Array[String]): Unit = {
     // optional arg: comma-separated query names for a focused local
