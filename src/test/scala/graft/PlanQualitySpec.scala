@@ -124,6 +124,25 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental trilogy plan shapes: no cartesian; v12 coarse is the flat kernel") {
+    // t26's band join and exact-hash semi join are equi-joins; v13's
+    // assignment is a broadcast-of-centroids map — none of the trilogy
+    // may degrade to a cartesian. v12's DEFAULT coarse scan must be the
+    // mapPartitions flat kernel, NOT the BNLJ expression arm (the 4x
+    // wall measured in results/v12_sf10_*_r13.json) — a BNLJ in the
+    // default plan means the knob default regressed.
+    for (name <- Seq("t26_incremental_dedup", "v13_incremental_ivf_assign")) {
+      val nodes = finalPlan(name)
+      assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$name contains a cartesian product")
+    }
+    val v12 = finalPlan("v12_incremental_embedding_dedup")
+    assert(!v12.exists(_.isInstanceOf[CartesianProductExec]),
+      "v12 contains a cartesian product")
+    assert(!v12.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "v12's default coarse scan must be the flat kernel, not the BNLJ expr arm")
+  }
+
   test("t8 builds posting lists with the capped aggregate, never raw collect_list") {
     // the hot-shingle guard: the inverted index must aggregate through
     // CappedLongCollectList (O(cap) buffer per key, over-cap keys
