@@ -1013,7 +1013,23 @@ object SimilaritySearch {
     }
     val bf = batch.select(col(idCol).as("__bid"), col(vecCol).as("__bv"))
     val cf = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
-    val sims = admitted.join(broadcast(bf), "__bid").join(cf, "__cid")
+    // verify-stage fetch policy shared with exactVerify (same knob, same
+    // rationale): broadcasting the corpus float side deletes the
+    // admitted-pair exchanges — candidates stay where the coarse scan
+    // produced them and resolve their float lookups locally
+    val verifyMode = sp.conf.getOption("spark.graft.neardup.verify").getOrElse("auto")
+    val maxBcRows = sp.conf
+      .getOption("spark.graft.neardup.verify.broadcastMaxRows")
+      .map(_.toLong).getOrElse(maxExactRows)
+    val bcCorpus = verifyMode match {
+      case "broadcast" => true
+      case "shuffle" => false
+      case "auto" => corpus.select(col(idCol)).count() <= maxBcRows
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.neardup.verify must be auto, broadcast or shuffle, got '$other'")
+    }
+    val cfj = if (bcCorpus) broadcast(cf) else cf
+    val sims = admitted.join(broadcast(bf), "__bid").join(cfj, "__cid")
       .select(col("__bid"),
         r4(VectorFunctions.dot(col("__cv"), col("__bv")) /
           (VectorFunctions.norm(col("__cv")) * VectorFunctions.norm(col("__bv"))))

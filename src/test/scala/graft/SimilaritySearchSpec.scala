@@ -384,6 +384,18 @@ class SimilaritySearchSpec extends AnyFunSuite {
     try intercept[IllegalArgumentException] {
       SimilaritySearch.incrementalNearDup(corpus, batch, "id", "v", 0.9, 0.05)
     } finally spark.conf.unset("spark.graft.increment.coarse")
+    // the verify-stage corpus fetch (shared exactVerify knob) is a join
+    // strategy, never a semantics: all three modes emit identical rows
+    for (mode <- Seq("broadcast", "shuffle")) {
+      spark.conf.set("spark.graft.neardup.verify", mode)
+      try {
+        val m = SimilaritySearch.incrementalNearDup(
+            corpus, batch, "id", "v", threshold = 0.9, margin = 0.05)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+        assert(m == out, s"verify=$mode diverged: $m vs $out")
+      } finally spark.conf.unset("spark.graft.neardup.verify")
+    }
   }
 
   test("ivfAssign/ivfAppend place new vectors on the existing centroids") {
