@@ -368,7 +368,12 @@ object SimilaritySearch {
     * quantizer is re-trained by a periodic [[ivfBuild]] when drift
     * accumulates. Returns (idCol, cluster, cos_sim) — the assigned
     * cluster and the rounded cosine to its centroid. Ties break to the
-    * lower cluster index, exactly like the build's own assignment. */
+    * lower cluster index, exactly like the build's own assignment.
+    * Degenerate (zero/empty) vectors — whose cosine to every centroid
+    * is NaN — place in cluster −1 with cos_sim −1.0, matching where
+    * [[ivfBuild]]/[[ivfAppend]] put such rows (nearestCentroid −1) and
+    * the exact kernels' drop policy; cluster −1 is never probed, so
+    * they match nothing. */
   def ivfAssign(index: IvfIndex, batch: DataFrame): DataFrame = {
     val sp = batch.sparkSession
     import sp.implicits._
@@ -378,8 +383,11 @@ object SimilaritySearch {
       .map { case (id, v) =>
         val cs = bc.value
         val c = nearestCentroid(cs, v)
-        val sim = dotDF(cs(c)._1, v) / (cs(c)._2 * normF(v))
-        (id, c.toLong, math.floor(sim * 10000 + 0.5) / 10000.0)
+        if (c < 0) (id, -1L, -1.0)
+        else {
+          val sim = dotDF(cs(c)._1, v) / (cs(c)._2 * normF(v))
+          (id, c.toLong, math.floor(sim * 10000 + 0.5) / 10000.0)
+        }
       }
       .toDF(index.idCol, "cluster", "cos_sim")
   }
@@ -894,7 +902,8 @@ object SimilaritySearch {
       idCol: String,
       vecCol: String,
       threshold: Double = 0.45,
-      margin: Double = 0.05): DataFrame = {
+      margin: Double = 0.05,
+      corpusSizeHint: Long = -1L): DataFrame = {
     implicit val sp: SparkSession = corpus.sparkSession
     require(margin >= 0.0,
       s"margin must be >= 0, got $margin — a negative margin would raise the " +
@@ -926,14 +935,18 @@ object SimilaritySearch {
       case "kernel" =>
         import sp.implicits._
         val kMode = resolveKernelMode(sp)
-        // O(batch) driver fetch, the same bytes the expr arm broadcasts
-        // through the BNLJ — loudly capped like every exact arm
-        val brows = bq.select(col("__bid").cast("long"), col("__qq"), col("__qs"))
-          .as[(Long, Array[Byte], Long)].collect()
-        require(brows.length <= maxExactRows,
-          s"incrementalNearDup batch has ${brows.length} rows — the " +
+        // cap check BEFORE the collect — a cheap count must refuse an
+        // over-size batch while the driver is still healthy, not after
+        // the full quantized fetch has already OOM'd it
+        val nBatch = batch.select(col(idCol)).count()
+        require(nBatch <= maxExactRows,
+          s"incrementalNearDup batch has $nBatch rows — the " +
             s"broadcast coarse scan is capped at $maxExactRows; split the " +
             "ingest batch or prune the corpus side with ivfBuild")
+        // O(batch) driver fetch, the same bytes the expr arm broadcasts
+        // through the BNLJ
+        val brows = bq.select(col("__bid").cast("long"), col("__qq"), col("__qs"))
+          .as[(Long, Array[Byte], Long)].collect()
         var bdim = 0
         brows.foreach { case (_, q, _) =>
           if (q.nonEmpty) {
@@ -961,16 +974,7 @@ object SimilaritySearch {
             val (bids, bdens, bbuf, bd) = bc.value
             // kernel pick happens HERE, on the executor JVM that runs
             // the loop — heterogeneous clusters degrade bit-identically
-            val useVector = kMode match {
-              case "scalar" => false
-              case "vector" =>
-                if (!QSide.vectorAvailable) throw new IllegalStateException(
-                  "spark.graft.neardup.kernel=vector but jdk.incubator.vector " +
-                    "is not loadable in this JVM — add --add-modules " +
-                    "jdk.incubator.vector, or use kernel=auto for scalar fallback")
-                true
-              case _ => QSide.vectorAvailable
-            }
+            val useVector = resolveUseVector(kMode)
             it.flatMap { case (cid, cqv, cn2) =>
               if (cqv.isEmpty || cn2 == 0L || bd == 0) Iterator.empty
               else if (cqv.length != bd) throw new IllegalArgumentException(
@@ -1024,7 +1028,14 @@ object SimilaritySearch {
     val bcCorpus = verifyMode match {
       case "broadcast" => true
       case "shuffle" => false
-      case "auto" => corpus.select(col(idCol)).count() <= maxBcRows
+      case "auto" =>
+        // per-batch ingest hot path: callers statusing many batches
+        // against one standing corpus pass corpusSizeHint once instead
+        // of paying a corpus count per call (same escape hatch as
+        // exactVerify's sizeHint)
+        val n = if (corpusSizeHint >= 0) corpusSizeHint
+                else corpus.select(col(idCol)).count()
+        n <= maxBcRows
       case other => throw new IllegalArgumentException(
         s"spark.graft.neardup.verify must be auto, broadcast or shuffle, got '$other'")
     }
@@ -1325,15 +1336,21 @@ object SimilaritySearch {
     * loudly on a module-less JVM. */
   private def pickRule(
       mode: String, scalar: => PairRule, vector: => PairRule): PairRule =
+    if (resolveUseVector(mode)) vector else scalar
+
+  /** The ONE executor-side scalar/vector resolution (shared by
+    * [[pickRule]] and the incremental coarse scan, so the knob
+    * semantics and the loud-failure message can never diverge). */
+  private def resolveUseVector(mode: String): Boolean =
     mode match {
-      case "scalar" => scalar
+      case "scalar" => false
       case "vector" =>
         if (!QSide.vectorAvailable) throw new IllegalStateException(
           "spark.graft.neardup.kernel=vector but jdk.incubator.vector is " +
             "not loadable in this JVM — add --add-modules " +
             "jdk.incubator.vector, or use kernel=auto for scalar fallback")
-        vector
-      case _ => if (QSide.vectorAvailable) vector else scalar
+        true
+      case _ => QSide.vectorAvailable
     }
 
   private[graft] object QSide {

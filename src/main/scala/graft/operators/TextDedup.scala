@@ -88,6 +88,21 @@ object TextDedup {
         (1 until k).map(i => min(affine(i)).as(s"__h$i")): _*)
   }
 
+  /** (__id, __b, __bk) band keys over an [[affineSignatures]] frame —
+    * ONE band-hash formulation shared by [[minhashPairs]] and
+    * [[incrementalDedup]] so bucketing can never diverge between the
+    * pairwise and incremental paths. */
+  private def bandKeys(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct((b * r until (b + 1) * r).map(i => col(s"__h$i")): _*).as(s"__band$b")
+    }
+    sig.select(col("__id") +: bandCols: _*)
+      .select(col("__id"), posexplode(array(
+        (0 until bands).map(b => xxhash64(lit(b), col(s"__band$b"))): _*))
+        .as(Seq("__b", "__bk")))
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs: (idA, idB, estJaccard)
     * with idA < idB and estimated Jaccard ≥ `threshold`.
     *
@@ -116,13 +131,7 @@ object TextDedup {
     val sig = affineSignatures(df, idCol, textCol, k, shingleSize, maxShingles)
 
     // banded blocking: candidates share at least one full band
-    val r = k / bands
-    val bandCols = (0 until bands).map { b =>
-      struct((b * r until (b + 1) * r).map(i => col(s"__h$i")): _*).as(s"__band$b")
-    }
-    val banded = sig.select(col("__id") +: bandCols: _*)
-    val bandKv = banded.select(col("__id"), posexplode(array(
-      (0 until bands).map(b => xxhash64(lit(b), col(s"__band$b"))): _*)).as(Seq("__b", "__bk")))
+    val bandKv = bandKeys(sig, k, bands)
     val lhs = bandKv.select(col("__b"), col("__bk"), col("__id").as("__a"))
     val rhs = bandKv.select(col("__b").as("__b2"), col("__bk").as("__bk2"), col("__id").as("__bId"))
     val cand = lhs.join(rhs,
@@ -179,14 +188,11 @@ object TextDedup {
 
     val bSig = affineSignatures(batch, idCol, textCol, k, shingleSize, maxShingles)
     val cSig = affineSignatures(corpus, idCol, textCol, k, shingleSize, maxShingles)
-    val r = k / bands
-    def bandKv(sig: DataFrame): DataFrame =
-      sig.select(col("__id"), posexplode(array((0 until bands).map { b =>
-        xxhash64(lit(b) +: (b * r until (b + 1) * r).map(i => col(s"__h$i")): _*)
-      }: _*)).as(Seq("__b", "__bk")))
-    val cand = bandKv(bSig).select(col("__b"), col("__bk"), col("__id").as("__bid"))
-      .join(bandKv(cSig).select(col("__b").as("__b2"), col("__bk").as("__bk2"),
-          col("__id").as("__cid")),
+    val cand = bandKeys(bSig, k, bands)
+      .select(col("__b"), col("__bk"), col("__id").as("__bid"))
+      .join(bandKeys(cSig, k, bands)
+          .select(col("__b").as("__b2"), col("__bk").as("__bk2"),
+            col("__id").as("__cid")),
         col("__b") === col("__b2") && col("__bk") === col("__bk2"))
       .select(col("__bid"), col("__cid")).distinct()
     val sa = bSig.select(col("__id").as("__bid") +:

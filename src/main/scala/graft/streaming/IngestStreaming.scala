@@ -34,12 +34,25 @@ import graft.operators.TextDedup
 object IngestStreaming {
 
   /** Start the ingest-dedup query. `stream` is a streaming (idCol,
-    * textCol, …) frame; statuses (idCol, status) append to `statusDir`
-    * as parquet, accepted (idCol, textCol) rows append to
-    * `survivorsDir`, and the stream checkpoints under
-    * `statusDir/_checkpoint`. Returns the started query — callers drive
-    * it (`processAllAvailable()` in tests, awaitTermination in a real
-    * ingest). */
+    * textCol, …) frame; statuses (idCol, status) land under
+    * `statusDir/batch=<id>`, accepted (idCol, textCol) rows under
+    * `survivorsDir/__ingest_batch=<id>` (both hive-style partition
+    * trees — read either ROOT to get everything), and the stream
+    * checkpoints under `statusDir/_checkpoint`. Returns the started
+    * query — callers drive it (`processAllAvailable()` in tests,
+    * awaitTermination in a real ingest).
+    *
+    * ==Restart semantics: per-batch idempotent writes==
+    * foreachBatch may REPLAY a micro-batch whose sink writes completed
+    * but whose checkpoint commit did not. Both writes here are
+    * `overwrite` into a subdirectory keyed by the batchId (the
+    * documented idempotence recipe), so a replay rewrites its own
+    * output instead of appending duplicates — and the index read
+    * EXCLUDES the current batchId's survivors, so a replayed batch is
+    * judged against exactly the index its first attempt saw (its own
+    * half-committed keeps can never flag it as a duplicate of itself).
+    * Paths go through the Hadoop FileSystem API, never `java.io.File`,
+    * so object-store/HDFS survivor dirs grow the index too. */
   def incrementalDedupStream(
       corpus: DataFrame,
       stream: DataFrame,
@@ -52,21 +65,33 @@ object IngestStreaming {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$statusDir/_checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val survPath = new org.apache.hadoop.fs.Path(survivorsDir)
+        val fs = survPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val index =
-          if (new java.io.File(survivorsDir).exists())
-            base.union(
-              spark.read.parquet(survivorsDir).select(col(idCol), col(textCol)))
+          if (fs.exists(survPath))
+            try base.union(
+              spark.read.parquet(survivorsDir)
+                .filter(col("__ingest_batch") =!= batchId)
+                .select(col(idCol), col(textCol)))
+            catch {
+              // a crash between mkdir and the first commit leaves only
+              // _temporary files (all underscore-ignored) → schema
+              // inference fails; no batch ever COMMITTED survivors, so
+              // base-only is exactly the index the first attempt saw
+              case _: org.apache.spark.sql.AnalysisException => base
+            }
           else base
         val statuses = TextDedup
           .incrementalDedup(index, batch, idCol, textCol)
           .persist() // two consumers below; freed before the batch commits
-        statuses.write.mode("append").parquet(statusDir)
+        statuses.write.mode("overwrite").parquet(s"$statusDir/batch=$batchId")
         batch
           .join(statuses.filter(col("status") === "keep").select(col(idCol)),
             Seq(idCol), "left_semi")
           .select(col(idCol), col(textCol))
-          .write.mode("append").parquet(survivorsDir)
+          .write.mode("overwrite")
+          .parquet(s"$survivorsDir/__ingest_batch=$batchId")
         statuses.unpersist(blocking = false)
         ()
       }

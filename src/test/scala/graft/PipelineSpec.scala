@@ -206,7 +206,7 @@ class PipelineSpec extends AnyFunSuite {
     val q = IngestStreaming.incrementalDedupStream(
       corpus, stream, "id", "text", s"$root/status", s"$root/survivors")
     try { q.processAllAvailable() } finally q.stop()
-    val st = spark.read.parquet(s"$root/status")
+    val st = spark.read.parquet(s"$root/status").select("id", "status")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(st.size == 4, s"one status per streamed doc: $st")
     assert(st(100L) == "keep", s"fresh batch-1 doc must keep: $st")

@@ -422,6 +422,13 @@ class SimilaritySearchSpec extends AnyFunSuite {
       assert(placed(id)._2 ==
         math.floor(sims.max * 10000 + 0.5) / 10000.0, s"$id cos_sim")
     }
+    // degenerate (zero/empty) vectors place in cluster -1, never crash
+    val degen = Seq((300L, Array.fill(dim)(0f)), (301L, Array.empty[Float]))
+      .toDF("id", "v")
+    val dp = SimilaritySearch.ivfAssign(idx, degen).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(dp == Map(300L -> ((-1L, -1.0)), 301L -> ((-1L, -1.0))),
+      s"degenerates must place in cluster -1: $dp")
     // append: batch rows serve queries through the SAME index immediately
     val grown = SimilaritySearch.ivfAppend(idx, batch)
     assert(grown.assigned.count() == 63)
