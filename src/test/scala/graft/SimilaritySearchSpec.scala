@@ -422,6 +422,13 @@ class SimilaritySearchSpec extends AnyFunSuite {
       assert(placed(id)._2 ==
         math.floor(sims.max * 10000 + 0.5) / 10000.0, s"$id cos_sim")
     }
+    // consistency: re-assigning the CORPUS through ivfAssign reproduces
+    // the build's own assignment exactly (same argmax, same tie-break)
+    val own = idx.assigned.select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val re = SimilaritySearch.ivfAssign(idx, corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == own, "ivfAssign must reproduce the build's own placement")
     // degenerate (zero/empty) vectors place in cluster -1, never crash
     val degen = Seq((300L, Array.fill(dim)(0f)), (301L, Array.empty[Float]))
       .toDF("id", "v")

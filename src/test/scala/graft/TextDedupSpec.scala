@@ -61,6 +61,38 @@ class TextDedupSpec extends AnyFunSuite {
     assert(st2 == Map(200L -> "keep", 201L -> "keep"), s"got $st2")
   }
 
+  test("incrementalDedup near tier == minhashPairs cross-split pairs (shared machinery)") {
+    import spark.implicits._
+    // both paths now share affineSignatures + bandKeys, so the batch ids
+    // the near tier flags must be EXACTLY the batch endpoints of
+    // minhashPairs(corpus ∪ batch) pairs that cross the split (ignoring
+    // exact dups, which take precedence) — a drift in either path's
+    // signature/banding breaks this equality
+    val corpus = (0 until 25).map { i =>
+      (i.toLong, (0 until 40).map(w => s"c${i}_$w").mkString(" "))
+    }
+    val batch = (0 until 25).map { i =>
+      // a mix: near-copies of corpus docs (1 word changed), fresh docs
+      if (i % 3 == 0)
+        (100L + i, corpus(i)._2.split(" ").updated(11, "EDIT").mkString(" "))
+      else (100L + i, (0 until 40).map(w => s"b${i}_$w").mkString(" "))
+    }
+    val corpusDf = corpus.toDF("id", "text")
+    val batchDf = batch.toDF("id", "text")
+    val flagged = TextDedup.incrementalDedup(corpusDf, batchDf, "id", "text")
+      .filter(col("status") === "near_dup")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val crossPairs = TextDedup.minhashPairs(
+        corpusDf.union(batchDf), "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a < 100) != (b < 100) } // split-crossing only
+      .map { case (a, b) => math.max(a, b) } // the batch endpoint
+      .toSet
+    assert(flagged == crossPairs,
+      s"near tier diverged from the pairwise machinery: $flagged vs $crossPairs")
+    assert(flagged.nonEmpty, "fixture must plant at least one cross-split near-dup")
+  }
+
   test("minhashPairs() finds planted near-duplicates with high recall") {
     import spark.implicits._
     // plant: 20 base docs, each with a near-duplicate (one word changed
