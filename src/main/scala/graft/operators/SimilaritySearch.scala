@@ -44,10 +44,14 @@ object SimilaritySearch {
     implicit val sp: SparkSession = corpus.sparkSession
     val q = query.select(col(queryVecCol).as("__qe"),
       VectorFunctions.norm(col(queryVecCol)).as("__qn"))
+    // NULL on a zero denominator: ANSI double division raises
+    // DIVIDE_BY_ZERO (see coarseCos); a degenerate row/query has no
+    // cosine, and NULL drops/sorts-last everywhere downstream
+    val den = VectorFunctions.norm(col(vecCol)) * col("__qn")
     corpus.crossJoin(broadcast(q))
       .select(col(idCol),
-        r4(VectorFunctions.dot(col(vecCol), col("__qe")) /
-          (VectorFunctions.norm(col(vecCol)) * col("__qn"))).as("cos_sim"))
+        when(den =!= 0.0,
+          r4(VectorFunctions.dot(col(vecCol), col("__qe")) / den)).as("cos_sim"))
   }
 
   /** Exact brute-force cosine top-k: the correctness baseline for ANN.
@@ -176,9 +180,17 @@ object SimilaritySearch {
     * `Int8Dot(__cq, __cq)` by the on-the-fly forms, read from the
     * materialized `qnorm2` column by the indexed form — identical
     * longs, identical doubles. */
-  private def coarseCos(selfDot: Column)(implicit sp: SparkSession): Column =
-    r4(VectorFunctions.int8Dot(col("__cq"), col("__qq")).cast("double") /
-      (sqrt(selfDot.cast("double")) * sqrt(col("__qs").cast("double"))))
+  private def coarseCos(selfDot: Column)(implicit sp: SparkSession): Column = {
+    val den = sqrt(selfDot.cast("double")) * sqrt(col("__qs").cast("double"))
+    // Spark 4's default ANSI mode raises DIVIDE_BY_ZERO even for DOUBLE
+    // division, so a zero (degenerate) vector would crash the whole scan
+    // (found by the generative kernel-vs-expr identity property). A zero
+    // vector has no cosine: score it NULL — NULL drops through every
+    // `>= threshold` admission filter and sorts LAST in every
+    // descending rank, the same drop policy as the exact kernels' NaN.
+    when(den =!= 0.0,
+      r4(VectorFunctions.int8Dot(col("__cq"), col("__qq")).cast("double") / den))
+  }
 
   /** The on-the-fly flavor of [[coarseCos]]. */
   private def coarseCosSelf(implicit sp: SparkSession): Column =

@@ -576,6 +576,43 @@ class SimilaritySearchSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.neardup.verify")
   }
 
+  test("property: incrementalNearDup kernel and expr arms are identical on random geometry") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // the flat-kernel coarse scan has hand-written offsets/loops where
+    // an off-by-one hides from structured fixtures; random corpora with
+    // mixed magnitudes, zero vectors, and ODD dims (SIMD tail shapes)
+    // pin the kernel == expr identity generatively
+    val compGen: Gen[Float] = Gen.frequency(
+      (8, Gen.chooseNum(-1.0, 1.0).map(_.toFloat)),
+      (1, Gen.chooseNum(-1.0, 1.0).map(x => (x * 1e6).toFloat)),
+      (2, Gen.const(0f)))
+    for (seed <- 1 to 8) {
+      val dimP = 7 + seed * 3 // 10..31: crosses the 16/32-lane boundaries
+      val vecGen: Gen[Array[Float]] = Gen.frequency(
+        (10, Gen.listOfN(dimP, compGen).map(_.toArray)),
+        (1, Gen.const(Array.fill(dimP)(0f))))
+      val g = for {
+        nc <- Gen.chooseNum(8, 20); nb <- Gen.chooseNum(3, 10)
+        cs <- Gen.listOfN(nc, vecGen); bs <- Gen.listOfN(nb, vecGen)
+        th <- Gen.chooseNum(0.2, 0.9)
+      } yield (cs, bs, th)
+      val (cs, bs0, th) = g.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val bs = bs0 :+ jitter(cs.head, 1e-4f) // plant one likely dup
+      val corpus = cs.indices.map(i => (i.toLong, cs(i))).toDF("id", "v")
+      val batch = bs.indices.map(i => (100L + i, bs(i))).toDF("id", "v")
+      def run(): Map[Long, (Long, Double, String)] =
+        SimilaritySearch.incrementalNearDup(corpus, batch, "id", "v", th, 0.05)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+      val kernel = run()
+      spark.conf.set("spark.graft.increment.coarse", "expr")
+      val expr = try run() finally spark.conf.unset("spark.graft.increment.coarse")
+      assert(kernel == expr, s"seed=$seed dim=$dimP th=$th: $kernel vs $expr")
+    }
+  }
+
   test("property: certified and margin admission are supersets of the exact pairs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
