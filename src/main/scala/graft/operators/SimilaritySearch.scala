@@ -481,6 +481,11 @@ object SimilaritySearch {
       nprobe: Int,
       filter: Column): DataFrame = {
     val qn = normF(query)
+    // a zero/empty query has no cosine to any centroid: the NaN sims
+    // would pick arbitrary probes and the downstream rerank division
+    // would raise ANSI DIVIDE_BY_ZERO — refuse loudly instead
+    require(qn > 0,
+      "IVF query vector must be non-degenerate (zero/empty has no cosine)")
     val probe = index.centroids.zipWithIndex
       .map { case ((cv, cn), ci) => (dotDF(cv, query) / (cn * qn), ci) }
       .sortBy { case (sim, ci) => (-sim, ci) }

@@ -436,6 +436,11 @@ class SimilaritySearchSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(dp == Map(300L -> ((-1L, -1.0)), 301L -> ((-1L, -1.0))),
       s"degenerates must place in cluster -1: $dp")
+    // a degenerate QUERY is refused loudly (NaN probe picks + ANSI
+    // divide-by-zero rerank otherwise)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfTopK(idx, Array.fill(dim)(0f), topK = 1)
+    }
     // append: batch rows serve queries through the SAME index immediately
     val grown = SimilaritySearch.ivfAppend(idx, batch)
     assert(grown.assigned.count() == 63)
