@@ -117,8 +117,9 @@ object Bench {
     // outlier entirely. All per-sample wall times and per-query GC time
     // are emitted so a contended run is adjudicable from the artifact
     // alone (round 5's 2.8x paper regression was unattributable without
-    // them). Queries whose relative spread still exceeds 1.0 after 5
-    // samples get 2 escalation samples.
+    // them). Queries whose relative spread still exceeds
+    // BenchProtocol.EscalationTrigger after 5 samples get 2 escalation
+    // samples.
     def gcMillis(): Long = {
       val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       var total = 0L
@@ -146,7 +147,8 @@ object Bench {
           else Seq.fill(5)(once())
         val ok = base.forall(_ >= 0.0)
         val times =
-          if (ok && base.min > 0 && (base.max - base.min) / median(base) > 1.0)
+          if (ok && base.min > 0 && (base.max - base.min) / median(base) >
+              graft.tools.BenchProtocol.EscalationTrigger)
             base ++ Seq(once(), once())
           else base
         val gcSec = (gcMillis() - gc0) / 1000.0
@@ -168,8 +170,6 @@ object Bench {
     val results = sampled.map { case (name, times, _) =>
       name -> (if (times.contains(-1.0)) -1.0 else median(times))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     val samplesJson = sampled.map { case (k, ts, _) =>
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -212,7 +212,7 @@ object Bench {
     // ratio vs the standing last-good artifact, computed BEFORE this run
     // may overwrite the slot. Only queries present and >0 in both runs.
     val (lastGood: Map[String, Double], lastGoodVariance: Option[Double],
-        lastGoodCanary: Option[Double]) = try {
+        lastGoodCanary: Option[Double], lastGoodSf: Option[String]) = try {
       val p = java.nio.file.Paths.get("bench_last_good.json")
       if (java.nio.file.Files.exists(p)) {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -230,13 +230,11 @@ object Bench {
         val v = Option(root.get("variance_trimmed"))
           .orElse(Option(root.get("variance"))).map(_.asDouble())
         val c = Option(root.get("canary_sec")).map(_.asDouble()).filter(_ > 0)
-        (qs, v, c)
-      } else (Map.empty[String, Double], None, None)
-    } catch { case _: Exception => (Map.empty[String, Double], None, None) }
-    val ratios = results.collect {
-      case (k, v) if v > 0 && lastGood.get(k).exists(_ > 0) =>
-        "\"" + k + "\":" + f"${v / lastGood(k)}%.3f"
-    }.mkString("{", ",", "}")
+        val sf = Option(root.get("sf")).map(_.asText())
+        (qs, v, c, sf)
+      } else (Map.empty[String, Double], None, None, None)
+    } catch { case _: Exception =>
+      (Map.empty[String, Double], None, None, None) }
     // canary at the run's tail: the band can shift DURING a 30 s run.
     // Either sample failing yields canary_sec:-1 / canary_drift:0 —
     // normalization is then unavailable but the artifact stays whole.
@@ -252,21 +250,42 @@ object Bench {
     val canaryShuffleDrift =
       if (canaryShStart > 0 && canaryShEnd > 0) (canaryShEnd - canaryShStart) / canaryShStart
       else 0.0
-    // canary-normalized cross-round ratios: raw ratio ÷ (this run's
-    // canary / standing run's canary). A host-band shift inflates raw
-    // ratios AND the canary ratio by the same factor; a real code
-    // regression inflates only the former. Present only when the
-    // standing artifact carries a canary (post-r12 artifacts).
-    val ratiosNorm = lastGoodCanary.filter(_ => canary > 0).map { lgc =>
-      val factor = canary / lgc
-      results.collect {
-        case (k, v) if v > 0 && lastGood.get(k).exists(_ > 0) =>
-          "\"" + k + "\":" + f"${v / lastGood(k) / factor}%.3f"
-      }.mkString("{", ",", "}")
-    }.getOrElse("{}")
     val extraConfJson = graft.tools.BenchProtocol.jsonEscape(extraConf)
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"canary_shuffle_sec":$canaryShuffle%.3f,"canary_shuffle_drift":$canaryShuffleDrift%.3f,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"variance_trimmed":$varianceTrimmed%.3f,"failed":$failed,"sf":"$sfDir"}"""
+    // ONE artifact-line builder for both the run output and the standing
+    // slot, so a spliced slot (see below) carries exactly the same field
+    // set plus the `spliced` stamp. `res` is the per-query medians the
+    // line reports; samples/spread/gc/variance/canary always describe
+    // THIS run (a splice swaps medians only, and says so).
+    def artifactLine(res: Seq[(String, Double)], spliced: Seq[String]): String = {
+      val qs = res.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val total = res.collect { case (_, v) if v >= 0.0 => v }.sum
+      val failed = res.collect { case (k, v) if v < 0.0 => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val ratios = res.collect {
+        case (k, v) if v > 0 && lastGood.get(k).exists(_ > 0) =>
+          "\"" + k + "\":" + f"${v / lastGood(k)}%.3f"
+      }.mkString("{", ",", "}")
+      // canary-normalized cross-round ratios: raw ratio ÷ (this run's
+      // canary / standing run's canary). A host-band shift inflates raw
+      // ratios AND the canary ratio by the same factor; a real code
+      // regression inflates only the former. Present only when the
+      // standing artifact carries a canary (post-r12 artifacts).
+      val ratiosNorm = lastGoodCanary.filter(_ => canary > 0).map { lgc =>
+        val factor = canary / lgc
+        res.collect {
+          case (k, v) if v > 0 && lastGood.get(k).exists(_ > 0) =>
+            "\"" + k + "\":" + f"${v / lastGood(k) / factor}%.3f"
+        }.mkString("{", ",", "}")
+      }.getOrElse("{}")
+      val splicedJson = spliced.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // norm_parity_band: the empirically derived same-code band for the
+      // canary-norm ratios (round-13 verdict #3) — readings inside it
+      // are parity BY THE ARTIFACT'S OWN DECLARATION, not by prose
+      val (pLo, pHi) = graft.tools.BenchProtocol.NormParityBand
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"canary_shuffle_sec":$canaryShuffle%.3f,"canary_shuffle_drift":$canaryShuffleDrift%.3f,"norm_parity_band":[$pLo%.2f,$pHi%.2f],"spliced":$splicedJson,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"variance_trimmed":$varianceTrimmed%.3f,"failed":$failed,"sf":"$sfDir"}"""
+    }
+    val line = artifactLine(results, Nil)
     println(line)
     // the same line to a stable file so the driver's parser never has to
     // fish it out of sbt log decorations
@@ -283,7 +302,20 @@ object Bench {
     // 0.253 one. Refuse the overwrite when this run's variance exceeds
     // the standing artifact's by more than 0.1 (bench_output.json above
     // is still always written).
-    if (adjudicable && args.isEmpty && extraConf.isEmpty) {
+    // SCALE-FACTOR PIN (found live in round 14: a full-slice smoke run
+    // at sf0.001 silently replaced the sf0.1 standing artifact — the
+    // overwrite conditions never looked at the data scale): the slot
+    // only ever compares LIKE WITH LIKE, so a run at any other sfDir
+    // than the standing artifact's is archived in its own out file but
+    // can never become the baseline. A missing/old-format standing sf
+    // never blocks (first write wins).
+    val sfMatches = lastGoodSf.forall(_ == sfDir)
+    if (adjudicable && args.isEmpty && extraConf.isEmpty && !sfMatches)
+      System.err.println(
+        s"[bench] keeping standing bench_last_good.json: this run's sf '$sfDir' " +
+          s"differs from the standing artifact's '${lastGoodSf.get}' — cross-scale " +
+          "readings are never comparable")
+    if (adjudicable && args.isEmpty && extraConf.isEmpty && sfMatches) {
       val noisier = graft.tools.BenchProtocol.noisierThanStanding(
         varianceTrimmed, lastGoodVariance)
       // escape hatch (round-11 advice): if the host band durably
@@ -297,9 +329,36 @@ object Bench {
           f"[bench] keeping standing bench_last_good.json: this run's trimmed variance $varianceTrimmed%.3f " +
             f"exceeds the standing ${lastGoodVariance.get}%.3f by more than ${graft.tools.BenchProtocol.NoiseDegradeTolerance}%.2f " +
             "(set SPARK_GRAFT_BENCH_ACCEPT_BASELINE=1 to force-accept if the host band has durably degraded)")
-      else
+      else {
+        // PER-QUERY pollution guard (round-13 verdict #1): the r13
+        // driver run wrote a bimodal 3.0 s t26 reading over the
+        // committed 0.699 s past BOTH suite-level gates. A query whose
+        // median moved >2x vs standing while its own sample window
+        // reaches back into the standing regime keeps the STANDING
+        // value in the slot (spliced, and stamped as such on the
+        // artifact); the force-accept hatch bypasses this too — it is
+        // how a deliberate, supervised regeneration replaces a standing
+        // value the guard would otherwise defend.
+        val suspects =
+          if (forceAccept) Seq.empty[String]
+          else graft.tools.BenchProtocol.bimodalSuspects(
+            results.toMap,
+            sampled.map { case (k, ts, _) => k -> ts }.toMap,
+            lastGood)
+        val slotLine =
+          if (suspects.isEmpty) line
+          else {
+            System.err.println(
+              s"[bench] bimodal-suspect queries vs standing — splicing standing " +
+                s"medians into bench_last_good.json: ${suspects.mkString(", ")}")
+            artifactLine(
+              results.map { case (k, v) =>
+                k -> (if (suspects.contains(k)) lastGood(k) else v)
+              }, suspects)
+          }
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("bench_last_good.json"), line + "\n")
+          java.nio.file.Paths.get("bench_last_good.json"), slotLine + "\n")
+      }
     }
     spark.stop()
     if (!adjudicable) {

@@ -394,6 +394,7 @@ object SimilaritySearch {
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
         val cs = bc.value
+        checkAssignDim(cs, v)
         val c = nearestCentroid(cs, v)
         if (c < 0) (id, -1L, -1.0)
         else {
@@ -414,10 +415,28 @@ object SimilaritySearch {
     val bc = sp.sparkContext.broadcast(index.centroids)
     val placed = batch.select(col(index.idCol).cast("long"), col(index.vecCol))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v, nearestCentroid(bc.value, v)) }
+      .map { case (id, v) =>
+        checkAssignDim(bc.value, v)
+        (id, v, nearestCentroid(bc.value, v))
+      }
       .toDF(index.idCol, index.vecCol, "cluster")
     index.copy(assigned = index.assigned.unionByName(placed))
   }
+
+  /** Loud mixed-dimension policy of the assignment paths (round-13
+    * advice): a batch vector SHORTER than the centroid dimension would
+    * silently truncate the dot in [[nearestCentroid]] (a plausible-but-
+    * wrong placement), a LONGER one would surface as a raw
+    * ArrayIndexOutOfBoundsException — inconsistent with the int8 paths'
+    * loud policy ([[QSide.idot]], [[incrementalNearDup]]). Empty
+    * (degenerate) vectors stay on the documented cluster −1 path. */
+  private def checkAssignDim(
+      cents: Array[(Array[Double], Double)], v: Array[Float]): Unit =
+    if (v.nonEmpty && cents.nonEmpty && v.length != cents(0)._1.length)
+      throw new IllegalArgumentException(
+        s"mixed-dimension batch vs index: centroid dimension " +
+          s"${cents(0)._1.length} vs batch vector of ${v.length} components " +
+          "would silently truncate the assignment dot")
 
   /** ANN top-k against an IVF index: the query's `nprobe` closest
     * centroids are picked on the driver over k rows, candidates are
@@ -685,16 +704,23 @@ object SimilaritySearch {
               private var out: Iterator[R] = Iterator.empty
               @annotation.tailrec
               override final def hasNext: Boolean =
-                out.hasNext || (buf.hasNext && {
+                out.hasNext || {
+                  // drain the PREVIOUS run before testing buf (round-13
+                  // advice): the defensive drain consumes from buf, so a
+                  // kernel that violated the drain contract on the last
+                  // slot of a partition could otherwise empty buf between
+                  // the buf.hasNext test and buf.head
                   while (run.hasNext) run.next() // enforce the drain contract
-                  val key = buf.head._1
-                  run = new scala.collection.AbstractIterator[(Int, Int, Byte, Long, P)] {
-                    def hasNext: Boolean = buf.hasNext && buf.head._1 == key
-                    def next(): (Int, Int, Byte, Long, P) = buf.next()
+                  buf.hasNext && {
+                    val key = buf.head._1
+                    run = new scala.collection.AbstractIterator[(Int, Int, Byte, Long, P)] {
+                      def hasNext: Boolean = buf.hasNext && buf.head._1 == key
+                      def next(): (Int, Int, Byte, Long, P) = buf.next()
+                    }
+                    out = f(run)
+                    hasNext
                   }
-                  out = f(run)
-                  hasNext
-                })
+                }
               override def next(): R =
                 if (hasNext) out.next() else Iterator.empty.next()
             }
@@ -1032,12 +1058,30 @@ object SimilaritySearch {
       case other => throw new IllegalArgumentException(
         s"spark.graft.increment.coarse must be kernel or expr, got '$other'")
     }
+    statusAdmitted(admitted, corpus, batch, idCol, vecCol, threshold,
+      corpusSizeHint)
+  }
+
+  /** The shared status tail of the incremental arms
+    * ([[incrementalNearDup]], [[ivfIncrementalNearDup]]): exact float
+    * verify over the admitted (__bid, __cid) pairs — same codegen'd
+    * kernel, rounding, and threshold as every other exact site — then
+    * per-batch-id aggregation into (idCol, n_dups, best_sim, status).
+    * The verify-stage fetch policy is exactVerify's (same knob, same
+    * rationale): broadcasting the corpus float side deletes the
+    * admitted-pair exchanges — candidates stay where the coarse scan
+    * produced them and resolve their float lookups locally. */
+  private def statusAdmitted(
+      admitted: DataFrame,
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      corpusSizeHint: Long): DataFrame = {
+    implicit val sp: SparkSession = corpus.sparkSession
     val bf = batch.select(col(idCol).as("__bid"), col(vecCol).as("__bv"))
     val cf = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
-    // verify-stage fetch policy shared with exactVerify (same knob, same
-    // rationale): broadcasting the corpus float side deletes the
-    // admitted-pair exchanges — candidates stay where the coarse scan
-    // produced them and resolve their float lookups locally
     val verifyMode = sp.conf.getOption("spark.graft.neardup.verify").getOrElse("auto")
     val maxBcRows = sp.conf
       .getOption("spark.graft.neardup.verify.broadcastMaxRows")
@@ -1071,6 +1115,183 @@ object SimilaritySearch {
         coalesce(col("__n"), lit(0L)).as("n_dups"),
         coalesce(col("__best"), lit(-1.0)).as("best_sim"),
         when(col("__n").isNotNull, "dup").otherwise("keep").as("status"))
+  }
+
+  /** IVF×incremental composition — the 100 TB shape
+    * [[incrementalNearDup]]'s scaladoc promises: when even a 1-byte
+    * full-corpus scan per batch is too much, the standing corpus lives
+    * as an [[IvfIndex]] (cluster-keyed partitioning + k centroid rows)
+    * and each batch vector scans ONLY the corpus rows assigned to its
+    * `nprobe` nearest clusters — per-batch cost drops from one full
+    * index scan to ~nprobe/k of it, the same pruning ratio the serving
+    * path ([[ivfTopK]]) rides. Same margin-admission coarse rule, same
+    * exact float verify, same (idCol, n_dups, best_sim, status) output
+    * contract as [[incrementalNearDup]]; the only semantic delta is
+    * RECALL — a corpus near-dup hiding outside the batch vector's
+    * probed clusters is not seen, the standard IVF trade
+    * (PipelineSpec measures it against the full-scan arm on planted
+    * dups).
+    *
+    * Shape: one broadcast carries the batch's quantized bytes in the
+    * flat row-major layout PLUS one Long cluster-bitmask per batch
+    * vector (its `nprobe` nearest centroids by exact float cosine, ties
+    * to the lower cluster index — the same argmax convention as the
+    * build); the coarse scan maps once over the quantized cluster-keyed
+    * corpus and each corpus row calls the int8 dot kernel (Panama SIMD
+    * under `spark.graft.neardup.kernel`, scalar twin otherwise) only
+    * against batch vectors whose mask contains its cluster. Degenerate
+    * (zero/empty) batch vectors probe nothing and status 'keep';
+    * corpus rows in cluster −1 (degenerate at build time) match
+    * nothing, mirroring [[ivfAssign]]. */
+  def ivfIncrementalNearDup(
+      index: IvfIndex,
+      batch: DataFrame,
+      nprobe: Int = 4,
+      threshold: Double = 0.45,
+      margin: Double = 0.05,
+      corpusSizeHint: Long = -1L): DataFrame = {
+    implicit val sp: SparkSession = index.assigned.sparkSession
+    import sp.implicits._
+    require(margin >= 0.0,
+      s"margin must be >= 0, got $margin — a negative margin would raise the " +
+        "coarse bound ABOVE the threshold and silently drop true dups")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val k = index.centroids.length
+    require(k >= 1, "ivfIncrementalNearDup needs a built index (no centroids)")
+    require(k <= 64,
+      s"cluster bitmask is a Long — k=$k clusters exceed 64; shard the " +
+        "index or widen the mask")
+    val bound = threshold - margin
+    val kMode = resolveKernelMode(sp)
+    // cap check BEFORE the collect, like incrementalNearDup: refuse an
+    // over-size batch while the driver is still healthy
+    val nBatch = batch.select(col(index.idCol)).count()
+    require(nBatch <= maxExactRows,
+      s"ivfIncrementalNearDup batch has $nBatch rows — the broadcast " +
+        s"coarse scan is capped at $maxExactRows; split the ingest batch")
+    // one distributed pass computes each batch vector's probe bitmask
+    // (float-cosine argmax against the broadcast centroids — executors
+    // do the k·dim flops, the driver only receives (id, mask, q-bytes))
+    val bcCents = sp.sparkContext.broadcast(index.centroids)
+    val effNprobe = math.min(nprobe, k)
+    val brows = batch
+      .select(col(index.idCol).cast("long"), col(index.vecCol),
+        VectorFunctions.quantizeInt8(col(index.vecCol)).as("__qq"))
+      .withColumn("__qs", VectorFunctions.int8Dot(col("__qq"), col("__qq")))
+      .as[(Long, Array[Float], Array[Byte], Long)]
+      .map { case (id, v, qq, qs) =>
+        val cs = bcCents.value
+        checkAssignDim(cs, v)
+        (id, probeMask(cs, v, effNprobe), qq, qs)
+      }
+      .collect()
+    var bdim = 0
+    brows.foreach { case (_, _, q, _) =>
+      if (q.nonEmpty) {
+        if (bdim == 0) bdim = q.length
+        else if (q.length != bdim) throw new IllegalArgumentException(
+          s"mixed-dimension batch: int8 dot over $bdim- vs " +
+            s"${q.length}-component vectors would silently truncate")
+      }
+    }
+    val nb = brows.length
+    val ids = new Array[Long](nb)
+    val masks = new Array[Long](nb)
+    val dens = new Array[Double](nb)
+    val buf = new Array[Byte](nb * math.max(bdim, 1))
+    var j = 0
+    brows.foreach { case (id, mask, q, qs) =>
+      ids(j) = id
+      masks(j) = mask
+      dens(j) = if (q.isEmpty) 0.0 else math.sqrt(qs.toDouble)
+      if (q.nonEmpty) System.arraycopy(q, 0, buf, j * bdim, bdim)
+      j += 1
+    }
+    val bc = sp.sparkContext.broadcast((ids, masks, dens, buf, bdim))
+    // the quantized CLUSTER-KEYED corpus projection — the index a
+    // deployment materializes next to `assigned` and reuses per batch
+    val cq = index.assigned
+      .select(col(index.idCol).cast("long").as("__cid"),
+        col("cluster").cast("int").as("__cc"),
+        VectorFunctions.quantizeInt8(col(index.vecCol)).as("__cq"))
+      .withColumn("__cn2", VectorFunctions.int8Dot(col("__cq"), col("__cq")))
+    val admitted = cq
+      .as[(Long, Int, Array[Byte], Long)]
+      .mapPartitions { it =>
+        val (bids, bmasks, bdens, bbuf, bd) = bc.value
+        val useVector = resolveUseVector(kMode)
+        it.flatMap { case (cid, cc, cqv, cn2) =>
+          if (cqv.isEmpty || cn2 == 0L || bd == 0 || cc < 0 || cc >= 64)
+            Iterator.empty
+          else if (cqv.length != bd) throw new IllegalArgumentException(
+            s"mixed-dimension corpus vs batch: int8 dot over " +
+              s"${cqv.length}- vs $bd-component vectors would silently truncate")
+          else {
+            val cbit = 1L << cc
+            val cden = math.sqrt(cn2.toDouble)
+            val hits = Array.newBuilder[(Long, Long)]
+            var jj = 0
+            if (useVector) {
+              while (jj < bids.length) {
+                val dj = bdens(jj)
+                if ((bmasks(jj) & cbit) != 0L && dj != 0.0) {
+                  val c = VectorDotKernel.dotRange(cqv, 0, bbuf, jj * bd, bd)
+                  if (math.floor(c / (cden * dj) * 10000 + 0.5) / 10000.0 >= bound)
+                    hits += ((bids(jj), cid))
+                }
+                jj += 1
+              }
+            } else {
+              while (jj < bids.length) {
+                val dj = bdens(jj)
+                if ((bmasks(jj) & cbit) != 0L && dj != 0.0) {
+                  val c = QSide.sdotRange(cqv, 0, bbuf, jj * bd, bd)
+                  if (math.floor(c / (cden * dj) * 10000 + 0.5) / 10000.0 >= bound)
+                    hits += ((bids(jj), cid))
+                }
+                jj += 1
+              }
+            }
+            hits.result().iterator
+          }
+        }
+      }.toDF("__bid", "__cid")
+    statusAdmitted(admitted,
+      index.assigned.select(col(index.idCol), col(index.vecCol)),
+      batch, index.idCol, index.vecCol, threshold, corpusSizeHint)
+  }
+
+  /** The `nprobe` nearest clusters of `v` as a Long bitmask — repeated
+    * strict-argmax over the unchosen centroids, so ties break to the
+    * LOWER cluster index exactly like [[nearestCentroid]] and the
+    * oracle's `ROW_NUMBER() OVER (ORDER BY sim DESC, c)`. Degenerate
+    * vectors (every cosine NaN) probe nothing: mask 0. */
+  private def probeMask(
+      cents: Array[(Array[Double], Double)], v: Array[Float], nprobe: Int): Long = {
+    val vn = normF(v)
+    val sims = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      sims(c) = dotDF(cents(c)._1, v) / (cents(c)._2 * vn)
+      c += 1
+    }
+    var mask = 0L
+    var picked = 0
+    while (picked < nprobe) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < sims.length) {
+        if ((mask & (1L << i)) == 0L && sims(i) > bestSim) {
+          bestSim = sims(i); best = i
+        }
+        i += 1
+      }
+      if (best < 0) return mask // all remaining NaN/chosen: stop
+      mask |= 1L << best
+      picked += 1
+    }
+    mask
   }
 
   /** The shared verify stage of both pairwise arms: only (idA, idB)

@@ -52,7 +52,7 @@ object BenchProtocol {
 
   /** [[meanRelSpread]] with the escalation made meaningful: a query
     * that carries MORE than the designed 5 warm samples was flagged by
-    * the sampler itself (relSpread > 1.0 after 5) and bought 2
+    * the sampler itself (relSpread > [[EscalationTrigger]] after 5) and bought 2
     * replacement samples — for those queries alone, the single worst
     * sample is dropped before the spread is taken. Rationale: this
     * host's contention is additive spikes on isolated samples
@@ -96,6 +96,65 @@ object BenchProtocol {
     * standing variance (no artifact yet / old format) never blocks. */
   def noisierThanStanding(candidate: Double, standing: Option[Double]): Boolean =
     standing.exists(s => candidate > s + NoiseDegradeTolerance)
+
+  /** Per-query relSpread above which the sampler buys 2 replacement
+    * samples after the designed 5. Lowered 1.0 → 0.5 (round-13 verdict
+    * #1): the r13 pollution incident's t26 window read 0.74 and so never
+    * bought the extra samples that would have exposed its bimodality. */
+  val EscalationTrigger = 0.5
+
+  /** Bimodal-suspect ratio for the standing-slot overwrite guard: a
+    * query whose new median moved more than this factor (either
+    * direction) vs the standing value is a pollution suspect when its
+    * own sample window reaches back into the standing regime (see
+    * [[bimodalSuspects]]). */
+  val SpliceRatioLimit = 2.0
+
+  /** PER-QUERY pollution guard on the standing-slot overwrite (round-13
+    * verdict #1). The incident shape: the driver's r13 run measured
+    * t26 at median 3.013 s — samples [3.074, 1.836, 3.013, 0.923, 3.154]
+    * — while the committed same-code run an hour earlier read 0.699 s
+    * from seven tight samples. Both SUITE-level gates passed (the
+    * escalation trigger read 0.74 < 1.0; the mean-variance monotone
+    * guard agreed within tolerance), so a phantom 4.3× reading entered
+    * the slot and would have masked a real regression next round.
+    *
+    * The rule is per query and two-sided: query `k` is a suspect when
+    * its median moved more than `ratioLimit`× vs the standing value AND
+    * its own sample window reaches back into the standing regime —
+    * upward move with `min < standing·ratioLimit` (the floor of the
+    * window is consistent with the standing reading: bimodal noise, not
+    * code — the r13 incident's min 0.923 < 2·0.699), or downward move
+    * with `max > standing/ratioLimit` (the claimed improvement's own
+    * window contains standing-regime samples). A genuine code change
+    * produces a TIGHT window entirely on one side and always passes.
+    * Returns suspect names sorted; the caller splices the standing
+    * values for exactly those queries (and stamps the splice on the
+    * artifact). */
+  def bimodalSuspects(
+      medians: Map[String, Double],
+      samples: Map[String, Seq[Double]],
+      standing: Map[String, Double],
+      ratioLimit: Double = SpliceRatioLimit): Seq[String] =
+    medians.iterator.collect {
+      case (k, m) if m > 0 && standing.get(k).exists(_ > 0) &&
+          samples.get(k).exists(ts => ts.nonEmpty && ts.min > 0) &&
+          {
+            val s = standing(k)
+            val ts = samples(k)
+            val r = m / s
+            (r > ratioLimit && ts.min < s * ratioLimit) ||
+              (r < 1.0 / ratioLimit && ts.max > s / ratioLimit)
+          } => k
+    }.toSeq.sorted
+
+  /** Empirically derived same-code parity band for CANARY-NORMALIZED
+    * cross-round ratios (round-13 verdict #3 / BUILD_NOTES r13 #12: the
+    * CPU canary consistently over-corrects slightly — same-code
+    * normalized readings land ≈0.89–0.9 on this host), emitted on every
+    * artifact as `norm_parity_band` so cross-round tables mark in-band
+    * readings as parity MECHANICALLY instead of by prose convention. */
+  val NormParityBand: (Double, Double) = (0.9, 1.1)
 
   /** Host-band CANARY (round-11 verdict #4): a fixed synthetic
     * CPU-bound calibration query — chained xxhash64 over a codegen'd

@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Dev tool: the growing-index cost curve of streaming ingest dedup
+  * (round-13 verdict #6) — [[graft.streaming.IngestStreaming]] is
+  * correct-by-spec but had no performance artifact; the 100 TB question
+  * is how per-batch wall time behaves as the survivor index grows under
+  * it. This drives a REAL N-micro-batch file-source ingest over the
+  * `documents` table: the even-doc_id half is the standing corpus, the
+  * odd half arrives as `nBatches` files (one per micro-batch, mtime-
+  * staggered so the source delivers them in order), and a
+  * StreamingQueryListener records each trigger's executed wall time and
+  * input rows. Post-hoc, the survivor tree gives the exact index size
+  * every batch was judged against. Output: one JSON line (and file)
+  * with per-batch {input_rows, index_rows, wall_sec, kept}.
+  *
+  *   runMain graft.tools.IngestBench [sfDir] [nBatches] [outPath]
+  */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR")).getOrElse("/tmp/graft_sf1")
+    val nBatches = if (args.length > 1) args(1).toInt else 10
+    val outPath = if (args.length > 2) args(2) else "ingest_bench.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = graft.engine.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val corpusRows = corpus.count()
+
+    // arrival order: content-hash batching (deterministic, balanced)
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_bench").toString
+    val srcDir = s"$root/src"
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .withColumn("__b", pmod(xxhash64(col("doc_id")), lit(nBatches)))
+    val base = System.currentTimeMillis() - (nBatches + 1) * 60000L
+    for (i <- 0 until nBatches) {
+      val before = Option(new java.io.File(srcDir).listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+      arrivals.filter(col("__b") === i).select(col("doc_id"), col("text"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      // one mtime per batch, a minute apart: the file source orders by
+      // modification time, so delivery order is pinned regardless of
+      // filesystem mtime granularity
+      new java.io.File(srcDir).listFiles()
+        .filter(f => !before.contains(f.getName))
+        .foreach(_.setLastModified(base + i * 60000L))
+    }
+
+    val progress = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0)
+          progress += ((p.batchId, p.numInputRows,
+            p.durationMs.getOrDefault("triggerExecution", -1L) / 1000.0))
+      }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val t0 = System.nanoTime()
+    val q = graft.streaming.IngestStreaming.incrementalDedupStream(
+      corpus, stream, "doc_id", "text", s"$root/status", s"$root/survivors")
+    try q.processAllAvailable() finally q.stop()
+    val totalSec = (System.nanoTime() - t0) / 1e9
+
+    // exact per-batch survivor counts from the partition tree the run wrote
+    val kept = spark.read.parquet(s"$root/survivors")
+      .groupBy(col("__ingest_batch").cast("long").as("__b")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the index batch i was judged against: corpus + all EARLIER keeps
+    val batches = progress.sortBy(_._1).map { case (bid, rows, sec) =>
+      val indexRows = corpusRows +
+        kept.filter(_._1 < bid).values.sum
+      val k = kept.getOrElse(bid, 0L)
+      f"""{"batch":$bid,"input_rows":$rows,"index_rows":$indexRows,"wall_sec":$sec%.3f,"kept":$k}"""
+    }.mkString("[", ",", "]")
+    val line =
+      f"""{"metric":"ingest_batches","n_batches":${progress.size},"corpus_rows":$corpusRows,"total_sec":$totalSec%.3f,"sf":"$sfDir","batches":$batches}"""
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    spark.stop()
+  }
+}

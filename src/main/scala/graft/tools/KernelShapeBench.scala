@@ -56,7 +56,7 @@ object KernelShapeBench {
     val threshold = 0.80 // selective, like the real 0.45-on-cosine cut
     val rnd = new scala.util.Random(13L)
     val side = new QS(n, dim, rnd)
-    println(s"[kshape] n=$n dim=$dim side bytes=${n * dim} (${n * dim / 1e6}%.1f MB/side)")
+    println(f"[kshape] n=$n dim=$dim side bytes=${n * dim} (${n * dim / 1e6}%.1f MB/side)")
 
     def sdot(x: Array[Byte], y: Array[Byte]): Int = {
       var s = 0; var k = 0

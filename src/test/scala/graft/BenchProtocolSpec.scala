@@ -94,6 +94,53 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!BenchProtocol.noisierThanStanding(0.49, None))
   }
 
+  test("bimodalSuspects flags the r13 t26 incident verbatim") {
+    // the EXACT numbers the round-13 driver run wrote past both
+    // suite-level gates: standing t26 = 0.699 s (seven tight committed
+    // samples), driver median 3.013 s from a bimodal window whose floor
+    // (0.923) is still in the standing regime
+    val suspects = BenchProtocol.bimodalSuspects(
+      medians = Map("t26" -> 3.013, "q1" -> 0.51),
+      samples = Map(
+        "t26" -> Seq(3.074, 1.836, 3.013, 0.923, 3.154),
+        "q1" -> Seq(0.50, 0.51, 0.52, 0.51, 0.50)),
+      standing = Map("t26" -> 0.699, "q1" -> 0.50))
+    assert(suspects == Seq("t26"))
+  }
+
+  test("bimodalSuspects passes genuine tight regressions and improvements") {
+    // a real 3x regression: every sample on the new side, window tight —
+    // the slot must accept it (it IS the new reading)
+    assert(BenchProtocol.bimodalSuspects(
+      Map("q" -> 2.1), Map("q" -> Seq(2.05, 2.1, 2.15, 2.1, 2.2)),
+      Map("q" -> 0.7)).isEmpty)
+    // a real 10x improvement (code optimization), tight window
+    assert(BenchProtocol.bimodalSuspects(
+      Map("q" -> 0.30), Map("q" -> Seq(0.29, 0.30, 0.30, 0.31, 0.30)),
+      Map("q" -> 3.0)).isEmpty)
+    // small drift inside the ratio limit never flags, even straddling
+    assert(BenchProtocol.bimodalSuspects(
+      Map("q" -> 0.9), Map("q" -> Seq(0.6, 0.8, 0.9, 1.0, 1.2)),
+      Map("q" -> 0.7)).isEmpty)
+  }
+
+  test("bimodalSuspects flags a downward claim whose window contains standing-regime samples") {
+    // the symmetric case: a run claims 4x faster but one of its own
+    // samples sits at the standing reading — bimodal evidence, keep the
+    // standing value (a deliberate regeneration uses the force-accept
+    // hatch, which bypasses the guard in Bench)
+    assert(BenchProtocol.bimodalSuspects(
+      Map("q" -> 0.7), Map("q" -> Seq(0.65, 0.7, 0.75, 3.1, 0.68, 0.7, 0.7)),
+      Map("q" -> 3.0)) == Seq("q"))
+  }
+
+  test("bimodalSuspects ignores failed queries and queries absent from the standing slot") {
+    assert(BenchProtocol.bimodalSuspects(
+      Map("fail" -> -1.0, "new" -> 5.0),
+      Map("fail" -> Seq(-1.0), "new" -> Seq(4.9, 5.0, 5.1, 5.0, 5.0)),
+      Map("other" -> 1.0)).isEmpty)
+  }
+
   test("canarySeconds runs end-to-end under default ANSI mode (round-12 overflow regression)") {
     // The round-12 canary summed RAW chained xxhash64 values — uniform
     // over the full i64 range, so the sum overflowed within a handful of

@@ -194,11 +194,22 @@ class PipelineSpec extends AnyFunSuite {
     // batch 1: fresh doc X (survivor-to-be) + exact copy of corpus doc 2
     Seq((100L, doc("x")), (101L, doc("c2"))).toDF("id", "text")
       .coalesce(1).write.mode("append").parquet(srcDir)
-    Thread.sleep(1100) // file source orders batches by modification time
+    // the file source orders batches by modification time: set the two
+    // batches' mtimes EXPLICITLY 60 s apart instead of sleeping past the
+    // filesystem's mtime granularity (round-13 advice — the sleep flaked
+    // under coarse-granularity filesystems / CI clock skew)
+    val batch1Stamp = System.currentTimeMillis() - 60000L
+    val batch1Files = new java.io.File(srcDir).listFiles()
+    batch1Files.foreach(_.setLastModified(batch1Stamp))
+    val batch1Names = batch1Files.map(_.getName).toSet
     // batch 2: near-dup of batch-1 SURVIVOR X (not in the static corpus)
     // + a fresh doc
     Seq((200L, xNear), (201L, doc("z"))).toDF("id", "text")
       .coalesce(1).write.mode("append").parquet(srcDir)
+    val batch2Stamp = System.currentTimeMillis()
+    new java.io.File(srcDir).listFiles()
+      .filter(f => !batch1Names.contains(f.getName))
+      .foreach(_.setLastModified(batch2Stamp))
     val stream = spark.readStream
       .schema("id LONG, text STRING")
       .option("maxFilesPerTrigger", "1")
@@ -217,6 +228,34 @@ class PipelineSpec extends AnyFunSuite {
     val surv = spark.read.parquet(s"$root/survivors")
       .select("id").collect().map(_.getLong(0)).toSet
     assert(surv == Set(100L, 201L), s"survivor fold must track keeps: $surv")
+  }
+
+  test("v14 IVF-pruned incremental dedup is consistent with the full-scan v12 on the fixture") {
+    def run(q: graft.queries.Q): Map[Long, (Long, Double, String)] =
+      q.fn(spark, dir).collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    val full = run(SimQueries.incrementalEmbeddingDedup)
+    val pruned = run(SimQueries.ivfIncrementalDedup)
+    assert(pruned.keySet == full.keySet, "one status row per batch vector in both arms")
+    // pruning can only remove matches, never invent one
+    pruned.foreach { case (id, (n, best, st)) =>
+      val (fN, fBest, fSt) = full(id)
+      assert(n <= fN, s"id $id: pruned n_dups $n > full $fN")
+      assert(best <= fBest, s"id $id: pruned best_sim $best > full $fBest")
+      if (st == "dup") assert(fSt == "dup", s"id $id: pruned dup absent from full scan")
+    }
+    val fullDups = full.collect { case (id, (_, _, "dup")) => id }.toSet
+    val prunedDups = pruned.collect { case (id, (_, _, "dup")) => id }.toSet
+    assert(fullDups.nonEmpty, "fixture should contain a planted cross-split near-dup")
+    info(s"fixture recall at nprobe=6/k=16: ${prunedDups.size}/${fullDups.size} " +
+      s"(dup ids full=$fullDups pruned=$prunedDups)")
+    // deterministic fixture + deterministic build: at v14's nprobe=6
+    // the planted pair's corpus side (cos 0.4532, the batch vector's
+    // 6th-nearest cluster — measured, see SimQueries scaladoc) IS
+    // probed, so the pruned arm finds exactly what the full scan finds
+    // on THIS corpus; at nprobe=4 it is missed — the honest IVF trade
+    assert(prunedDups == fullDups,
+      s"probe missed a fixture dup: full=$fullDups pruned=$prunedDups")
   }
 
   test("embedding arrays round-trip through a parquet sink") {

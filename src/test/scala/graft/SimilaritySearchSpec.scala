@@ -450,6 +450,104 @@ class SimilaritySearchSpec extends AnyFunSuite {
       s"appended near-copy must be retrievable, got ${hit.getLong(0)}")
   }
 
+  test("ivfIncrementalNearDup: pruned statuses are a subset of the full scan; recall on planted dups") {
+    import spark.implicits._
+    val corpus = (1L to 400L).map(i => (i, vec(i))).toDF("id", "v")
+    // 20 planted near-copies of spread-out corpus vectors + 20 fresh
+    val plantedSrc = (0 until 20).map(j => 1L + j * 19L)
+    val batch = (plantedSrc.zipWithIndex.map { case (src, j) =>
+        (1001L + j, jitter(vec(src), 0.01f)) } ++
+      (0 until 20).map(j => (1101L + j, vec(5001L + j)))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 8, lloydIters = 2)
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double, String)] =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    val full = run(SimilaritySearch.incrementalNearDup(
+      corpus, batch, "id", "v", threshold = 0.9, margin = 0.05))
+    val pruned = run(SimilaritySearch.ivfIncrementalNearDup(
+      idx, batch, nprobe = 2, threshold = 0.9, margin = 0.05))
+    assert(pruned.keySet == full.keySet, "one status row per batch vector in both arms")
+    // the probe can only REMOVE matches — never invent one
+    pruned.foreach { case (id, (n, best, st)) =>
+      val (fN, fBest, fSt) = full(id)
+      assert(n <= fN, s"id $id: pruned n_dups $n > full $fN")
+      assert(best <= fBest, s"id $id: pruned best_sim $best > full $fBest")
+      if (st == "dup") assert(fSt == "dup", s"id $id: pruned dup absent from full scan")
+    }
+    val fullDups = full.collect { case (id, (_, _, "dup")) => id }.toSet
+    val prunedDups = pruned.collect { case (id, (_, _, "dup")) => id }.toSet
+    assert(fullDups.size >= 18,
+      s"planted copies must be full-scan detectable, got ${fullDups.size}/20")
+    val recall = prunedDups.size.toDouble / fullDups.size
+    info(f"IVF-pruned incremental dedup recall at nprobe=2/k=8: " +
+      f"${prunedDups.size}/${fullDups.size} = $recall%.3f")
+    assert(recall >= 0.8, s"probe recall $recall collapsed — a planted copy's " +
+      "source should almost always live in the copy's nearest clusters")
+    // when the probe saw everything the full scan saw, the scores agree
+    // exactly (same kernel, same rounding)
+    prunedDups.foreach { id =>
+      if (pruned(id)._1 == full(id)._1)
+        assert(pruned(id)._2 == full(id)._2, s"id $id: equal-coverage scores differ")
+    }
+  }
+
+  test("ivfIncrementalNearDup guards: degenerates keep, mixed dims and oversize k loud") {
+    import spark.implicits._
+    val corpus = (1L to 30L).map(i => (i, vec(i))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 4, lloydIters = 1)
+    // degenerate batch vectors probe nothing and status keep — never crash
+    val degen = Seq((500L, Array.fill(dim)(0f)), (501L, Array.empty[Float]))
+      .toDF("id", "v")
+    val out = SimilaritySearch.ivfIncrementalNearDup(
+        idx, degen, nprobe = 2, threshold = 0.5, margin = 0.05)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(out == Map(500L -> ((0L, "keep")), 501L -> ((0L, "keep"))),
+      s"degenerate batch vectors must keep with 0 dups: $out")
+    // mixed-dimension batch fails loudly through the assign-path guard
+    def messageChain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messageChain(t.getCause)
+    val bad = Seq((600L, Array.fill(dim + 3)(0.5f))).toDF("id", "v")
+    val ex = intercept[Exception] {
+      SimilaritySearch.ivfIncrementalNearDup(idx, bad, 2, 0.5, 0.05).collect()
+    }
+    assert(messageChain(ex).exists(_.contains("mixed-dimension")),
+      s"expected a loud mixed-dimension failure, got: ${messageChain(ex)}")
+    // a >64-cluster index is refused before any job launches (Long mask)
+    val wide = SimilaritySearch.IvfIndex(
+      Array.fill(65)((Array.fill(dim)(1.0), math.sqrt(dim.toDouble))),
+      idx.assigned, "id", "v")
+    val exK = intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfIncrementalNearDup(wide, degen, 2, 0.5, 0.05)
+    }
+    assert(exK.getMessage.contains("64"))
+  }
+
+  test("ivfAssign rejects mixed-dimension batch vectors loudly (no silent truncation)") {
+    import spark.implicits._
+    val corpus = (1L to 30L).map(i => (i, vec(i))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 4, lloydIters = 1)
+    def messageChain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messageChain(t.getCause)
+    // SHORTER than the centroid dimension: previously a silent truncated
+    // dot (plausible-but-wrong placement); now the shared loud policy
+    val short = Seq((700L, Array.fill(dim - 4)(0.5f))).toDF("id", "v")
+    val exShort = intercept[Exception] {
+      SimilaritySearch.ivfAssign(idx, short).collect()
+    }
+    assert(messageChain(exShort).exists(_.contains("mixed-dimension")))
+    // LONGER: previously a raw ArrayIndexOutOfBoundsException
+    val long = Seq((701L, Array.fill(dim + 4)(0.5f))).toDF("id", "v")
+    val exLong = intercept[Exception] {
+      SimilaritySearch.ivfAppend(idx, long).assigned.collect()
+    }
+    assert(messageChain(exLong).exists(_.contains("mixed-dimension")))
+    // empty vectors stay on the documented cluster -1 path (unchanged)
+    val emptyOk = SimilaritySearch.ivfAssign(
+        idx, Seq((702L, Array.empty[Float])).toDF("id", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(emptyOk == Seq((702L, -1L)))
+  }
+
   test("quantizedTopK ranks the planted near-copy first and reranks exactly") {
     import spark.implicits._
     val q = vec(4242L)
