@@ -58,7 +58,13 @@ object IngestBench {
         .foreach(_.setLastModified(base + i * 60000L))
     }
 
-    val progress = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    // the listener gives per-trigger executed wall time; its
+    // numInputRows is NOT the arrival count — the foreachBatch body
+    // scans the unpersisted source batch several times (exact tier,
+    // near tier, final status join, survivor join), and the metric
+    // counts source SCANS (measured 4× at sf1) — so true per-batch
+    // arrival counts come from the status tree post-hoc instead
+    val progress = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -66,7 +72,7 @@ object IngestBench {
           e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
         if (p.numInputRows > 0)
-          progress += ((p.batchId, p.numInputRows,
+          progress += ((p.batchId,
             p.durationMs.getOrDefault("triggerExecution", -1L) / 1000.0))
       }
       override def onQueryTerminated(
@@ -83,16 +89,21 @@ object IngestBench {
     try q.processAllAvailable() finally q.stop()
     val totalSec = (System.nanoTime() - t0) / 1e9
 
-    // exact per-batch survivor counts from the partition tree the run wrote
+    // exact per-batch counts from the partition trees the run wrote:
+    // statuses = one row per ARRIVED doc, survivors = the keeps
+    val arrived = spark.read.parquet(s"$root/status")
+      .groupBy(col("batch").cast("long").as("__b")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val kept = spark.read.parquet(s"$root/survivors")
       .groupBy(col("__ingest_batch").cast("long").as("__b")).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // the index batch i was judged against: corpus + all EARLIER keeps
-    val batches = progress.sortBy(_._1).map { case (bid, rows, sec) =>
+    val batches = progress.sortBy(_._1).map { case (bid, sec) =>
       val indexRows = corpusRows +
         kept.filter(_._1 < bid).values.sum
       val k = kept.getOrElse(bid, 0L)
-      f"""{"batch":$bid,"input_rows":$rows,"index_rows":$indexRows,"wall_sec":$sec%.3f,"kept":$k}"""
+      val a = arrived.getOrElse(bid, 0L)
+      f"""{"batch":$bid,"input_rows":$a,"index_rows":$indexRows,"wall_sec":$sec%.3f,"kept":$k}"""
     }.mkString("[", ",", "]")
     val line =
       f"""{"metric":"ingest_batches","n_batches":${progress.size},"corpus_rows":$corpusRows,"total_sec":$totalSec%.3f,"sf":"$sfDir","batches":$batches}"""

@@ -522,6 +522,41 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(exK.getMessage.contains("64"))
   }
 
+  test("property: IVF probe guard boundary — any nonzero magnitude passes, scale-invariant") {
+    // round-13 stretch item: the degenerate-vector require refuses zero
+    // query vectors; this pins that the guard's boundary is EXACTLY
+    // zero — near-zero (down to subnormal floats) and huge-magnitude
+    // queries pass and no NaN path survives just above the threshold.
+    // Powers of two scale float components EXACTLY (and norms/dots by
+    // the same exact power), so cosine — and therefore the ranking and
+    // the r4 scores — must be bit-identical across ~50 orders of
+    // magnitude.
+    import spark.implicits._
+    val corpus = (1L to 120L).map(i => (i, vec(i))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 8, lloydIters = 2)
+    val q0 = vec(4242L)
+    val baseline = SimilaritySearch.ivfTopK(idx, q0, topK = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(baseline.length == 5 && baseline.forall(!_._2.isNaN))
+    for (exp <- Seq(-80, -40, -12, 12, 40, 80)) {
+      val s = math.pow(2.0, exp).toFloat
+      val out = SimilaritySearch.ivfTopK(idx, q0.map(_ * s), topK = 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(out == baseline, s"scale 2^$exp changed the result: $out vs $baseline")
+    }
+    // subnormal-only query: nonzero, passes the guard, no NaN out
+    val sub = Array.fill(dim)(java.lang.Float.MIN_VALUE)
+    val subOut = SimilaritySearch.ivfTopK(idx, sub, topK = 5, nprobe = 3).collect()
+    assert(subOut.length == 5 && subOut.forall(r => !r.getDouble(2).isNaN))
+    // zero and empty stay refused loudly
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfTopK(idx, Array.fill(dim)(0f), topK = 1)
+    }
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfTopK(idx, Array.empty[Float], topK = 1)
+    }
+  }
+
   test("ivfAssign rejects mixed-dimension batch vectors loudly (no silent truncation)") {
     import spark.implicits._
     val corpus = (1L to 30L).map(i => (i, vec(i))).toDF("id", "v")
