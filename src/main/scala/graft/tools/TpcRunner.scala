@@ -108,6 +108,30 @@ object TpcRunner {
       total
     }
     import BenchProtocol.median
+    // host-band canaries, sampled at both ends like graft.Bench (round
+    // 14: the sf1 re-anchor read 1.073x vs the r10 artifact and could
+    // not be normalized because this artifact class carried no canary —
+    // every cross-round comparison of these minutes-long runs had to
+    // fall back to the narrative "inside the host band"). A throw
+    // degrades to -1, never kills the run.
+    def guarded(label: String)(body: => Double): Double =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[tpc] $label failed (degraded, continuing): ${e.getMessage}")
+          -1.0
+      }
+    // canaries only on CLI runs (ownsSession): an embedded caller —
+    // the specs drive main() three times against a small local[4]
+    // session — would pay ~8 s per canary sample for an artifact
+    // nobody reads cross-round; embedded artifacts carry -1 (degraded,
+    // normalization unavailable), exactly like a canary throw
+    val canaryStart =
+      if (ownsSession) guarded("canary(start)")(BenchProtocol.canarySeconds(spark))
+      else -1.0
+    val canaryShStart =
+      if (ownsSession)
+        guarded("canary_shuffle(start)")(BenchProtocol.canaryShuffleSeconds(spark))
+      else -1.0
     val rows = for (name <- queries; fn <- SparkEntry.queries.get(name)) yield {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -161,6 +185,20 @@ object TpcRunner {
       (name, times, gcSec)
     }
 
+    val canaryEnd =
+      if (ownsSession) guarded("canary(end)")(BenchProtocol.canarySeconds(spark))
+      else -1.0
+    val canaryShEnd =
+      if (ownsSession)
+        guarded("canary_shuffle(end)")(BenchProtocol.canaryShuffleSeconds(spark))
+      else -1.0
+    val canary =
+      if (canaryStart > 0 && canaryEnd > 0) (canaryStart + canaryEnd) / 2.0 else -1.0
+    val canaryDrift =
+      if (canaryStart > 0 && canaryEnd > 0) (canaryEnd - canaryStart) / canaryStart else 0.0
+    val canaryShuffle =
+      if (canaryShStart > 0 && canaryShEnd > 0) (canaryShStart + canaryShEnd) / 2.0 else -1.0
+
     Files.createDirectories(Paths.get(outDir))
     def jstr(s: String): String = "\"" + BenchProtocol.jsonEscape(s) + "\""
     val confJson = appliedConf.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
@@ -187,6 +225,9 @@ object TpcRunner {
     // yields valid JSON (no dangling separator)
     val entries = Seq(
       s""""config": $confJson""",
+      f""""canary_sec": $canary%.3f""",
+      f""""canary_drift": $canaryDrift%.3f""",
+      f""""canary_shuffle_sec": $canaryShuffle%.3f""",
       f""""variance": $variance%.3f""",
       f""""trimmed_spread": $trimmedSpread%.3f""",
       s""""headline_stat": "min"""",

@@ -141,6 +141,14 @@ class PlanQualitySpec extends AnyFunSuite {
       "v12 contains a cartesian product")
     assert(!v12.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
       "v12's default coarse scan must be the flat kernel, not the BNLJ expr arm")
+    // v14 composes the IVF probe with v12's shape: the probe-pruned
+    // coarse scan is the same flat kernel (mapPartitions, never a BNLJ)
+    // and nothing in the build/assign/verify stack may go cartesian
+    val v14 = finalPlan("v14_ivf_incremental_dedup")
+    assert(!v14.exists(_.isInstanceOf[CartesianProductExec]),
+      "v14 contains a cartesian product")
+    assert(!v14.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "v14's probe-pruned coarse scan must be the flat kernel, not a BNLJ")
   }
 
   test("t8 builds posting lists with the capped aggregate, never raw collect_list") {
