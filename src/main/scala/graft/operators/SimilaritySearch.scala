@@ -438,6 +438,71 @@ object SimilaritySearch {
           s"${cents(0)._1.length} vs batch vector of ${v.length} components " +
           "would silently truncate the assignment dot")
 
+  /** Persist an [[IvfIndex]] for reuse across jobs/sessions — the
+    * "materialize at ingest" half of the deployment story the
+    * incremental ops assume: build once ([[ivfBuild]]), save, and let
+    * every ingest/serving job [[ivfLoad]] instead of re-running Lloyd.
+    * Layout: `dir/centroids` is the k-row coarse quantizer
+    * (cluster, centroid array<double>, cnorm); `dir/assigned` is the
+    * corpus (idCol, vecCol) PARTITIONED BY cluster — the inverted
+    * index as a hive partition tree, so a probe's
+    * `cluster IN (…nprobe…)` filter becomes PARTITION PRUNING at the
+    * file listing and a query physically reads ~nprobe/k of the data
+    * (the on-disk form of the same pruning [[ivfTopK]] does
+    * logically); `dir/meta.json` records the column names. All paths
+    * through the Hadoop FS API — object-store/HDFS safe. */
+  def ivfSave(index: IvfIndex, dir: String): Unit = {
+    val sp = index.assigned.sparkSession
+    import sp.implicits._
+    sp.createDataset(index.centroids.toSeq.zipWithIndex.map {
+        case ((c, n), i) => (i, c.toSeq, n)
+      })
+      .toDF("cluster", "centroid", "cnorm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$dir/assigned")
+    def jesc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    val meta =
+      s"""{"idCol":"${jesc(index.idCol)}","vecCol":"${jesc(index.vecCol)}","k":${index.centroids.length}}"""
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
+    val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load an index [[ivfSave]] wrote. The returned `assigned` frame
+    * reads the cluster-partitioned tree, so downstream probe filters
+    * prune partitions at the source. Centroids round-trip bit-exactly
+    * (doubles through parquet). */
+  def ivfLoad(spark: SparkSession, dir: String): IvfIndex = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val meta = try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      om.readTree(in)
+    } finally in.close()
+    val idCol = meta.get("idCol").asText()
+    val vecCol = meta.get("vecCol").asText()
+    val k = meta.get("k").asInt()
+    import spark.implicits._
+    val cents = new Array[(Array[Double], Double)](k)
+    spark.read.parquet(s"$dir/centroids")
+      .select(col("cluster").cast("int"), col("centroid"), col("cnorm"))
+      .as[(Int, Array[Double], Double)]
+      .collect()
+      .foreach { case (c, v, n) =>
+        require(c >= 0 && c < k, s"centroid row with cluster $c outside [0,$k)")
+        cents(c) = (v, n)
+      }
+    require(!cents.contains(null), s"centroids parquet is missing clusters (k=$k)")
+    val assigned = spark.read.parquet(s"$dir/assigned")
+      .select(col(idCol), col(vecCol), col("cluster").cast("int").as("cluster"))
+    IvfIndex(cents, assigned, idCol, vecCol)
+  }
+
   /** ANN top-k against an IVF index: the query's `nprobe` closest
     * centroids are picked on the driver over k rows, candidates are
     * the vectors assigned to those clusters (~nprobe/k of the corpus),

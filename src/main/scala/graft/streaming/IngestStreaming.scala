@@ -52,7 +52,17 @@ object IngestStreaming {
     * judged against exactly the index its first attempt saw (its own
     * half-committed keeps can never flag it as a duplicate of itself).
     * Paths go through the Hadoop FileSystem API, never `java.io.File`,
-    * so object-store/HDFS survivor dirs grow the index too. */
+    * so object-store/HDFS survivor dirs grow the index too.
+    *
+    * The micro-batch is deliberately NOT persisted even though the body
+    * scans it ~4× (dedup's exact tier, near tier, status join, survivor
+    * semi join — IngestBench's listener counts the scans): the A/B at
+    * sf10 (`results/ingest_sf10_cached_null_r14.json` vs
+    * `ingest_sf10_r14.json`, identical outputs) measured the cached arm
+    * 2.3× SLOWER end-to-end (67 → 153 s) — a 25k-row columnar batch
+    * re-reads from the OS page cache with column pruning for less than
+    * one Spark cache materialization barrier plus its block-manager
+    * memory pressure costs. */
   def incrementalDedupStream(
       corpus: DataFrame,
       stream: DataFrame,
@@ -90,6 +100,67 @@ object IngestStreaming {
           .join(statuses.filter(col("status") === "keep").select(col(idCol)),
             Seq(idCol), "left_semi")
           .select(col(idCol), col(textCol))
+          .write.mode("overwrite")
+          .parquet(s"$survivorsDir/__ingest_batch=$batchId")
+        statuses.unpersist(blocking = false)
+        ()
+      }
+      .start()
+  }
+
+  /** The EMBEDDING twin of [[incrementalDedupStream]] — streaming
+    * semantic ingest dedup over an `Array[Float]` vector column,
+    * completing the ingest matrix (batch / incremental / streaming ×
+    * text / embedding): every arriving micro-batch is statused
+    * (dup / keep, with `n_dups` and `best_sim`) against the standing
+    * corpus PLUS all previously-accepted survivors via
+    * [[graft.operators.SimilaritySearch.incrementalNearDup]] — the
+    * int8-quantized coarse scan against the broadcast batch, margin
+    * admission, exact float verify — before its own keeps join the
+    * index. Identical restart semantics to the text form: per-batch
+    * idempotent `overwrite` into batchId-keyed subdirectories, the
+    * index read excludes the current batchId, Hadoop FS API paths.
+    * Statuses land under `statusDir/batch=<id>` as
+    * (idCol, n_dups, best_sim, status); accepted (idCol, vecCol) rows
+    * under `survivorsDir/__ingest_batch=<id>`. */
+  def incrementalEmbeddingDedupStream(
+      corpus: DataFrame,
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      statusDir: String,
+      survivorsDir: String,
+      threshold: Double = 0.45,
+      margin: Double = 0.05): StreamingQuery = {
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol), col(vecCol))
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$statusDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val survPath = new org.apache.hadoop.fs.Path(survivorsDir)
+        val fs = survPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val index =
+          if (fs.exists(survPath))
+            try base.union(
+              spark.read.parquet(survivorsDir)
+                .filter(col("__ingest_batch") =!= batchId)
+                .select(col(idCol), col(vecCol)))
+            catch {
+              // same crash window as the text form: only _temporary
+              // files → schema inference fails → no batch ever
+              // committed, base-only IS the first attempt's index
+              case _: org.apache.spark.sql.AnalysisException => base
+            }
+          else base
+        val statuses = graft.operators.SimilaritySearch
+          .incrementalNearDup(index, batch, idCol, vecCol, threshold, margin)
+          .persist() // two consumers below; freed before the batch commits
+        statuses.write.mode("overwrite").parquet(s"$statusDir/batch=$batchId")
+        batch
+          .join(statuses.filter(col("status") === "keep").select(col(idCol)),
+            Seq(idCol), "left_semi")
+          .select(col(idCol), col(vecCol))
           .write.mode("overwrite")
           .parquet(s"$survivorsDir/__ingest_batch=$batchId")
         statuses.unpersist(blocking = false)

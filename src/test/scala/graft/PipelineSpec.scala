@@ -230,6 +230,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(surv == Set(100L, 201L), s"survivor fold must track keeps: $surv")
   }
 
+  test("streaming EMBEDDING ingest dedup grows its index across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.IngestStreaming
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed * 2654435761L)
+      Array.fill(16)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val corpus = Seq((1L, vec(1L)), (2L, vec(2L)), (3L, vec(3L)))
+      .toDF("id", "v")
+    val x = vec(900L)
+    // plant batch-detectability first, like the text twin: a failure
+    // below then isolates to micro-batch/index-fold logic
+    val probe = graft.operators.SimilaritySearch.incrementalNearDup(
+        Seq((100L, x)).toDF("id", "v"),
+        Seq((200L, jitter(x, 0.01f))).toDF("id", "v"), "id", "v", 0.9, 0.05)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(probe(200L) == "dup", s"plant not batch-detectable: $probe")
+    val root = java.nio.file.Files.createTempDirectory("graft_vingest").toString
+    val srcDir = s"$root/src"
+    // batch 1: fresh vector X (survivor-to-be) + near-copy of corpus 2
+    Seq((100L, x), (101L, jitter(vec(2L), 0.01f))).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val b1Stamp = System.currentTimeMillis() - 60000L
+    val b1Files = new java.io.File(srcDir).listFiles()
+    b1Files.foreach(_.setLastModified(b1Stamp))
+    val b1Names = b1Files.map(_.getName).toSet
+    // batch 2: near-copy of batch-1 SURVIVOR X (not in the static
+    // corpus) + a fresh vector
+    Seq((200L, jitter(x, 0.01f)), (201L, vec(901L))).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val b2Stamp = System.currentTimeMillis()
+    new java.io.File(srcDir).listFiles()
+      .filter(f => !b1Names.contains(f.getName))
+      .foreach(_.setLastModified(b2Stamp))
+    val stream = spark.readStream
+      .schema("id LONG, v ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = IngestStreaming.incrementalEmbeddingDedupStream(
+      corpus, stream, "id", "v", s"$root/status", s"$root/survivors",
+      threshold = 0.9, margin = 0.05)
+    try { q.processAllAvailable() } finally q.stop()
+    val st = spark.read.parquet(s"$root/status").select("id", "status")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st.size == 4, s"one status per streamed vector: $st")
+    assert(st(100L) == "keep", s"fresh batch-1 vector must keep: $st")
+    assert(st(101L) == "dup", s"near-copy of corpus vector must flag: $st")
+    assert(st(200L) == "dup",
+      s"near-copy of a batch-1 SURVIVOR must be flagged (growing index): $st")
+    assert(st(201L) == "keep", s"fresh batch-2 vector must keep: $st")
+    val surv = spark.read.parquet(s"$root/survivors")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(100L, 201L), s"survivor fold must track keeps: $surv")
+  }
+
   test("v14 IVF-pruned incremental dedup is consistent with the full-scan v12 on the fixture") {
     def run(q: graft.queries.Q): Map[Long, (Long, Double, String)] =
       q.fn(spark, dir).collect().map(r => r.getLong(0) ->

@@ -583,6 +583,47 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(emptyOk == Seq((702L, -1L)))
   }
 
+  test("ivfSave/ivfLoad round-trip: bit-exact centroids, cluster-partitioned layout, same answers") {
+    import spark.implicits._
+    val corpus = ((1L, jitter(vec(777L), 0.01f)) +:
+      (2L to 80L).map(i => (i, vec(i)))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 4, lloydIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    SimilaritySearch.ivfSave(idx, dir)
+    val loaded = SimilaritySearch.ivfLoad(spark, dir)
+    // centroids round-trip bit-exactly (doubles through parquet)
+    assert(loaded.centroids.length == idx.centroids.length)
+    idx.centroids.zip(loaded.centroids).foreach { case ((c0, n0), (c1, n1)) =>
+      assert(c0.toSeq == c1.toSeq && n0 == n1, "centroid drifted through the round-trip")
+    }
+    // the inverted index is a hive partition tree — the on-disk form of
+    // probe pruning: each cluster is its own subdirectory, so a
+    // cluster IN (...) filter prunes at the file listing
+    val parts = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts.forall(_.startsWith("cluster=")), s"unexpected layout: $parts")
+    assert(parts.size >= 2, s"expected multiple cluster partitions, got $parts")
+    // same assignment rows, same ANN answers through the loaded index
+    val a0 = idx.assigned.select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a1 = loaded.assigned.select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a0, "assignment changed through the round-trip")
+    val q = vec(777L)
+    val t0 = SimilaritySearch.ivfTopK(idx, q, topK = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val t1 = SimilaritySearch.ivfTopK(loaded, q, topK = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(t1 == t0, s"loaded-index answers diverged: $t1 vs $t0")
+    assert(t0.head._1 == 1L, "planted near-copy must rank first through both")
+    // and the loaded index serves the incremental ops directly
+    val batch = Seq((900L, jitter(vec(33L), 0.01f))).toDF("id", "v")
+    val st = SimilaritySearch.ivfIncrementalNearDup(
+        loaded, batch, nprobe = 2, threshold = 0.9, margin = 0.05)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(st(900L) == "dup", s"near-copy must flag through the loaded index: $st")
+  }
+
   test("quantizedTopK ranks the planted near-copy first and reranks exactly") {
     import spark.implicits._
     val q = vec(4242L)
