@@ -49,7 +49,10 @@ object Bench {
     "gr2_triangle_count", "v7_quantized_ann", "v8_quantized_neardup",
     // round-13 additions (totals after r13 cover 36 queries): the
     // incremental-ingest trilogy — delta-vs-corpus text dedup, the
-    // flat-kernel embedding twin, and IVF assignment without rebuild
+    // flat-kernel embedding twin, and IVF assignment without rebuild.
+    // v14 (IVF×incremental) stays off-headline like v5/v9: its
+    // per-invocation ivfBuild would dominate the reading (solo
+    // artifacts: results/v14_sf{1,10}_r14.json)
     "t26_incremental_dedup", "v12_incremental_embedding_dedup",
     "v13_incremental_ivf_assign")
 

@@ -528,6 +528,100 @@ object SimilaritySearch {
       .limit(topK)
   }
 
+  /** BATCHED ANN top-k through an IVF index — the serving-throughput
+    * form of [[ivfTopK]]: a whole DataFrame of query vectors resolves
+    * its neighbors in ONE distributed pass instead of one driver-side
+    * probe per query. Each query expands to its `nprobe` nearest
+    * clusters (the same argmax/tie convention as the build and
+    * [[ivfAssign]]), the exploded (query, cluster) rows BROADCAST-join
+    * the cluster-keyed corpus — so every corpus row meets exactly the
+    * queries probing its cluster, Σ_q |probed(q)| ≈ nprobe/k of the
+    * full cross product — and survivors rank by exact cosine (the
+    * codegen'd float kernel, r4 rounding) per query. Returns
+    * (queryIdCol, idCol, cos_sim, rank) with rank 1..topK per query.
+    *
+    * Degenerate (zero/empty) query vectors probe nothing and simply
+    * produce no output rows — the batch form's counterpart of the
+    * single-query loud refusal (one bad vector must not kill a
+    * million-query serving job; its absence from the output is the
+    * visible signal, mirroring [[ivfAssign]]'s cluster −1). Queries
+    * larger than [[maxExactRows]] are refused loudly — beyond that,
+    * chunk the batch. */
+  def ivfTopKBatch(
+      index: IvfIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    implicit val sp: SparkSession = index.assigned.sparkSession
+    import sp.implicits._
+    require(topK >= 1 && nprobe >= 1, s"topK and nprobe must be >= 1")
+    val k = index.centroids.length
+    require(k >= 1, "ivfTopKBatch needs a built index (no centroids)")
+    val nQueries = queries.select(col(queryIdCol)).count()
+    require(nQueries <= maxExactRows,
+      s"ivfTopKBatch got $nQueries queries — the broadcast probe side is " +
+        s"capped at $maxExactRows; chunk the query batch")
+    val bc = sp.sparkContext.broadcast(index.centroids)
+    val effNprobe = math.min(nprobe, k)
+    val probed = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, v) =>
+        val cs = bc.value
+        checkAssignDim(cs, v)
+        probeClusters(cs, v, effNprobe).map(c => (qid, v, c))
+      }
+      .toDF("__qid", "__qv", "cluster")
+      .withColumn("__qn", VectorFunctions.norm(col("__qv")))
+    broadcast(probed)
+      .join(index.assigned, Seq("cluster"))
+      .select(col("__qid"), col(index.idCol),
+        r4(VectorFunctions.dot(col(index.vecCol), col("__qv")) /
+          (VectorFunctions.norm(col(index.vecCol)) * col("__qn"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__qid"))
+          .orderBy(col("cos_sim").desc, col(index.idCol))))
+      .filter(col("rank") <= topK)
+      .select(col("__qid").as(queryIdCol), col(index.idCol),
+        col("cos_sim"), col("rank").cast("long").as("rank"))
+  }
+
+  /** The `nprobe` nearest clusters of `v`, ascending cluster index —
+    * repeated strict-argmax over the unchosen centroids, so ties break
+    * to the LOWER cluster index exactly like [[nearestCentroid]] and
+    * the oracle's `ROW_NUMBER() OVER (ORDER BY sim DESC, c)`. The
+    * primitive behind both probe forms (works for any k); degenerate
+    * vectors (every cosine NaN) probe nothing: empty. */
+  private def probeClusters(
+      cents: Array[(Array[Double], Double)], v: Array[Float], nprobe: Int): Seq[Int] = {
+    val vn = normF(v)
+    val sims = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      sims(c) = dotDF(cents(c)._1, v) / (cents(c)._2 * vn)
+      c += 1
+    }
+    val chosen = new Array[Boolean](cents.length)
+    val out = Seq.newBuilder[Int]
+    var picked = 0
+    var continue = true
+    while (picked < nprobe && continue) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < sims.length) {
+        if (!chosen(i) && sims(i) > bestSim) { bestSim = sims(i); best = i }
+        i += 1
+      }
+      if (best < 0) continue = false // all remaining NaN/chosen: stop
+      else { chosen(best) = true; out += best; picked += 1 }
+    }
+    out.result().sorted
+  }
+
   /** Diversity-balanced subsample over the LEARNED embedding clusters:
     * at most `perCluster` rows per IVF cluster, chosen by ascending
     * md5-derived content hash of the id (ties to the lower id) — the
@@ -1326,38 +1420,12 @@ object SimilaritySearch {
       batch, index.idCol, index.vecCol, threshold, corpusSizeHint)
   }
 
-  /** The `nprobe` nearest clusters of `v` as a Long bitmask — repeated
-    * strict-argmax over the unchosen centroids, so ties break to the
-    * LOWER cluster index exactly like [[nearestCentroid]] and the
-    * oracle's `ROW_NUMBER() OVER (ORDER BY sim DESC, c)`. Degenerate
-    * vectors (every cosine NaN) probe nothing: mask 0. */
+  /** [[probeClusters]] packed into a Long bitmask — the broadcast-
+    * friendly form the incremental kernel scan wants (callers require
+    * k ≤ 64). Degenerate vectors probe nothing: mask 0. */
   private def probeMask(
-      cents: Array[(Array[Double], Double)], v: Array[Float], nprobe: Int): Long = {
-    val vn = normF(v)
-    val sims = new Array[Double](cents.length)
-    var c = 0
-    while (c < cents.length) {
-      sims(c) = dotDF(cents(c)._1, v) / (cents(c)._2 * vn)
-      c += 1
-    }
-    var mask = 0L
-    var picked = 0
-    while (picked < nprobe) {
-      var best = -1
-      var bestSim = Double.NegativeInfinity
-      var i = 0
-      while (i < sims.length) {
-        if ((mask & (1L << i)) == 0L && sims(i) > bestSim) {
-          bestSim = sims(i); best = i
-        }
-        i += 1
-      }
-      if (best < 0) return mask // all remaining NaN/chosen: stop
-      mask |= 1L << best
-      picked += 1
-    }
-    mask
-  }
+      cents: Array[(Array[Double], Double)], v: Array[Float], nprobe: Int): Long =
+    probeClusters(cents, v, nprobe).foldLeft(0L)((m, c) => m | (1L << c))
 
   /** The shared verify stage of both pairwise arms: only (idA, idB)
     * candidates touch the float vectors — fetched by id, never

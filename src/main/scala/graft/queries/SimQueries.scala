@@ -677,8 +677,63 @@ object SimQueries {
       .orderBy("vec_id")
   }
 
+  /** BATCHED ANN serving through the IVF index — every ingested vector
+    * (vec_id % 7 = 4) resolves its top-3 corpus neighbors in ONE
+    * distributed pass: per-query probe sets (top-4 clusters by float
+    * cosine, ties to the lower index), exploded (query, cluster) rows
+    * broadcast-joined to the cluster-keyed corpus, exact-cosine window
+    * rank per query. The throughput form of v5's one-vector probe —
+    * a retrieval/dedup pipeline looks up millions of vectors per job,
+    * not one per driver round-trip. The oracle replays the corpus-only
+    * build, each query's probe set, and the per-query rank verbatim.
+    * Library surface: [[graft.operators.SimilaritySearch.ivfTopKBatch]]. */
+  val ivfBatchTopK: Q = Q(
+    "v15_ivf_batch_topk",
+    s"""${ivfCentroidSql(16, 3, 64, " WHERE vec_id % 7 <> 4")},
+      |db AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+      |       FROM embeddings WHERE vec_id % 7 = 4),
+      |bnorm AS (SELECT vec_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
+      |          FROM db, generate_series(1, 64) t(i) GROUP BY vec_id),
+      |bsim AS (SELECT b.vec_id, cc.c, SUM(b.ve[cc.i] * cc.comp) / (cn.nrm * bn.nrm) AS sim
+      |         FROM db b, cents3 cc, cnorm3 cn, bnorm bn
+      |         WHERE cn.c = cc.c AND bn.vec_id = b.vec_id
+      |         GROUP BY b.vec_id, cc.c, cn.nrm, bn.nrm),
+      |probe AS (SELECT vec_id, c FROM (
+      |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+      |    FROM bsim) r WHERE rn <= 4),
+      |score AS (SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+      |            SUM(v.ve[t.i] * q.ve[t.i]) AS dot, vn.nrm AS n1, qn.nrm AS n2
+      |          FROM db q
+      |            JOIN probe pr ON pr.vec_id = q.vec_id
+      |            JOIN finalassign fa ON fa.cluster = pr.c
+      |            JOIN d v ON v.vec_id = fa.vec_id
+      |            JOIN vnorm vn ON vn.vec_id = v.vec_id
+      |            JOIN bnorm qn ON qn.vec_id = q.vec_id,
+      |            generate_series(1, 64) t(i)
+      |          GROUP BY q.vec_id, v.vec_id, vn.nrm, qn.nrm),
+      |ranked AS (SELECT q_id, n_id,
+      |             FLOOR(dot / (n1 * n2) * 10000 + 0.5) / 10000 AS cos_sim
+      |           FROM score),
+      |topk AS (SELECT q_id, n_id, cos_sim,
+      |           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |             ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank
+      |         FROM ranked)
+      |SELECT q_id, n_id AS vec_id, cos_sim, rank FROM topk
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val idx = graft.operators.SimilaritySearch.ivfBuild(
+      e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
+      k = 16, lloydIters = 3, portableSeeds = true)
+    graft.operators.SimilaritySearch.ivfTopKBatch(
+        idx,
+        e.filter(col("vec_id") % 7 === 4)
+          .select(col("vec_id").as("q_id"), col("embedding")),
+        "q_id", "embedding", topK = 3, nprobe = 4)
+      .orderBy("q_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup, annIvf, quantize,
     quantizedAnn, quantizedNearDup, annIvfQuantized, clusterSample,
     embeddingDedup, incrementalEmbeddingDedup, incrementalIvfAssign,
-    ivfIncrementalDedup)
+    ivfIncrementalDedup, ivfBatchTopK)
 }

@@ -149,6 +149,16 @@ class PlanQualitySpec extends AnyFunSuite {
       "v14 contains a cartesian product")
     assert(!v14.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
       "v14's probe-pruned coarse scan must be the flat kernel, not a BNLJ")
+    // v15's query×corpus meeting is an equi-join on the cluster key
+    // with the exploded probe side broadcast — a BNLJ/cartesian here
+    // means the whole nprobe/k pruning collapsed to all-pairs
+    val v15 = finalPlan("v15_ivf_batch_topk")
+    assert(v15.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "v15 must broadcast the exploded probe side into a hash join on cluster")
+    assert(!v15.exists(_.isInstanceOf[CartesianProductExec]),
+      "v15 contains a cartesian product")
+    assert(!v15.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "v15 must never degrade to a nested loop")
   }
 
   test("t8 builds posting lists with the capped aggregate, never raw collect_list") {

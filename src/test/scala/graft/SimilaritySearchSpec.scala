@@ -583,6 +583,37 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(emptyOk == Seq((702L, -1L)))
   }
 
+  test("ivfTopKBatch agrees with per-query ivfTopK; degenerate queries yield no rows") {
+    import spark.implicits._
+    val corpus = (1L to 100L).map(i => (i, vec(i))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 6, lloydIters = 2)
+    val qvecs = Seq(501L -> jitter(vec(7L), 0.01f), 502L -> vec(902L),
+      503L -> jitter(vec(55L), 0.01f))
+    val queries = (qvecs :+ (504L -> Array.fill(dim)(0f))).toDF("qid", "qv")
+    val batch = SimilaritySearch.ivfTopKBatch(
+        idx, queries, "qid", "qv", topK = 4, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    // the batch join must return, per query, EXACTLY the single-query
+    // probe's answers (same probe sets, same kernel, same rounding,
+    // same tie order)
+    for ((qid, qv) <- qvecs) {
+      val single = SimilaritySearch.ivfTopK(idx, qv, topK = 4, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val got = batch(qid).sortBy(_._4).map(t => (t._2, t._3)).toSeq
+      assert(got == single, s"query $qid diverged: batch=$got single=$single")
+      assert(batch(qid).map(_._4).toSeq.sorted == (1L to single.length),
+        s"query $qid ranks must be 1..k")
+    }
+    // the zero query probes nothing: absent from the output, and the
+    // valid queries are unaffected by its presence in the batch
+    assert(!batch.contains(504L), "degenerate query must yield no rows")
+    // planted near-copies rank first for their queries
+    assert(batch(501L).minBy(_._4)._2 == 7L)
+    assert(batch(503L).minBy(_._4)._2 == 55L)
+  }
+
   test("ivfSave/ivfLoad round-trip: bit-exact centroids, cluster-partitioned layout, same answers") {
     import spark.implicits._
     val corpus = ((1L, jitter(vec(777L), 0.01f)) +:
