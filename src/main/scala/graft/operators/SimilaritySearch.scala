@@ -575,17 +575,224 @@ object SimilaritySearch {
       }
       .toDF("__qid", "__qv", "cluster")
       .withColumn("__qn", VectorFunctions.norm(col("__qv")))
-    broadcast(probed)
-      .join(index.assigned, Seq("cluster"))
-      .select(col("__qid"), col(index.idCol),
+    // corpus norms once per ROW (before the join fans each row out to
+    // every query probing its cluster), never once per pair
+    val scored = broadcast(probed)
+      .join(index.assigned
+          .withColumn("__cn", VectorFunctions.norm(col(index.vecCol))),
+        Seq("cluster"))
+      .select(col("__qid"),
+        col(index.idCol).cast("long").as("__nid"),
         r4(VectorFunctions.dot(col(index.vecCol), col("__qv")) /
-          (VectorFunctions.norm(col(index.vecCol)) * col("__qn"))).as("cos_sim"))
+          (col("__cn") * col("__qn"))).as("__score"))
+      .as[(Long, Long, Double)]
+    partialTopK(scored, topK)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("__qid"))
-          .orderBy(col("cos_sim").desc, col(index.idCol))))
+          .orderBy(col("__score").desc, col("__nid"))))
       .filter(col("rank") <= topK)
-      .select(col("__qid").as(queryIdCol), col(index.idCol),
+      .select(col("__qid").as(queryIdCol), col("__nid").as(index.idCol),
+        col("__score").as("cos_sim"), col("rank").cast("long").as("rank"))
+  }
+
+  /** EXACT per-partition pre-top-k, the classic distributed-top-k
+    * combiner: under the deterministic total order (score desc, id
+    * asc — the SAME order every downstream rank uses), any row in a
+    * query's global top-`limit` is necessarily in the top-`limit` of
+    * its own partition, so bounded per-partition heaps cut the
+    * follow-up window's shuffle input from every scored pair
+    * (Σ_q |probed(q)| — 1.2B at sf10, where the naive window measured
+    * 167 s) to ≤ partitions × queries × limit rows, with bit-identical
+    * output. Heap memory per task is O(queries × limit) tuples,
+    * bounded by the batch caps of the callers. Returns
+    * (__qid, __nid, __score). */
+  private def partialTopK(
+      scored: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+      limit: Int): DataFrame = {
+    val sp = scored.sparkSession
+    import sp.implicits._
+    scored.mapPartitions { it =>
+      // priority = "worseness": the queue's max is the worst kept row,
+      // evicted when a better candidate arrives
+      val worst: Ordering[(Double, Long)] =
+        Ordering.by { case (s, id) => (-s, id) }
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (q, id, s) =>
+        val h = heaps.getOrElseUpdate(
+          q, scala.collection.mutable.PriorityQueue.empty(worst))
+        if (h.size < limit) h.enqueue((s, id))
+        else {
+          val w = h.head
+          if (s > w._1 || (s == w._1 && id < w._2)) {
+            h.dequeue(); h.enqueue((s, id))
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (q, h) =>
+        h.iterator.map { case (s, id) => (q, id, s) }
+      }
+    }.toDF("__qid", "__nid", "__score")
+  }
+
+  /** The IVF-SQ8 form of [[ivfTopKBatch]] — v9's two-lever pruning at
+    * serving-batch throughput: the probed pairs (already ~nprobe/k of
+    * the cross product) are COARSE-scored by the FLAT int8 kernel scan
+    * — the batch's quantized bytes and per-query cluster bitmasks ride
+    * ONE broadcast, each corpus partition streams its rows through
+    * direct static kernel calls (Panama SIMD under
+    * `spark.graft.neardup.kernel`, scalar twin otherwise) and keeps a
+    * bounded per-query heap of the `topK × overFetch` best coarse
+    * scores — and ONLY the heap survivors (≈ queries × topK ×
+    * overFetch rows, independent of corpus size) touch float vectors
+    * for the exact rerank. The flat-kernel shape matters more than the
+    * byte width here: at sf10's 1.2B probed pairs the exact batch form
+    * measures ~60–63 s, the same int8 scoring THROUGH a broadcast join
+    * ~51 s (per-pair join-row overhead dominates, not arithmetic), and
+    * this scan shape measures ~12.6 s end-to-end — the r13
+    * KernelShapeBench lesson (direct static calls over flat buffers vs
+    * per-row expression eval) applied to serving. `overFetch` is
+    * the usual recall dial against coarse/exact rank inversions near
+    * the boundary; the default 4 matches [[quantizedTopK]]. Output
+    * contract and degenerate-vector policy identical to
+    * [[ivfTopKBatch]]; like [[ivfIncrementalNearDup]] the bitmask
+    * bounds k at 64. */
+  def ivfTopKBatchQuantized(
+      index: IvfIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4): DataFrame = {
+    implicit val sp: SparkSession = index.assigned.sparkSession
+    import sp.implicits._
+    require(topK >= 1 && nprobe >= 1 && overFetch >= 1,
+      "topK, nprobe and overFetch must be >= 1")
+    val k = index.centroids.length
+    require(k >= 1, "ivfTopKBatchQuantized needs a built index (no centroids)")
+    require(k <= 64,
+      s"cluster bitmask is a Long — k=$k clusters exceed 64; shard the " +
+        "index or use ivfTopKBatch")
+    val kMode = resolveKernelMode(sp)
+    val nQueries = queries.select(col(queryIdCol)).count()
+    require(nQueries <= maxExactRows,
+      s"ivfTopKBatchQuantized got $nQueries queries — the broadcast probe " +
+        s"side is capped at $maxExactRows; chunk the query batch")
+    val bcCents = sp.sparkContext.broadcast(index.centroids)
+    val effNprobe = math.min(nprobe, k)
+    val keep = topK * overFetch
+    // one pass computes each query's probe bitmask + int8 packing;
+    // O(batch) driver fetch into the flat row-major layout
+    val brows = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol),
+        VectorFunctions.quantizeInt8(col(queryVecCol)).as("__qq"))
+      .withColumn("__qs", VectorFunctions.int8Dot(col("__qq"), col("__qq")))
+      .as[(Long, Array[Float], Array[Byte], Long)]
+      .map { case (id, v, qq, qs) =>
+        val cs = bcCents.value
+        checkAssignDim(cs, v)
+        (id, probeMask(cs, v, effNprobe), qq, qs)
+      }
+      .collect()
+    var bdim = 0
+    brows.foreach { case (_, _, q, _) =>
+      if (q.nonEmpty) {
+        if (bdim == 0) bdim = q.length
+        else if (q.length != bdim) throw new IllegalArgumentException(
+          s"mixed-dimension query batch: int8 dot over $bdim- vs " +
+            s"${q.length}-component vectors would silently truncate")
+      }
+    }
+    val nb = brows.length
+    val qids = new Array[Long](nb)
+    val masks = new Array[Long](nb)
+    val dens = new Array[Double](nb)
+    val buf = new Array[Byte](nb * math.max(bdim, 1))
+    var j = 0
+    brows.foreach { case (id, mask, q, qs) =>
+      qids(j) = id
+      masks(j) = mask
+      dens(j) = if (q.isEmpty) 0.0 else math.sqrt(qs.toDouble)
+      if (q.nonEmpty) System.arraycopy(q, 0, buf, j * bdim, bdim)
+      j += 1
+    }
+    val bc = sp.sparkContext.broadcast((qids, masks, dens, buf, bdim))
+    // the int8 projection of the cluster-keyed corpus — a deployment
+    // materializes this next to `assigned` (quantizeCorpus) and reuses
+    // it; recomputed inline here so the operator works on any index
+    val cq = index.assigned
+      .select(col(index.idCol).cast("long").as("__nid"),
+        col("cluster").cast("int").as("__cc"),
+        VectorFunctions.quantizeInt8(col(index.vecCol)).as("__cq"))
+      .withColumn("__cn2", VectorFunctions.int8Dot(col("__cq"), col("__cq")))
+    // coarse = the flat kernel scan with per-query bounded heaps: the
+    // heaps ARE the per-partition top-(k×oF) combiner, so only
+    // ≤ partitions × queries × k×oF rows leave the scan
+    val coarse = cq
+      .as[(Long, Int, Array[Byte], Long)]
+      .mapPartitions { it =>
+        val (bqids, bmasks, bdens, bbuf, bd) = bc.value
+        val useVector = resolveUseVector(kMode)
+        val worst: Ordering[(Double, Long)] =
+          Ordering.by { case (s, id) => (-s, id) }
+        val heaps = Array.fill(bqids.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worst))
+        it.foreach { case (nid, cc, cqv, cn2) =>
+          if (!(cqv.isEmpty || cn2 == 0L || bd == 0 || cc < 0 || cc >= 64)) {
+            if (cqv.length != bd) throw new IllegalArgumentException(
+              s"mixed-dimension corpus vs query batch: int8 dot over " +
+                s"${cqv.length}- vs $bd-component vectors would silently truncate")
+            val cbit = 1L << cc
+            val cden = math.sqrt(cn2.toDouble)
+            var jj = 0
+            while (jj < bqids.length) {
+              val dj = bdens(jj)
+              if ((bmasks(jj) & cbit) != 0L && dj != 0.0) {
+                val c =
+                  if (useVector) VectorDotKernel.dotRange(cqv, 0, bbuf, jj * bd, bd)
+                  else QSide.sdotRange(cqv, 0, bbuf, jj * bd, bd)
+                val s = math.floor(c / (cden * dj) * 10000 + 0.5) / 10000.0
+                val h = heaps(jj)
+                if (h.size < keep) h.enqueue((s, nid))
+                else {
+                  val w = h.head
+                  if (s > w._1 || (s == w._1 && nid < w._2)) {
+                    h.dequeue(); h.enqueue((s, nid))
+                  }
+                }
+              }
+              jj += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qj) =>
+          h.iterator.map { case (s, nid) => (bqids(qj), nid, s) }
+        }
+      }
+    val cand = partialTopK(coarse, keep).select("__qid", "__nid")
+    // exact rerank: only the coarse survivors touch floats — both
+    // fetch sides are small (queries ≤ cap; candidates ≈ queries×k×oF)
+    val qf = queries.select(col(queryIdCol).cast("long").as("__qid"),
+        col(queryVecCol).as("__qvf"))
+      .withColumn("__qnf", VectorFunctions.norm(col("__qvf")))
+    val nf = index.assigned
+      .select(col(index.idCol).cast("long").as("__nid"),
+        col(index.vecCol).as("__nvf"))
+      .withColumn("__nnf", VectorFunctions.norm(col("__nvf")))
+    broadcast(cand)
+      .join(nf, Seq("__nid"))
+      .join(broadcast(qf), Seq("__qid"))
+      .select(col("__qid"), col("__nid"),
+        r4(VectorFunctions.dot(col("__nvf"), col("__qvf")) /
+          (col("__nnf") * col("__qnf"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__qid"))
+          .orderBy(col("cos_sim").desc, col("__nid"))))
+      .filter(col("rank") <= topK)
+      .select(col("__qid").as(queryIdCol), col("__nid").as(index.idCol),
         col("cos_sim"), col("rank").cast("long").as("rank"))
   }
 

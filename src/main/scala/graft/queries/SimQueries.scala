@@ -732,8 +732,79 @@ object SimQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** v15's IVF-SQ8 form — the batched serving path at scale: probed
+    * pairs coarse-score on the int8 projection through the FLAT kernel
+    * scan (per-query bounded heaps keep topK×overFetch=12 coarse
+    * survivors), only survivors touch floats for the exact rerank.
+    * Measured at sf10's 1.2B probed pairs: ~12.6 s vs v15's ~61 s —
+    * the per-pair cost is join-row overhead, not arithmetic, and the
+    * flat direct-call scan deletes it (the KernelShapeBench lesson at
+    * serving). The oracle replays the corpus-only build, probe sets,
+    * the int8 coarse cut (integer dots — bit-exact in any order — with
+    * v7/v9's shared quantization CTEs) and the exact rerank verbatim.
+    * Library surface:
+    * [[graft.operators.SimilaritySearch.ivfTopKBatchQuantized]]. */
+  val ivfBatchTopKQuantized: Q = Q(
+    "v16_ivf_batch_topk_sq8",
+    s"""${ivfCentroidSql(16, 3, 64, " WHERE vec_id % 7 <> 4")},
+      |dall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |${int8QuantCtes(64, "dall")},
+      |db AS (SELECT vec_id, ve FROM dall WHERE vec_id % 7 = 4),
+      |bnorm AS (SELECT vec_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
+      |          FROM db, generate_series(1, 64) t(i) GROUP BY vec_id),
+      |bsim AS (SELECT b.vec_id, cc.c, SUM(b.ve[cc.i] * cc.comp) / (cn.nrm * bn.nrm) AS sim
+      |         FROM db b, cents3 cc, cnorm3 cn, bnorm bn
+      |         WHERE cn.c = cc.c AND bn.vec_id = b.vec_id
+      |         GROUP BY b.vec_id, cc.c, cn.nrm, bn.nrm),
+      |probe AS (SELECT vec_id, c FROM (
+      |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+      |    FROM bsim) r WHERE rn <= 4),
+      |coarse AS (SELECT qb.vec_id AS q_id, qc.vec_id AS n_id, SUM(qb.q * qc.q) AS idot
+      |           FROM qv qb JOIN qv qc ON qb.i = qc.i
+      |                JOIN finalassign fa ON fa.vec_id = qc.vec_id
+      |                JOIN probe pr ON pr.vec_id = qb.vec_id AND pr.c = fa.cluster
+      |           WHERE qb.vec_id % 7 = 4 AND qc.vec_id % 7 <> 4
+      |           GROUP BY qb.vec_id, qc.vec_id),
+      |ctop AS (SELECT q_id, n_id FROM (
+      |    SELECT c.q_id, c.n_id,
+      |      ROW_NUMBER() OVER (PARTITION BY c.q_id
+      |        ORDER BY FLOOR(idot / (SQRT(s1.s) * SQRT(s2.s)) * 10000 + 0.5)/10000 DESC,
+      |          c.n_id) AS crn
+      |    FROM coarse c JOIN sq s1 ON s1.vec_id = c.q_id
+      |         JOIN sq s2 ON s2.vec_id = c.n_id) r
+      |  WHERE crn <= 12),
+      |rr AS (SELECT ct.q_id, ct.n_id,
+      |         SUM(v.ve[t.i] * q.ve[t.i]) AS dot, vn.nrm AS n1, qn.nrm AS n2
+      |       FROM ctop ct
+      |         JOIN d v ON v.vec_id = ct.n_id
+      |         JOIN db q ON q.vec_id = ct.q_id
+      |         JOIN vnorm vn ON vn.vec_id = ct.n_id
+      |         JOIN bnorm qn ON qn.vec_id = ct.q_id,
+      |         generate_series(1, 64) t(i)
+      |       GROUP BY ct.q_id, ct.n_id, vn.nrm, qn.nrm),
+      |ranked AS (SELECT q_id, n_id,
+      |             FLOOR(dot / (n1 * n2) * 10000 + 0.5) / 10000 AS cos_sim
+      |           FROM rr),
+      |topk AS (SELECT q_id, n_id, cos_sim,
+      |           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |             ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank
+      |         FROM ranked)
+      |SELECT q_id, n_id AS vec_id, cos_sim, rank FROM topk
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val idx = graft.operators.SimilaritySearch.ivfBuild(
+      e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
+      k = 16, lloydIters = 3, portableSeeds = true)
+    graft.operators.SimilaritySearch.ivfTopKBatchQuantized(
+        idx,
+        e.filter(col("vec_id") % 7 === 4)
+          .select(col("vec_id").as("q_id"), col("embedding")),
+        "q_id", "embedding", topK = 3, nprobe = 4, overFetch = 4)
+      .orderBy("q_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup, annIvf, quantize,
     quantizedAnn, quantizedNearDup, annIvfQuantized, clusterSample,
     embeddingDedup, incrementalEmbeddingDedup, incrementalIvfAssign,
-    ivfIncrementalDedup, ivfBatchTopK)
+    ivfIncrementalDedup, ivfBatchTopK, ivfBatchTopKQuantized)
 }

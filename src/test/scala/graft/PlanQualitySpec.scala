@@ -159,6 +159,14 @@ class PlanQualitySpec extends AnyFunSuite {
       "v15 contains a cartesian product")
     assert(!v15.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
       "v15 must never degrade to a nested loop")
+    // v16's coarse tier is the flat kernel scan (mapPartitions) and its
+    // rerank joins are broadcast fetches of small sides — a
+    // BNLJ/cartesian anywhere means the serving path collapsed
+    val v16 = finalPlan("v16_ivf_batch_topk_sq8")
+    assert(!v16.exists(_.isInstanceOf[CartesianProductExec]),
+      "v16 contains a cartesian product")
+    assert(!v16.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "v16 must never degrade to a nested loop")
   }
 
   test("t8 builds posting lists with the capped aggregate, never raw collect_list") {

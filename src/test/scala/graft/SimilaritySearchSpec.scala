@@ -614,6 +614,37 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(batch(503L).minBy(_._4)._2 == 55L)
   }
 
+  test("ivfTopKBatchQuantized agrees with the exact batch arm when overFetch covers inversions") {
+    import spark.implicits._
+    val corpus = (1L to 100L).map(i => (i, vec(i))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 6, lloydIters = 2)
+    val queries = Seq(601L -> jitter(vec(11L), 0.01f), 602L -> vec(903L),
+      603L -> jitter(vec(42L), 0.01f), 604L -> Array.fill(dim)(0f)).toDF("qid", "qv")
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val exact = run(SimilaritySearch.ivfTopKBatch(
+      idx, queries, "qid", "qv", topK = 4, nprobe = 2))
+    val quant = run(SimilaritySearch.ivfTopKBatchQuantized(
+      idx, queries, "qid", "qv", topK = 4, nprobe = 2, overFetch = 4))
+    // same probe sets + overFetch headroom (the measured int8
+    // quantization error is ~0.005 cosine vs a 12-candidate cut over
+    // ~33 probed rows): identical output, including the exact scores —
+    // the coarse tier is a scheduling/bandwidth lever, the rerank
+    // restores exact ranking
+    assert(quant == exact, s"quantized arm diverged:\n$quant\nvs\n$exact")
+    // degenerate query absent from both
+    assert(!exact.exists(_._1 == 604L) && !quant.exists(_._1 == 604L))
+    // the >64-cluster bitmask refusal, like ivfIncrementalNearDup
+    val wide = SimilaritySearch.IvfIndex(
+      Array.fill(65)((Array.fill(dim)(1.0), math.sqrt(dim.toDouble))),
+      idx.assigned, "id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfTopKBatchQuantized(wide, queries, "qid", "qv", 4, 2)
+    }
+    assert(ex.getMessage.contains("64"))
+  }
+
   test("ivfSave/ivfLoad round-trip: bit-exact centroids, cluster-partitioned layout, same answers") {
     import spark.implicits._
     val corpus = ((1L, jitter(vec(777L), 0.01f)) +:
