@@ -254,6 +254,12 @@ object Bench {
       if (canaryShStart > 0 && canaryShEnd > 0) (canaryShEnd - canaryShStart) / canaryShStart
       else 0.0
     val extraConfJson = graft.tools.BenchProtocol.jsonEscape(extraConf)
+    // cross-scale readings are never comparable: both ratio maps (and
+    // the slot overwrite below) are suppressed when this run's sf
+    // differs from the standing artifact's (found in review: the first
+    // sf-pin protected only the SLOT, while the emitted artifact still
+    // printed meaningless 0.01-style cross-scale ratios)
+    val sfMatches = lastGoodSf.forall(_ == sfDir)
     // ONE artifact-line builder for both the run output and the standing
     // slot, so a spliced slot (see below) carries exactly the same field
     // set plus the `spliced` stamp. `res` is the per-query medians the
@@ -265,22 +271,25 @@ object Bench {
       val total = res.collect { case (_, v) if v >= 0.0 => v }.sum
       val failed = res.collect { case (k, v) if v < 0.0 => "\"" + k + "\"" }
         .mkString("[", ",", "]")
-      val ratios = res.collect {
-        case (k, v) if v > 0 && lastGood.get(k).exists(_ > 0) =>
-          "\"" + k + "\":" + f"${v / lastGood(k)}%.3f"
-      }.mkString("{", ",", "}")
+      val ratios =
+        if (!sfMatches) "{}"
+        else res.collect {
+          case (k, v) if v > 0 && lastGood.get(k).exists(_ > 0) =>
+            "\"" + k + "\":" + f"${v / lastGood(k)}%.3f"
+        }.mkString("{", ",", "}")
       // canary-normalized cross-round ratios: raw ratio ÷ (this run's
       // canary / standing run's canary). A host-band shift inflates raw
       // ratios AND the canary ratio by the same factor; a real code
       // regression inflates only the former. Present only when the
       // standing artifact carries a canary (post-r12 artifacts).
-      val ratiosNorm = lastGoodCanary.filter(_ => canary > 0).map { lgc =>
-        val factor = canary / lgc
-        res.collect {
-          case (k, v) if v > 0 && lastGood.get(k).exists(_ > 0) =>
-            "\"" + k + "\":" + f"${v / lastGood(k) / factor}%.3f"
-        }.mkString("{", ",", "}")
-      }.getOrElse("{}")
+      val ratiosNorm = lastGoodCanary
+        .filter(_ => canary > 0 && sfMatches).map { lgc =>
+          val factor = canary / lgc
+          res.collect {
+            case (k, v) if v > 0 && lastGood.get(k).exists(_ > 0) =>
+              "\"" + k + "\":" + f"${v / lastGood(k) / factor}%.3f"
+          }.mkString("{", ",", "}")
+        }.getOrElse("{}")
       val splicedJson = spliced.map("\"" + _ + "\"").mkString("[", ",", "]")
       // norm_parity_band: the empirically derived same-code band for the
       // canary-norm ratios (round-13 verdict #3) — readings inside it
@@ -312,7 +321,6 @@ object Bench {
     // than the standing artifact's is archived in its own out file but
     // can never become the baseline. A missing/old-format standing sf
     // never blocks (first write wins).
-    val sfMatches = lastGoodSf.forall(_ == sfDir)
     if (adjudicable && args.isEmpty && extraConf.isEmpty && !sfMatches)
       System.err.println(
         s"[bench] keeping standing bench_last_good.json: this run's sf '$sfDir' " +

@@ -565,15 +565,22 @@ object SimilaritySearch {
         s"capped at $maxExactRows; chunk the query batch")
     val bc = sp.sparkContext.broadcast(index.centroids)
     val effNprobe = math.min(nprobe, k)
+    // probe rows carry (qid, cluster) ONLY — the query vector would
+    // otherwise be replicated nprobe× through the broadcast (found in
+    // review: ~4× the broadcast bytes at default nprobe); vectors and
+    // norms join back once per query from their own broadcast side
     val probed = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])]
       .flatMap { case (qid, v) =>
         val cs = bc.value
         checkAssignDim(cs, v)
-        probeClusters(cs, v, effNprobe).map(c => (qid, v, c))
+        probeClusters(cs, v, effNprobe).map(c => (qid, c))
       }
-      .toDF("__qid", "__qv", "cluster")
+      .toDF("__qid", "cluster")
+    val qf = queries
+      .select(col(queryIdCol).cast("long").as("__qid"),
+        col(queryVecCol).as("__qv"))
       .withColumn("__qn", VectorFunctions.norm(col("__qv")))
     // corpus norms once per ROW (before the join fans each row out to
     // every query probing its cluster), never once per pair
@@ -581,6 +588,7 @@ object SimilaritySearch {
       .join(index.assigned
           .withColumn("__cn", VectorFunctions.norm(col(index.vecCol))),
         Seq("cluster"))
+      .join(broadcast(qf), Seq("__qid"))
       .select(col("__qid"),
         col(index.idCol).cast("long").as("__nid"),
         r4(VectorFunctions.dot(col(index.vecCol), col("__qv")) /
@@ -596,6 +604,34 @@ object SimilaritySearch {
         col("__score").as("cos_sim"), col("rank").cast("long").as("rank"))
   }
 
+  /** "Worseness" ordering of the bounded top-k heaps: the queue's max
+    * is the worst kept row — lowest score, ties to the HIGHER id — so
+    * the kept set is exactly the top under (score desc, id asc), the
+    * total order every downstream rank uses. */
+  private val heapWorst: Ordering[(Double, Long)] =
+    Ordering.by { case (s, id) => (-s, id) }
+
+  /** Bounded-heap offer under [[heapWorst]]: keep `(s, id)` iff the
+    * heap has room or the candidate beats the current worst. ONE
+    * definition for every top-k heap site (the eviction rule and the
+    * rank order must stay bit-identical). NaN scores are REFUSED — a
+    * NaN has no rank, and worse, a NaN at the heap head would compare
+    * false against every candidate and block all further eviction
+    * (poisoning the heap) — matching the exact kernels' drop policy
+    * for degenerate cosines. */
+  private def heapOffer(
+      h: scala.collection.mutable.PriorityQueue[(Double, Long)],
+      s: Double, id: Long, limit: Int): Unit =
+    if (!s.isNaN) {
+      if (h.size < limit) h.enqueue((s, id))
+      else {
+        val w = h.head
+        if (s > w._1 || (s == w._1 && id < w._2)) {
+          h.dequeue(); h.enqueue((s, id))
+        }
+      }
+    }
+
   /** EXACT per-partition pre-top-k, the classic distributed-top-k
     * combiner: under the deterministic total order (score desc, id
     * asc — the SAME order every downstream rank uses), any row in a
@@ -603,9 +639,15 @@ object SimilaritySearch {
     * its own partition, so bounded per-partition heaps cut the
     * follow-up window's shuffle input from every scored pair
     * (Σ_q |probed(q)| — 1.2B at sf10, where the naive window measured
-    * 167 s) to ≤ partitions × queries × limit rows, with bit-identical
-    * output. Heap memory per task is O(queries × limit) tuples,
-    * bounded by the batch caps of the callers. Returns
+    * 167 s) to ≤ partitions × queries × limit rows. Output equals the
+    * naive global window on NaN-free input; NaN-scored rows are
+    * DROPPED (see [[heapOffer]]) — both batch serving ops are NaN-free
+    * by construction (degenerate vectors never reach scoring), so this
+    * only bites hand-built indexes, where dropping a row without a
+    * cosine is the intended policy. The result is NOT yet a global
+    * top-`limit` — callers MUST apply their global rank cut after (a
+    * per-partition union is partitioning-dependent; the follow-up
+    * window is what makes the final answer deterministic). Returns
     * (__qid, __nid, __score). */
   private def partialTopK(
       scored: org.apache.spark.sql.Dataset[(Long, Long, Double)],
@@ -613,27 +655,60 @@ object SimilaritySearch {
     val sp = scored.sparkSession
     import sp.implicits._
     scored.mapPartitions { it =>
-      // priority = "worseness": the queue's max is the worst kept row,
-      // evicted when a better candidate arrives
-      val worst: Ordering[(Double, Long)] =
-        Ordering.by { case (s, id) => (-s, id) }
       val heaps = scala.collection.mutable.HashMap
         .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
       it.foreach { case (q, id, s) =>
-        val h = heaps.getOrElseUpdate(
-          q, scala.collection.mutable.PriorityQueue.empty(worst))
-        if (h.size < limit) h.enqueue((s, id))
-        else {
-          val w = h.head
-          if (s > w._1 || (s == w._1 && id < w._2)) {
-            h.dequeue(); h.enqueue((s, id))
-          }
-        }
+        heapOffer(heaps.getOrElseUpdate(
+          q, scala.collection.mutable.PriorityQueue.empty(heapWorst)), s, id, limit)
       }
       heaps.iterator.flatMap { case (q, h) =>
         h.iterator.map { case (s, id) => (q, id, s) }
       }
     }.toDF("__qid", "__nid", "__score")
+  }
+
+  /** The flat row-major int8 packing of a query/ingest batch — ONE
+    * definition for the three kernel-scan broadcasts
+    * ([[incrementalNearDup]]'s kernel arm packs without masks;
+    * [[ivfIncrementalNearDup]] and [[ivfTopKBatchQuantized]] with
+    * them), so the dimension policy, the flat layout, and the
+    * Int-capacity guard cannot drift between copies. `rows` is the
+    * driver-collected batch: (id, probe mask, q-bytes, Σq²). */
+  private[graft] final case class PackedBatch(
+      ids: Array[Long], masks: Array[Long], dens: Array[Double],
+      buf: Array[Byte], dim: Int)
+
+  private def packQuantizedBatch(
+      rows: Array[(Long, Long, Array[Byte], Long)]): PackedBatch = {
+    var bdim = 0
+    rows.foreach { case (_, _, q, _) =>
+      if (q.nonEmpty) {
+        if (bdim == 0) bdim = q.length
+        else if (q.length != bdim) throw new IllegalArgumentException(
+          s"mixed-dimension batch: int8 dot over $bdim- vs " +
+            s"${q.length}-component vectors would silently truncate")
+      }
+    }
+    val nb = rows.length
+    // the flat buffer is one JVM array: nb × dim must fit in Int —
+    // found in review: at the 1M-row cap a dim above 2048 silently
+    // wrapped the size negative (NegativeArraySizeException) or worse
+    require(nb.toLong * math.max(bdim, 1) <= Int.MaxValue,
+      s"flat int8 batch buffer needs ${nb.toLong * math.max(bdim, 1)} bytes " +
+        s"($nb rows × $bdim components) — exceeds one JVM array; chunk the batch")
+    val ids = new Array[Long](nb)
+    val masks = new Array[Long](nb)
+    val dens = new Array[Double](nb)
+    val buf = new Array[Byte](nb * math.max(bdim, 1))
+    var j = 0
+    rows.foreach { case (id, mask, q, qs) =>
+      ids(j) = id
+      masks(j) = mask
+      dens(j) = if (q.isEmpty) 0.0 else math.sqrt(qs.toDouble)
+      if (q.nonEmpty) System.arraycopy(q, 0, buf, j * bdim, bdim)
+      j += 1
+    }
+    PackedBatch(ids, masks, dens, buf, bdim)
   }
 
   /** The IVF-SQ8 form of [[ivfTopKBatch]] — v9's two-lever pruning at
@@ -696,29 +771,8 @@ object SimilaritySearch {
         (id, probeMask(cs, v, effNprobe), qq, qs)
       }
       .collect()
-    var bdim = 0
-    brows.foreach { case (_, _, q, _) =>
-      if (q.nonEmpty) {
-        if (bdim == 0) bdim = q.length
-        else if (q.length != bdim) throw new IllegalArgumentException(
-          s"mixed-dimension query batch: int8 dot over $bdim- vs " +
-            s"${q.length}-component vectors would silently truncate")
-      }
-    }
-    val nb = brows.length
-    val qids = new Array[Long](nb)
-    val masks = new Array[Long](nb)
-    val dens = new Array[Double](nb)
-    val buf = new Array[Byte](nb * math.max(bdim, 1))
-    var j = 0
-    brows.foreach { case (id, mask, q, qs) =>
-      qids(j) = id
-      masks(j) = mask
-      dens(j) = if (q.isEmpty) 0.0 else math.sqrt(qs.toDouble)
-      if (q.nonEmpty) System.arraycopy(q, 0, buf, j * bdim, bdim)
-      j += 1
-    }
-    val bc = sp.sparkContext.broadcast((qids, masks, dens, buf, bdim))
+    val packed = packQuantizedBatch(brows)
+    val bc = sp.sparkContext.broadcast(packed)
     // the int8 projection of the cluster-keyed corpus — a deployment
     // materializes this next to `assigned` (quantizeCorpus) and reuses
     // it; recomputed inline here so the operator works on any index
@@ -733,45 +787,50 @@ object SimilaritySearch {
     val coarse = cq
       .as[(Long, Int, Array[Byte], Long)]
       .mapPartitions { it =>
-        val (bqids, bmasks, bdens, bbuf, bd) = bc.value
+        val p = bc.value
         val useVector = resolveUseVector(kMode)
-        val worst: Ordering[(Double, Long)] =
-          Ordering.by { case (s, id) => (-s, id) }
-        val heaps = Array.fill(bqids.length)(
-          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worst))
+        val heaps = Array.fill(p.ids.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](heapWorst))
         it.foreach { case (nid, cc, cqv, cn2) =>
-          if (!(cqv.isEmpty || cn2 == 0L || bd == 0 || cc < 0 || cc >= 64)) {
-            if (cqv.length != bd) throw new IllegalArgumentException(
+          if (!(cqv.isEmpty || cn2 == 0L || p.dim == 0 || cc < 0 || cc >= 64)) {
+            if (cqv.length != p.dim) throw new IllegalArgumentException(
               s"mixed-dimension corpus vs query batch: int8 dot over " +
-                s"${cqv.length}- vs $bd-component vectors would silently truncate")
+                s"${cqv.length}- vs ${p.dim}-component vectors would silently truncate")
             val cbit = 1L << cc
             val cden = math.sqrt(cn2.toDouble)
             var jj = 0
-            while (jj < bqids.length) {
-              val dj = bdens(jj)
-              if ((bmasks(jj) & cbit) != 0L && dj != 0.0) {
+            while (jj < p.ids.length) {
+              val dj = p.dens(jj)
+              if ((p.masks(jj) & cbit) != 0L && dj != 0.0) {
                 val c =
-                  if (useVector) VectorDotKernel.dotRange(cqv, 0, bbuf, jj * bd, bd)
-                  else QSide.sdotRange(cqv, 0, bbuf, jj * bd, bd)
-                val s = math.floor(c / (cden * dj) * 10000 + 0.5) / 10000.0
-                val h = heaps(jj)
-                if (h.size < keep) h.enqueue((s, nid))
-                else {
-                  val w = h.head
-                  if (s > w._1 || (s == w._1 && nid < w._2)) {
-                    h.dequeue(); h.enqueue((s, nid))
-                  }
-                }
+                  if (useVector)
+                    VectorDotKernel.dotRange(cqv, 0, p.buf, jj * p.dim, p.dim)
+                  else QSide.sdotRange(cqv, 0, p.buf, jj * p.dim, p.dim)
+                heapOffer(heaps(jj),
+                  math.floor(c / (cden * dj) * 10000 + 0.5) / 10000.0, nid, keep)
               }
               jj += 1
             }
           }
         }
         heaps.iterator.zipWithIndex.flatMap { case (h, qj) =>
-          h.iterator.map { case (s, nid) => (bqids(qj), nid, s) }
+          h.iterator.map { case (s, nid) => (p.ids(qj), nid, s) }
         }
       }
-    val cand = partialTopK(coarse, keep).select("__qid", "__nid")
+    // GLOBAL coarse cut (found in review: the per-partition heap union
+    // alone is partitioning-dependent — up to partitions × keep rows
+    // per query — and the v16 oracle reranks exactly the GLOBAL coarse
+    // top-keep, so without this window the output could flip with
+    // spark.sql.shuffle.partitions or input splits): rank the small
+    // heap union (≤ partitions × queries × keep rows) by the same
+    // (coarse desc, id) order and keep exactly `keep` per query
+    val cand = partialTopK(coarse, keep)
+      .withColumn("__crn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__qid"))
+          .orderBy(col("__score").desc, col("__nid"))))
+      .filter(col("__crn") <= keep)
+      .select("__qid", "__nid")
     // exact rerank: only the coarse survivors touch floats — both
     // fetch sides are small (queries ≤ cap; candidates ≈ queries×k×oF)
     val qf = queries.select(col(queryIdCol).cast("long").as("__qid"),
@@ -1356,39 +1415,23 @@ object SimilaritySearch {
         // through the BNLJ
         val brows = bq.select(col("__bid").cast("long"), col("__qq"), col("__qs"))
           .as[(Long, Array[Byte], Long)].collect()
-        var bdim = 0
-        brows.foreach { case (_, q, _) =>
-          if (q.nonEmpty) {
-            if (bdim == 0) bdim = q.length
-            else if (q.length != bdim) throw new IllegalArgumentException(
-              s"mixed-dimension batch: int8 dot over $bdim- vs " +
-                s"${q.length}-component vectors would silently truncate")
-          }
-        }
-        val nb = brows.length
-        val ids = new Array[Long](nb)
-        val dens = new Array[Double](nb)
-        val buf = new Array[Byte](nb * math.max(bdim, 1))
-        var j = 0
-        brows.foreach { case (id, q, qs) =>
-          ids(j) = id
-          dens(j) = if (q.isEmpty) 0.0 else math.sqrt(qs.toDouble)
-          if (q.nonEmpty) System.arraycopy(q, 0, buf, j * bdim, bdim)
-          j += 1
-        }
-        val bc = sp.sparkContext.broadcast((ids, dens, buf, bdim))
+        // no probe masks on the full-scan arm: pack with the all-ones
+        // sentinel so the shared layout/dim/capacity policy applies
+        val packed = packQuantizedBatch(
+          brows.map { case (id, q, qs) => (id, -1L, q, qs) })
+        val bc = sp.sparkContext.broadcast(packed)
         cq.select(col("__cid").cast("long"), col("__cq"), col("__cn2"))
           .as[(Long, Array[Byte], Long)]
           .mapPartitions { it =>
-            val (bids, bdens, bbuf, bd) = bc.value
+            val p = bc.value
             // kernel pick happens HERE, on the executor JVM that runs
             // the loop — heterogeneous clusters degrade bit-identically
             val useVector = resolveUseVector(kMode)
             it.flatMap { case (cid, cqv, cn2) =>
-              if (cqv.isEmpty || cn2 == 0L || bd == 0) Iterator.empty
-              else if (cqv.length != bd) throw new IllegalArgumentException(
+              if (cqv.isEmpty || cn2 == 0L || p.dim == 0) Iterator.empty
+              else if (cqv.length != p.dim) throw new IllegalArgumentException(
                 s"mixed-dimension corpus vs batch: int8 dot over " +
-                  s"${cqv.length}- vs $bd-component vectors would silently truncate")
+                  s"${cqv.length}- vs ${p.dim}-component vectors would silently truncate")
               else {
                 // raw while + direct static kernel call: Iterator
                 // combinators here boxed every probe index and cost
@@ -1397,22 +1440,22 @@ object SimilaritySearch {
                 val hits = Array.newBuilder[(Long, Long)]
                 var jj = 0
                 if (useVector) {
-                  while (jj < bids.length) {
-                    val dj = bdens(jj)
+                  while (jj < p.ids.length) {
+                    val dj = p.dens(jj)
                     if (dj != 0.0) {
-                      val c = VectorDotKernel.dotRange(cqv, 0, bbuf, jj * bd, bd)
+                      val c = VectorDotKernel.dotRange(cqv, 0, p.buf, jj * p.dim, p.dim)
                       if (math.floor(c / (cden * dj) * 10000 + 0.5) / 10000.0 >= bound)
-                        hits += ((bids(jj), cid))
+                        hits += ((p.ids(jj), cid))
                     }
                     jj += 1
                   }
                 } else {
-                  while (jj < bids.length) {
-                    val dj = bdens(jj)
+                  while (jj < p.ids.length) {
+                    val dj = p.dens(jj)
                     if (dj != 0.0) {
-                      val c = QSide.sdotRange(cqv, 0, bbuf, jj * bd, bd)
+                      val c = QSide.sdotRange(cqv, 0, p.buf, jj * p.dim, p.dim)
                       if (math.floor(c / (cden * dj) * 10000 + 0.5) / 10000.0 >= bound)
-                        hits += ((bids(jj), cid))
+                        hits += ((p.ids(jj), cid))
                     }
                     jj += 1
                   }
@@ -1551,29 +1594,8 @@ object SimilaritySearch {
         (id, probeMask(cs, v, effNprobe), qq, qs)
       }
       .collect()
-    var bdim = 0
-    brows.foreach { case (_, _, q, _) =>
-      if (q.nonEmpty) {
-        if (bdim == 0) bdim = q.length
-        else if (q.length != bdim) throw new IllegalArgumentException(
-          s"mixed-dimension batch: int8 dot over $bdim- vs " +
-            s"${q.length}-component vectors would silently truncate")
-      }
-    }
-    val nb = brows.length
-    val ids = new Array[Long](nb)
-    val masks = new Array[Long](nb)
-    val dens = new Array[Double](nb)
-    val buf = new Array[Byte](nb * math.max(bdim, 1))
-    var j = 0
-    brows.foreach { case (id, mask, q, qs) =>
-      ids(j) = id
-      masks(j) = mask
-      dens(j) = if (q.isEmpty) 0.0 else math.sqrt(qs.toDouble)
-      if (q.nonEmpty) System.arraycopy(q, 0, buf, j * bdim, bdim)
-      j += 1
-    }
-    val bc = sp.sparkContext.broadcast((ids, masks, dens, buf, bdim))
+    val packed = packQuantizedBatch(brows)
+    val bc = sp.sparkContext.broadcast(packed)
     // the quantized CLUSTER-KEYED corpus projection — the index a
     // deployment materializes next to `assigned` and reuses per batch
     val cq = index.assigned
@@ -1584,36 +1606,36 @@ object SimilaritySearch {
     val admitted = cq
       .as[(Long, Int, Array[Byte], Long)]
       .mapPartitions { it =>
-        val (bids, bmasks, bdens, bbuf, bd) = bc.value
+        val p = bc.value
         val useVector = resolveUseVector(kMode)
         it.flatMap { case (cid, cc, cqv, cn2) =>
-          if (cqv.isEmpty || cn2 == 0L || bd == 0 || cc < 0 || cc >= 64)
+          if (cqv.isEmpty || cn2 == 0L || p.dim == 0 || cc < 0 || cc >= 64)
             Iterator.empty
-          else if (cqv.length != bd) throw new IllegalArgumentException(
+          else if (cqv.length != p.dim) throw new IllegalArgumentException(
             s"mixed-dimension corpus vs batch: int8 dot over " +
-              s"${cqv.length}- vs $bd-component vectors would silently truncate")
+              s"${cqv.length}- vs ${p.dim}-component vectors would silently truncate")
           else {
             val cbit = 1L << cc
             val cden = math.sqrt(cn2.toDouble)
             val hits = Array.newBuilder[(Long, Long)]
             var jj = 0
             if (useVector) {
-              while (jj < bids.length) {
-                val dj = bdens(jj)
-                if ((bmasks(jj) & cbit) != 0L && dj != 0.0) {
-                  val c = VectorDotKernel.dotRange(cqv, 0, bbuf, jj * bd, bd)
+              while (jj < p.ids.length) {
+                val dj = p.dens(jj)
+                if ((p.masks(jj) & cbit) != 0L && dj != 0.0) {
+                  val c = VectorDotKernel.dotRange(cqv, 0, p.buf, jj * p.dim, p.dim)
                   if (math.floor(c / (cden * dj) * 10000 + 0.5) / 10000.0 >= bound)
-                    hits += ((bids(jj), cid))
+                    hits += ((p.ids(jj), cid))
                 }
                 jj += 1
               }
             } else {
-              while (jj < bids.length) {
-                val dj = bdens(jj)
-                if ((bmasks(jj) & cbit) != 0L && dj != 0.0) {
-                  val c = QSide.sdotRange(cqv, 0, bbuf, jj * bd, bd)
+              while (jj < p.ids.length) {
+                val dj = p.dens(jj)
+                if ((p.masks(jj) & cbit) != 0L && dj != 0.0) {
+                  val c = QSide.sdotRange(cqv, 0, p.buf, jj * p.dim, p.dim)
                   if (math.floor(c / (cden * dj) * 10000 + 0.5) / 10000.0 >= bound)
-                    hits += ((bids(jj), cid))
+                    hits += ((p.ids(jj), cid))
                 }
                 jj += 1
               }

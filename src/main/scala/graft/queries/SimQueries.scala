@@ -696,7 +696,7 @@ object SimQueries {
       |          FROM db, generate_series(1, 64) t(i) GROUP BY vec_id),
       |bsim AS (SELECT b.vec_id, cc.c, SUM(b.ve[cc.i] * cc.comp) / (cn.nrm * bn.nrm) AS sim
       |         FROM db b, cents3 cc, cnorm3 cn, bnorm bn
-      |         WHERE cn.c = cc.c AND bn.vec_id = b.vec_id
+      |         WHERE cn.c = cc.c AND bn.vec_id = b.vec_id AND bn.nrm > 0
       |         GROUP BY b.vec_id, cc.c, cn.nrm, bn.nrm),
       |probe AS (SELECT vec_id, c FROM (
       |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
@@ -754,7 +754,7 @@ object SimQueries {
       |          FROM db, generate_series(1, 64) t(i) GROUP BY vec_id),
       |bsim AS (SELECT b.vec_id, cc.c, SUM(b.ve[cc.i] * cc.comp) / (cn.nrm * bn.nrm) AS sim
       |         FROM db b, cents3 cc, cnorm3 cn, bnorm bn
-      |         WHERE cn.c = cc.c AND bn.vec_id = b.vec_id
+      |         WHERE cn.c = cc.c AND bn.vec_id = b.vec_id AND bn.nrm > 0
       |         GROUP BY b.vec_id, cc.c, cn.nrm, bn.nrm),
       |probe AS (SELECT vec_id, c FROM (
       |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn

@@ -72,8 +72,10 @@ object IngestBench {
           e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
         if (p.numInputRows > 0)
-          progress += ((p.batchId,
-            p.durationMs.getOrDefault("triggerExecution", -1L) / 1000.0))
+          progress.synchronized {
+            progress += ((p.batchId,
+              p.durationMs.getOrDefault("triggerExecution", -1L) / 1000.0))
+          }
       }
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -88,6 +90,15 @@ object IngestBench {
       corpus, stream, "doc_id", "text", s"$root/status", s"$root/survivors")
     try q.processAllAvailable() finally q.stop()
     val totalSec = (System.nanoTime() - t0) / 1e9
+    // the listener bus delivers QueryProgressEvents asynchronously —
+    // the tail batch's event can land AFTER processAllAvailable()
+    // returns (found in review: the artifact could silently drop the
+    // last batch's wall time). Bounded drain wait for the expected
+    // trigger count.
+    val deadline = System.currentTimeMillis() + 30000
+    while (progress.synchronized(progress.size) < nBatches &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
 
     // exact per-batch counts from the partition trees the run wrote:
     // statuses = one row per ARRIVED doc, survivors = the keeps
@@ -98,7 +109,8 @@ object IngestBench {
       .groupBy(col("__ingest_batch").cast("long").as("__b")).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // the index batch i was judged against: corpus + all EARLIER keeps
-    val batches = progress.sortBy(_._1).map { case (bid, sec) =>
+    val snapshot = progress.synchronized(progress.toVector)
+    val batches = snapshot.sortBy(_._1).map { case (bid, sec) =>
       val indexRows = corpusRows +
         kept.filter(_._1 < bid).values.sum
       val k = kept.getOrElse(bid, 0L)
@@ -106,7 +118,7 @@ object IngestBench {
       f"""{"batch":$bid,"input_rows":$a,"index_rows":$indexRows,"wall_sec":$sec%.3f,"kept":$k}"""
     }.mkString("[", ",", "]")
     val line =
-      f"""{"metric":"ingest_batches","n_batches":${progress.size},"corpus_rows":$corpusRows,"total_sec":$totalSec%.3f,"sf":"$sfDir","batches":$batches}"""
+      f"""{"metric":"ingest_batches","n_batches":${snapshot.size},"corpus_rows":$corpusRows,"total_sec":$totalSec%.3f,"sf":"$sfDir","batches":$batches}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     spark.stop()

@@ -635,6 +635,18 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(quant == exact, s"quantized arm diverged:\n$quant\nvs\n$exact")
     // degenerate query absent from both
     assert(!exact.exists(_._1 == 604L) && !quant.exists(_._1 == 604L))
+    // PARTITIONING must never change the answer (review finding: the
+    // per-partition heap union without the global coarse cut kept up
+    // to partitions x keep candidates per query — a
+    // partitioning-dependent set the oracle's global rank-12 cut
+    // doesn't match); re-running over a differently-partitioned corpus
+    // must be identical
+    for (parts <- Seq(1, 7)) {
+      val repart = run(SimilaritySearch.ivfTopKBatchQuantized(
+        idx.copy(assigned = idx.assigned.repartition(parts)),
+        queries, "qid", "qv", topK = 4, nprobe = 2, overFetch = 4))
+      assert(repart == quant, s"answers changed with $parts partitions")
+    }
     // the >64-cluster bitmask refusal, like ivfIncrementalNearDup
     val wide = SimilaritySearch.IvfIndex(
       Array.fill(65)((Array.fill(dim)(1.0), math.sqrt(dim.toDouble))),
