@@ -361,7 +361,111 @@ object RelationalExtrasQueries {
     }
   }
 
+  /** LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
+    * top-N-per-group shape expressed the way an interactive SQL user
+    * writes it (a correlated derived table, not a window): Spark plans
+    * the correlated LIMIT as a LateralJoin over a per-key top-k, and
+    * the oracle runs the IDENTICAL text. Output deterministic via the
+    * outer (custkey, orderkey) sort; the top-2 SET per customer is
+    * order-free. */
+  val lateralTopN: Q = {
+    val sql =
+      """SELECT c.c_custkey, o.o_orderkey, o.totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice AS totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey <= 200
+        |ORDER BY c_custkey, o_orderkey""".stripMargin
+    Q("sub3_lateral_topn", sql) { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(sql)
+    }
+  }
+
+  /** Bag-semantics set ops: EXCEPT ALL keeps multiplicity (an order key
+    * appearing n times with m matching customers survives max(n−m, 0)
+    * times), INTERSECT ALL keeps min(n, m) — the multiset algebra
+    * DISTINCT-flavored set0–set3 don't exercise. */
+  val exceptAll: Q = Q(
+    "set4_except_all",
+    """SELECT k FROM (
+      |  SELECT o_custkey AS k FROM orders
+      |  EXCEPT ALL
+      |  SELECT c_custkey AS k FROM customer) e
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").select(col("o_custkey").as("k"))
+      .exceptAll(t(s, dir, "customer").select(col("c_custkey").as("k")))
+      .orderBy("k")
+  }
+
+  val intersectAll: Q = Q(
+    "set5_intersect_all",
+    """SELECT k FROM (
+      |  SELECT o_custkey AS k FROM orders
+      |  INTERSECT ALL
+      |  SELECT c_custkey AS k FROM customer) i
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").select(col("o_custkey").as("k"))
+      .intersectAll(t(s, dir, "customer").select(col("c_custkey").as("k")))
+      .orderBy("k")
+  }
+
+  /** Distribution window functions: quartile bucketing (ntile),
+    * percent_rank and cume_dist per nation — integer-derived doubles
+    * (rank/count arithmetic), r4-rounded so the gate is safe at any
+    * representation boundary. */
+  val windowDistribution: Q = Q(
+    "w4_window_distribution",
+    """SELECT c_custkey, c_nationkey,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  FLOOR(percent_rank() OVER w * 10000 + 0.5)/10000 AS pr,
+      |  FLOOR(cume_dist() OVER w * 10000 + 0.5)/10000 AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        ntile(4).over(w).as("quartile"),
+        Num.r4(percent_rank().over(w)).as("pr"),
+        Num.r4(cume_dist().over(w)).as("cd"))
+      .orderBy("c_custkey")
+  }
+
+  /** Edit-distance fuzzy matching (levenshtein — both engines implement
+    * the standard Wagner–Fischer distance, integer-exact): per-nation
+    * near-identical customer-name pairs, the record-linkage primitive a
+    * dedup pipeline uses on SHORT keys where shingling is meaningless.
+    * Nation-keyed self-join bounds the pair count (the blocking-key
+    * pattern); at scale the block key is whatever entity attribute
+    * bounds candidates. */
+  val fuzzyNames: Q = Q(
+    "str2_edit_distance",
+    """SELECT a.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(MIN(levenshtein(a.c_name, b.c_name)) AS INT) AS min_dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 3
+      |GROUP BY a.c_nationkey ORDER BY nk""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "customer")
+    val a = c.select(col("c_custkey").as("ak"), col("c_nationkey").as("nk"),
+      col("c_name").as("an"))
+    val b = c.select(col("c_custkey").as("bk"), col("c_nationkey").as("bnk"),
+      col("c_name").as("bn"))
+    a.join(b, col("nk") === col("bnk") && col("ak") < col("bk"))
+      .filter(levenshtein(col("an"), col("bn")) <= 3)
+      .groupBy(col("nk"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(levenshtein(col("an"), col("bn"))).cast("int").as("min_dist"))
+      .orderBy("nk")
+  }
+
   val all: Seq[Q] = Seq(pivot1, explode1, offset1, regex1, math1, geoMean,
     percentiles, arrayFuncs, unionAll, windowFrames, higherOrder, unpivot1, json1,
-    kmvDistinct, zorder, profile)
+    kmvDistinct, zorder, profile, lateralTopN, exceptAll, intersectAll,
+    windowDistribution, fuzzyNames)
 }
