@@ -335,7 +335,22 @@ object Bench {
       // run as the new baseline
       val forceAccept = sys.env.get("SPARK_GRAFT_BENCH_ACCEPT_BASELINE")
         .exists(v => v == "1" || v.equalsIgnoreCase("true"))
-      if (noisier && !forceAccept)
+      // BANDWIDTH-BURST PIN (round-14 verdict #1c): the r14 pollution
+      // incident's artifact carried canary_shuffle_drift 1.241 — the
+      // shuffle canary more than doubled during the run — while every
+      // committed standing artifact reads |drift| ≤ 0.29. A run whose
+      // bandwidth axis was visibly bursting must not become the
+      // baseline, whatever its per-query medians say: shuffle-heavy
+      // queries are exactly the ones the burst distorts and the CPU
+      // canary cannot see it. bench_output.json is still written above.
+      val shuffleBurst =
+        math.abs(canaryShuffleDrift) > graft.tools.BenchProtocol.ShuffleDriftBand
+      if (shuffleBurst && !forceAccept)
+        System.err.println(
+          f"[bench] keeping standing bench_last_good.json: |canary_shuffle_drift| $canaryShuffleDrift%.3f " +
+            f"exceeds ${graft.tools.BenchProtocol.ShuffleDriftBand}%.2f — the bandwidth axis was bursting " +
+            "during this run (set SPARK_GRAFT_BENCH_ACCEPT_BASELINE=1 to force-accept)")
+      else if (noisier && !forceAccept)
         System.err.println(
           f"[bench] keeping standing bench_last_good.json: this run's trimmed variance $varianceTrimmed%.3f " +
             f"exceeds the standing ${lastGoodVariance.get}%.3f by more than ${graft.tools.BenchProtocol.NoiseDegradeTolerance}%.2f " +

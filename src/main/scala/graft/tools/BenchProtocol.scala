@@ -110,27 +110,55 @@ object BenchProtocol {
     * [[bimodalSuspects]]). */
   val SpliceRatioLimit = 2.0
 
+  /** Straddle trigger threshold (round-14 verdict #1): a query whose
+    * sample window STRADDLES the standing value with per-query relSpread
+    * above this is a pollution suspect even when its median ratio sits
+    * under the [[SpliceRatioLimit]] cliff. The r14 incident slid exactly
+    * through that gap: gr2 median 9.952 s vs standing 5.488 (ratio
+    * 1.813 < 2.0) from samples 3.923–15.465 straddling the standing
+    * value with relSpread 1.16 — all the straddle evidence was present
+    * but only counted after the 2× cliff was crossed. Set above the
+    * spec'd benign-drift case (spread 0.67 straddling) and below the
+    * incident's 1.16; a genuinely shifted query has a tight one-sided
+    * window and never straddles at this dispersion. */
+  val StraddleSpreadLimit = 1.0
+
+  /** Fraction of the standing value a downward-arm window max must
+    * exceed to count as "reaches back into the standing regime"
+    * (round-14 advice): the old test `max > standing/ratioLimit` spliced
+    * away any genuine >2× improvement with mild noise (standing 1.0 s,
+    * samples 0.44–0.52 → max 0.52 > 0.5 → stale standing kept forever).
+    * Requiring the max NEAR the standing value itself keeps the bimodal
+    * catch (a window containing standing-regime samples) without
+    * punishing real optimizations. */
+  val NearStandingFraction = 0.8
+
   /** PER-QUERY pollution guard on the standing-slot overwrite (round-13
-    * verdict #1). The incident shape: the driver's r13 run measured
-    * t26 at median 3.013 s — samples [3.074, 1.836, 3.013, 0.923, 3.154]
-    * — while the committed same-code run an hour earlier read 0.699 s
-    * from seven tight samples. Both SUITE-level gates passed (the
-    * escalation trigger read 0.74 < 1.0; the mean-variance monotone
-    * guard agreed within tolerance), so a phantom 4.3× reading entered
-    * the slot and would have masked a real regression next round.
+    * verdict #1, widened round 15). The r13 incident shape: the driver's
+    * run measured t26 at median 3.013 s — samples [3.074, 1.836, 3.013,
+    * 0.923, 3.154] — while the committed same-code run an hour earlier
+    * read 0.699 s from seven tight samples. Both SUITE-level gates
+    * passed, so a phantom 4.3× reading entered the slot. The r14
+    * incident repeated the shape UNDER the cliff: gr2 at median 9.952 s
+    * (ratio 1.813×) from a bandwidth burst, samples straddling the
+    * standing 5.488 s.
     *
-    * The rule is per query and two-sided: query `k` is a suspect when
-    * its median moved more than `ratioLimit`× vs the standing value AND
-    * its own sample window reaches back into the standing regime —
-    * upward move with `min < standing·ratioLimit` (the floor of the
-    * window is consistent with the standing reading: bimodal noise, not
-    * code — the r13 incident's min 0.923 < 2·0.699), or downward move
-    * with `max > standing/ratioLimit` (the claimed improvement's own
-    * window contains standing-regime samples). A genuine code change
-    * produces a TIGHT window entirely on one side and always passes.
-    * Returns suspect names sorted; the caller splices the standing
-    * values for exactly those queries (and stamps the splice on the
-    * artifact). */
+    * Three per-query triggers, any one marks a suspect:
+    *   1. upward cliff — median ratio > `ratioLimit` AND
+    *      `min < standing·ratioLimit` (the window floor is consistent
+    *      with the standing reading: bimodal noise, not code — the r13
+    *      incident's min 0.923 < 2·0.699);
+    *   2. downward cliff — ratio < 1/`ratioLimit` AND
+    *      `max > [[NearStandingFraction]]·standing` (the claimed
+    *      improvement's own window contains standing-regime samples);
+    *   3. straddle — the window brackets the standing value
+    *      (`min < standing < max`) with per-query relSpread >
+    *      [[StraddleSpreadLimit]], regardless of the median ratio (the
+    *      r14 gr2 incident verbatim).
+    * A genuine code change produces a TIGHT window entirely on one side
+    * and passes all three. Returns suspect names sorted; the caller
+    * splices the standing values for exactly those queries (and stamps
+    * the splice on the artifact). */
   def bimodalSuspects(
       medians: Map[String, Double],
       samples: Map[String, Seq[Double]],
@@ -144,9 +172,20 @@ object BenchProtocol {
             val ts = samples(k)
             val r = m / s
             (r > ratioLimit && ts.min < s * ratioLimit) ||
-              (r < 1.0 / ratioLimit && ts.max > s / ratioLimit)
+              (r < 1.0 / ratioLimit && ts.max > NearStandingFraction * s) ||
+              (ts.min < s && ts.max > s && relSpread(ts) > StraddleSpreadLimit)
           } => k
     }.toSeq.sorted
+
+  /** Absolute |canary_shuffle_drift| above which a run's bandwidth axis
+    * was visibly bursting DURING the run and the standing slot must not
+    * be overwritten (round-14 verdict #1c). The five committed standing
+    * artifacts r13–r14 read drift −0.289…+0.073; the r14 polluted driver
+    * run read 1.241 — the signal that adjudicated the incident was on
+    * the artifact all along, but the overwrite path never consulted it.
+    * Shuffle-heavy queries (gr2, t19, t30) are exactly the ones a
+    * bandwidth burst distorts, and the CPU canary cannot see that axis. */
+  val ShuffleDriftBand = 0.5
 
   /** Empirically derived same-code parity band for CANARY-NORMALIZED
     * cross-round ratios (round-13 verdict #3 / BUILD_NOTES r13 #12: the

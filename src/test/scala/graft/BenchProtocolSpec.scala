@@ -124,6 +124,46 @@ class BenchProtocolSpec extends AnyFunSuite {
       Map("q" -> 0.7)).isEmpty)
   }
 
+  test("bimodalSuspects flags the r14 gr2 incident verbatim (straddle under the cliff)") {
+    // the EXACT numbers the round-14 driver run wrote past the 2.0x
+    // cliff: standing gr2 = 5.488 s (committed same-HEAD run), driver
+    // median 9.952 s — ratio 1.813, UNDER SpliceRatioLimit — from a
+    // bandwidth-burst window [3.923, 15.465] that straddles the
+    // standing value with relSpread 1.16. The straddle itself must be
+    // the trigger.
+    val suspects = BenchProtocol.bimodalSuspects(
+      medians = Map("gr2" -> 9.952, "q1" -> 0.51),
+      samples = Map(
+        "gr2" -> Seq(12.354, 9.952, 10.747, 15.465, 3.923, 7.024, 6.284),
+        "q1" -> Seq(0.50, 0.51, 0.52, 0.51, 0.50)),
+      standing = Map("gr2" -> 5.488, "q1" -> 0.50))
+    assert(suspects == Seq("gr2"))
+  }
+
+  test("straddle trigger does not fire on benign drift or tight one-sided windows") {
+    // straddling but calm (relSpread 0.67 < 1.0) — the pre-existing
+    // benign-drift case, must stay unflagged
+    assert(BenchProtocol.bimodalSuspects(
+      Map("q" -> 0.9), Map("q" -> Seq(0.6, 0.8, 0.9, 1.0, 1.2)),
+      Map("q" -> 0.7)).isEmpty)
+    // dispersed but entirely above the standing REGIME (min 11.0 >
+    // standing*ratioLimit): no sample is consistent with the standing
+    // reading, so this is a real regression and the slot must accept it
+    assert(BenchProtocol.bimodalSuspects(
+      Map("q" -> 11.5), Map("q" -> Seq(11.0, 11.5, 12.0, 16.0, 11.2)),
+      Map("q" -> 5.0)).isEmpty)
+  }
+
+  test("downward arm passes a genuine >2x improvement with mild noise (r14 advice)") {
+    // standing 1.0 s, a real ~2.1x optimization measuring 0.44-0.52 s:
+    // the old `max > standing/ratioLimit` test spliced this away every
+    // round (0.52 > 0.5); the near-standing test (max > 0.8*standing)
+    // accepts it
+    assert(BenchProtocol.bimodalSuspects(
+      Map("q" -> 0.48), Map("q" -> Seq(0.44, 0.47, 0.48, 0.50, 0.52)),
+      Map("q" -> 1.0)).isEmpty)
+  }
+
   test("bimodalSuspects flags a downward claim whose window contains standing-regime samples") {
     // the symmetric case: a run claims 4x faster but one of its own
     // samples sits at the standing reading — bimodal evidence, keep the
