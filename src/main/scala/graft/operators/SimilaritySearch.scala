@@ -450,26 +450,54 @@ object SimilaritySearch {
     * file listing and a query physically reads ~nprobe/k of the data
     * (the on-disk form of the same pruning [[ivfTopK]] does
     * logically); `dir/meta.json` records the column names. All paths
-    * through the Hadoop FS API — object-store/HDFS safe. */
+    * through the Hadoop FS API — object-store/HDFS safe.
+    *
+    * ==In-place refresh is safe (round-14 advice)==
+    * The natural refresh flow — `ivfLoad(dir)` → append/assign →
+    * `ivfSave(dir)` — reads and rewrites the SAME path; a direct
+    * `mode("overwrite")` there is Spark's "Cannot overwrite a path
+    * that is also being read from" abort (or a partial delete on
+    * non-atomic filesystems). Saves therefore STAGE everything under
+    * `dir/.staging` first (the write jobs fully materialize the
+    * possibly-self-referential frames there), then swap the three
+    * committed outputs into place via FS delete+rename — the read
+    * path is untouched until the staged copy is complete, and a crash
+    * mid-save leaves either the old index or a dead `.staging` tree,
+    * never a half-written live one. */
   def ivfSave(index: IvfIndex, dir: String): Unit = {
     val sp = index.assigned.sparkSession
     import sp.implicits._
+    val stage = s"$dir/.staging"
     sp.createDataset(index.centroids.toSeq.zipWithIndex.map {
         case ((c, n), i) => (i, c.toSeq, n)
       })
       .toDF("cluster", "centroid", "cnorm")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/centroids")
     index.assigned.write.mode("overwrite")
-      .partitionBy("cluster").parquet(s"$dir/assigned")
-    def jesc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+      .partitionBy("cluster").parquet(s"$stage/assigned")
+    // column names land in meta.json verbatim — escape control chars
+    // too (round-14 advice: a name with a newline/tab produced invalid
+    // JSON that ivfLoad's Jackson parse rejects, an unreadable index)
     val meta =
-      s"""{"idCol":"${jesc(index.idCol)}","vecCol":"${jesc(index.vecCol)}","k":${index.centroids.length}}"""
-    val p = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
-    val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+      s"""{"idCol":"${graft.tools.BenchProtocol.jsonEscape(index.idCol)}","vecCol":"${graft.tools.BenchProtocol.jsonEscape(index.vecCol)}","k":${index.centroids.length}}"""
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val mp = new org.apache.hadoop.fs.Path(s"$stage/meta.json")
+    val out = fs.create(mp, true)
     try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // swap: everything below is driver-side FS metadata work on
+    // fully-committed files — the source frames are no longer needed
+    Seq("centroids", "assigned", "meta.json").foreach { name =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val staged = new org.apache.hadoop.fs.Path(s"$stage/$name")
+      if (fs.exists(live)) fs.delete(live, true)
+      if (!fs.rename(staged, live))
+        throw new java.io.IOException(
+          s"ivfSave: rename $staged -> $live failed; the previous index " +
+            s"at $dir may be partially deleted — the staged copy is intact")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
   /** Load an index [[ivfSave]] wrote. The returned `assigned` frame
@@ -557,12 +585,13 @@ object SimilaritySearch {
     implicit val sp: SparkSession = index.assigned.sparkSession
     import sp.implicits._
     require(topK >= 1 && nprobe >= 1, s"topK and nprobe must be >= 1")
+    requireDistinctIdCols("ivfTopKBatch", queryIdCol, index.idCol)
     val k = index.centroids.length
     require(k >= 1, "ivfTopKBatch needs a built index (no centroids)")
     val nQueries = queries.select(col(queryIdCol)).count()
     require(nQueries <= maxExactRows,
       s"ivfTopKBatch got $nQueries queries — the broadcast probe side is " +
-        s"capped at $maxExactRows; chunk the query batch")
+        s"capped at $maxExactRows; use ivfTopKBatchChunked")
     val bc = sp.sparkContext.broadcast(index.centroids)
     val effNprobe = math.min(nprobe, k)
     // probe rows carry (qid, cluster) ONLY — the query vector would
@@ -711,92 +740,56 @@ object SimilaritySearch {
     PackedBatch(ids, masks, dens, buf, bdim)
   }
 
-  /** The IVF-SQ8 form of [[ivfTopKBatch]] — v9's two-lever pruning at
-    * serving-batch throughput: the probed pairs (already ~nprobe/k of
-    * the cross product) are COARSE-scored by the FLAT int8 kernel scan
-    * — the batch's quantized bytes and per-query cluster bitmasks ride
-    * ONE broadcast, each corpus partition streams its rows through
-    * direct static kernel calls (Panama SIMD under
-    * `spark.graft.neardup.kernel`, scalar twin otherwise) and keeps a
-    * bounded per-query heap of the `topK × overFetch` best coarse
-    * scores — and ONLY the heap survivors (≈ queries × topK ×
-    * overFetch rows, independent of corpus size) touch float vectors
-    * for the exact rerank. The flat-kernel shape matters more than the
-    * byte width here: at sf10's 1.2B probed pairs the exact batch form
-    * measures ~60–63 s, the same int8 scoring THROUGH a broadcast join
-    * ~51 s (per-pair join-row overhead dominates, not arithmetic), and
-    * this scan shape measures ~12.6 s end-to-end — the r13
-    * KernelShapeBench lesson (direct static calls over flat buffers vs
-    * per-row expression eval) applied to serving. `overFetch` is
-    * the usual recall dial against coarse/exact rank inversions near
-    * the boundary; the default 4 matches [[quantizedTopK]]. Output
-    * contract and degenerate-vector policy identical to
-    * [[ivfTopKBatch]]; like [[ivfIncrementalNearDup]] the bitmask
-    * bounds k at 64. */
-  def ivfTopKBatchQuantized(
-      index: IvfIndex,
-      queries: DataFrame,
-      queryIdCol: String,
-      queryVecCol: String,
-      topK: Int = 10,
-      nprobe: Int = 4,
-      overFetch: Int = 4): DataFrame = {
-    implicit val sp: SparkSession = index.assigned.sparkSession
+  /** [[probeClusters]] output packed into one mask-shard word: bit
+    * `c − base` for each probed cluster in `[base, base+width)`. The
+    * general-k form of [[probeMask]] (which is the base=0, width=64
+    * single-word case). */
+  private def maskWord(clusters: Seq[Int], base: Int, width: Int): Long =
+    clusters.foldLeft(0L) { (m, c) =>
+      if (c >= base && c < base + width) m | (1L << (c - base)) else m
+    }
+
+  /** Both batch serving ops rename their internal qid/nid back to the
+    * caller's `queryIdCol` and the index's `idCol` in the final select —
+    * equal names would produce a frame with two identically-named
+    * columns that throws on any downstream reference (round-14 advice).
+    * Refuse up front with the rename the caller needs. */
+  private def requireDistinctIdCols(
+      op: String, queryIdCol: String, idCol: String): Unit =
+    require(queryIdCol != idCol,
+      s"$op: queryIdCol and the index idCol are both '$idCol' — the output " +
+        "would carry two identically-named columns; alias the query id " +
+        "(e.g. .select(col(\"" + idCol + "\").as(\"q_id\"), ...)) first")
+
+  /** The flat int8 kernel scan of ONE mask shard: every corpus row in
+    * `[base, base+width)` streams through direct static kernel calls
+    * against the whole broadcast batch, bounded per-query heaps keep
+    * the `keep` best coarse scores per partition (the per-partition
+    * top-k combiner — see [[partialTopK]] for why callers still need
+    * the global cut). Factored out of [[ivfTopKBatchQuantized]] when k
+    * outgrew one mask word so the kernel loop exists exactly once. */
+  private def coarseKernelScan(
+      cq: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[PackedBatch],
+      base: Int,
+      width: Int,
+      keep: Int,
+      kMode: String): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    val sp = cq.sparkSession
     import sp.implicits._
-    require(topK >= 1 && nprobe >= 1 && overFetch >= 1,
-      "topK, nprobe and overFetch must be >= 1")
-    val k = index.centroids.length
-    require(k >= 1, "ivfTopKBatchQuantized needs a built index (no centroids)")
-    require(k <= 64,
-      s"cluster bitmask is a Long — k=$k clusters exceed 64; shard the " +
-        "index or use ivfTopKBatch")
-    val kMode = resolveKernelMode(sp)
-    val nQueries = queries.select(col(queryIdCol)).count()
-    require(nQueries <= maxExactRows,
-      s"ivfTopKBatchQuantized got $nQueries queries — the broadcast probe " +
-        s"side is capped at $maxExactRows; chunk the query batch")
-    val bcCents = sp.sparkContext.broadcast(index.centroids)
-    val effNprobe = math.min(nprobe, k)
-    val keep = topK * overFetch
-    // one pass computes each query's probe bitmask + int8 packing;
-    // O(batch) driver fetch into the flat row-major layout
-    val brows = queries
-      .select(col(queryIdCol).cast("long"), col(queryVecCol),
-        VectorFunctions.quantizeInt8(col(queryVecCol)).as("__qq"))
-      .withColumn("__qs", VectorFunctions.int8Dot(col("__qq"), col("__qq")))
-      .as[(Long, Array[Float], Array[Byte], Long)]
-      .map { case (id, v, qq, qs) =>
-        val cs = bcCents.value
-        checkAssignDim(cs, v)
-        (id, probeMask(cs, v, effNprobe), qq, qs)
-      }
-      .collect()
-    val packed = packQuantizedBatch(brows)
-    val bc = sp.sparkContext.broadcast(packed)
-    // the int8 projection of the cluster-keyed corpus — a deployment
-    // materializes this next to `assigned` (quantizeCorpus) and reuses
-    // it; recomputed inline here so the operator works on any index
-    val cq = index.assigned
-      .select(col(index.idCol).cast("long").as("__nid"),
-        col("cluster").cast("int").as("__cc"),
-        VectorFunctions.quantizeInt8(col(index.vecCol)).as("__cq"))
-      .withColumn("__cn2", VectorFunctions.int8Dot(col("__cq"), col("__cq")))
-    // coarse = the flat kernel scan with per-query bounded heaps: the
-    // heaps ARE the per-partition top-(k×oF) combiner, so only
-    // ≤ partitions × queries × k×oF rows leave the scan
-    val coarse = cq
-      .as[(Long, Int, Array[Byte], Long)]
+    cq.as[(Long, Int, Array[Byte], Long)]
       .mapPartitions { it =>
         val p = bc.value
         val useVector = resolveUseVector(kMode)
         val heaps = Array.fill(p.ids.length)(
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](heapWorst))
         it.foreach { case (nid, cc, cqv, cn2) =>
-          if (!(cqv.isEmpty || cn2 == 0L || p.dim == 0 || cc < 0 || cc >= 64)) {
+          val ccs = cc - base
+          if (!(cqv.isEmpty || cn2 == 0L || p.dim == 0 || ccs < 0 || ccs >= width)) {
             if (cqv.length != p.dim) throw new IllegalArgumentException(
               s"mixed-dimension corpus vs query batch: int8 dot over " +
                 s"${cqv.length}- vs ${p.dim}-component vectors would silently truncate")
-            val cbit = 1L << cc
+            val cbit = 1L << ccs
             val cden = math.sqrt(cn2.toDouble)
             var jj = 0
             while (jj < p.ids.length) {
@@ -817,6 +810,149 @@ object SimilaritySearch {
           h.iterator.map { case (s, nid) => (p.ids(qj), nid, s) }
         }
       }
+  }
+
+  /** The IVF-SQ8 form of [[ivfTopKBatch]] — v9's two-lever pruning at
+    * serving-batch throughput: the probed pairs (already ~nprobe/k of
+    * the cross product) are COARSE-scored by the FLAT int8 kernel scan
+    * — the batch's quantized bytes and per-query cluster bitmasks ride
+    * ONE broadcast, each corpus partition streams its rows through
+    * direct static kernel calls (Panama SIMD under
+    * `spark.graft.neardup.kernel`, scalar twin otherwise) and keeps a
+    * bounded per-query heap of the `topK × overFetch` best coarse
+    * scores — and ONLY the heap survivors (≈ queries × topK ×
+    * overFetch rows, independent of corpus size) touch float vectors
+    * for the exact rerank. The flat-kernel shape matters more than the
+    * byte width here: at sf10's 1.2B probed pairs the exact batch form
+    * measures ~60–63 s, the same int8 scoring THROUGH a broadcast join
+    * ~51 s (per-pair join-row overhead dominates, not arithmetic), and
+    * this scan shape measures ~12.6 s end-to-end — the r13
+    * KernelShapeBench lesson (direct static calls over flat buffers vs
+    * per-row expression eval) applied to serving. `overFetch` is
+    * the usual recall dial against coarse/exact rank inversions near
+    * the boundary; the default 4 matches [[quantizedTopK]]. Output
+    * contract and degenerate-vector policy identical to
+    * [[ivfTopKBatch]].
+    *
+    * ==k above 64: mask sharding (round-14 verdict #3)==
+    * The per-query probe bitmask is one Long, but k is NOT capped at
+    * 64 any more: clusters shard into ⌈k/64⌉ contiguous 64-wide mask
+    * words, the flat kernel scan runs once per shard over that shard's
+    * slice of the corpus (each corpus row's cluster lives in exactly
+    * one shard, so the shard outputs are disjoint), and their union
+    * feeds the SAME global coarse cut + exact rerank — for k ≤ 64 the
+    * loop has one iteration and the op is bit-identical to its
+    * pre-sharding form (spec'd by forcing a k ≤ 64 index through
+    * 5-wide shards and comparing). Probe selection stays GLOBAL (each
+    * query's nprobe nearest among ALL k centroids, computed once on
+    * the driver), so sharding changes the execution shape only, never
+    * which pairs are scored. The packed batch is rebuilt per shard
+    * (the mask word differs) — ⌈k/64⌉ transient broadcasts of the int8
+    * buffer, acceptable because the buffer is already capped at one
+    * JVM array and shards beyond the probed ones are skipped.
+    *
+    * ==Probe-union partition pruning==
+    * The driver knows every cluster ANY query probes (the probe sets
+    * are collected anyway); when that union is a strict subset of the
+    * k clusters, a static `cluster IN (…)` filter restricts the corpus
+    * scan BEFORE quantization — against an [[ivfLoad]]-ed index, whose
+    * `assigned` frame is a cluster-partitioned parquet tree, that is
+    * file-listing partition pruning: a narrow serving batch physically
+    * reads only the partitions it probes (asserted on the v17 plan in
+    * PlanQualitySpec). Rows in unprobed clusters could never score
+    * anyway (no mask bit), so the filter changes I/O, not output. */
+  def ivfTopKBatchQuantized(
+      index: IvfIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4): DataFrame =
+    ivfTopKBatchQuantizedImpl(
+      index, queries, queryIdCol, queryVecCol, topK, nprobe, overFetch,
+      maskWidth = 64)
+
+  /** [[ivfTopKBatchQuantized]] with the mask-shard width exposed so the
+    * spec can exercise the multi-shard path on a small (k ≤ 64) index —
+    * production always uses the full 64-bit word. */
+  private[graft] def ivfTopKBatchQuantizedImpl(
+      index: IvfIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int,
+      nprobe: Int,
+      overFetch: Int,
+      maskWidth: Int): DataFrame = {
+    implicit val sp: SparkSession = index.assigned.sparkSession
+    import sp.implicits._
+    require(topK >= 1 && nprobe >= 1 && overFetch >= 1,
+      "topK, nprobe and overFetch must be >= 1")
+    require(maskWidth >= 1 && maskWidth <= 64,
+      s"maskWidth $maskWidth outside [1, 64]")
+    requireDistinctIdCols("ivfTopKBatchQuantized", queryIdCol, index.idCol)
+    val k = index.centroids.length
+    require(k >= 1, "ivfTopKBatchQuantized needs a built index (no centroids)")
+    val kMode = resolveKernelMode(sp)
+    val nQueries = queries.select(col(queryIdCol)).count()
+    require(nQueries <= maxExactRows,
+      s"ivfTopKBatchQuantized got $nQueries queries — the broadcast probe " +
+        s"side is capped at $maxExactRows; use ivfTopKBatchQuantizedChunked")
+    val bcCents = sp.sparkContext.broadcast(index.centroids)
+    val effNprobe = math.min(nprobe, k)
+    val keep = topK * overFetch
+    // one pass computes each query's GLOBAL probe set (nprobe nearest
+    // among all k centroids) + int8 packing; O(batch) driver fetch
+    val brows = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol),
+        VectorFunctions.quantizeInt8(col(queryVecCol)).as("__qq"))
+      .withColumn("__qs", VectorFunctions.int8Dot(col("__qq"), col("__qq")))
+      .as[(Long, Array[Float], Array[Byte], Long)]
+      .map { case (id, v, qq, qs) =>
+        val cs = bcCents.value
+        checkAssignDim(cs, v)
+        (id, probeClusters(cs, v, effNprobe), qq, qs)
+      }
+      .collect()
+    val allProbed = brows.iterator.flatMap(_._2).toSet
+    // the int8 projection of the cluster-keyed corpus — a deployment
+    // materializes this next to `assigned` (quantizeCorpus) and reuses
+    // it; recomputed inline here so the operator works on any index.
+    // Probe-union pruning first (see scaladoc): unprobed clusters can
+    // never score, so drop them BEFORE quantization — partition
+    // pruning on a loaded (cluster-partitioned) index
+    val corpus =
+      if (allProbed.size < k)
+        index.assigned.filter(
+          col("cluster").isin(allProbed.toSeq.sorted.map(Int.box): _*))
+      else index.assigned
+    val cq = corpus
+      .select(col(index.idCol).cast("long").as("__nid"),
+        col("cluster").cast("int").as("__cc"),
+        VectorFunctions.quantizeInt8(col(index.vecCol)).as("__cq"))
+      .withColumn("__cn2", VectorFunctions.int8Dot(col("__cq"), col("__cq")))
+    // one flat kernel scan per probed mask shard (one iteration total
+    // when k <= maskWidth); shard outputs are disjoint by construction
+    val nShards = (k + maskWidth - 1) / maskWidth
+    val shardScans = (0 until nShards).flatMap { sh =>
+      val base = sh * maskWidth
+      val rows = brows.map { case (id, cls, qq, qs) =>
+        (id, maskWord(cls, base, maskWidth), qq, qs)
+      }
+      // a shard no query probes would scan its corpus slice for nothing
+      if (rows.forall(_._2 == 0L)) None
+      else {
+        val packed = packQuantizedBatch(rows)
+        val bc = sp.sparkContext.broadcast(packed)
+        val slice =
+          if (nShards == 1) cq
+          else cq.filter(col("__cc") >= base && col("__cc") < base + maskWidth)
+        Some(coarseKernelScan(slice, bc, base, maskWidth, keep, kMode))
+      }
+    }
+    val coarse = shardScans.reduceOption(_ union _).getOrElse(
+      sp.emptyDataset[(Long, Long, Double)])
     // GLOBAL coarse cut (found in review: the per-partition heap union
     // alone is partitioning-dependent — up to partitions × keep rows
     // per query — and the v16 oracle reranks exactly the GLOBAL coarse
@@ -836,7 +972,11 @@ object SimilaritySearch {
     val qf = queries.select(col(queryIdCol).cast("long").as("__qid"),
         col(queryVecCol).as("__qvf"))
       .withColumn("__qnf", VectorFunctions.norm(col("__qvf")))
-    val nf = index.assigned
+    // the rerank fetch reads the PRUNED corpus too: every candidate's
+    // cluster is probed by construction, so the filtered frame yields
+    // identical rows and a loaded index prunes this scan's partitions
+    // as well
+    val nf = corpus
       .select(col(index.idCol).cast("long").as("__nid"),
         col(index.vecCol).as("__nvf"))
       .withColumn("__nnf", VectorFunctions.norm(col("__nvf")))
@@ -853,6 +993,77 @@ object SimilaritySearch {
       .filter(col("rank") <= topK)
       .select(col("__qid").as(queryIdCol), col("__nid").as(index.idCol),
         col("cos_sim"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Serving driver above the batch cap (round-14 verdict #3): splits
+    * an arbitrarily large query batch into deterministic chunks of
+    * ~`chunkTarget` queries, runs [[ivfTopKBatch]] per chunk, and
+    * unions the per-chunk outputs — answers are per-query independent
+    * (every window in the base op partitions by qid), so the union IS
+    * the one-shot answer (spec'd: 2-chunk == one-shot on the v15
+    * fixture).
+    *
+    * Chunk assignment is `xxhash64(qid) mod nChunks` — deterministic,
+    * RNG-free, and same-qid-same-chunk (duplicate qids never split
+    * across chunks, which would corrupt their per-query rank). Hash
+    * chunking bounds chunk size in expectation, not worst case, so
+    * `nChunks` targets HALF the hard cap: at the sizes where chunking
+    * engages (> 2²⁰ rows) a uniform hash landing 2× its expected mass
+    * in one chunk has vanishing probability, and the base op's own cap
+    * require stays armed as the loud backstop — the failure mode is a
+    * refused chunk, never a silently wrong answer. Each chunk is one
+    * full pass over `queries` (a filter + the base op's count); a
+    * caller looping many chunks over an expensive query source should
+    * cache it first. */
+  def ivfTopKBatchChunked(
+      index: IvfIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      nprobe: Int = 4,
+      chunkTarget: Long = maxExactRows / 2): DataFrame =
+    chunkedUnion(queries, queryIdCol, chunkTarget) { chunk =>
+      ivfTopKBatch(index, chunk, queryIdCol, queryVecCol, topK, nprobe)
+    }
+
+  /** [[ivfTopKBatchChunked]] for the IVF-SQ8 arm — same deterministic
+    * hash chunking, same exact-union argument, wrapping
+    * [[ivfTopKBatchQuantized]] (which itself shards k > 64 indexes
+    * across mask words, so between the two levers no serving batch is
+    * refused for size any more). */
+  def ivfTopKBatchQuantizedChunked(
+      index: IvfIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4,
+      chunkTarget: Long = maxExactRows / 2): DataFrame =
+    chunkedUnion(queries, queryIdCol, chunkTarget) { chunk =>
+      ivfTopKBatchQuantized(
+        index, chunk, queryIdCol, queryVecCol, topK, nprobe, overFetch)
+    }
+
+  /** The shared chunk loop of the two chunked serving drivers: count
+    * once, run the base op directly when the batch fits (zero overhead
+    * on the common path), otherwise union `run` over hash-disjoint
+    * chunks. */
+  private def chunkedUnion(
+      queries: DataFrame, queryIdCol: String, chunkTarget: Long)(
+      run: DataFrame => DataFrame): DataFrame = {
+    require(chunkTarget >= 1 && chunkTarget <= maxExactRows,
+      s"chunkTarget $chunkTarget outside [1, $maxExactRows]")
+    val n = queries.select(col(queryIdCol)).count()
+    if (n <= chunkTarget) run(queries)
+    else {
+      val nChunks = ((n + chunkTarget - 1) / chunkTarget).toInt
+      (0 until nChunks).map { i =>
+        run(queries.filter(
+          pmod(xxhash64(col(queryIdCol)), lit(nChunks.toLong)) === i.toLong))
+      }.reduce(_ union _)
+    }
   }
 
   /** The `nprobe` nearest clusters of `v`, ascending cluster index —

@@ -744,8 +744,13 @@ object SimQueries {
     * v7/v9's shared quantization CTEs) and the exact rerank verbatim.
     * Library surface:
     * [[graft.operators.SimilaritySearch.ivfTopKBatchQuantized]]. */
-  val ivfBatchTopKQuantized: Q = Q(
-    "v16_ivf_batch_topk_sq8",
+  /** ONE oracle for the batch IVF-SQ8 serving ops — v16 and its
+    * persisted-index twin v17: the [[graft.operators.SimilaritySearch
+    * .ivfSave]]/[[graft.operators.SimilaritySearch.ivfLoad]] round-trip
+    * is bit-exact (centroids as doubles through parquet, the corpus
+    * re-read from the cluster-partitioned tree), so the same SQL gates
+    * both and any divergence indicts the persistence layer itself. */
+  private val batchSq8Sql: String =
     s"""${ivfCentroidSql(16, 3, 64, " WHERE vec_id % 7 <> 4")},
       |dall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
       |${int8QuantCtes(64, "dall")},
@@ -790,7 +795,10 @@ object SimQueries {
       |             ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank
       |         FROM ranked)
       |SELECT q_id, n_id AS vec_id, cos_sim, rank FROM topk
-      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  val ivfBatchTopKQuantized: Q = Q(
+    "v16_ivf_batch_topk_sq8", batchSq8Sql) { (s, dir) =>
     val e = t(s, dir, "embeddings")
     val idx = graft.operators.SimilaritySearch.ivfBuild(
       e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
@@ -803,8 +811,38 @@ object SimQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** v16 served from a PERSISTED index — the last unproven link of the
+    * 100 TB serving story (round-14 verdict #5): build once,
+    * [[graft.operators.SimilaritySearch.ivfSave]] the
+    * cluster-partitioned layout, [[graft.operators.SimilaritySearch
+    * .ivfLoad]] in the serving job, answer the same batch through the
+    * LOADED index. The oracle is v16's verbatim ([[batchSq8Sql]]) —
+    * a hash mismatch here indicts persistence, nothing else. The
+    * load-side partition pruning (the probe-union `cluster IN` filter
+    * becoming file-listing pruning on the hive tree) is asserted on
+    * the physical plan in PlanQualitySpec. The index round-trips via
+    * /tmp, keyed by the data dir so sf0.01/sf0.1 runs never collide;
+    * each invocation re-saves (overwrite-safe via the staged swap). */
+  val ivfServePersisted: Q = Q(
+    "v17_ivf_persisted_serving", batchSq8Sql) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val idx = graft.operators.SimilaritySearch.ivfBuild(
+      e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
+      k = 16, lloydIters = 3, portableSeeds = true)
+    val path = s"/tmp/graft_v17_index_${Integer.toHexString(dir.hashCode)}"
+    graft.operators.SimilaritySearch.ivfSave(idx, path)
+    val loaded = graft.operators.SimilaritySearch.ivfLoad(s, path)
+    graft.operators.SimilaritySearch.ivfTopKBatchQuantized(
+        loaded,
+        e.filter(col("vec_id") % 7 === 4)
+          .select(col("vec_id").as("q_id"), col("embedding")),
+        "q_id", "embedding", topK = 3, nprobe = 4, overFetch = 4)
+      .orderBy("q_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup, annIvf, quantize,
     quantizedAnn, quantizedNearDup, annIvfQuantized, clusterSample,
     embeddingDedup, incrementalEmbeddingDedup, incrementalIvfAssign,
-    ivfIncrementalDedup, ivfBatchTopK, ivfBatchTopKQuantized)
+    ivfIncrementalDedup, ivfBatchTopK, ivfBatchTopKQuantized,
+    ivfServePersisted)
 }

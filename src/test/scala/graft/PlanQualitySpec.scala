@@ -242,6 +242,49 @@ class PlanQualitySpec extends AnyFunSuite {
       "v10 grew a shuffle beyond the assignment + window + output budget")
   }
 
+  test("v17: probe-union pruning survives the persisted index layout") {
+    // the 100 TB serving story's last link (round-14 verdict #5): a
+    // NARROW batch served from an ivfLoad-ed index must physically read
+    // only the cluster partitions it probes — the probe-union
+    // `cluster IN (…)` filter has to reach the hive tree's file listing,
+    // not just drop rows post-scan
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.SimilaritySearch
+    val e = graft.engine.Tables.t(spark, dir, "embeddings")
+    val idx = SimilaritySearch.ivfBuild(
+      e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
+      k = 16, lloydIters = 3, portableSeeds = true)
+    val path = "/tmp/graft_v17_planspec"
+    SimilaritySearch.ivfSave(idx, path)
+    val loaded = SimilaritySearch.ivfLoad(spark, path)
+    // one query, nprobe=2 → the probe union is 2 of 16 clusters
+    val one = e.filter(col("vec_id") === 4)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val served = SimilaritySearch.ivfTopKBatchQuantized(
+      loaded, one, "q_id", "embedding", topK = 3, nprobe = 2)
+    served.write.mode("overwrite").format("noop").save()
+    val scans = flatten(served.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft_v17_planspec")) => f
+    }
+    assert(scans.nonEmpty, "expected scans over the persisted assigned tree")
+    assert(scans.forall(_.partitionFilters.exists(_.references.exists(_.name == "cluster"))),
+      "every persisted-corpus scan must carry a cluster partition filter " +
+        s"(got: ${scans.map(_.partitionFilters.mkString(","))})")
+    // and the filter actually pruned the listing: far fewer files than
+    // the 16-cluster tree holds
+    val totalFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/assigned"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val readFiles = scans.map(_.metrics("numFiles").value).max
+    assert(readFiles < totalFiles,
+      s"no pruning: read $readFiles of $totalFiles files for a 2-of-16 probe")
+  }
+
   test("column pruning reaches the scan on a wide-table projection") {
     val s = planString("q13_customer_distribution")
     // orders is read for (o_orderkey, o_custkey, o_comment)-ish subsets,

@@ -647,14 +647,139 @@ class SimilaritySearchSpec extends AnyFunSuite {
         queries, "qid", "qv", topK = 4, nprobe = 2, overFetch = 4))
       assert(repart == quant, s"answers changed with $parts partitions")
     }
-    // the >64-cluster bitmask refusal, like ivfIncrementalNearDup
+    // k > 64 no longer refuses (round-14 verdict #3): the wide index
+    // serves through mask sharding and agrees with the exact arm (65
+    // identical centroids tie-break every probe to clusters 0,1 — the
+    // same probe sets both arms compute)
     val wide = SimilaritySearch.IvfIndex(
       Array.fill(65)((Array.fill(dim)(1.0), math.sqrt(dim.toDouble))),
       idx.assigned, "id", "v")
-    val ex = intercept[IllegalArgumentException] {
-      SimilaritySearch.ivfTopKBatchQuantized(wide, queries, "qid", "qv", 4, 2)
+    val wq = run(SimilaritySearch.ivfTopKBatchQuantized(
+      wide, queries, "qid", "qv", topK = 4, nprobe = 2, overFetch = 4))
+    val we = run(SimilaritySearch.ivfTopKBatch(
+      wide, queries, "qid", "qv", topK = 4, nprobe = 2))
+    assert(wq == we, s"k=65 sharded arm diverged from exact:\n$wq\nvs\n$we")
+  }
+
+  test("mask sharding: forced 5-wide shards are bit-identical to the one-word scan") {
+    import spark.implicits._
+    // k=16 through maskWidth=5 → 4 shards, probe sets split across
+    // words — the multi-shard loop must reproduce the single-word
+    // answer exactly (same heaps, same global coarse cut, same rerank)
+    val corpus = (1L to 120L).map(i => (i, vec(i))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 16, lloydIters = 2)
+    val queries = Seq(701L -> jitter(vec(11L), 0.01f),
+      702L -> jitter(vec(42L), 0.01f), 703L -> vec(905L),
+      704L -> Array.fill(dim)(0f)).toDF("qid", "qv")
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val oneWord = run(SimilaritySearch.ivfTopKBatchQuantized(
+      idx, queries, "qid", "qv", topK = 4, nprobe = 3, overFetch = 4))
+    val sharded = run(SimilaritySearch.ivfTopKBatchQuantizedImpl(
+      idx, queries, "qid", "qv", 4, 3, 4, maskWidth = 5))
+    assert(sharded == oneWord,
+      s"5-wide sharding diverged:\n$sharded\nvs\n$oneWord")
+    // degenerate maskWidth refused
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfTopKBatchQuantizedImpl(
+        idx, queries, "qid", "qv", 4, 3, 4, maskWidth = 0)
     }
-    assert(ex.getMessage.contains("64"))
+  }
+
+  test("chunked serving drivers: multi-chunk union == one-shot on both arms") {
+    import spark.implicits._
+    val corpus = (1L to 100L).map(i => (i, vec(i))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 6, lloydIters = 2)
+    val queries = (Seq(801L -> jitter(vec(5L), 0.01f),
+      802L -> jitter(vec(23L), 0.01f), 803L -> vec(907L),
+      804L -> jitter(vec(71L), 0.01f), 805L -> vec(909L),
+      806L -> jitter(vec(18L), 0.01f), 807L -> vec(911L),
+      808L -> jitter(vec(64L), 0.01f)) :+
+      (809L -> Array.fill(dim)(0f))).toDF("qid", "qv")
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    // chunkTarget 3 over 9 queries → 3 hash-disjoint chunks; the union
+    // must equal the one-shot answer exactly (answers are per-query
+    // independent — this is the exactness argument of the verdict-#3
+    // chunking driver, spec'd rather than asserted in prose)
+    val oneExact = run(SimilaritySearch.ivfTopKBatch(
+      idx, queries, "qid", "qv", topK = 4, nprobe = 2))
+    val chunkedExact = run(SimilaritySearch.ivfTopKBatchChunked(
+      idx, queries, "qid", "qv", topK = 4, nprobe = 2, chunkTarget = 3))
+    assert(chunkedExact == oneExact,
+      s"chunked exact arm diverged:\n$chunkedExact\nvs\n$oneExact")
+    val oneQuant = run(SimilaritySearch.ivfTopKBatchQuantized(
+      idx, queries, "qid", "qv", topK = 4, nprobe = 2, overFetch = 4))
+    val chunkedQuant = run(SimilaritySearch.ivfTopKBatchQuantizedChunked(
+      idx, queries, "qid", "qv", topK = 4, nprobe = 2, overFetch = 4,
+      chunkTarget = 3))
+    assert(chunkedQuant == oneQuant,
+      s"chunked quantized arm diverged:\n$chunkedQuant\nvs\n$oneQuant")
+    // under-cap batches take the zero-overhead direct path (same answer)
+    val direct = run(SimilaritySearch.ivfTopKBatchChunked(
+      idx, queries, "qid", "qv", topK = 4, nprobe = 2))
+    assert(direct == oneExact)
+    // degenerate chunkTarget refused
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfTopKBatchChunked(
+        idx, queries, "qid", "qv", topK = 4, nprobe = 2, chunkTarget = 0)
+    }
+  }
+
+  test("batch serving refuses a query id column that collides with the index id column") {
+    import spark.implicits._
+    // round-14 advice: both ops rename __qid/__nid back to the callers'
+    // names in the final select — equal names would emit two
+    // identically-named columns and every downstream reference throws
+    val corpus = (1L to 40L).map(i => (i, vec(i))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 4, lloydIters = 1)
+    val queries = Seq(901L -> jitter(vec(3L), 0.01f)).toDF("id", "qv")
+    val e1 = intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfTopKBatch(idx, queries, "id", "qv", 3, 2)
+    }
+    assert(e1.getMessage.contains("identically-named"))
+    val e2 = intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfTopKBatchQuantized(idx, queries, "id", "qv", 3, 2)
+    }
+    assert(e2.getMessage.contains("identically-named"))
+  }
+
+  test("ivfSave refreshes in place (load -> save same dir) and control-char column names round-trip") {
+    import spark.implicits._
+    val corpus = (1L to 60L).map(i => (i, vec(i))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 4, lloydIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_refresh").toString
+    SimilaritySearch.ivfSave(idx, dir)
+    val loaded = SimilaritySearch.ivfLoad(spark, dir)
+    // capture the pre-refresh assignments FIRST: after the swap the old
+    // DataFrame handle's file listing is stale by design (the save
+    // contract is that the LIVE path is consistent, not old handles)
+    val a0 = loaded.assigned.select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the natural refresh flow reads dir/assigned and rewrites the same
+    // dir — the staged swap (round-14 advice) must make this succeed
+    // instead of Spark's cannot-overwrite-read-path abort
+    SimilaritySearch.ivfSave(loaded, dir)
+    val again = SimilaritySearch.ivfLoad(spark, dir)
+    val a1 = again.assigned.select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a0, "assignments drifted through the in-place refresh")
+    assert(new java.io.File(s"$dir/.staging").exists == false,
+      "staging tree must be cleaned up after the swap")
+    // control characters in column names must survive meta.json
+    // (round-14 advice: the old escaper left them raw — invalid JSON,
+    // an unreadable index)
+    val weird = SimilaritySearch.IvfIndex(idx.centroids,
+      idx.assigned.withColumnRenamed("id", "id\nweird")
+        .withColumnRenamed("v", "v\tcol"),
+      "id\nweird", "v\tcol")
+    val wdir = java.nio.file.Files.createTempDirectory("graft_ivf_weird").toString
+    SimilaritySearch.ivfSave(weird, wdir)
+    val wloaded = SimilaritySearch.ivfLoad(spark, wdir)
+    assert(wloaded.idCol == "id\nweird" && wloaded.vecCol == "v\tcol",
+      s"column names corrupted: '${wloaded.idCol}' / '${wloaded.vecCol}'")
   }
 
   test("ivfSave/ivfLoad round-trip: bit-exact centroids, cluster-partitioned layout, same answers") {
