@@ -440,27 +440,44 @@ object RelationalExtrasQueries {
     * the standard Wagner–Fischer distance, integer-exact): per-nation
     * near-identical customer-name pairs, the record-linkage primitive a
     * dedup pipeline uses on SHORT keys where shingling is meaningless.
-    * Nation-keyed self-join bounds the pair count (the blocking-key
-    * pattern); at scale the block key is whatever entity attribute
-    * bounds candidates. */
+    *
+    * Blocking is COMPOSITE (round-14 verdict watch item): nationkey
+    * alone has 25 distinct values, so candidate pairs grew
+    * quadratically with customer count (~9×10¹⁰ at sf10-scale); the
+    * second component — the name's leading digit block,
+    * `substr(c_name, 10, 3)` of the fixed `Customer#`-prefixed form —
+    * multiplies the block count by up to 1000 as the key space fills,
+    * bounding pairs the way any real record-linkage blocker does. The
+    * trade is the standard one, stated: pairs differing INSIDE the
+    * blocking digits are unseen (at the oracle SFs the digit block is
+    * constant, so the answer is unchanged; at scale recall shifts to
+    * the blocker's). The distance itself is projected ONCE before the
+    * threshold filter and the MIN aggregate — the old form evaluated
+    * the O(len²) DP twice per surviving pair. */
   val fuzzyNames: Q = Q(
     "str2_edit_distance",
-    """SELECT a.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-      |  CAST(MIN(levenshtein(a.c_name, b.c_name)) AS INT) AS min_dist
-      |FROM customer a JOIN customer b
-      |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-      |WHERE levenshtein(a.c_name, b.c_name) <= 3
-      |GROUP BY a.c_nationkey ORDER BY nk""".stripMargin) { (s, dir) =>
+    """SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(MIN(dist) AS INT) AS min_dist
+      |FROM (
+      |  SELECT a.c_nationkey AS nk, levenshtein(a.c_name, b.c_name) AS dist
+      |  FROM customer a JOIN customer b
+      |    ON a.c_nationkey = b.c_nationkey
+      |   AND substr(a.c_name, 10, 3) = substr(b.c_name, 10, 3)
+      |   AND a.c_custkey < b.c_custkey) p
+      |WHERE dist <= 3
+      |GROUP BY nk ORDER BY nk""".stripMargin) { (s, dir) =>
     val c = t(s, dir, "customer")
     val a = c.select(col("c_custkey").as("ak"), col("c_nationkey").as("nk"),
-      col("c_name").as("an"))
+      col("c_name").as("an"), substring(col("c_name"), 10, 3).as("apfx"))
     val b = c.select(col("c_custkey").as("bk"), col("c_nationkey").as("bnk"),
-      col("c_name").as("bn"))
-    a.join(b, col("nk") === col("bnk") && col("ak") < col("bk"))
-      .filter(levenshtein(col("an"), col("bn")) <= 3)
+      col("c_name").as("bn"), substring(col("c_name"), 10, 3).as("bpfx"))
+    a.join(b, col("nk") === col("bnk") && col("apfx") === col("bpfx") &&
+        col("ak") < col("bk"))
+      .withColumn("dist", levenshtein(col("an"), col("bn")))
+      .filter(col("dist") <= 3)
       .groupBy(col("nk"))
       .agg(count(lit(1)).as("n_pairs"),
-        min(levenshtein(col("an"), col("bn"))).cast("int").as("min_dist"))
+        min(col("dist")).cast("int").as("min_dist"))
       .orderBy("nk")
   }
 

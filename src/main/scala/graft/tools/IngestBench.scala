@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQueryListener
 
@@ -8,16 +8,25 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * (round-13 verdict #6) — [[graft.streaming.IngestStreaming]] is
   * correct-by-spec but had no performance artifact; the 100 TB question
   * is how per-batch wall time behaves as the survivor index grows under
-  * it. This drives a REAL N-micro-batch file-source ingest over the
-  * `documents` table: the even-doc_id half is the standing corpus, the
-  * odd half arrives as `nBatches` files (one per micro-batch, mtime-
-  * staggered so the source delivers them in order), and a
-  * StreamingQueryListener records each trigger's executed wall time and
-  * input rows. Post-hoc, the survivor tree gives the exact index size
-  * every batch was judged against. Output: one JSON line (and file)
-  * with per-batch {input_rows, index_rows, wall_sec, kept}.
+  * it. This drives a REAL N-micro-batch file-source ingest: the
+  * even-id half of the table is the standing corpus, the odd half
+  * arrives as `nBatches` files (one per micro-batch, mtime-staggered so
+  * the source delivers them in order), and a StreamingQueryListener
+  * records each trigger's executed wall time and input rows. Post-hoc,
+  * the survivor tree gives the exact index size every batch was judged
+  * against. Output: one JSON line (and file) with per-batch
+  * {input_rows, index_rows, wall_sec, kept}.
   *
-  *   runMain graft.tools.IngestBench [sfDir] [nBatches] [outPath]
+  * Two modes (round-14 verdict #7 added the embedding twin):
+  *   - `text` — `documents.text` through [[graft.streaming
+  *     .IngestStreaming.incrementalDedupStream]] (MinHash banding +
+  *     exact tier);
+  *   - `embedding` — `embeddings.embedding` through
+  *     [[graft.streaming.IngestStreaming
+  *     .incrementalEmbeddingDedupStream]] (int8 coarse kernel + exact
+  *     cosine verify).
+  *
+  *   runMain graft.tools.IngestBench [sfDir] [nBatches] [outPath] [mode]
   */
 object IngestBench {
   def main(args: Array[String]): Unit = {
@@ -25,6 +34,9 @@ object IngestBench {
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR")).getOrElse("/tmp/graft_sf1")
     val nBatches = if (args.length > 1) args(1).toInt else 10
     val outPath = if (args.length > 2) args(2) else "ingest_bench.json"
+    val mode = if (args.length > 3) args(3) else "text"
+    require(mode == "text" || mode == "embedding",
+      s"mode '$mode' is not text|embedding")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,21 +46,33 @@ object IngestBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = graft.engine.Tables.t(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
-    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val (idCol, payloadCol, table, schema) =
+      if (mode == "text") ("doc_id", "text", "documents", "doc_id LONG, text STRING")
+      else ("vec_id", "embedding", "embeddings",
+        "vec_id LONG, embedding ARRAY<FLOAT>")
+    val rows = graft.engine.Tables.t(spark, sfDir, table)
+      .select(col(idCol), col(payloadCol))
+    val corpus = rows.filter(pmod(col(idCol), lit(2)) === 0)
     val corpusRows = corpus.count()
 
     // arrival order: content-hash batching (deterministic, balanced)
     val root = java.nio.file.Files.createTempDirectory("graft_ingest_bench").toString
     val srcDir = s"$root/src"
-    val arrivals = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
-      .withColumn("__b", pmod(xxhash64(col("doc_id")), lit(nBatches)))
+    val arrivals = rows.filter(pmod(col(idCol), lit(2)) === 1)
+      .withColumn("__b", pmod(xxhash64(col(idCol)), lit(nBatches)))
+    // how many buckets actually carry rows: an empty bucket still
+    // produces a file + a zero-row trigger the listener ignores, so the
+    // drain target below must be the NON-EMPTY count (round-14 advice:
+    // waiting for nBatches burned the full deadline and under-reported
+    // n_batches silently when any hash bucket came up empty)
+    val bucketCounts = arrivals.groupBy("__b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedNonEmpty = bucketCounts.count(_._2 > 0)
     val base = System.currentTimeMillis() - (nBatches + 1) * 60000L
     for (i <- 0 until nBatches) {
       val before = Option(new java.io.File(srcDir).listFiles())
         .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
-      arrivals.filter(col("__b") === i).select(col("doc_id"), col("text"))
+      arrivals.filter(col("__b") === i).select(col(idCol), col(payloadCol))
         .coalesce(1).write.mode("append").parquet(srcDir)
       // one mtime per batch, a minute apart: the file source orders by
       // modification time, so delivery order is pinned regardless of
@@ -82,23 +106,33 @@ object IngestBench {
     })
 
     val stream = spark.readStream
-      .schema("doc_id LONG, text STRING")
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
     val t0 = System.nanoTime()
-    val q = graft.streaming.IngestStreaming.incrementalDedupStream(
-      corpus, stream, "doc_id", "text", s"$root/status", s"$root/survivors")
+    val q =
+      if (mode == "text")
+        graft.streaming.IngestStreaming.incrementalDedupStream(
+          corpus, stream, idCol, payloadCol, s"$root/status", s"$root/survivors")
+      else
+        graft.streaming.IngestStreaming.incrementalEmbeddingDedupStream(
+          corpus, stream, idCol, payloadCol, s"$root/status", s"$root/survivors")
     try q.processAllAvailable() finally q.stop()
     val totalSec = (System.nanoTime() - t0) / 1e9
     // the listener bus delivers QueryProgressEvents asynchronously —
     // the tail batch's event can land AFTER processAllAvailable()
     // returns (found in review: the artifact could silently drop the
     // last batch's wall time). Bounded drain wait for the expected
-    // trigger count.
+    // NON-EMPTY trigger count (see bucketCounts above).
     val deadline = System.currentTimeMillis() + 30000
-    while (progress.synchronized(progress.size) < nBatches &&
+    while (progress.synchronized(progress.size) < expectedNonEmpty &&
         System.currentTimeMillis() < deadline)
       Thread.sleep(100)
+    if (progress.synchronized(progress.size) < expectedNonEmpty)
+      System.err.println(
+        s"[ingest-bench] captured ${progress.synchronized(progress.size)} of " +
+          s"$expectedNonEmpty expected non-empty triggers — the artifact's " +
+          "batches array is incomplete")
 
     // exact per-batch counts from the partition trees the run wrote:
     // statuses = one row per ARRIVED doc, survivors = the keeps
@@ -118,7 +152,7 @@ object IngestBench {
       f"""{"batch":$bid,"input_rows":$a,"index_rows":$indexRows,"wall_sec":$sec%.3f,"kept":$k}"""
     }.mkString("[", ",", "]")
     val line =
-      f"""{"metric":"ingest_batches","n_batches":${snapshot.size},"corpus_rows":$corpusRows,"total_sec":$totalSec%.3f,"sf":"$sfDir","batches":$batches}"""
+      f"""{"metric":"ingest_batches","mode":"$mode","n_batches":${snapshot.size},"expected_batches":$expectedNonEmpty,"corpus_rows":$corpusRows,"total_sec":$totalSec%.3f,"sf":"$sfDir","batches":$batches}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     spark.stop()
