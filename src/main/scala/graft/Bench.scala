@@ -343,13 +343,22 @@ object Bench {
       // baseline, whatever its per-query medians say: shuffle-heavy
       // queries are exactly the ones the burst distorts and the CPU
       // canary cannot see it. bench_output.json is still written above.
-      val shuffleBurst =
+      // an UNAVAILABLE shuffle canary (either sample failed → sec -1,
+      // drift 0.0) must also refuse: a host busy enough to kill the
+      // canary is exactly the burst condition, and letting drift
+      // default to 0.0 would silently bypass the pin (self-review)
+      val shuffleBurst = canaryShuffle < 0 ||
         math.abs(canaryShuffleDrift) > graft.tools.BenchProtocol.ShuffleDriftBand
       if (shuffleBurst && !forceAccept)
         System.err.println(
-          f"[bench] keeping standing bench_last_good.json: |canary_shuffle_drift| $canaryShuffleDrift%.3f " +
-            f"exceeds ${graft.tools.BenchProtocol.ShuffleDriftBand}%.2f — the bandwidth axis was bursting " +
-            "during this run (set SPARK_GRAFT_BENCH_ACCEPT_BASELINE=1 to force-accept)")
+          if (canaryShuffle < 0)
+            "[bench] keeping standing bench_last_good.json: the shuffle canary " +
+              "failed, so the bandwidth-burst signal is unavailable " +
+              "(set SPARK_GRAFT_BENCH_ACCEPT_BASELINE=1 to force-accept)"
+          else
+            f"[bench] keeping standing bench_last_good.json: |canary_shuffle_drift| $canaryShuffleDrift%.3f " +
+              f"exceeds ${graft.tools.BenchProtocol.ShuffleDriftBand}%.2f — the bandwidth axis was bursting " +
+              "during this run (set SPARK_GRAFT_BENCH_ACCEPT_BASELINE=1 to force-accept)")
       else if (noisier && !forceAccept)
         System.err.println(
           f"[bench] keeping standing bench_last_good.json: this run's trimmed variance $varianceTrimmed%.3f " +

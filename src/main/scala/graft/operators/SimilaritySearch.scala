@@ -452,59 +452,129 @@ object SimilaritySearch {
     * logically); `dir/meta.json` records the column names. All paths
     * through the Hadoop FS API — object-store/HDFS safe.
     *
-    * ==In-place refresh is safe (round-14 advice)==
-    * The natural refresh flow — `ivfLoad(dir)` → append/assign →
-    * `ivfSave(dir)` — reads and rewrites the SAME path; a direct
-    * `mode("overwrite")` there is Spark's "Cannot overwrite a path
-    * that is also being read from" abort (or a partial delete on
-    * non-atomic filesystems). Saves therefore STAGE everything under
-    * `dir/.staging` first (the write jobs fully materialize the
-    * possibly-self-referential frames there), then swap the three
-    * committed outputs into place via FS delete+rename — the read
-    * path is untouched until the staged copy is complete, and a crash
-    * mid-save leaves either the old index or a dead `.staging` tree,
-    * never a half-written live one. */
+    * ==Crash-consistent, refresh-in-place-safe versioned layout==
+    * (round-14 advice, hardened after self-review: a multi-file
+    * delete+rename swap has a window where a crash leaves NEW
+    * centroids beside OLD assignments — a silently wrong index.)
+    * Each save writes a COMPLETE new version directory
+    * `dir/v<N>/{centroids, assigned, meta.json}` — meta.json written
+    * last inside the version, so its presence marks the version
+    * complete — and then commits by pointing the one-line `dir/CURRENT`
+    * file at it. The commit is a single tiny-file replace; every
+    * earlier state (no v<N>, partial v<N> without meta, CURRENT not
+    * yet moved) still reads as the previous index, and [[ivfLoad]]
+    * falls back to the newest COMPLETE version when CURRENT is absent
+    * (the delete→rename blink, or a legacy/partial tree). The natural
+    * refresh flow — `ivfLoad(dir)` → modify → `ivfSave(dir)` — never
+    * overwrites the files it is reading (the new version is a fresh
+    * directory), and the immediately-previous version is retained for
+    * in-flight readers; older ones are garbage-collected. One writer
+    * at a time per index dir; concurrent readers are always safe. */
   def ivfSave(index: IvfIndex, dir: String): Unit = {
     val sp = index.assigned.sparkSession
     import sp.implicits._
-    val stage = s"$dir/.staging"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val versions = listVersions(fs, dir)
+    val next = versions.map(_ + 1).maxOption.getOrElse(1)
+    val vdir = s"$dir/v$next"
     sp.createDataset(index.centroids.toSeq.zipWithIndex.map {
         case ((c, n), i) => (i, c.toSeq, n)
       })
       .toDF("cluster", "centroid", "cnorm")
-      .coalesce(1).write.mode("overwrite").parquet(s"$stage/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/centroids")
     index.assigned.write.mode("overwrite")
-      .partitionBy("cluster").parquet(s"$stage/assigned")
+      .partitionBy("cluster").parquet(s"$vdir/assigned")
     // column names land in meta.json verbatim — escape control chars
     // too (round-14 advice: a name with a newline/tab produced invalid
     // JSON that ivfLoad's Jackson parse rejects, an unreadable index)
     val meta =
-      s"""{"idCol":"${graft.tools.BenchProtocol.jsonEscape(index.idCol)}","vecCol":"${graft.tools.BenchProtocol.jsonEscape(index.vecCol)}","k":${index.centroids.length}}"""
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(sp.sparkContext.hadoopConfiguration)
-    val mp = new org.apache.hadoop.fs.Path(s"$stage/meta.json")
-    val out = fs.create(mp, true)
-    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // swap: everything below is driver-side FS metadata work on
-    // fully-committed files — the source frames are no longer needed
-    Seq("centroids", "assigned", "meta.json").foreach { name =>
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
-      val staged = new org.apache.hadoop.fs.Path(s"$stage/$name")
-      if (fs.exists(live)) fs.delete(live, true)
-      if (!fs.rename(staged, live))
-        throw new java.io.IOException(
-          s"ivfSave: rename $staged -> $live failed; the previous index " +
-            s"at $dir may be partially deleted — the staged copy is intact")
+      s"""{"idCol":"${jsonStr(index.idCol)}","vecCol":"${jsonStr(index.vecCol)}","k":${index.centroids.length}}"""
+    writeSmallFile(fs, s"$vdir/meta.json", meta) // version-complete marker
+    // commit: CURRENT now names the new version. delete+rename of one
+    // tiny file — a crash in the blink leaves no CURRENT, and ivfLoad's
+    // newest-complete-version fallback still resolves to v<next>
+    writeSmallFile(fs, s"$dir/CURRENT.tmp", s"v$next")
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT")
+    if (fs.exists(cur)) fs.delete(cur, false)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(s"$dir/CURRENT.tmp"), cur))
+      throw new java.io.IOException(
+        s"ivfSave: committing $dir/CURRENT failed; v$next is fully written " +
+          "and ivfLoad will resolve it as the newest complete version")
+    // GC: keep the new version and its immediate predecessor (in-flight
+    // readers of the old index), drop everything older
+    versions.filter(_ < next - 1).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true)
     }
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
+  /** Version numbers present under an index dir (any `v<N>` child). */
+  private def listVersions(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.matches("v\\d+") =>
+        st.getPath.getName.drop(1).toInt
+    }
+  }
+
+  /** The live version directory of a saved index: CURRENT when present,
+    * else the newest COMPLETE version (meta.json is the completeness
+    * marker — written last by [[ivfSave]]). Public so specs and tools
+    * can reach the on-disk tree without re-implementing resolution. */
+  def ivfCurrentPath(spark: SparkSession, dir: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT")
+    val fromPointer =
+      if (fs.exists(cur)) {
+        val in = fs.open(cur)
+        val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        Some(name).filter(n =>
+          n.matches("v\\d+") && fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$n/meta.json")))
+      } else None
+    val resolved = fromPointer.orElse {
+      listVersions(fs, dir).sorted.reverse.collectFirst {
+        case v if fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v$v/meta.json")) => s"v$v"
+      }
+    }
+    resolved match {
+      case Some(v) => s"$dir/$v"
+      case None =>
+        // legacy flat layout (pre-versioning saves): meta.json at root
+        require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta.json")),
+          s"no complete index version under $dir (no CURRENT, no v*/meta.json, no flat meta.json)")
+        dir
+    }
+  }
+
+  /** Minimal JSON string escaping for [[ivfSave]]'s meta.json — quotes,
+    * backslashes, and control characters (the persistence format is
+    * OWNED here; it must never drift with bench-tool helpers). */
+  private def jsonStr(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def writeSmallFile(
+      fs: org.apache.hadoop.fs.FileSystem, path: String, content: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Load an index [[ivfSave]] wrote. The returned `assigned` frame
     * reads the cluster-partitioned tree, so downstream probe filters
     * prune partitions at the source. Centroids round-trip bit-exactly
-    * (doubles through parquet). */
-  def ivfLoad(spark: SparkSession, dir: String): IvfIndex = {
+    * (doubles through parquet). Resolves the live version through
+    * [[ivfCurrentPath]] (CURRENT pointer → newest complete version →
+    * legacy flat layout). */
+  def ivfLoad(spark: SparkSession, rootDir: String): IvfIndex = {
+    val dir = ivfCurrentPath(spark, rootDir)
     val p = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
@@ -937,11 +1007,16 @@ object SimilaritySearch {
     val nShards = (k + maskWidth - 1) / maskWidth
     val shardScans = (0 until nShards).flatMap { sh =>
       val base = sh * maskWidth
+      // pack ONLY the queries probing this shard (self-review: packing
+      // the whole batch per shard multiplied broadcast bytes and
+      // per-partition heap arrays by nShards; heaps are positional in
+      // the packed batch and results key on p.ids, so dropping
+      // zero-mask rows is output-identical)
       val rows = brows.map { case (id, cls, qq, qs) =>
         (id, maskWord(cls, base, maskWidth), qq, qs)
-      }
+      }.filter(_._2 != 0L)
       // a shard no query probes would scan its corpus slice for nothing
-      if (rows.forall(_._2 == 0L)) None
+      if (rows.isEmpty) None
       else {
         val packed = packQuantizedBatch(rows)
         val bc = sp.sparkContext.broadcast(packed)
@@ -1046,10 +1121,11 @@ object SimilaritySearch {
         index, chunk, queryIdCol, queryVecCol, topK, nprobe, overFetch)
     }
 
-  /** The shared chunk loop of the two chunked serving drivers: count
-    * once, run the base op directly when the batch fits (zero overhead
-    * on the common path), otherwise union `run` over hash-disjoint
-    * chunks. */
+  /** The shared chunk loop of the two chunked serving drivers: count,
+    * run the base op directly when the batch fits (the driver's only
+    * added cost on that path is its own counting pass — the base op
+    * re-counts for its cap require), otherwise union `run` over
+    * hash-disjoint chunks. */
   private def chunkedUnion(
       queries: DataFrame, queryIdCol: String, chunkTarget: Long)(
       run: DataFrame => DataFrame): DataFrame = {

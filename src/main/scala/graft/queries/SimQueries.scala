@@ -829,7 +829,11 @@ object SimQueries {
     val idx = graft.operators.SimilaritySearch.ivfBuild(
       e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
       k = 16, lloydIters = 3, portableSeeds = true)
-    val path = s"/tmp/graft_v17_index_${Integer.toHexString(dir.hashCode)}"
+    // per-process path: a Bench and a Verify running concurrently on
+    // the same sfDir must not swap each other's live index mid-read
+    // (self-review); deterministic WITHIN a process, disjoint across
+    val path = s"/tmp/graft_v17_index_${Integer.toHexString(dir.hashCode)}" +
+      s"_p${ProcessHandle.current().pid()}"
     graft.operators.SimilaritySearch.ivfSave(idx, path)
     val loaded = graft.operators.SimilaritySearch.ivfLoad(s, path)
     graft.operators.SimilaritySearch.ivfTopKBatchQuantized(

@@ -263,7 +263,12 @@ class PlanQualitySpec extends AnyFunSuite {
       .select(col("vec_id").as("q_id"), col("embedding"))
     val served = SimilaritySearch.ivfTopKBatchQuantized(
       loaded, one, "q_id", "embedding", topK = 3, nprobe = 2)
-    served.write.mode("overwrite").format("noop").save()
+    // collect() drives execution through the Dataset's OWN
+    // QueryExecution, so the scan nodes inspected below carry real
+    // metrics (self-review: a noop .write executes a separate
+    // QueryExecution and leaves these metrics at 0 — the pruning
+    // assert was vacuous)
+    assert(served.collect().nonEmpty, "the narrow batch must produce answers")
     val scans = flatten(served.queryExecution.executedPlan).collect {
       case f: FileSourceScanExec
         if f.relation.location.rootPaths.exists(_.toString.contains("graft_v17_planspec")) => f
@@ -273,14 +278,16 @@ class PlanQualitySpec extends AnyFunSuite {
       "every persisted-corpus scan must carry a cluster partition filter " +
         s"(got: ${scans.map(_.partitionFilters.mkString(","))})")
     // and the filter actually pruned the listing: far fewer files than
-    // the 16-cluster tree holds
+    // the 16-cluster tree of the LIVE version holds
     val totalFiles = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(s"$path/assigned"))
+      walk(new java.io.File(
+          s"${SimilaritySearch.ivfCurrentPath(spark, path)}/assigned"))
         .count(_.getName.endsWith(".parquet"))
     }
     val readFiles = scans.map(_.metrics("numFiles").value).max
+    assert(readFiles > 0, "executed scan metrics must be populated")
     assert(readFiles < totalFiles,
       s"no pruning: read $readFiles of $totalFiles files for a 2-of-16 probe")
   }

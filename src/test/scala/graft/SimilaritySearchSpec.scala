@@ -758,16 +758,29 @@ class SimilaritySearchSpec extends AnyFunSuite {
     // contract is that the LIVE path is consistent, not old handles)
     val a0 = loaded.assigned.select("id", "cluster").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    // the natural refresh flow reads dir/assigned and rewrites the same
-    // dir — the staged swap (round-14 advice) must make this succeed
-    // instead of Spark's cannot-overwrite-read-path abort
+    // the natural refresh flow reads the live version and rewrites the
+    // same index dir — the versioned layout (round-14 advice, hardened
+    // after self-review to a single-pointer commit) must make this
+    // succeed instead of Spark's cannot-overwrite-read-path abort
     SimilaritySearch.ivfSave(loaded, dir)
     val again = SimilaritySearch.ivfLoad(spark, dir)
     val a1 = again.assigned.select("id", "cluster").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(a1 == a0, "assignments drifted through the in-place refresh")
-    assert(new java.io.File(s"$dir/.staging").exists == false,
-      "staging tree must be cleaned up after the swap")
+    // the refresh committed a new version and kept the predecessor for
+    // in-flight readers of the old handle
+    assert(SimilaritySearch.ivfCurrentPath(spark, dir).endsWith("/v2"))
+    assert(new java.io.File(s"$dir/v1").exists,
+      "immediate predecessor version must be retained")
+    // and the OLD handle still reads: its files were never touched
+    assert(loaded.assigned.count() == a0.size)
+    // crash-window fallback: with CURRENT gone, the newest COMPLETE
+    // version still resolves (meta.json is the completeness marker)
+    assert(new java.io.File(s"$dir/CURRENT").delete())
+    assert(SimilaritySearch.ivfCurrentPath(spark, dir).endsWith("/v2"))
+    // a partial version (no meta.json yet) must NOT win resolution
+    assert(new java.io.File(s"$dir/v9").mkdir())
+    assert(SimilaritySearch.ivfCurrentPath(spark, dir).endsWith("/v2"))
     // control characters in column names must survive meta.json
     // (round-14 advice: the old escaper left them raw — invalid JSON,
     // an unreadable index)
@@ -797,8 +810,10 @@ class SimilaritySearchSpec extends AnyFunSuite {
     }
     // the inverted index is a hive partition tree — the on-disk form of
     // probe pruning: each cluster is its own subdirectory, so a
-    // cluster IN (...) filter prunes at the file listing
-    val parts = new java.io.File(s"$dir/assigned").listFiles()
+    // cluster IN (...) filter prunes at the file listing (under the
+    // live VERSION dir — CURRENT resolves it)
+    val live = SimilaritySearch.ivfCurrentPath(spark, dir)
+    val parts = new java.io.File(s"$live/assigned").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(parts.forall(_.startsWith("cluster=")), s"unexpected layout: $parts")
     assert(parts.size >= 2, s"expected multiple cluster partitions, got $parts")
