@@ -130,27 +130,40 @@ object Bench {
       total
     }
     import graft.tools.BenchProtocol.median
-    val sampled: Seq[(String, Seq[Double], Double)] = slice.flatMap { name =>
+    // Per-SAMPLE wall-clock start timestamp (epoch seconds) and GC time
+    // (seconds spent in collections DURING that sample) ride along with
+    // every measured duration (round-15 verdict #2): the r15 refusal had
+    // CLEAN canaries yet 10–19x outlier samples, so the artifact now
+    // carries the data to discriminate a host burst shorter than the
+    // canary sampling interval (outlier sample, flat gc, and — across
+    // runs — outliers clustering at the same wall-clock moment) from a
+    // JVM-internal stall (gc seconds concentrated in the outlier sample).
+    case class Sample(sec: Double, tsEpoch: Double, gcSec: Double)
+    val sampled: Seq[(String, Seq[Sample], Double)] = slice.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        def once(): Double = {
+        def once(): Sample = {
+          val ts0 = System.currentTimeMillis() / 1000.0
+          val g0 = gcMillis()
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-            (System.nanoTime() - t0) / 1e9
+            Sample((System.nanoTime() - t0) / 1e9, ts0, (gcMillis() - g0) / 1000.0)
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              -1.0 // failures surface as -1, never as a fast timing
+              // failures surface as -1, never as a fast timing
+              Sample(-1.0, ts0, (gcMillis() - g0) / 1000.0)
           }
         }
         val gc0 = gcMillis()
         val warm = once() // not recorded: builds caches + codegen
         val base =
-          if (warm < 0.0) Seq(warm) // fail fast, skip the sample loop
+          if (warm.sec < 0.0) Seq(warm) // fail fast, skip the sample loop
           else Seq.fill(5)(once())
-        val ok = base.forall(_ >= 0.0)
+        val ok = base.forall(_.sec >= 0.0)
+        val baseSecs = base.map(_.sec)
         val times =
-          if (ok && base.min > 0 && (base.max - base.min) / median(base) >
+          if (ok && baseSecs.min > 0 && (baseSecs.max - baseSecs.min) / median(baseSecs) >
               graft.tools.BenchProtocol.EscalationTrigger)
             base ++ Seq(once(), once())
           else base
@@ -171,16 +184,26 @@ object Bench {
       }
     }
     val results = sampled.map { case (name, times, _) =>
-      name -> (if (times.contains(-1.0)) -1.0 else median(times))
+      val secs = times.map(_.sec)
+      name -> (if (secs.contains(-1.0)) -1.0 else median(secs))
     }
     val samplesJson = sampled.map { case (k, ts, _) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      "\"" + k + "\":" + ts.map(t => f"${t.sec}%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // aligned index-for-index with `samples`: epoch-seconds start of each
+    // measured sample, and GC seconds attributed to that sample alone
+    val samplesTsJson = sampled.map { case (k, ts, _) =>
+      "\"" + k + "\":" + ts.map(t => f"${t.tsEpoch}%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val samplesGcJson = sampled.map { case (k, ts, _) =>
+      "\"" + k + "\":" + ts.map(t => f"${t.gcSec}%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val gcJson = sampled.map { case (k, _, g) =>
       "\"" + k + "\":" + f"$g%.3f"
     }.mkString("{", ",", "}")
     val spread = sampled.map { case (k, ts, _) =>
-      "\"" + k + "\":" + f"[${ts.min}%.3f,${ts.max}%.3f]"
+      val secs = ts.map(_.sec)
+      "\"" + k + "\":" + f"[${secs.min}%.3f,${secs.max}%.3f]"
     }.mkString("{", ",", "}")
     // a failed query must invalidate the run visibly, not shrink the
     // total: sentinels are excluded from the sum and listed in `failed`
@@ -192,7 +215,7 @@ object Bench {
     // samples only (the cold run is excluded), so this measures host
     // noise, not cache warm-up.
     val okNames = ok.map(_._1).toSet
-    val okSamples = sampled.collect { case (k, ts, _) if okNames(k) => ts }
+    val okSamples = sampled.collect { case (k, ts, _) if okNames(k) => ts.map(_.sec) }
     val variance = graft.tools.BenchProtocol.meanRelSpread(okSamples)
     // the gating statistic: same mean relSpread, but each ESCALATED
     // query (the sampler flagged its own window and bought replacement
@@ -295,7 +318,7 @@ object Bench {
       // canary-norm ratios (round-13 verdict #3) — readings inside it
       // are parity BY THE ARTIFACT'S OWN DECLARATION, not by prose
       val (pLo, pHi) = graft.tools.BenchProtocol.NormParityBand
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"canary_shuffle_sec":$canaryShuffle%.3f,"canary_shuffle_drift":$canaryShuffleDrift%.3f,"norm_parity_band":[$pLo%.2f,$pHi%.2f],"spliced":$splicedJson,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"variance_trimmed":$varianceTrimmed%.3f,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"canary_shuffle_sec":$canaryShuffle%.3f,"canary_shuffle_drift":$canaryShuffleDrift%.3f,"norm_parity_band":[$pLo%.2f,$pHi%.2f],"spliced":$splicedJson,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"samples_ts":$samplesTsJson,"samples_gc":$samplesGcJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"variance_trimmed":$varianceTrimmed%.3f,"failed":$failed,"sf":"$sfDir"}"""
     }
     val line = artifactLine(results, Nil)
     println(line)
@@ -347,9 +370,21 @@ object Bench {
       // drift 0.0) must also refuse: a host busy enough to kill the
       // canary is exactly the burst condition, and letting drift
       // default to 0.0 would silently bypass the pin (self-review)
+      // FIRST-WRITE EXEMPTION (round-15 advice): with no standing
+      // artifact at all, refusing on the shuffle axis would make the very
+      // first baseline write impossible on a host whose guarded shuffle
+      // canary fails — unlike the sf pin, which deliberately lets first
+      // write win. The first-ever write goes through with a warning; once
+      // a slot exists, the full pin applies.
+      val firstWrite = lastGood.isEmpty
       val shuffleBurst = canaryShuffle < 0 ||
         math.abs(canaryShuffleDrift) > graft.tools.BenchProtocol.ShuffleDriftBand
-      if (shuffleBurst && !forceAccept)
+      if (shuffleBurst && firstWrite && !forceAccept)
+        System.err.println(
+          "[bench] WARNING: shuffle canary unavailable/bursting but no standing " +
+            "bench_last_good.json exists — allowing the first-ever slot write " +
+            "(first-write-wins, matching the sf pin)")
+      if (shuffleBurst && !firstWrite && !forceAccept)
         System.err.println(
           if (canaryShuffle < 0)
             "[bench] keeping standing bench_last_good.json: the shuffle canary " +
@@ -378,7 +413,7 @@ object Bench {
           if (forceAccept) Seq.empty[String]
           else graft.tools.BenchProtocol.bimodalSuspects(
             results.toMap,
-            sampled.map { case (k, ts, _) => k -> ts }.toMap,
+            sampled.map { case (k, ts, _) => k -> ts.map(_.sec) }.toMap,
             lastGood)
         val slotLine =
           if (suspects.isEmpty) line

@@ -123,6 +123,17 @@ object BenchProtocol {
     * window and never straddles at this dispersion. */
   val StraddleSpreadLimit = 1.0
 
+  /** Absolute-magnitude floor for the straddle arm (round-15 advice):
+    * sub-second queries routinely show relSpread > 1.0 from scheduler
+    * jitter and their windows straddle a near-unchanged standing value,
+    * so without a floor their slots would be spliced to stale standing
+    * medians round after round even when the median barely moved. The
+    * straddle arm only fires when |median − standing| is at least this
+    * many seconds — mirroring how the cliff arms require a ratio move.
+    * 50 ms is an order of magnitude under every real incident's delta
+    * (r13 t26: 2.3 s; r14 gr2: 4.5 s) and above local[32] jitter. */
+  val StraddleMinDeltaSec = 0.05
+
   /** Fraction of the standing value a downward-arm window max must
     * exceed to count as "reaches back into the standing regime"
     * (round-14 advice): the old test `max > standing/ratioLimit` spliced
@@ -173,7 +184,8 @@ object BenchProtocol {
             val r = m / s
             (r > ratioLimit && ts.min < s * ratioLimit) ||
               (r < 1.0 / ratioLimit && ts.max > NearStandingFraction * s) ||
-              (ts.min < s && ts.max > s && relSpread(ts) > StraddleSpreadLimit)
+              (ts.min < s && ts.max > s && relSpread(ts) > StraddleSpreadLimit &&
+                math.abs(m - s) >= StraddleMinDeltaSec)
           } => k
     }.toSeq.sorted
 

@@ -154,6 +154,21 @@ class BenchProtocolSpec extends AnyFunSuite {
       Map("q" -> 5.0)).isEmpty)
   }
 
+  test("straddle trigger has an absolute floor: sub-50ms median moves never splice (r15 advice)") {
+    // a 40 ms query with scheduler jitter: relSpread 1.5 > 1.0 and the
+    // window straddles the standing 0.041 — but the median moved 1 ms.
+    // Without the StraddleMinDeltaSec floor this slot would be spliced
+    // to the stale standing median round after round.
+    assert(BenchProtocol.bimodalSuspects(
+      Map("q" -> 0.040), Map("q" -> Seq(0.020, 0.038, 0.040, 0.044, 0.080)),
+      Map("q" -> 0.041)).isEmpty)
+    // the same shape at real magnitude (median delta 0.9 s >> floor)
+    // still fires — the floor must not weaken the incident catch
+    assert(BenchProtocol.bimodalSuspects(
+      Map("q" -> 2.0), Map("q" -> Seq(0.5, 1.8, 2.0, 2.2, 4.0)),
+      Map("q" -> 1.1)) == Seq("q"))
+  }
+
   test("downward arm passes a genuine >2x improvement with mild noise (r14 advice)") {
     // standing 1.0 s, a real ~2.1x optimization measuring 0.44-0.52 s:
     // the old `max > standing/ratioLimit` test spliced this away every
