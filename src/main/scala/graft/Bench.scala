@@ -139,8 +139,15 @@ object Bench {
     // runs — outliers clustering at the same wall-clock moment) from a
     // JVM-internal stall (gc seconds concentrated in the outlier sample).
     case class Sample(sec: Double, tsEpoch: Double, gcSec: Double)
-    val sampled: Seq[(String, Seq[Sample], Double)] = slice.flatMap { name =>
+    val sampled: Seq[(String, Seq[Sample], Double, Double)] = slice.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
+        // ~0.1 s host-band probe BEFORE each query (round-16 bimodality
+        // adjudication — see BenchProtocol.MicroCanaryRows): the two
+        // full-size canaries bracket the whole run and cannot see a
+        // sub-minute mid-run burst; this one time-resolves the band to
+        // query granularity. Never counted into the query's timing.
+        val cpre = guarded(s"canary_pre($name)")(
+          graft.tools.BenchProtocol.microCanarySeconds(spark))
         def once(): Sample = {
           val ts0 = System.currentTimeMillis() / 1000.0
           val g0 = gcMillis()
@@ -180,28 +187,32 @@ object Bench {
         // the NEXT query starts against an inflated old gen.
         spark.catalog.clearCache()
         System.gc()
-        (name, times, gcSec)
+        (name, times, gcSec, cpre)
       }
     }
-    val results = sampled.map { case (name, times, _) =>
+    val results = sampled.map { case (name, times, _, _) =>
       val secs = times.map(_.sec)
       name -> (if (secs.contains(-1.0)) -1.0 else median(secs))
     }
-    val samplesJson = sampled.map { case (k, ts, _) =>
+    val samplesJson = sampled.map { case (k, ts, _, _) =>
       "\"" + k + "\":" + ts.map(t => f"${t.sec}%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // aligned index-for-index with `samples`: epoch-seconds start of each
     // measured sample, and GC seconds attributed to that sample alone
-    val samplesTsJson = sampled.map { case (k, ts, _) =>
+    val samplesTsJson = sampled.map { case (k, ts, _, _) =>
       "\"" + k + "\":" + ts.map(t => f"${t.tsEpoch}%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val samplesGcJson = sampled.map { case (k, ts, _) =>
+    val samplesGcJson = sampled.map { case (k, ts, _, _) =>
       "\"" + k + "\":" + ts.map(t => f"${t.gcSec}%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val gcJson = sampled.map { case (k, _, g) =>
+    val gcJson = sampled.map { case (k, _, g, _) =>
       "\"" + k + "\":" + f"$g%.3f"
     }.mkString("{", ",", "}")
-    val spread = sampled.map { case (k, ts, _) =>
+    // the per-query micro-canary readings, in run order (see above)
+    val canaryPreJson = sampled.map { case (k, _, _, c) =>
+      "\"" + k + "\":" + f"$c%.3f"
+    }.mkString("{", ",", "}")
+    val spread = sampled.map { case (k, ts, _, _) =>
       val secs = ts.map(_.sec)
       "\"" + k + "\":" + f"[${secs.min}%.3f,${secs.max}%.3f]"
     }.mkString("{", ",", "}")
@@ -215,7 +226,7 @@ object Bench {
     // samples only (the cold run is excluded), so this measures host
     // noise, not cache warm-up.
     val okNames = ok.map(_._1).toSet
-    val okSamples = sampled.collect { case (k, ts, _) if okNames(k) => ts.map(_.sec) }
+    val okSamples = sampled.collect { case (k, ts, _, _) if okNames(k) => ts.map(_.sec) }
     val variance = graft.tools.BenchProtocol.meanRelSpread(okSamples)
     // the gating statistic: same mean relSpread, but each ESCALATED
     // query (the sampler flagged its own window and bought replacement
@@ -318,7 +329,7 @@ object Bench {
       // canary-norm ratios (round-13 verdict #3) — readings inside it
       // are parity BY THE ARTIFACT'S OWN DECLARATION, not by prose
       val (pLo, pHi) = graft.tools.BenchProtocol.NormParityBand
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"canary_shuffle_sec":$canaryShuffle%.3f,"canary_shuffle_drift":$canaryShuffleDrift%.3f,"norm_parity_band":[$pLo%.2f,$pHi%.2f],"spliced":$splicedJson,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"samples_ts":$samplesTsJson,"samples_gc":$samplesGcJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"variance_trimmed":$varianceTrimmed%.3f,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"canary_shuffle_sec":$canaryShuffle%.3f,"canary_shuffle_drift":$canaryShuffleDrift%.3f,"norm_parity_band":[$pLo%.2f,$pHi%.2f],"spliced":$splicedJson,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"samples_ts":$samplesTsJson,"samples_gc":$samplesGcJson,"canary_pre":$canaryPreJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"variance_trimmed":$varianceTrimmed%.3f,"failed":$failed,"sf":"$sfDir"}"""
     }
     val line = artifactLine(results, Nil)
     println(line)
@@ -413,7 +424,7 @@ object Bench {
           if (forceAccept) Seq.empty[String]
           else graft.tools.BenchProtocol.bimodalSuspects(
             results.toMap,
-            sampled.map { case (k, ts, _) => k -> ts.map(_.sec) }.toMap,
+            sampled.map { case (k, ts, _, _) => k -> ts.map(_.sec) }.toMap,
             lastGood)
         val slotLine =
           if (suspects.isEmpty) line

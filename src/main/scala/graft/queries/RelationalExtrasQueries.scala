@@ -441,38 +441,60 @@ object RelationalExtrasQueries {
     * near-identical customer-name pairs, the record-linkage primitive a
     * dedup pipeline uses on SHORT keys where shingling is meaningless.
     *
-    * Blocking is COMPOSITE (round-14 verdict watch item): nationkey
-    * alone has 25 distinct values, so candidate pairs grew
-    * quadratically with customer count (~9×10¹⁰ at sf10-scale); the
-    * second component — the name's leading digit block,
-    * `substr(c_name, 10, 3)` of the fixed `Customer#`-prefixed form —
-    * multiplies the block count by up to 1000 as the key space fills,
-    * bounding pairs the way any real record-linkage blocker does. The
-    * trade is the standard one, stated: pairs differing INSIDE the
-    * blocking digits are unseen (at the oracle SFs the digit block is
-    * constant, so the answer is unchanged; at scale recall shifts to
-    * the blocker's). The distance itself is projected ONCE before the
-    * threshold filter and the MIN aggregate — the old form evaluated
-    * the O(len²) DP twice per surviving pair. */
+    * Blocking is COMPOSITE and MULTI-PASS (round-14 verdict watch item,
+    * re-windowed per round-15 advice): nationkey alone has 25 distinct
+    * values, so candidate pairs grew quadratically with customer count
+    * (~9×10¹⁰ at sf10-scale). The r15 second component was the name's
+    * LEADING digit window `substr(c_name, 10, 3)` — wrong on both
+    * axes: custkeys fill from the small end, so at sf10 (custkey ≤
+    * 1.5M) the leading window holds only 2 values (no pair bounding),
+    * and once custkey crosses 10⁶ genuinely-close pairs start differing
+    * in it (Customer#000100000 vs #001100000, distance 1, blocked
+    * apart) — a semantics cliff at exactly the bench SFs. The windows
+    * are now the MIDDLE digits `substr(c_name, 13, 3)` and the SUFFIX
+    * digits `substr(c_name, 16, 3)` of the fixed 9-digit
+    * `Customer#`-prefixed form — both near-uniform at every SF (blocks
+    * stay ~N/25000) — as TWO equi-join blocking passes whose candidate
+    * union is deduplicated before scoring (the standard multi-pass
+    * blocking of record linkage; an OR join condition would degrade to
+    * a per-nation nested loop). A dist ≤ 3 pair is unseen only when
+    * its edits touch BOTH windows (≥ 2 edits split across digits 4–6
+    * and 7–9) — in particular every 1-edit pair is caught at every SF,
+    * including the leading-digit pairs the r15 window dropped. The
+    * distance is projected ONCE per distinct candidate before the
+    * threshold filter and the MIN aggregate. */
   val fuzzyNames: Q = Q(
     "str2_edit_distance",
     """SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_pairs,
       |  CAST(MIN(dist) AS INT) AS min_dist
       |FROM (
-      |  SELECT a.c_nationkey AS nk, levenshtein(a.c_name, b.c_name) AS dist
-      |  FROM customer a JOIN customer b
-      |    ON a.c_nationkey = b.c_nationkey
-      |   AND substr(a.c_name, 10, 3) = substr(b.c_name, 10, 3)
-      |   AND a.c_custkey < b.c_custkey) p
+      |  SELECT nk, levenshtein(an, bn) AS dist
+      |  FROM (
+      |    SELECT a.c_nationkey AS nk, a.c_custkey AS ak, b.c_custkey AS bk,
+      |           a.c_name AS an, b.c_name AS bn
+      |    FROM customer a JOIN customer b
+      |      ON a.c_nationkey = b.c_nationkey
+      |     AND substr(a.c_name, 13, 3) = substr(b.c_name, 13, 3)
+      |     AND a.c_custkey < b.c_custkey
+      |    UNION
+      |    SELECT a.c_nationkey, a.c_custkey, b.c_custkey, a.c_name, b.c_name
+      |    FROM customer a JOIN customer b
+      |      ON a.c_nationkey = b.c_nationkey
+      |     AND substr(a.c_name, 16, 3) = substr(b.c_name, 16, 3)
+      |     AND a.c_custkey < b.c_custkey) cand) p
       |WHERE dist <= 3
       |GROUP BY nk ORDER BY nk""".stripMargin) { (s, dir) =>
     val c = t(s, dir, "customer")
-    val a = c.select(col("c_custkey").as("ak"), col("c_nationkey").as("nk"),
-      col("c_name").as("an"), substring(col("c_name"), 10, 3).as("apfx"))
-    val b = c.select(col("c_custkey").as("bk"), col("c_nationkey").as("bnk"),
-      col("c_name").as("bn"), substring(col("c_name"), 10, 3).as("bpfx"))
-    a.join(b, col("nk") === col("bnk") && col("apfx") === col("bpfx") &&
-        col("ak") < col("bk"))
+    def blockingPass(from: Int): org.apache.spark.sql.DataFrame = {
+      val a = c.select(col("c_custkey").as("ak"), col("c_nationkey").as("nk"),
+        col("c_name").as("an"), substring(col("c_name"), from, 3).as("ablk"))
+      val b = c.select(col("c_custkey").as("bk"), col("c_nationkey").as("bnk"),
+        col("c_name").as("bn"), substring(col("c_name"), from, 3).as("bblk"))
+      a.join(b, col("nk") === col("bnk") && col("ablk") === col("bblk") &&
+          col("ak") < col("bk"))
+        .select("nk", "ak", "bk", "an", "bn")
+    }
+    blockingPass(13).union(blockingPass(16)).distinct()
       .withColumn("dist", levenshtein(col("an"), col("bn")))
       .filter(col("dist") <= 3)
       .groupBy(col("nk"))

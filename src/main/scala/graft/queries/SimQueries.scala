@@ -822,7 +822,10 @@ object SimQueries {
     * becoming file-listing pruning on the hive tree) is asserted on
     * the physical plan in PlanQualitySpec. The index round-trips via
     * /tmp, keyed by the data dir so sf0.01/sf0.1 runs never collide;
-    * each invocation re-saves (overwrite-safe via the staged swap). */
+    * each invocation re-saves (overwrite-safe via the staged swap), and
+    * the dir is reaped at JVM exit (round-15 advice: the pid suffix
+    * made every process leak its own tree; within one process the
+    * deterministic path + versioned GC already bound the churn). */
   val ivfServePersisted: Q = Q(
     "v17_ivf_persisted_serving", batchSq8Sql) { (s, dir) =>
     val e = t(s, dir, "embeddings")
@@ -834,6 +837,7 @@ object SimQueries {
     // (self-review); deterministic WITHIN a process, disjoint across
     val path = s"/tmp/graft_v17_index_${Integer.toHexString(dir.hashCode)}" +
       s"_p${ProcessHandle.current().pid()}"
+    reapAtExit(path)
     graft.operators.SimilaritySearch.ivfSave(idx, path)
     val loaded = graft.operators.SimilaritySearch.ivfLoad(s, path)
     graft.operators.SimilaritySearch.ivfTopKBatchQuantized(
@@ -843,6 +847,24 @@ object SimQueries {
         "q_id", "embedding", topK = 3, nprobe = 4, overFetch = 4)
       .orderBy("q_id", "rank")
   }
+
+  /** Recursive-delete shutdown hook, ONE per distinct path (the query
+    * runs warm + 5 bench samples per process against the same
+    * deterministic dir): queries are evaluated lazily, so deletion
+    * cannot happen inline after the answer — the returned frame still
+    * reads the tree — and File.deleteOnExit cannot remove non-empty
+    * directories. Local-filesystem only, like the /tmp path it reaps. */
+  private val reapRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def reapAtExit(path: String): Unit =
+    if (reapRegistered.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
 
   val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup, annIvf, quantize,
     quantizedAnn, quantizedNearDup, annIvfQuantized, clusterSample,

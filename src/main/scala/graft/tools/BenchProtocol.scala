@@ -245,6 +245,37 @@ object BenchProtocol {
     BenchProtocol.median(Seq.fill(samples)(once()))
   }
 
+  /** Rows of the MICRO canary — [[CanaryRows]]/20, ~0.1 s on an
+    * uncontended 32-thread host: cheap enough to run before EVERY
+    * headline query. Round-16 adjudication of the r13/r14/r15
+    * bimodality found the mechanism the end-of-run canaries cannot
+    * see: host bursts of ~10–60 s striking mid-run (r15's t8 outliers
+    * were two ADJACENT ~12 s samples — one contiguous slow window —
+    * with 0.146 s of query-total GC against ~23 s of excess wall,
+    * excluding GC; solo and shuffled-order re-runs on a quiet host
+    * were spotless). The two full-size canaries bracket a ~6-minute
+    * run, so a sub-minute burst lands between them and the artifact
+    * reads "clean canaries + 10–19× outliers". A ~0.1 s probe before
+    * each query time-resolves the band to query granularity: an
+    * outlier sample bracketed by inflated micro-canaries is a HOST
+    * burst, mechanically. */
+  val MicroCanaryRows: Long = CanaryRows / 20
+
+  /** One UNWARMED sample of the CPU canary shape at micro size — the
+    * per-query band probe (see [[MicroCanaryRows]]). No warm-up run:
+    * the full-size start canary has already JIT-compiled the identical
+    * plan shape, and a warm-up would double the per-query overhead. */
+  def microCanarySeconds(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Long = MicroCanaryRows): Double = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+    val t0 = System.nanoTime()
+    spark.range(0L, rows, 1L, 32)
+      .select(sum(pmod(xxhash64(xxhash64(xxhash64(col("id")))), lit(1L << 20))))
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Rows of the BANDWIDTH canary's fixed shuffle — sized so one sample
     * is ~1 s on an uncontended 32-thread host (like [[CanaryRows]]). */
   val CanaryShuffleRows: Long = 25000000L

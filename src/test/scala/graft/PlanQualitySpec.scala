@@ -290,6 +290,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(readFiles > 0, "executed scan metrics must be populated")
     assert(readFiles < totalFiles,
       s"no pruning: read $readFiles of $totalFiles files for a 2-of-16 probe")
+    // the EXACT batch arm (round-15 verdict #4): the same narrow batch
+    // through ivfTopKBatch over the same loaded index must also reach
+    // file-listing pruning — before this round it joined the exploded
+    // probe rows against the FULL corpus and read all 16 partitions
+    val servedExact = SimilaritySearch.ivfTopKBatch(
+      loaded, one, "q_id", "embedding", topK = 3, nprobe = 2)
+    assert(servedExact.collect().nonEmpty, "the exact arm must produce answers")
+    val exactScans = flatten(servedExact.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft_v17_planspec")) => f
+    }
+    assert(exactScans.nonEmpty, "expected exact-arm scans over the persisted tree")
+    assert(exactScans.forall(_.partitionFilters.exists(_.references.exists(_.name == "cluster"))),
+      "every exact-arm persisted-corpus scan must carry a cluster partition filter " +
+        s"(got: ${exactScans.map(_.partitionFilters.mkString(","))})")
+    val exactRead = exactScans.map(_.metrics("numFiles").value).max
+    assert(exactRead > 0, "executed exact-arm scan metrics must be populated")
+    assert(exactRead < totalFiles,
+      s"no exact-arm pruning: read $exactRead of $totalFiles files for a 2-of-16 probe")
   }
 
   test("column pruning reaches the scan on a wide-table projection") {

@@ -795,6 +795,43 @@ class SimilaritySearchSpec extends AnyFunSuite {
       s"column names corrupted: '${wloaded.idCol}' / '${wloaded.vecCol}'")
   }
 
+  test("ivfSave GC after a crashed commit retains the actually-live version (r15 advice)") {
+    import spark.implicits._
+    val corpus = (1L to 60L).map(i => (i, vec(i))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 4, lloydIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_crashgc").toString
+    SimilaritySearch.ivfSave(idx, dir) // v1, CURRENT -> v1
+    // simulate a save that CRASHED in the commit blink: v2 is fully
+    // written (meta.json present) but CURRENT never moved — readers are
+    // still resolving and scanning v1
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    }
+    copyTree(java.nio.file.Paths.get(s"$dir/v1"), java.nio.file.Paths.get(s"$dir/v2"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/CURRENT"), "v1")
+    assert(SimilaritySearch.ivfCurrentPath(spark, dir).endsWith("/v1"))
+    val live = SimilaritySearch.ivfLoad(spark, dir) // a reader on v1
+    // the NEXT save writes v3 — its GC must key retention to the
+    // previously-LIVE version (v1, what CURRENT pointed at), not to
+    // next−1 (v2, a never-live crash leftover): the old rule deleted v1
+    // out from under the in-flight reader
+    SimilaritySearch.ivfSave(live, dir)
+    assert(SimilaritySearch.ivfCurrentPath(spark, dir).endsWith("/v3"))
+    assert(new java.io.File(s"$dir/v1").exists,
+      "the version in-flight readers resolved before the save must survive its GC")
+    assert(live.assigned.count() == 60L, "the in-flight reader's files are gone")
+    // and the cycle after that may reap both old versions (the one-
+    // refresh-cycle guarantee): prevLive is now v3
+    SimilaritySearch.ivfSave(SimilaritySearch.ivfLoad(spark, dir), dir)
+    assert(!new java.io.File(s"$dir/v1").exists && !new java.io.File(s"$dir/v2").exists,
+      "versions older than the previously-live one must be collected")
+    assert(new java.io.File(s"$dir/v3").exists && new java.io.File(s"$dir/v4").exists)
+  }
+
   test("ivfSave/ivfLoad round-trip: bit-exact centroids, cluster-partitioned layout, same answers") {
     import spark.implicits._
     val corpus = ((1L, jitter(vec(777L), 0.01f)) +:
