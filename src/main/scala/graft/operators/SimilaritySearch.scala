@@ -1199,7 +1199,21 @@ object SimilaritySearch {
     * run the base op directly when the batch fits (the driver's only
     * added cost on that path is its own counting pass — the base op
     * re-counts for its cap require), otherwise union `run` over
-    * hash-disjoint chunks. */
+    * hash-disjoint chunks.
+    *
+    * Measured overhead (round-15 verdict #8,
+    * `results/chunked_overhead_sf1_r16.json` — sf1, 2,857 queries
+    * forced through 3 chunks vs one-shot, queries persisted per the
+    * cache-first guidance above): the EXACT arm is free (ratio 0.991 —
+    * the per-chunk counting/filter passes vanish inside the probe
+    * join), the QUANTIZED arm pays 1.34× (each chunk repeats the
+    * driver-side collect + int8 pack + broadcast that the one-shot
+    * form does once). Chunking engages only above ~2²⁰ queries, where
+    * the one-shot quantized form is refused anyway — the 34% is the
+    * price of serving at all on that path, not a regression available
+    * to avoid; an UNCACHED expensive query source would instead pay
+    * its full recompute per chunk, which is why the guidance says
+    * cache first. */
   private def chunkedUnion(
       queries: DataFrame, queryIdCol: String, chunkTarget: Long)(
       run: DataFrame => DataFrame): DataFrame = {
