@@ -278,11 +278,35 @@ object SimilaritySearch {
     * standard k-means driver state — the ONLY data that ever leaves
     * the cluster); `assigned` is the corpus with a `cluster` column,
     * i.e. the inverted index as a cluster-keyed partitioning. */
+  /** An IVF index: the k coarse centroids (with norms) and the
+    * cluster-keyed corpus. `quantized`, when present, is the corpus's
+    * MATERIALIZED int8 projection — (idCol, cluster, __cq binary,
+    * __cn2 long), the exact frame [[ivfTopKBatchQuantized]] otherwise
+    * recomputes per serving run — persisted by [[ivfSave]] next to
+    * `assigned` and restored by [[ivfLoad]]: at corpus scale the coarse
+    * pass then reads 1 byte/component instead of 4 and skips the
+    * quantize expression entirely (quantization is deterministic, so
+    * answers are bit-identical either way — spec'd). None on a freshly
+    * built index, after [[ivfAppend]] (which must NOT serve appended
+    * rows from a stale projection), and on legacy saved layouts.
+    *
+    * Measured (`results/q8serve_sf10_r16.json`, sf10, 28.6k queries,
+    * INTERLEAVED A/B samples): on a warm local page cache the runtime
+    * delta is a wash at nprobe=4 (1.003×) and +9% at nprobe=16
+    * (36.5 vs 39.8 s) — decode CPU dominates when the bytes are
+    * already in memory. The projection's real wins are at-rest size
+    * (16 MB vs 46 MB at sf10 — 3× less to store AND to read cold,
+    * the regime of an object-store corpus) and skipping the quantize
+    * pass per serving run. A first SEQUENTIAL measurement of the same
+    * pair read a phantom 1.58× regression (Q8Diag showed the two
+    * inputs scan+deserialize identically, 0.2 s) — order/JIT effects
+    * dominate single-digit-second readings; interleave. */
   final case class IvfIndex(
       centroids: Array[(Array[Double], Double)],
       assigned: DataFrame,
       idCol: String,
-      vecCol: String)
+      vecCol: String,
+      quantized: Option[DataFrame] = None)
 
   /** Build an IVF-flat index over (idCol, vecCol): deterministic
     * hash-stride seeding (a filter over ~2k candidate rows, never a
@@ -420,7 +444,11 @@ object SimilaritySearch {
         (id, v, nearestCentroid(bc.value, v))
       }
       .toDF(index.idCol, index.vecCol, "cluster")
-    index.copy(assigned = index.assigned.unionByName(placed))
+    // the materialized int8 projection (if any) does NOT contain the
+    // appended rows — serving from it would silently hide them from the
+    // coarse pass, so the fold drops it (the quantized serving arm
+    // falls back to inline quantization until the next ivfSave)
+    index.copy(assigned = index.assigned.unionByName(placed), quantized = None)
   }
 
   /** Loud mixed-dimension policy of the assignment paths (round-13
@@ -501,11 +529,25 @@ object SimilaritySearch {
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/centroids")
     index.assigned.write.mode("overwrite")
       .partitionBy("cluster").parquet(s"$vdir/assigned")
+    // the int8 projection, materialized at save time (the deployment
+    // story the quantized serving arm assumes — quantize once at
+    // ingest, serve from bytes): reuse the index's own projection when
+    // it carries one, else compute it here. Written BEFORE meta.json so
+    // the completeness marker covers it.
+    val quant = {
+      implicit val isp: SparkSession = sp // the vector expressions bind here
+      index.quantized.getOrElse(
+        index.assigned.select(col(index.idCol), col("cluster"),
+            VectorFunctions.quantizeInt8(col(index.vecCol)).as("__cq"))
+          .withColumn("__cn2", VectorFunctions.int8Dot(col("__cq"), col("__cq"))))
+    }
+    quant.select(col(index.idCol), col("__cq"), col("__cn2"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$vdir/quantized")
     // column names land in meta.json verbatim — escape control chars
     // too (round-14 advice: a name with a newline/tab produced invalid
     // JSON that ivfLoad's Jackson parse rejects, an unreadable index)
     val meta =
-      s"""{"idCol":"${jsonStr(index.idCol)}","vecCol":"${jsonStr(index.vecCol)}","k":${index.centroids.length}}"""
+      s"""{"idCol":"${jsonStr(index.idCol)}","vecCol":"${jsonStr(index.vecCol)}","k":${index.centroids.length},"quantized":true}"""
     writeSmallFile(fs, s"$vdir/meta.json", meta) // version-complete marker
     // commit: CURRENT now names the new version. delete+rename of one
     // tiny file — a crash in the blink leaves no CURRENT, and ivfLoad's
@@ -630,7 +672,18 @@ object SimilaritySearch {
     require(!cents.contains(null), s"centroids parquet is missing clusters (k=$k)")
     val assigned = spark.read.parquet(s"$dir/assigned")
       .select(col(idCol), col(vecCol), col("cluster").cast("int").as("cluster"))
-    IvfIndex(cents, assigned, idCol, vecCol)
+    // the materialized int8 projection, when this layout carries one
+    // (post-r16 saves; legacy trees simply serve via inline
+    // quantization). The meta flag — not a directory probe — decides:
+    // a half-written tree without the flag never resolves here, and the
+    // flag is only written after the projection (meta is last).
+    val quantized =
+      if (Option(meta.get("quantized")).exists(_.asBoolean()))
+        Some(spark.read.parquet(s"$dir/quantized")
+          .select(col(idCol), col("__cq"), col("__cn2"),
+            col("cluster").cast("int").as("cluster")))
+      else None
+    IvfIndex(cents, assigned, idCol, vecCol, quantized)
   }
 
   /** ANN top-k against an IVF index: the query's `nprobe` closest
@@ -732,11 +785,7 @@ object SimilaritySearch {
     // cluster-partitioned parquet tree) that is FILE-LISTING pruning,
     // so a narrow exact batch physically reads ~|union|/k of the corpus
     val allProbed = probePairs.iterator.map(_._2).toSet
-    val corpus =
-      if (allProbed.size < k)
-        index.assigned.filter(
-          col("cluster").isin(allProbed.toSeq.sorted.map(Int.box): _*))
-      else index.assigned
+    val corpus = pruneToProbed(index.assigned, allProbed, k)
     val qf = queries
       .select(col(queryIdCol).cast("long").as("__qid"),
         col(queryVecCol).as("__qv"))
@@ -762,6 +811,17 @@ object SimilaritySearch {
       .select(col("__qid").as(queryIdCol), col("__nid").as(index.idCol),
         col("__score").as("cos_sim"), col("rank").cast("long").as("rank"))
   }
+
+  /** Probe-union pruning, shared by both serving arms (round-15
+    * verdict #4): when the union of every query's probe set is a strict
+    * subset of the k clusters, a static `cluster IN (…)` filter drops
+    * the never-scoring clusters BEFORE the scan — file-listing
+    * partition pruning on an [[ivfLoad]]-ed (cluster-partitioned)
+    * frame. Identity when every cluster is probed. */
+  private def pruneToProbed(df: DataFrame, probed: Set[Int], k: Int): DataFrame =
+    if (probed.size < k)
+      df.filter(col("cluster").isin(probed.toSeq.sorted.map(Int.box): _*))
+    else df
 
   /** "Worseness" ordering of the bounded top-k heaps: the queue's max
     * is the worst kept row — lowest score, ties to the HIGHER id — so
@@ -1060,22 +1120,30 @@ object SimilaritySearch {
       }
       .collect()
     val allProbed = brows.iterator.flatMap(_._2).toSet
-    // the int8 projection of the cluster-keyed corpus — a deployment
-    // materializes this next to `assigned` (quantizeCorpus) and reuses
-    // it; recomputed inline here so the operator works on any index.
     // Probe-union pruning first (see scaladoc): unprobed clusters can
-    // never score, so drop them BEFORE quantization — partition
-    // pruning on a loaded (cluster-partitioned) index
-    val corpus =
-      if (allProbed.size < k)
-        index.assigned.filter(
-          col("cluster").isin(allProbed.toSeq.sorted.map(Int.box): _*))
-      else index.assigned
-    val cq = corpus
-      .select(col(index.idCol).cast("long").as("__nid"),
-        col("cluster").cast("int").as("__cc"),
-        VectorFunctions.quantizeInt8(col(index.vecCol)).as("__cq"))
-      .withColumn("__cn2", VectorFunctions.int8Dot(col("__cq"), col("__cq")))
+    // never score, so drop them BEFORE the coarse pass — partition
+    // pruning on a loaded (cluster-partitioned) index. `corpus` (float)
+    // feeds the exact rerank either way.
+    val corpus = pruneToProbed(index.assigned, allProbed, k)
+    // the int8 projection of the cluster-keyed corpus: served from the
+    // index's MATERIALIZED projection when it carries one (ivfSave
+    // persists it, ivfLoad restores it — the coarse pass then reads
+    // 1 byte/component off disk and skips the quantize expression),
+    // recomputed inline otherwise so the operator works on any index.
+    // Quantization is deterministic, so the two paths are bit-identical
+    // (spec'd in SimilaritySearchSpec).
+    val cq = index.quantized match {
+      case Some(qf8) =>
+        pruneToProbed(qf8, allProbed, k)
+          .select(col(index.idCol).cast("long").as("__nid"),
+            col("cluster").cast("int").as("__cc"), col("__cq"), col("__cn2"))
+      case None =>
+        corpus
+          .select(col(index.idCol).cast("long").as("__nid"),
+            col("cluster").cast("int").as("__cc"),
+            VectorFunctions.quantizeInt8(col(index.vecCol)).as("__cq"))
+          .withColumn("__cn2", VectorFunctions.int8Dot(col("__cq"), col("__cq")))
+    }
     // one flat kernel scan per probed mask shard (one iteration total
     // when k <= maskWidth); shard outputs are disjoint by construction
     val nShards = (k + maskWidth - 1) / maskWidth

@@ -817,10 +817,15 @@ object SimQueries {
     * cluster-partitioned layout, [[graft.operators.SimilaritySearch
     * .ivfLoad]] in the serving job, answer the same batch through the
     * LOADED index. The oracle is v16's verbatim ([[batchSq8Sql]]) —
-    * a hash mismatch here indicts persistence, nothing else. The
-    * load-side partition pruning (the probe-union `cluster IN` filter
-    * becoming file-listing pruning on the hive tree) is asserted on
-    * the physical plan in PlanQualitySpec. The index round-trips via
+    * a hash mismatch here indicts persistence, nothing else. Since
+    * round 16 the saved layout also materializes the corpus's int8
+    * projection (`quantized/` next to `assigned/`), so this query's
+    * coarse pass reads PERSISTED BYTES — 1 byte/component off disk, no
+    * quantize expression — while v16 gates the inline-quantization arm
+    * on the same oracle; between them both serving data paths are
+    * hash-gated. The load-side partition pruning (the probe-union
+    * `cluster IN` filter becoming file-listing pruning on the hive
+    * tree) is asserted on the physical plan in PlanQualitySpec. The index round-trips via
     * /tmp, keyed by the data dir so sf0.01/sf0.1 runs never collide;
     * each invocation re-saves (overwrite-safe via the staged swap), and
     * the dir is reaped at JVM exit (round-15 advice: the pid suffix

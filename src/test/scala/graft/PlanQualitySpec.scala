@@ -290,6 +290,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(readFiles > 0, "executed scan metrics must be populated")
     assert(readFiles < totalFiles,
       s"no pruning: read $readFiles of $totalFiles files for a 2-of-16 probe")
+    // round 16: the saved layout materializes the int8 projection, and
+    // a loaded index must serve its COARSE pass from those persisted
+    // bytes (1 byte/component off disk), not re-quantize the float tree
+    assert(scans.exists(_.relation.location.rootPaths.exists(
+        _.toString.contains("/quantized"))),
+      "the quantized coarse pass must scan the persisted int8 projection " +
+        s"(scanned roots: ${scans.flatMap(_.relation.location.rootPaths).mkString(", ")})")
     // the EXACT batch arm (round-15 verdict #4): the same narrow batch
     // through ivfTopKBatch over the same loaded index must also reach
     // file-listing pruning — before this round it joined the exploded

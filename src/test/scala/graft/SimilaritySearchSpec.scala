@@ -795,6 +795,62 @@ class SimilaritySearchSpec extends AnyFunSuite {
       s"column names corrupted: '${wloaded.idCol}' / '${wloaded.vecCol}'")
   }
 
+  test("persisted int8 projection: restored by ivfLoad, bit-identical serving, safe fallbacks") {
+    import spark.implicits._
+    val corpus = ((1L, jitter(vec(321L), 0.01f)) +:
+      (2L to 80L).map(i => (i, vec(i)))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 4, lloydIters = 2)
+    assert(idx.quantized.isEmpty, "a freshly built index carries no projection")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_q8").toString
+    SimilaritySearch.ivfSave(idx, dir)
+    val loaded = SimilaritySearch.ivfLoad(spark, dir)
+    assert(loaded.quantized.isDefined, "ivfLoad must restore the materialized projection")
+    // the projection tree is cluster-partitioned like assigned (the
+    // probe-union filter must reach file-listing pruning on it too)
+    val live = SimilaritySearch.ivfCurrentPath(spark, dir)
+    val qparts = new java.io.File(s"$live/quantized").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(qparts.nonEmpty && qparts.forall(_.startsWith("cluster=")))
+    // serving from persisted bytes == serving with the projection
+    // stripped (inline quantization) — quantization is deterministic
+    val queries = Seq((900L, vec(321L)), (901L, vec(7L))).toDF("q_id", "qv")
+    def serve(ix: SimilaritySearch.IvfIndex) =
+      SimilaritySearch.ivfTopKBatchQuantized(ix, queries, "q_id", "qv",
+          topK = 3, nprobe = 2)
+        .orderBy("q_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val fromBytes = serve(loaded)
+    val inline = serve(loaded.copy(quantized = None))
+    assert(fromBytes == inline,
+      s"persisted-projection serving diverged from inline quantization:\n$fromBytes\nvs\n$inline")
+    assert(fromBytes.nonEmpty && fromBytes.head._2 == 1L,
+      "planted near-copy must rank first")
+    // ivfAppend must DROP the projection: appended rows are not in the
+    // persisted bytes, and serving from a stale projection would
+    // silently hide them from the coarse pass
+    val appended = SimilaritySearch.ivfAppend(
+      loaded, Seq((950L, jitter(vec(55L), 0.01f))).toDF("id", "v"))
+    assert(appended.quantized.isEmpty, "ivfAppend must invalidate the projection")
+    // legacy layout (pre-r16 save: no quantized flag in meta, no
+    // quantized dir) still loads and serves via the inline path
+    val vdir = java.nio.file.Paths.get(live)
+    val meta = new String(java.nio.file.Files.readAllBytes(vdir.resolve("meta.json")), "UTF-8")
+    java.nio.file.Files.writeString(vdir.resolve("meta.json"),
+      meta.replace(",\"quantized\":true", ""))
+    // the raw rewrite above invalidates the Hadoop local FS checksum
+    // sidecar — drop it (a real legacy tree was written without one
+    // for this content in the first place)
+    java.nio.file.Files.deleteIfExists(vdir.resolve(".meta.json.crc"))
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      assert(f.delete())
+    }
+    rmTree(new java.io.File(s"$live/quantized"))
+    val legacy = SimilaritySearch.ivfLoad(spark, dir)
+    assert(legacy.quantized.isEmpty, "legacy layout must load projection-less")
+    assert(serve(legacy) == inline, "legacy serving must answer via inline quantization")
+  }
+
   test("ivfSave GC after a crashed commit retains the actually-live version (r15 advice)") {
     import spark.implicits._
     val corpus = (1L to 60L).map(i => (i, vec(i))).toDF("id", "v")
