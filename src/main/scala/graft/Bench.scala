@@ -386,8 +386,13 @@ object Bench {
       // first baseline write impossible on a host whose guarded shuffle
       // canary fails — unlike the sf pin, which deliberately lets first
       // write win. The first-ever write goes through with a warning; once
-      // a slot exists, the full pin applies.
-      val firstWrite = lastGood.isEmpty
+      // a slot exists, the full pin applies. Keyed on FILE EXISTENCE, not
+      // on the parsed map (self-review: the parser catches all exceptions
+      // into an empty map, so a corrupt standing file would otherwise
+      // read as "no artifact" and let a bursting run overwrite the real
+      // baseline the pin exists to protect).
+      val firstWrite =
+        !java.nio.file.Files.exists(java.nio.file.Paths.get("bench_last_good.json"))
       val shuffleBurst = canaryShuffle < 0 ||
         math.abs(canaryShuffleDrift) > graft.tools.BenchProtocol.ShuffleDriftBand
       if (shuffleBurst && firstWrite && !forceAccept)

@@ -290,17 +290,19 @@ object SimilaritySearch {
     * built index, after [[ivfAppend]] (which must NOT serve appended
     * rows from a stale projection), and on legacy saved layouts.
     *
-    * Measured (`results/q8serve_sf10_r16.json`, sf10, 28.6k queries,
-    * INTERLEAVED A/B samples): on a warm local page cache the runtime
-    * delta is a wash at nprobe=4 (1.003×) and +9% at nprobe=16
-    * (36.5 vs 39.8 s) — decode CPU dominates when the bytes are
-    * already in memory. The projection's real wins are at-rest size
-    * (16 MB vs 46 MB at sf10 — 3× less to store AND to read cold,
-    * the regime of an object-store corpus) and skipping the quantize
-    * pass per serving run. A first SEQUENTIAL measurement of the same
-    * pair read a phantom 1.58× regression (Q8Diag showed the two
-    * inputs scan+deserialize identically, 0.2 s) — order/JIT effects
-    * dominate single-digit-second readings; interleave. */
+    * Measured (`results/q8serve_sf10_r16.json`, sf10, 28.6k queries):
+    * on a warm local page cache the runtime delta is WITHIN HOST NOISE
+    * — three runs (sequential; interleaved A/B; interleaved with
+    * driver-side construction timed) read speedups of 0.63–1.37× at
+    * nprobe=4 and 0.88–1.26× at nprobe=16, while a scan+deserialize
+    * diagnostic (Q8Diag) showed the two inputs cost identically
+    * (0.2 s) — decode CPU is negligible either way when the bytes are
+    * in memory, and medians-of-3 at this effect size are band-noise.
+    * The projection's durable wins are measurement-independent:
+    * at-rest size (16 MB vs 46 MB at sf10 — 3× less to store AND to
+    * read cold, the regime of an object-store corpus) and skipping
+    * the quantize pass per serving run. Runtime-neutral warm,
+    * strictly better cold. */
   final case class IvfIndex(
       centroids: Array[(Array[Double], Double)],
       assigned: DataFrame,
@@ -536,8 +538,17 @@ object SimilaritySearch {
     // the completeness marker covers it.
     val quant = {
       implicit val isp: SparkSession = sp // the vector expressions bind here
+      // computed from the $vdir/assigned parquet JUST WRITTEN, never from
+      // index.assigned's lineage (self-review): ivfBuild returns an
+      // unpersisted assignment, so the lineage path would execute the
+      // full assignment DAG a second time — and a replay-unstable
+      // upstream could make quantized/ silently disagree with assigned/,
+      // serving coarse ids the rerank corpus doesn't contain. Reading
+      // the committed files back is cheaper AND makes divergence
+      // structurally impossible.
       index.quantized.getOrElse(
-        index.assigned.select(col(index.idCol), col("cluster"),
+        sp.read.parquet(s"$vdir/assigned")
+          .select(col(index.idCol), col("cluster"),
             VectorFunctions.quantizeInt8(col(index.vecCol)).as("__cq"))
           .withColumn("__cn2", VectorFunctions.int8Dot(col("__cq"), col("__cq"))))
     }
@@ -763,11 +774,16 @@ object SimilaritySearch {
     // otherwise be replicated nprobe× through the broadcast (found in
     // review: ~4× the broadcast bytes at default nprobe); vectors and
     // norms join back once per query from their own broadcast side.
-    // ONE distributed probe pass, collected: O(batch × nprobe) pairs of
-    // (long, int) — ≤ ~24 MB at the cap, vectors never leave the
-    // executors — both seeds the broadcast probe side AND hands the
-    // driver the probe UNION for partition pruning below (the quantized
-    // arm collects its batch anyway; this arm collects only the pairs)
+    // ONE distributed probe pass, collected: batch × nprobe (long, int)
+    // tuples on the driver — at the 2^20 cap that is ~130 MB of boxed
+    // tuples at the default nprobe=4 and ~600 MB at nprobe=16 (object
+    // headers dominate the 12 payload bytes), transient, freed after the
+    // broadcast builds. Vectors never leave the executors. This is the
+    // same driver-holds-the-batch contract the quantized arm already has
+    // (it collects the query bytes themselves); chunked serving bounds
+    // it at chunkTarget × nprobe per chunk. The collect both seeds the
+    // broadcast probe side AND hands the driver the probe UNION for
+    // partition pruning below.
     val probePairs: Array[(Long, Int)] = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])]

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.SimilaritySearch
+
+/** Streaming ANN serving — the unbounded form of the batch serving
+  * drivers, completing the serving matrix (one-shot batch / chunked
+  * batch / STREAM × exact / IVF-SQ8): queries arrive as a Structured
+  * Streaming source and every micro-batch resolves its top-k neighbors
+  * against a PERSISTED index ([[SimilaritySearch.ivfSave]]'s versioned
+  * layout), with answers landing as a batchId-keyed hive tree.
+  *
+  * Built on `foreachBatch` like the ingest streams: the batch serving
+  * ops need full batch semantics (a driver-side probe pass, broadcast
+  * joins, per-query rank windows — none expressible as a stateless
+  * stream-static join).
+  *
+  * ==The index is re-resolved EVERY micro-batch== — `ivfLoad(indexDir)`
+  * inside the batch body re-reads the one-line CURRENT pointer (plus
+  * k centroid rows and two file listings; the corpus data itself is
+  * only read by the serving scan, pruned to the probe union). This is
+  * the point of the versioned layout: an ingest job can [[SimilaritySearch
+  * .ivfSave]] a refreshed index MID-STREAM and the very next micro-batch
+  * serves from the new version — no stream restart — while the save's
+  * GC retention (one refresh cycle) protects the batch in flight.
+  *
+  * ==Restart semantics: per-batch idempotent writes== — same recipe as
+  * [[IngestStreaming]]: answers overwrite `outDir/batch=<id>`, so a
+  * replayed micro-batch (sink write completed, checkpoint commit did
+  * not) rewrites its own output instead of appending duplicates. The
+  * one asymmetry vs ingest: a replay AFTER an index refresh re-answers
+  * from the NEW version (serving is a read-only lookup; "answers
+  * reflect the index at processing time" is the contract — there is no
+  * cross-batch fold for the replay to corrupt).
+  *
+  * Chunked drivers underneath, so an arbitrarily large micro-batch is
+  * served (hash-chunked at [[SimilaritySearch.maxExactRows]]/2) rather
+  * than refused. Output schema per batch: (queryIdCol, index idCol,
+  * cos_sim, rank 1..topK). */
+object ServeStreaming {
+
+  /** Start the serving query. `stream` is a streaming (queryIdCol,
+    * queryVecCol, …) frame; `indexDir` is an [[SimilaritySearch.ivfSave]]
+    * root (version resolution through CURRENT per micro-batch); answers
+    * land under `outDir/batch=<id>`, the stream checkpoints under
+    * `outDir/_checkpoint`. `quantized = true` serves through the
+    * IVF-SQ8 arm (int8 coarse + exact rerank — from the index's
+    * persisted byte projection when the layout carries one),
+    * `false` through the exact arm. Returns the started query —
+    * callers drive it (`processAllAvailable()` in tests,
+    * awaitTermination in a real server). */
+  def ivfServeStream(
+      stream: DataFrame,
+      indexDir: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      outDir: String,
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4,
+      quantized: Boolean = true): StreamingQuery = {
+    val spark = stream.sparkSession
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val index = SimilaritySearch.ivfLoad(spark, indexDir)
+        val answers =
+          if (quantized)
+            SimilaritySearch.ivfTopKBatchQuantizedChunked(
+              index, batch, queryIdCol, queryVecCol, topK, nprobe, overFetch)
+          else
+            SimilaritySearch.ivfTopKBatchChunked(
+              index, batch, queryIdCol, queryVecCol, topK, nprobe)
+        answers.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+}

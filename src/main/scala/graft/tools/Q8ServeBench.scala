@@ -46,7 +46,13 @@ object Q8ServeBench {
     // the same JVM/band window)
     def medAB(a: => org.apache.spark.sql.DataFrame,
               b: => org.apache.spark.sql.DataFrame): (Double, Double) = {
-      def once(df: org.apache.spark.sql.DataFrame): Double = {
+      // once takes the arm BY NAME and forces it after the timer starts
+      // (self-review: a strict parameter evaluated the arm at the call
+      // site, excluding the eager driver-side serving work — count,
+      // probe collect, int8 packing, broadcast build — from every
+      // sample, understating absolute wall time; ChunkBench.med3 times
+      // construction inside once() for the same reason)
+      def once(df: => org.apache.spark.sql.DataFrame): Double = {
         val t = System.nanoTime()
         df.write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t) / 1e9

@@ -351,6 +351,66 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ANN serving answers per micro-batch and picks up a mid-stream index refresh") {
+    import spark.implicits._
+    import graft.streaming.ServeStreaming
+    import graft.operators.SimilaritySearch
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed * 2654435761L)
+      Array.fill(16)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val corpus = (1L to 60L).map(i => (i, vec(i))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 4, lloydIters = 2)
+    val root = java.nio.file.Files.createTempDirectory("graft_serve_stream").toString
+    val idxDir = s"$root/index"
+    SimilaritySearch.ivfSave(idx, idxDir)
+    val srcDir = s"$root/queries"
+    // micro-batch 1: a near-copy of corpus vector 5
+    Seq((900L, jitter(vec(5L), 0.01f))).toDF("q_id", "qv")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("q_id LONG, qv ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = ServeStreaming.ivfServeStream(
+      stream, idxDir, "q_id", "qv", s"$root/answers", topK = 3, nprobe = 2)
+    try {
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$root/answers/batch=0")
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      // the stream's answers ARE the batch op's answers on the loaded index
+      val direct = SimilaritySearch.ivfTopKBatchQuantized(
+          SimilaritySearch.ivfLoad(spark, idxDir),
+          Seq((900L, jitter(vec(5L), 0.01f))).toDF("q_id", "qv"),
+          "q_id", "qv", topK = 3, nprobe = 2)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      assert(b0.toSeq == direct.toSeq,
+        s"stream batch 0 diverged from the direct batch op:\n${b0.toSeq}\nvs\n${direct.toSeq}")
+      assert(b0.head._2 == 5L, s"near-copy of 5 must rank first: ${b0.toSeq}")
+      // MID-STREAM REFRESH: an ingest job rebuilds the index with a new
+      // vector 777 and ivfSave-s the SAME dir (v2). No stream restart.
+      val refreshed = SimilaritySearch.ivfBuild(
+        corpus.union(Seq((777L, vec(777L))).toDF("id", "v")),
+        "id", "v", k = 4, lloydIters = 2)
+      SimilaritySearch.ivfSave(refreshed, idxDir)
+      // micro-batch 2: a near-copy of the NEW vector — answerable only
+      // from v2 (777 is not in v1's corpus at all)
+      Seq((901L, jitter(vec(777L), 0.01f))).toDF("q_id", "qv")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(s"$root/answers/batch=1")
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      assert(b1.nonEmpty && b1.head == ((901L, 777L, 1L)),
+        s"the micro-batch after a refresh must serve from the NEW version " +
+          s"(777 exists only in v2): ${b1.toSeq}")
+    } finally q.stop()
+  }
+
   test("feature-extract stub is deterministic with 8 full-width lanes") {
     val a = graft.queries.MultimodalQueries.featureStub.fn(spark, dir).collect()
     val b = graft.queries.MultimodalQueries.featureStub.fn(spark, dir).collect()
