@@ -2055,13 +2055,29 @@ object SimilaritySearch {
       .collect()
     val packed = packQuantizedBatch(brows)
     val bc = sp.sparkContext.broadcast(packed)
-    // the quantized CLUSTER-KEYED corpus projection — the index a
-    // deployment materializes next to `assigned` and reuses per batch
-    val cq = index.assigned
-      .select(col(index.idCol).cast("long").as("__cid"),
-        col("cluster").cast("int").as("__cc"),
-        VectorFunctions.quantizeInt8(col(index.vecCol)).as("__cq"))
-      .withColumn("__cn2", VectorFunctions.int8Dot(col("__cq"), col("__cq")))
+    // probe-union pruning, like the serving arms (round 16): a corpus
+    // row whose cluster no batch vector probes can never pass the mask
+    // check below, so drop those clusters BEFORE the scan — on an
+    // ivfLoad-ed index that is file-listing partition pruning, and an
+    // ingest batch reads ~|union|/k of the standing corpus
+    val unionMask = brows.iterator.map(_._2).foldLeft(0L)(_ | _)
+    val probedSet = (0 until k).filter(c => (unionMask & (1L << c)) != 0L).toSet
+    // the quantized CLUSTER-KEYED corpus projection — served from the
+    // index's MATERIALIZED projection when the layout carries one
+    // (ivfSave persists it; bit-identical by quantization determinism),
+    // recomputed inline otherwise
+    val cq = index.quantized match {
+      case Some(qf8) =>
+        pruneToProbed(qf8, probedSet, k)
+          .select(col(index.idCol).cast("long").as("__cid"),
+            col("cluster").cast("int").as("__cc"), col("__cq"), col("__cn2"))
+      case None =>
+        pruneToProbed(index.assigned, probedSet, k)
+          .select(col(index.idCol).cast("long").as("__cid"),
+            col("cluster").cast("int").as("__cc"),
+            VectorFunctions.quantizeInt8(col(index.vecCol)).as("__cq"))
+          .withColumn("__cn2", VectorFunctions.int8Dot(col("__cq"), col("__cq")))
+    }
     val admitted = cq
       .as[(Long, Int, Array[Byte], Long)]
       .mapPartitions { it =>

@@ -923,11 +923,20 @@ class SimilaritySearchSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(t1 == t0, s"loaded-index answers diverged: $t1 vs $t0")
     assert(t0.head._1 == 1L, "planted near-copy must rank first through both")
-    // and the loaded index serves the incremental ops directly
+    // and the loaded index serves the incremental ops directly —
+    // through its persisted int8 projection (round 16), which must
+    // answer bit-identically to the inline-quantization path
     val batch = Seq((900L, jitter(vec(33L), 0.01f))).toDF("id", "v")
-    val st = SimilaritySearch.ivfIncrementalNearDup(
-        loaded, batch, nprobe = 2, threshold = 0.9, margin = 0.05)
-      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    def incr(ix: SimilaritySearch.IvfIndex) =
+      SimilaritySearch.ivfIncrementalNearDup(
+          ix, batch, nprobe = 2, threshold = 0.9, margin = 0.05)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+    assert(loaded.quantized.isDefined)
+    val viaBytes = incr(loaded)
+    assert(viaBytes == incr(loaded.copy(quantized = None)),
+      "v14 through the persisted projection diverged from inline quantization")
+    val st = viaBytes.map(r => r._1 -> r._4).toMap
     assert(st(900L) == "dup", s"near-copy must flag through the loaded index: $st")
   }
 
