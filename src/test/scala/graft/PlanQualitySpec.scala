@@ -316,6 +316,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exactRead > 0, "executed exact-arm scan metrics must be populated")
     assert(exactRead < totalFiles,
       s"no exact-arm pruning: read $exactRead of $totalFiles files for a 2-of-16 probe")
+    // the INGEST arm (v14, round 16): a narrow ingest batch through
+    // ivfIncrementalNearDup over the same loaded index must prune the
+    // persisted QUANTIZED tree to its probe union too (the float tree
+    // is also read by the exact verify stage via an id join, which is
+    // not cluster-pruned — so the assert targets the quantized scans).
+    // The batch is a PLANTED near-copy of a corpus vector: a batch with
+    // no dup leaves the status join's agg side empty and AQE's
+    // empty-relation propagation deletes the whole coarse subtree from
+    // the final plan (found debugging this assert — the scan ran in an
+    // earlier query stage but was unreachable from executedPlan)
+    import spark.implicits._
+    val seedVec = e.filter(col("vec_id") === 8)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val planted = Seq((999999L, seedVec.map(x => x + 0.001f)))
+      .toDF("vec_id", "embedding")
+    val ingested = SimilaritySearch.ivfIncrementalNearDup(
+      loaded, planted, nprobe = 2, threshold = 0.9, margin = 0.05)
+    assert(ingested.collect().exists(_.getString(3) == "dup"),
+      "the planted near-copy must flag (keeps the status join non-degenerate)")
+    val qScans = flatten(ingested.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(p =>
+          p.toString.contains("graft_v17_planspec") &&
+            p.toString.contains("/quantized")) => f
+    }
+    assert(qScans.nonEmpty, "expected ingest-arm scans over the persisted quantized tree")
+    assert(qScans.forall(_.partitionFilters.exists(_.references.exists(_.name == "cluster"))),
+      "the ingest arm's quantized-tree scan must carry a cluster partition filter")
+    val qTotalFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(
+          s"${SimilaritySearch.ivfCurrentPath(spark, path)}/quantized"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val qRead = qScans.map(_.metrics("numFiles").value).max
+    assert(qRead > 0 && qRead < qTotalFiles,
+      s"no ingest-arm pruning: read $qRead of $qTotalFiles quantized files for a 2-of-16 probe")
   }
 
   test("column pruning reaches the scan on a wide-table projection") {
