@@ -839,6 +839,30 @@ object SimilaritySearch {
       df.filter(col("cluster").isin(probed.toSeq.sorted.map(Int.box): _*))
     else df
 
+  /** The probe-pruned int8 corpus projection every quantized scan
+    * consumes — ONE definition of the "serve from the MATERIALIZED
+    * projection when the index carries one, re-quantize inline
+    * otherwise" policy (self-review: the serving and ingest arms had
+    * verbatim copies that could drift independently). Returns
+    * (`idAlias` long, __cc int, __cq binary, __cn2 long). Bit-identical
+    * either way: quantization is deterministic (spec'd on both arms). */
+  private def quantizedCorpusProjection(
+      index: IvfIndex, probed: Set[Int], k: Int, idAlias: String): DataFrame = {
+    implicit val sp: SparkSession = index.assigned.sparkSession
+    index.quantized match {
+      case Some(qf8) =>
+        pruneToProbed(qf8, probed, k)
+          .select(col(index.idCol).cast("long").as(idAlias),
+            col("cluster").cast("int").as("__cc"), col("__cq"), col("__cn2"))
+      case None =>
+        pruneToProbed(index.assigned, probed, k)
+          .select(col(index.idCol).cast("long").as(idAlias),
+            col("cluster").cast("int").as("__cc"),
+            VectorFunctions.quantizeInt8(col(index.vecCol)).as("__cq"))
+          .withColumn("__cn2", VectorFunctions.int8Dot(col("__cq"), col("__cq")))
+    }
+  }
+
   /** "Worseness" ordering of the bounded top-k heaps: the queue's max
     * is the worst kept row — lowest score, ties to the HIGHER id — so
     * the kept set is exactly the top under (score desc, id asc), the
@@ -1141,25 +1165,11 @@ object SimilaritySearch {
     // pruning on a loaded (cluster-partitioned) index. `corpus` (float)
     // feeds the exact rerank either way.
     val corpus = pruneToProbed(index.assigned, allProbed, k)
-    // the int8 projection of the cluster-keyed corpus: served from the
-    // index's MATERIALIZED projection when it carries one (ivfSave
-    // persists it, ivfLoad restores it — the coarse pass then reads
-    // 1 byte/component off disk and skips the quantize expression),
-    // recomputed inline otherwise so the operator works on any index.
-    // Quantization is deterministic, so the two paths are bit-identical
-    // (spec'd in SimilaritySearchSpec).
-    val cq = index.quantized match {
-      case Some(qf8) =>
-        pruneToProbed(qf8, allProbed, k)
-          .select(col(index.idCol).cast("long").as("__nid"),
-            col("cluster").cast("int").as("__cc"), col("__cq"), col("__cn2"))
-      case None =>
-        corpus
-          .select(col(index.idCol).cast("long").as("__nid"),
-            col("cluster").cast("int").as("__cc"),
-            VectorFunctions.quantizeInt8(col(index.vecCol)).as("__cq"))
-          .withColumn("__cn2", VectorFunctions.int8Dot(col("__cq"), col("__cq")))
-    }
+    // the int8 projection of the cluster-keyed corpus: the shared
+    // materialized-else-inline policy (see quantizedCorpusProjection) —
+    // on a loaded index the coarse pass reads persisted bytes,
+    // 1 byte/component, no quantize expression
+    val cq = quantizedCorpusProjection(index, allProbed, k, "__nid")
     // one flat kernel scan per probed mask shard (one iteration total
     // when k <= maskWidth); shard outputs are disjoint by construction
     val nShards = (k + maskWidth - 1) / maskWidth
@@ -2062,22 +2072,9 @@ object SimilaritySearch {
     // ingest batch reads ~|union|/k of the standing corpus
     val unionMask = brows.iterator.map(_._2).foldLeft(0L)(_ | _)
     val probedSet = (0 until k).filter(c => (unionMask & (1L << c)) != 0L).toSet
-    // the quantized CLUSTER-KEYED corpus projection — served from the
-    // index's MATERIALIZED projection when the layout carries one
-    // (ivfSave persists it; bit-identical by quantization determinism),
-    // recomputed inline otherwise
-    val cq = index.quantized match {
-      case Some(qf8) =>
-        pruneToProbed(qf8, probedSet, k)
-          .select(col(index.idCol).cast("long").as("__cid"),
-            col("cluster").cast("int").as("__cc"), col("__cq"), col("__cn2"))
-      case None =>
-        pruneToProbed(index.assigned, probedSet, k)
-          .select(col(index.idCol).cast("long").as("__cid"),
-            col("cluster").cast("int").as("__cc"),
-            VectorFunctions.quantizeInt8(col(index.vecCol)).as("__cq"))
-          .withColumn("__cn2", VectorFunctions.int8Dot(col("__cq"), col("__cq")))
-    }
+    // the quantized CLUSTER-KEYED corpus projection — the shared
+    // materialized-else-inline policy (see quantizedCorpusProjection)
+    val cq = quantizedCorpusProjection(index, probedSet, k, "__cid")
     val admitted = cq
       .as[(Long, Int, Array[Byte], Long)]
       .mapPartitions { it =>
@@ -2119,8 +2116,15 @@ object SimilaritySearch {
           }
         }
       }.toDF("__bid", "__cid")
+    // the exact-verify fetch side is pruned to the probe union too
+    // (self-review): every admitted __cid lives in a probed cluster by
+    // construction (cq above is pruned), so the filter is
+    // result-identical — and on a loaded index it cuts the verify
+    // stage's float read (and its auto-mode broadcast payload) by the
+    // same ~|union|/k factor the coarse pass gained
     statusAdmitted(admitted,
-      index.assigned.select(col(index.idCol), col(index.vecCol)),
+      pruneToProbed(index.assigned, probedSet, k)
+        .select(col(index.idCol), col(index.vecCol)),
       batch, index.idCol, index.vecCol, threshold, corpusSizeHint)
   }
 

@@ -278,14 +278,16 @@ class PlanQualitySpec extends AnyFunSuite {
       "every persisted-corpus scan must carry a cluster partition filter " +
         s"(got: ${scans.map(_.partitionFilters.mkString(","))})")
     // and the filter actually pruned the listing: far fewer files than
-    // the 16-cluster tree of the LIVE version holds
-    val totalFiles = {
+    // the 16-cluster tree of the LIVE version holds. One counter for
+    // both subtree asserts so their denominators can't drift.
+    def countParquet(subtree: String): Int = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
       walk(new java.io.File(
-          s"${SimilaritySearch.ivfCurrentPath(spark, path)}/assigned"))
+          s"${SimilaritySearch.ivfCurrentPath(spark, path)}/$subtree"))
         .count(_.getName.endsWith(".parquet"))
     }
+    val totalFiles = countParquet("assigned")
     val readFiles = scans.map(_.metrics("numFiles").value).max
     assert(readFiles > 0, "executed scan metrics must be populated")
     assert(readFiles < totalFiles,
@@ -344,13 +346,7 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(qScans.nonEmpty, "expected ingest-arm scans over the persisted quantized tree")
     assert(qScans.forall(_.partitionFilters.exists(_.references.exists(_.name == "cluster"))),
       "the ingest arm's quantized-tree scan must carry a cluster partition filter")
-    val qTotalFiles = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(
-          s"${SimilaritySearch.ivfCurrentPath(spark, path)}/quantized"))
-        .count(_.getName.endsWith(".parquet"))
-    }
+    val qTotalFiles = countParquet("quantized")
     val qRead = qScans.map(_.metrics("numFiles").value).max
     assert(qRead > 0 && qRead < qTotalFiles,
       s"no ingest-arm pruning: read $qRead of $qTotalFiles quantized files for a 2-of-16 probe")
