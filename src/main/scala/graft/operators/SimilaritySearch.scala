@@ -971,9 +971,10 @@ object SimilaritySearch {
   }
 
   /** [[probeClusters]] output packed into one mask-shard word: bit
-    * `c − base` for each probed cluster in `[base, base+width)`. The
-    * general-k form of [[probeMask]] (which is the base=0, width=64
-    * single-word case). */
+    * `c − base` for each probed cluster in `[base, base+width)` —
+    * the per-shard probe bitmask both the serving and ingest kernel
+    * scans broadcast (base=0, width=64 is the single-word k ≤ 64
+    * case). */
   private def maskWord(clusters: Seq[Int], base: Int, width: Int): Long =
     clusters.foldLeft(0L) { (m, c) =>
       if (c >= base && c < base + width) m | (1L << (c - base)) else m
@@ -2011,34 +2012,54 @@ object SimilaritySearch {
     * dups).
     *
     * Shape: one broadcast carries the batch's quantized bytes in the
-    * flat row-major layout PLUS one Long cluster-bitmask per batch
+    * flat row-major layout PLUS one cluster-bitmask word per batch
     * vector (its `nprobe` nearest centroids by exact float cosine, ties
     * to the lower cluster index — the same argmax convention as the
     * build); the coarse scan maps once over the quantized cluster-keyed
     * corpus and each corpus row calls the int8 dot kernel (Panama SIMD
     * under `spark.graft.neardup.kernel`, scalar twin otherwise) only
-    * against batch vectors whose mask contains its cluster. Degenerate
-    * (zero/empty) batch vectors probe nothing and status 'keep';
-    * corpus rows in cluster −1 (degenerate at build time) match
-    * nothing, mirroring [[ivfAssign]]. */
+    * against batch vectors whose mask contains its cluster. k above 64
+    * mask-shards exactly like the serving arm
+    * ([[ivfTopKBatchQuantized]]'s round-15 sharding, ported round 16):
+    * one admission scan per PROBED 64-wide shard over that shard's
+    * corpus slice, disjoint outputs unioned — no ingest batch is
+    * refused for k any more, and the k ≤ 64 path is bit-identical to
+    * its pre-sharding form (spec'd via forced narrow shards).
+    * Degenerate (zero/empty) batch vectors probe nothing and status
+    * 'keep'; corpus rows in cluster −1 (degenerate at build time)
+    * match nothing, mirroring [[ivfAssign]]. */
   def ivfIncrementalNearDup(
       index: IvfIndex,
       batch: DataFrame,
       nprobe: Int = 4,
       threshold: Double = 0.45,
       margin: Double = 0.05,
-      corpusSizeHint: Long = -1L): DataFrame = {
+      corpusSizeHint: Long = -1L): DataFrame =
+    ivfIncrementalNearDupImpl(
+      index, batch, nprobe, threshold, margin, corpusSizeHint, maskWidth = 64)
+
+  /** [[ivfIncrementalNearDup]] with the mask-shard width exposed so the
+    * spec can exercise the multi-shard path on a small (k ≤ 64) index —
+    * production always uses the full 64-bit word (same pattern as
+    * [[ivfTopKBatchQuantizedImpl]]). */
+  private[graft] def ivfIncrementalNearDupImpl(
+      index: IvfIndex,
+      batch: DataFrame,
+      nprobe: Int,
+      threshold: Double,
+      margin: Double,
+      corpusSizeHint: Long,
+      maskWidth: Int): DataFrame = {
     implicit val sp: SparkSession = index.assigned.sparkSession
     import sp.implicits._
     require(margin >= 0.0,
       s"margin must be >= 0, got $margin — a negative margin would raise the " +
         "coarse bound ABOVE the threshold and silently drop true dups")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(maskWidth >= 1 && maskWidth <= 64,
+      s"maskWidth $maskWidth outside [1, 64]")
     val k = index.centroids.length
     require(k >= 1, "ivfIncrementalNearDup needs a built index (no centroids)")
-    require(k <= 64,
-      s"cluster bitmask is a Long — k=$k clusters exceed 64; shard the " +
-        "index or widen the mask")
     val bound = threshold - margin
     val kMode = resolveKernelMode(sp)
     // cap check BEFORE the collect, like incrementalNearDup: refuse an
@@ -2047,9 +2068,9 @@ object SimilaritySearch {
     require(nBatch <= maxExactRows,
       s"ivfIncrementalNearDup batch has $nBatch rows — the broadcast " +
         s"coarse scan is capped at $maxExactRows; split the ingest batch")
-    // one distributed pass computes each batch vector's probe bitmask
+    // one distributed pass computes each batch vector's probe set
     // (float-cosine argmax against the broadcast centroids — executors
-    // do the k·dim flops, the driver only receives (id, mask, q-bytes))
+    // do the k·dim flops, the driver only receives (id, probes, q-bytes))
     val bcCents = sp.sparkContext.broadcast(index.centroids)
     val effNprobe = math.min(nprobe, k)
     val brows = batch
@@ -2060,34 +2081,87 @@ object SimilaritySearch {
       .map { case (id, v, qq, qs) =>
         val cs = bcCents.value
         checkAssignDim(cs, v)
-        (id, probeMask(cs, v, effNprobe), qq, qs)
+        (id, probeClusters(cs, v, effNprobe), qq, qs)
       }
       .collect()
-    val packed = packQuantizedBatch(brows)
-    val bc = sp.sparkContext.broadcast(packed)
     // probe-union pruning, like the serving arms (round 16): a corpus
     // row whose cluster no batch vector probes can never pass the mask
     // check below, so drop those clusters BEFORE the scan — on an
     // ivfLoad-ed index that is file-listing partition pruning, and an
     // ingest batch reads ~|union|/k of the standing corpus
-    val unionMask = brows.iterator.map(_._2).foldLeft(0L)(_ | _)
-    val probedSet = (0 until k).filter(c => (unionMask & (1L << c)) != 0L).toSet
+    val probedSet = brows.iterator.flatMap(_._2).toSet
     // the quantized CLUSTER-KEYED corpus projection — the shared
     // materialized-else-inline policy (see quantizedCorpusProjection)
     val cq = quantizedCorpusProjection(index, probedSet, k, "__cid")
-    val admitted = cq
-      .as[(Long, Int, Array[Byte], Long)]
+    // k is NOT capped at 64 (round 16, mirroring the serving arm's r15
+    // sharding): clusters shard into ⌈k/64⌉ contiguous 64-wide mask
+    // words, the admission scan runs once per PROBED shard over that
+    // shard's corpus slice (each corpus row's cluster lives in exactly
+    // one shard, so shard outputs are disjoint), and the union feeds
+    // the same exact verify. One iteration and bit-identical to the
+    // pre-sharding form when k ≤ 64; zero-mask batch rows are dropped
+    // per shard (they can admit nothing there), so degenerate vectors
+    // ride no broadcast and still status 'keep' through the left join.
+    val nShards = (k + maskWidth - 1) / maskWidth
+    val shardScans = (0 until nShards).flatMap { sh =>
+      val base = sh * maskWidth
+      val rows = brows.map { case (id, cls, qq, qs) =>
+        (id, maskWord(cls, base, maskWidth), qq, qs)
+      }.filter(_._2 != 0L)
+      if (rows.isEmpty) None
+      else {
+        val packed = packQuantizedBatch(rows)
+        val bcp = sp.sparkContext.broadcast(packed)
+        val slice =
+          if (nShards == 1) cq
+          else cq.filter(col("__cc") >= base && col("__cc") < base + maskWidth)
+        Some(admittedShardScan(slice, bcp, base, maskWidth, bound, kMode))
+      }
+    }
+    val admitted = shardScans.reduceOption(_ union _).getOrElse(
+      sp.emptyDataset[(Long, Long)].toDF("__bid", "__cid"))
+    // the exact-verify fetch side is pruned to the probe union too
+    // (self-review): every admitted __cid lives in a probed cluster by
+    // construction (cq above is pruned), so the filter is
+    // result-identical — and on a loaded index it cuts the verify
+    // stage's float read (and its auto-mode broadcast payload) by the
+    // same ~|union|/k factor the coarse pass gained
+    statusAdmitted(admitted,
+      pruneToProbed(index.assigned, probedSet, k)
+        .select(col(index.idCol), col(index.vecCol)),
+      batch, index.idCol, index.vecCol, threshold, corpusSizeHint)
+  }
+
+  /** The margin-admission int8 kernel scan of ONE mask shard: every
+    * corpus row in `[base, base+width)` streams through direct static
+    * kernel calls against the broadcast batch and emits (batch id,
+    * corpus id) for every pair whose COARSE cosine clears `bound` —
+    * the admission counterpart of [[coarseKernelScan]]'s top-k heaps
+    * (threshold admission keeps every clearing pair; top-k keeps the
+    * best). Factored out of [[ivfIncrementalNearDupImpl]] when k
+    * outgrew one mask word so the kernel loop exists exactly once. */
+  private def admittedShardScan(
+      cq: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[PackedBatch],
+      base: Int,
+      width: Int,
+      bound: Double,
+      kMode: String): DataFrame = {
+    val sp = cq.sparkSession
+    import sp.implicits._
+    cq.as[(Long, Int, Array[Byte], Long)]
       .mapPartitions { it =>
         val p = bc.value
         val useVector = resolveUseVector(kMode)
         it.flatMap { case (cid, cc, cqv, cn2) =>
-          if (cqv.isEmpty || cn2 == 0L || p.dim == 0 || cc < 0 || cc >= 64)
+          val ccs = cc - base
+          if (cqv.isEmpty || cn2 == 0L || p.dim == 0 || ccs < 0 || ccs >= width)
             Iterator.empty
           else if (cqv.length != p.dim) throw new IllegalArgumentException(
             s"mixed-dimension corpus vs batch: int8 dot over " +
               s"${cqv.length}- vs ${p.dim}-component vectors would silently truncate")
           else {
-            val cbit = 1L << cc
+            val cbit = 1L << ccs
             val cden = math.sqrt(cn2.toDouble)
             val hits = Array.newBuilder[(Long, Long)]
             var jj = 0
@@ -2116,24 +2190,7 @@ object SimilaritySearch {
           }
         }
       }.toDF("__bid", "__cid")
-    // the exact-verify fetch side is pruned to the probe union too
-    // (self-review): every admitted __cid lives in a probed cluster by
-    // construction (cq above is pruned), so the filter is
-    // result-identical — and on a loaded index it cuts the verify
-    // stage's float read (and its auto-mode broadcast payload) by the
-    // same ~|union|/k factor the coarse pass gained
-    statusAdmitted(admitted,
-      pruneToProbed(index.assigned, probedSet, k)
-        .select(col(index.idCol), col(index.vecCol)),
-      batch, index.idCol, index.vecCol, threshold, corpusSizeHint)
   }
-
-  /** [[probeClusters]] packed into a Long bitmask — the broadcast-
-    * friendly form the incremental kernel scan wants (callers require
-    * k ≤ 64). Degenerate vectors probe nothing: mask 0. */
-  private def probeMask(
-      cents: Array[(Array[Double], Double)], v: Array[Float], nprobe: Int): Long =
-    probeClusters(cents, v, nprobe).foldLeft(0L)((m, c) => m | (1L << c))
 
   /** The shared verify stage of both pairwise arms: only (idA, idB)
     * candidates touch the float vectors — fetched by id, never

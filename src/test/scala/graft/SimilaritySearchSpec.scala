@@ -512,14 +512,50 @@ class SimilaritySearchSpec extends AnyFunSuite {
     }
     assert(messageChain(ex).exists(_.contains("mixed-dimension")),
       s"expected a loud mixed-dimension failure, got: ${messageChain(ex)}")
-    // a >64-cluster index is refused before any job launches (Long mask)
+    // a >64-cluster index is ACCEPTED since the round-16 mask sharding
+    // (it was a loud refusal before — "cluster bitmask is a Long");
+    // degenerates still keep through the sharded path
     val wide = SimilaritySearch.IvfIndex(
       Array.fill(65)((Array.fill(dim)(1.0), math.sqrt(dim.toDouble))),
       idx.assigned, "id", "v")
-    val exK = intercept[IllegalArgumentException] {
-      SimilaritySearch.ivfIncrementalNearDup(wide, degen, 2, 0.5, 0.05)
-    }
-    assert(exK.getMessage.contains("64"))
+    val wideOut = SimilaritySearch.ivfIncrementalNearDup(
+        wide, degen, 2, 0.5, 0.05)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(wideOut == Map(500L -> "keep", 501L -> "keep"),
+      s"k>64 must serve through mask shards, degenerates keep: $wideOut")
+  }
+
+  test("ivfIncrementalNearDup mask sharding: forced narrow shards are bit-identical; k>64 flags a planted dup") {
+    import spark.implicits._
+    val corpus = ((1L, jitter(vec(777L), 0.01f)) +:
+      (2L to 80L).map(i => (i, vec(i)))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 7, lloydIters = 2)
+    val batch = Seq((900L, vec(777L)), (901L, vec(5555L))).toDF("id", "v")
+    def run(width: Int) =
+      SimilaritySearch.ivfIncrementalNearDupImpl(
+          idx, batch, nprobe = 3, threshold = 0.9, margin = 0.05,
+          corpusSizeHint = -1L, maskWidth = width)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+    val oneWord = run(64) // k=7 in one shard: the pre-sharding shape
+    // forced 3-wide shards (⌈7/3⌉ = 3 scans) must be BIT-identical —
+    // probe selection is global, shard outputs are disjoint, the union
+    // feeds the same verify
+    assert(run(3) == oneWord,
+      "forced narrow shards diverged from the single-word scan")
+    val st = oneWord.map(r => r._1 -> r._4).toMap
+    assert(st == Map(900L -> "dup", 901L -> "keep"), s"fixture statuses: $st")
+    // a genuinely wide index (k=70 > 64) serves end-to-end and still
+    // flags the planted near-copy — the r15 serving milestone ("no
+    // batch refused for size") now holds for ingest too
+    val wideIdx = SimilaritySearch.ivfBuild(
+      corpus, "id", "v", k = 70, lloydIters = 1)
+    assert(wideIdx.centroids.length == 70)
+    val wideSt = SimilaritySearch.ivfIncrementalNearDup(
+        wideIdx, batch, nprobe = 8, threshold = 0.9, margin = 0.05)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(wideSt(900L) == "dup" && wideSt(901L) == "keep",
+      s"k=70 ingest must flag the planted near-copy: $wideSt")
   }
 
   test("property: IVF probe guard boundary — any nonzero magnitude passes, scale-invariant") {
