@@ -970,6 +970,46 @@ object SimilaritySearch {
     PackedBatch(ids, masks, dens, buf, bdim)
   }
 
+  /** The shard-orchestration harness BOTH quantized kernel arms run
+    * (self-review: the serving and ingest loops were verbatim copies):
+    * for each 64-wide cluster shard that at least one batch row
+    * probes, pack that shard's mask words (zero-mask rows dropped —
+    * they can contribute nothing there), broadcast, slice the corpus
+    * frame to the shard's cluster range, and hand (slice, broadcast,
+    * base) to the arm's kernel. One iteration over the unsliced frame
+    * when k ≤ maskWidth. Shard outputs are disjoint (each corpus row's
+    * cluster lives in exactly one shard), so callers union them.
+    *
+    * Cost shape: ⌈k/64⌉ transient broadcasts of the int8 batch, and
+    * the corpus frame is evaluated once per probed shard — on an
+    * [[ivfLoad]]-ed index the `__cc` range filters prune to DISJOINT
+    * file sets, so total I/O across shards ≈ one full pruned pass; an
+    * in-memory multi-shard (k > 64) index with an expensive lineage
+    * should be persisted by the caller before serving. */
+  private def shardedKernelScans[T](
+      brows: Array[(Long, Seq[Int], Array[Byte], Long)],
+      cq: DataFrame,
+      k: Int,
+      maskWidth: Int)(
+      scan: (DataFrame, org.apache.spark.broadcast.Broadcast[PackedBatch], Int) => T): Seq[T] = {
+    val nShards = (k + maskWidth - 1) / maskWidth
+    (0 until nShards).flatMap { sh =>
+      val base = sh * maskWidth
+      val rows = brows.map { case (id, cls, qq, qs) =>
+        (id, maskWord(cls, base, maskWidth), qq, qs)
+      }.filter(_._2 != 0L)
+      if (rows.isEmpty) None
+      else {
+        val packed = packQuantizedBatch(rows)
+        val bc = cq.sparkSession.sparkContext.broadcast(packed)
+        val slice =
+          if (nShards == 1) cq
+          else cq.filter(col("__cc") >= base && col("__cc") < base + maskWidth)
+        Some(scan(slice, bc, base))
+      }
+    }
+  }
+
   /** [[probeClusters]] output packed into one mask-shard word: bit
     * `c − base` for each probed cluster in `[base, base+width)` —
     * the per-shard probe bitmask both the serving and ingest kernel
@@ -1172,30 +1212,13 @@ object SimilaritySearch {
     // 1 byte/component, no quantize expression
     val cq = quantizedCorpusProjection(index, allProbed, k, "__nid")
     // one flat kernel scan per probed mask shard (one iteration total
-    // when k <= maskWidth); shard outputs are disjoint by construction
-    val nShards = (k + maskWidth - 1) / maskWidth
-    val shardScans = (0 until nShards).flatMap { sh =>
-      val base = sh * maskWidth
-      // pack ONLY the queries probing this shard (self-review: packing
-      // the whole batch per shard multiplied broadcast bytes and
-      // per-partition heap arrays by nShards; heaps are positional in
-      // the packed batch and results key on p.ids, so dropping
-      // zero-mask rows is output-identical)
-      val rows = brows.map { case (id, cls, qq, qs) =>
-        (id, maskWord(cls, base, maskWidth), qq, qs)
-      }.filter(_._2 != 0L)
-      // a shard no query probes would scan its corpus slice for nothing
-      if (rows.isEmpty) None
-      else {
-        val packed = packQuantizedBatch(rows)
-        val bc = sp.sparkContext.broadcast(packed)
-        val slice =
-          if (nShards == 1) cq
-          else cq.filter(col("__cc") >= base && col("__cc") < base + maskWidth)
-        Some(coarseKernelScan(slice, bc, base, maskWidth, keep, kMode))
-      }
-    }
-    val coarse = shardScans.reduceOption(_ union _).getOrElse(
+    // when k <= maskWidth); shard outputs are disjoint by construction.
+    // Heaps are positional in each shard's packed batch and results key
+    // on p.ids, so the harness dropping zero-mask rows is
+    // output-identical (see shardedKernelScans for the cost shape)
+    val coarse = shardedKernelScans(brows, cq, k, maskWidth) {
+      (slice, bc, base) => coarseKernelScan(slice, bc, base, maskWidth, keep, kMode)
+    }.reduceOption(_ union _).getOrElse(
       sp.emptyDataset[(Long, Long, Double)])
     // GLOBAL coarse cut (found in review: the per-partition heap union
     // alone is partitioning-dependent — up to partitions × keep rows
@@ -2094,31 +2117,16 @@ object SimilaritySearch {
     // materialized-else-inline policy (see quantizedCorpusProjection)
     val cq = quantizedCorpusProjection(index, probedSet, k, "__cid")
     // k is NOT capped at 64 (round 16, mirroring the serving arm's r15
-    // sharding): clusters shard into ⌈k/64⌉ contiguous 64-wide mask
-    // words, the admission scan runs once per PROBED shard over that
-    // shard's corpus slice (each corpus row's cluster lives in exactly
-    // one shard, so shard outputs are disjoint), and the union feeds
-    // the same exact verify. One iteration and bit-identical to the
-    // pre-sharding form when k ≤ 64; zero-mask batch rows are dropped
-    // per shard (they can admit nothing there), so degenerate vectors
-    // ride no broadcast and still status 'keep' through the left join.
-    val nShards = (k + maskWidth - 1) / maskWidth
-    val shardScans = (0 until nShards).flatMap { sh =>
-      val base = sh * maskWidth
-      val rows = brows.map { case (id, cls, qq, qs) =>
-        (id, maskWord(cls, base, maskWidth), qq, qs)
-      }.filter(_._2 != 0L)
-      if (rows.isEmpty) None
-      else {
-        val packed = packQuantizedBatch(rows)
-        val bcp = sp.sparkContext.broadcast(packed)
-        val slice =
-          if (nShards == 1) cq
-          else cq.filter(col("__cc") >= base && col("__cc") < base + maskWidth)
-        Some(admittedShardScan(slice, bcp, base, maskWidth, bound, kMode))
-      }
-    }
-    val admitted = shardScans.reduceOption(_ union _).getOrElse(
+    // sharding): the shared harness (shardedKernelScans) runs the
+    // admission scan once per PROBED 64-wide shard over that shard's
+    // corpus slice; disjoint outputs union into the same exact verify.
+    // One iteration and bit-identical to the pre-sharding form when
+    // k ≤ 64; zero-mask batch rows are dropped per shard (they can
+    // admit nothing there), so degenerate vectors ride no broadcast
+    // and still status 'keep' through the left join.
+    val admitted = shardedKernelScans(brows, cq, k, maskWidth) {
+      (slice, bcp, base) => admittedShardScan(slice, bcp, base, maskWidth, bound, kMode)
+    }.reduceOption(_ union _).getOrElse(
       sp.emptyDataset[(Long, Long)].toDF("__bid", "__cid"))
     // the exact-verify fetch side is pruned to the probe union too
     // (self-review): every admitted __cid lives in a probed cluster by
