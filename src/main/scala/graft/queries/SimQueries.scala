@@ -137,6 +137,53 @@ object SimQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Embedding-space near-dup CONNECTED COMPONENTS — the semantic-dedup
+    * composition a curation pipeline actually ships (t19's shape with
+    * cosine pairs instead of Jaccard pairs): near-dup pairs at the v4
+    * threshold become undirected edges, components close over them
+    * (pointer-jumped O(log diameter) label propagation —
+    * [[graft.operators.TextDedup.components]], the SAME machinery t19
+    * rides), and each vector reports its component and whether it is
+    * the canonical (minimum-id) representative — the row a dedup keeps.
+    * Pairs here are the exact all-pairs generator (v4's, oracle-
+    * replayable); at corpus scale a deployment substitutes the banded
+    * LSH pair generator (v2) — the CC half is unchanged. Oracle replays
+    * the pairs and closes them with a recursive CTE, like t19's. */
+  val embeddingComponents: Q = Q(
+    "v18_embedding_components",
+    """WITH RECURSIVE p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |             CAST(a.embedding AS DOUBLE[]) AS va, CAST(b.embedding AS DOUBLE[]) AS vb
+      |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      |sc AS (SELECT a_id, b_id, SUM(va[i] * vb[i]) AS dot,
+      |         SUM(va[i] * va[i]) AS n1, SUM(vb[i] * vb[i]) AS n2
+      |       FROM p, generate_series(1, 64) t(i) GROUP BY a_id, b_id),
+      |pairs AS (SELECT a_id, b_id FROM sc
+      |          WHERE FLOOR(dot / (SQRT(n1) * SQRT(n2)) * 10000 + 0.5)/10000 >= 0.45),
+      |eb AS (SELECT a_id AS src, b_id AS dst FROM pairs
+      |       UNION ALL SELECT b_id, a_id FROM pairs),
+      |r AS (
+      |  SELECT vec_id, vec_id AS comp FROM embeddings
+      |  UNION
+      |  SELECT eb.dst AS vec_id, r.comp FROM r JOIN eb ON eb.src = r.vec_id
+      |)
+      |SELECT vec_id, MIN(comp) AS comp_id,
+      |  CASE WHEN MIN(comp) = vec_id THEN 1 ELSE 0 END AS is_canonical
+      |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val pairs = graft.operators.SimilaritySearch.cosineNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, numBlocks = 0)
+      .select(col("idA").as("a_id"), col("idB").as("b_id"))
+    val comps = graft.operators.TextDedup.components(pairs, "a_id", "b_id", maxIters = 20)
+    t(s, dir, "embeddings").select(col("vec_id"))
+      .join(comps.select(col("id").as("lid"), col("componentId").as("comp")),
+        col("vec_id") === col("lid"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("comp_id"),
+        when(coalesce(col("comp"), col("vec_id")) === col("vec_id"), 1)
+          .otherwise(0).as("is_canonical"))
+      .orderBy("vec_id")
+  }
+
   /** DuckDB replay of the ENTIRE IVF-flat pipeline for the `v5` oracle:
     * md5-strided seeding, `iters` unrolled Lloyd rounds (assignment =
     * cosine argmax with ties to the lower cluster index; centroid
@@ -875,5 +922,5 @@ object SimQueries {
     quantizedAnn, quantizedNearDup, annIvfQuantized, clusterSample,
     embeddingDedup, incrementalEmbeddingDedup, incrementalIvfAssign,
     ivfIncrementalDedup, ivfBatchTopK, ivfBatchTopKQuantized,
-    ivfServePersisted)
+    ivfServePersisted, embeddingComponents)
 }
