@@ -212,6 +212,26 @@ object Bench {
     val canaryPreJson = sampled.map { case (k, _, _, c) =>
       "\"" + k + "\":" + f"$c%.3f"
     }.mkString("{", ",", "}")
+    // Mechanical burst classification (round-16 verdict #2): every query
+    // whose own window carries an outlier is classified host-burst vs
+    // jvm-internal from the instrumentation this artifact already emits
+    // (per-sample GC, canary_pre vs the run's median probe) — the
+    // signature table of results/gr2_diag_r16/README.md, consumed by
+    // code instead of humans. Queries without an outlier are absent.
+    val cpreNominal = {
+      val pos = sampled.map(_._4).filter(_ > 0)
+      if (pos.nonEmpty) Some(median(pos)) else None
+    }
+    val suspectKinds: Seq[(String, String)] = sampled.flatMap {
+      case (k, ts, gcTot, cpre) =>
+        val kind = graft.tools.BenchProtocol.suspectKind(
+          ts.map(_.sec), Some(ts.map(_.gcSec)), Some(gcTot),
+          if (cpre > 0) Some(cpre) else None, cpreNominal)
+        if (kind == "none") None else Some(k -> kind)
+    }
+    val suspectKindJson = suspectKinds.map { case (k, v) =>
+      "\"" + k + "\":\"" + v + "\""
+    }.mkString("{", ",", "}")
     val spread = sampled.map { case (k, ts, _, _) =>
       val secs = ts.map(_.sec)
       "\"" + k + "\":" + f"[${secs.min}%.3f,${secs.max}%.3f]"
@@ -329,7 +349,13 @@ object Bench {
       // canary-norm ratios (round-13 verdict #3) — readings inside it
       // are parity BY THE ARTIFACT'S OWN DECLARATION, not by prose
       val (pLo, pHi) = graft.tools.BenchProtocol.NormParityBand
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"canary_shuffle_sec":$canaryShuffle%.3f,"canary_shuffle_drift":$canaryShuffleDrift%.3f,"norm_parity_band":[$pLo%.2f,$pHi%.2f],"spliced":$splicedJson,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"samples_ts":$samplesTsJson,"samples_gc":$samplesGcJson,"canary_pre":$canaryPreJson,"gc_sec":$gcJson,"spread":$spread,"variance":$variance%.3f,"variance_trimmed":$varianceTrimmed%.3f,"failed":$failed,"sf":"$sfDir"}"""
+      // method records the measurement protocol INCLUDING the per-query
+      // ~0.1 s micro-canary that runs before every headline query since
+      // r16 (round-16 advice: the changed inter-query environment must be
+      // flagged on the artifact, not only inferable from the canary_pre
+      // field's presence) — artifacts reading "median5_warm1" alone
+      // predate the probe
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1_cpre","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"canary_shuffle_sec":$canaryShuffle%.3f,"canary_shuffle_drift":$canaryShuffleDrift%.3f,"norm_parity_band":[$pLo%.2f,$pHi%.2f],"spliced":$splicedJson,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"samples_ts":$samplesTsJson,"samples_gc":$samplesGcJson,"canary_pre":$canaryPreJson,"gc_sec":$gcJson,"suspect_kind":$suspectKindJson,"spread":$spread,"variance":$variance%.3f,"variance_trimmed":$varianceTrimmed%.3f,"failed":$failed,"sf":"$sfDir"}"""
     }
     val line = artifactLine(results, Nil)
     println(line)
@@ -395,27 +421,50 @@ object Bench {
         !java.nio.file.Files.exists(java.nio.file.Paths.get("bench_last_good.json"))
       val shuffleBurst = canaryShuffle < 0 ||
         math.abs(canaryShuffleDrift) > graft.tools.BenchProtocol.ShuffleDriftBand
-      if (shuffleBurst && firstWrite && !forceAccept)
-        System.err.println(
-          "[bench] WARNING: shuffle canary unavailable/bursting but no standing " +
-            "bench_last_good.json exists — allowing the first-ever slot write " +
-            "(first-write-wins, matching the sf pin)")
-      if (shuffleBurst && !firstWrite && !forceAccept)
-        System.err.println(
-          if (canaryShuffle < 0)
+      // ONE decision expression for the slot write (round-16 advice: the
+      // first-write exemption was a dangling warning-only `if` beside the
+      // if/else-if chain that actually gated the write — it held only
+      // because `noisier` cannot fire with no standing artifact, and a
+      // future edit to the chain could have silently inverted it).
+      // None = this run may take the slot; Some(msg) = refuse, saying why.
+      // The burst-window refusal messages carry the suspect classification
+      // (round-16 verdict #2) so the artifact's reader learns the
+      // mechanism, not just the refusal.
+      val suspectNote =
+        if (suspectKinds.isEmpty) ""
+        else suspectKinds.map { case (k, v) => s"$k=$v" }
+          .mkString(" [suspect windows: ", ", ", "]")
+      val refuseReason: Option[String] =
+        if (forceAccept) None
+        else if (shuffleBurst && firstWrite) {
+          // first-write exemption (round-15 advice): with no standing
+          // artifact, refusing on the shuffle axis would make the very
+          // first baseline write impossible — warn, but write
+          System.err.println(
+            "[bench] WARNING: shuffle canary unavailable/bursting but no standing " +
+              "bench_last_good.json exists — allowing the first-ever slot write " +
+              "(first-write-wins, matching the sf pin)")
+          None
+        } else if (shuffleBurst && canaryShuffle < 0)
+          Some(
             "[bench] keeping standing bench_last_good.json: the shuffle canary " +
               "failed, so the bandwidth-burst signal is unavailable " +
-              "(set SPARK_GRAFT_BENCH_ACCEPT_BASELINE=1 to force-accept)"
-          else
+              "(set SPARK_GRAFT_BENCH_ACCEPT_BASELINE=1 to force-accept)" + suspectNote)
+        else if (shuffleBurst)
+          Some(
             f"[bench] keeping standing bench_last_good.json: |canary_shuffle_drift| $canaryShuffleDrift%.3f " +
               f"exceeds ${graft.tools.BenchProtocol.ShuffleDriftBand}%.2f — the bandwidth axis was bursting " +
-              "during this run (set SPARK_GRAFT_BENCH_ACCEPT_BASELINE=1 to force-accept)")
-      else if (noisier && !forceAccept)
-        System.err.println(
-          f"[bench] keeping standing bench_last_good.json: this run's trimmed variance $varianceTrimmed%.3f " +
-            f"exceeds the standing ${lastGoodVariance.get}%.3f by more than ${graft.tools.BenchProtocol.NoiseDegradeTolerance}%.2f " +
-            "(set SPARK_GRAFT_BENCH_ACCEPT_BASELINE=1 to force-accept if the host band has durably degraded)")
-      else {
+              "during this run (set SPARK_GRAFT_BENCH_ACCEPT_BASELINE=1 to force-accept)" + suspectNote)
+        else if (noisier)
+          Some(
+            f"[bench] keeping standing bench_last_good.json: this run's trimmed variance $varianceTrimmed%.3f " +
+              f"exceeds the standing ${lastGoodVariance.get}%.3f by more than ${graft.tools.BenchProtocol.NoiseDegradeTolerance}%.2f " +
+              "(set SPARK_GRAFT_BENCH_ACCEPT_BASELINE=1 to force-accept if the host band has durably degraded)" + suspectNote)
+        else None
+      refuseReason match {
+        case Some(msg) => System.err.println(msg)
+        case None =>
+        {
         // PER-QUERY pollution guard (round-13 verdict #1): the r13
         // driver run wrote a bimodal 3.0 s t26 reading over the
         // committed 0.699 s past BOTH suite-level gates. A query whose
@@ -434,9 +483,14 @@ object Bench {
         val slotLine =
           if (suspects.isEmpty) line
           else {
+            // name the mechanism for each spliced query when the
+            // classifier has one (round-16 verdict #2)
+            val kinds = suspectKinds.toMap
             System.err.println(
               s"[bench] bimodal-suspect queries vs standing — splicing standing " +
-                s"medians into bench_last_good.json: ${suspects.mkString(", ")}")
+                s"medians into bench_last_good.json: " +
+                suspects.map(q => s"$q(${kinds.getOrElse(q, "unclassified")})")
+                  .mkString(", "))
             artifactLine(
               results.map { case (k, v) =>
                 k -> (if (suspects.contains(k)) lastGood(k) else v)
@@ -444,12 +498,16 @@ object Bench {
           }
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("bench_last_good.json"), slotLine + "\n")
+        }
       }
     }
     spark.stop()
     if (!adjudicable) {
       System.err.println(
-        f"[bench] NOT ADJUDICABLE: variance_trimmed=$varianceTrimmed%.3f (raw $variance%.3f, floor ${graft.tools.BenchProtocol.VarianceFloor}), failed=$failed")
+        f"[bench] NOT ADJUDICABLE: variance_trimmed=$varianceTrimmed%.3f (raw $variance%.3f, floor ${graft.tools.BenchProtocol.VarianceFloor}), failed=$failed" +
+          (if (suspectKinds.isEmpty) ""
+           else suspectKinds.map { case (k, v) => s"$k=$v" }
+             .mkString(" [suspect windows: ", ", ", "]")))
       sys.exit(1)
     }
   }

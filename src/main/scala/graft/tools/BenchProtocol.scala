@@ -189,6 +189,77 @@ object BenchProtocol {
           } => k
     }.toSeq.sorted
 
+  /** Fraction of an outlier sample's EXCESS wall time (worst − median)
+    * that per-sample GC must cover before the outlier is attributed to
+    * the JVM rather than the host. The r16 adjudication's host bursts
+    * read < 2% GC against 10–19× outliers (gr2_diag_r16/README: 0.146 s
+    * of query-total GC vs ~23 s of excess wall); a genuine GC stall
+    * concentrates its pause INSIDE the slow sample. 0.5 splits the two
+    * regimes with an order of magnitude of margin on each side. */
+  val GcShareThreshold = 0.5
+
+  /** canary_pre inflation factor (vs the run's own median canary_pre)
+    * above which the ~0.1 s pre-query band probe is "inflated" — the
+    * secondary host-burst signature when per-sample GC is unavailable
+    * (pre-r16 artifacts). The r16 elevated-band readings ran 2.5–5×
+    * the nominal probe. */
+  val CanaryPreInflation = 2.0
+
+  /** Mechanical burst classification of ONE query's sample window
+    * (round-16 verdict #2): consumes the instrumentation the artifact
+    * already carries — per-sample wall times, per-sample GC seconds
+    * (`samples_gc`), and the pre-query micro-canary (`canary_pre`) —
+    * and names the mechanism instead of leaving the signature table in
+    * `results/gr2_diag_r16/README.md` to be read by humans.
+    *
+    * Returns one of:
+    *   - `"none"` — no outlier to classify (relSpread ≤
+    *     [[EscalationTrigger]], or fewer than 2 positive samples);
+    *   - `"jvm-internal"` — GC attributed to the outlier covers ≥
+    *     [[GcShareThreshold]] of its excess over the window median: the
+    *     stall is the JVM's own;
+    *   - `"host-burst"` — GC is mechanically excluded (attributed GC
+    *     under the threshold share of the excess): the excess wall went
+    *     to the host, the r13/r14/r15 incident mechanism;
+    *   - `"indeterminate"` — an outlier exists but neither GC data nor
+    *     an inflated canary_pre is available to discriminate.
+    *
+    * GC attribution prefers per-sample data (GC seconds inside the
+    * worst sample itself); legacy artifacts without `samples_gc` fall
+    * back to the query-TOTAL GC, a conservative upper bound on what GC
+    * could explain (this is what lets the r15 refused window — which
+    * predates the per-sample fields — be classified from its artifact
+    * alone, as its README promised). A failed sample (−1) excludes the
+    * window from classification. */
+  def suspectKind(
+      samples: Seq[Double],
+      samplesGc: Option[Seq[Double]] = None,
+      totalGcSec: Option[Double] = None,
+      canaryPre: Option[Double] = None,
+      canaryPreNominal: Option[Double] = None): String = {
+    if (samples.size < 2 || samples.exists(_ <= 0)) return "none"
+    if (relSpread(samples) <= EscalationTrigger) return "none"
+    val med = median(samples)
+    val worstIdx = samples.indexOf(samples.max)
+    val excess = samples(worstIdx) - med
+    if (excess <= 0) return "none"
+    // GC that could explain the outlier: the worst sample's own GC when
+    // per-sample data exists, else the query-total upper bound
+    val gcAttr: Option[Double] = samplesGc match {
+      case Some(gs) if gs.size == samples.size => Some(gs(worstIdx))
+      case _ => totalGcSec
+    }
+    val preInflated = for {
+      c <- canaryPre; n <- canaryPreNominal if n > 0
+    } yield c / n >= CanaryPreInflation
+    gcAttr match {
+      case Some(g) if g >= GcShareThreshold * excess => "jvm-internal"
+      case Some(_) => "host-burst"
+      case None if preInflated.contains(true) => "host-burst"
+      case None => "indeterminate"
+    }
+  }
+
   /** Absolute |canary_shuffle_drift| above which a run's bandwidth axis
     * was visibly bursting DURING the run and the standing slot must not
     * be overwritten (round-14 verdict #1c). The five committed standing

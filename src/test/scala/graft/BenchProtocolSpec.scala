@@ -231,6 +231,53 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(sec > 0.0, s"canaryShuffleSeconds must return a positive wall time, got $sec")
   }
 
+  test("suspectKind classifies the r15 refused window as host-burst from its artifact alone") {
+    // REPLAY of the round-15 refused window (round-16 verdict #2): the
+    // exact sample arrays and query-total GC seconds preserved in
+    // bench_output.json at the r15 snapshot (commit 2842784). That
+    // artifact PREDATES the per-sample samples_gc and canary_pre fields,
+    // so classification must work from the legacy query-total GC upper
+    // bound — which is the point: 0.146–0.626 s of query-total GC cannot
+    // explain 6–11 s of excess wall, so GC is mechanically excluded and
+    // the mechanism is the host's (the r16 adjudication's conclusion,
+    // results/gr2_diag_r16/README.md, now reproduced by code).
+    val t8 = Seq(1.685, 12.949, 11.816, 1.344, 1.623, 1.39, 1.474)
+    val t26 = Seq(1.0, 1.886, 14.066, 1.94, 1.231, 0.752, 0.813)
+    val gr2 = Seq(10.712, 6.926, 8.501, 4.451, 4.265, 3.897, 4.591)
+    assert(BenchProtocol.suspectKind(t8, None, Some(0.146)) == "host-burst")
+    assert(BenchProtocol.suspectKind(t26, None, Some(0.618)) == "host-burst")
+    assert(BenchProtocol.suspectKind(gr2, None, Some(0.626)) == "host-burst")
+  }
+
+  test("suspectKind attributes a GC-concentrated outlier to the JVM") {
+    // per-sample GC concentrated inside the slow sample: the stall is
+    // the JVM's own, not the host's
+    val samples = Seq(1.0, 1.0, 9.0, 1.0, 1.0)
+    val gcInOutlier = Seq(0.05, 0.02, 7.5, 0.03, 0.04)
+    assert(BenchProtocol.suspectKind(samples, Some(gcInOutlier)) == "jvm-internal")
+    // same wall shape with flat per-sample GC → host-burst
+    val gcFlat = Seq(0.05, 0.02, 0.06, 0.03, 0.04)
+    assert(BenchProtocol.suspectKind(samples, Some(gcFlat)) == "host-burst")
+  }
+
+  test("suspectKind falls back to canary_pre and degrades honestly") {
+    val samples = Seq(1.0, 1.0, 9.0, 1.0, 1.0)
+    // no GC data at all: an inflated pre-query band probe (vs the run's
+    // nominal) is the secondary host-burst signature
+    assert(BenchProtocol.suspectKind(
+      samples, None, None, canaryPre = Some(0.5),
+      canaryPreNominal = Some(0.1)) == "host-burst")
+    // no GC data, nominal probe: nothing discriminates
+    assert(BenchProtocol.suspectKind(
+      samples, None, None, canaryPre = Some(0.11),
+      canaryPreNominal = Some(0.1)) == "indeterminate")
+    // tight window: nothing to classify
+    assert(BenchProtocol.suspectKind(
+      Seq(1.0, 1.05, 1.1, 0.98, 1.02), Some(Seq(0, 0, 0, 0, 0.0))) == "none")
+    // failed sample: the window is not classifiable
+    assert(BenchProtocol.suspectKind(Seq(-1.0, 1.0, 9.0), None, Some(0.1)) == "none")
+  }
+
   test("jsonEscape neutralizes quotes, backslashes and control chars") {
     assert(BenchProtocol.jsonEscape("""a"b\c""") == """a\"b\\c""")
     assert(BenchProtocol.jsonEscape("x\ny") == "x\\u000ay")
