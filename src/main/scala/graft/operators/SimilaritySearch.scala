@@ -774,17 +774,17 @@ object SimilaritySearch {
     // otherwise be replicated nprobe× through the broadcast (found in
     // review: ~4× the broadcast bytes at default nprobe); vectors and
     // norms join back once per query from their own broadcast side.
-    // ONE distributed probe pass, collected: batch × nprobe (long, int)
-    // tuples on the driver — at the 2^20 cap that is ~130 MB of boxed
-    // tuples at the default nprobe=4 and ~600 MB at nprobe=16 (object
-    // headers dominate the 12 payload bytes), transient, freed after the
-    // broadcast builds. Vectors never leave the executors. This is the
-    // same driver-holds-the-batch contract the quantized arm already has
-    // (it collects the query bytes themselves); chunked serving bounds
-    // it at chunkTarget × nprobe per chunk. The collect both seeds the
-    // broadcast probe side AND hands the driver the probe UNION for
-    // partition pruning below.
-    val probePairs: Array[(Long, Int)] = queries
+    // The (qid, cluster) probe frame STAYS DISTRIBUTED (round-16
+    // advice: a prior revision collected every probe pair to the
+    // driver — ~600 MB of boxed tuples at the 2^20 cap × nprobe=16 —
+    // although only the cluster UNION, at most k ints, is needed
+    // driver-side): broadcast() materializes it at join time, and the
+    // union comes from its own distinct() aggregate. The probe flatMap
+    // therefore evaluates twice (once for the union, once through the
+    // broadcast) — each pass is one centroid-argmax scan of the batch,
+    // cheap next to the scoring join it gates, and nothing batch-sized
+    // ever lands on the driver in this arm.
+    val probed = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])]
       .flatMap { case (qid, v) =>
@@ -792,15 +792,15 @@ object SimilaritySearch {
         checkAssignDim(cs, v)
         probeClusters(cs, v, effNprobe).map(c => (qid, c))
       }
-      .collect()
-    val probed = sp.createDataset(probePairs.toIndexedSeq).toDF("__qid", "cluster")
+      .toDF("__qid", "cluster")
     // Probe-union partition pruning (round-15 verdict #4), matching the
     // quantized arm at :995: rows in clusters no query probes can never
     // survive the probe join, so a static `cluster IN (…)` filter drops
     // them BEFORE the scan — against an ivfLoad-ed index (a
     // cluster-partitioned parquet tree) that is FILE-LISTING pruning,
     // so a narrow exact batch physically reads ~|union|/k of the corpus
-    val allProbed = probePairs.iterator.map(_._2).toSet
+    val allProbed: Set[Int] = probed.select(col("cluster").cast("int"))
+      .distinct().as[Int].collect().toSet
     val corpus = pruneToProbed(index.assigned, allProbed, k)
     val qf = queries
       .select(col(queryIdCol).cast("long").as("__qid"),
@@ -985,7 +985,17 @@ object SimilaritySearch {
     * [[ivfLoad]]-ed index the `__cc` range filters prune to DISJOINT
     * file sets, so total I/O across shards ≈ one full pruned pass; an
     * in-memory multi-shard (k > 64) index with an expensive lineage
-    * should be persisted by the caller before serving. */
+    * should be persisted by the caller before serving.
+    *
+    * ==Broadcast lifecycle== (round-16 advice): the ⌈k/64⌉ PackedBatch
+    * broadcasts built here are registered in [[releaseServingBroadcasts]]'
+    * queue instead of waiting for the JVM's weak-reference GC — a
+    * long-lived serving loop (ServeStreaming's foreachBatch) otherwise
+    * accumulates one batch-sized broadcast block per probed shard per
+    * micro-batch. Callers that MATERIALIZE their result (write/collect)
+    * should call [[releaseServingBroadcasts]] afterwards; callers that
+    * return the lazy frame must leave the queue alone (the frame's
+    * execution still needs the blocks) and inherit the GC fallback. */
   private def shardedKernelScans[T](
       brows: Array[(Long, Seq[Int], Array[Byte], Long)],
       cq: DataFrame,
@@ -1002,12 +1012,45 @@ object SimilaritySearch {
       else {
         val packed = packQuantizedBatch(rows)
         val bc = cq.sparkSession.sparkContext.broadcast(packed)
+        servingBroadcasts.add(bc)
         val slice =
           if (nShards == 1) cq
           else cq.filter(col("__cc") >= base && col("__cc") < base + maskWidth)
         Some(scan(slice, bc, base))
       }
     }
+  }
+
+  /** Process-wide queue of the PackedBatch broadcasts the quantized
+    * kernel scans build (see [[shardedKernelScans]]'s lifecycle note).
+    * ConcurrentLinkedQueue: adds race only with the release drain, and
+    * a broadcast enqueued mid-drain simply survives to the next one. */
+  private val servingBroadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.broadcast.Broadcast[_]]()
+
+  /** Destroy every per-batch serving broadcast built since the last
+    * call (round-16 advice: without this a k > 64 index leaks
+    * ⌈k/64⌉ batch-sized broadcast blocks per ServeStreaming micro-batch
+    * until a natural GC drains the weak-reference queue). Call ONLY
+    * after every result frame built from those broadcasts is fully
+    * materialized (written/collected) — a released broadcast cannot be
+    * re-read, so re-executing a still-lazy frame afterwards fails.
+    * ServeStreaming calls this at the end of each micro-batch (the
+    * batch's answers are on disk by then, and the next batch builds
+    * fresh broadcasts); single-shot batch callers can call it after
+    * their own write. Concurrent serving jobs in one JVM should skip it
+    * (the queue is process-wide) and rely on the GC fallback.
+    * Returns the number of broadcasts destroyed. */
+  def releaseServingBroadcasts(): Int = {
+    var n = 0
+    var b = servingBroadcasts.poll()
+    while (b != null) {
+      b.destroy()
+      n += 1
+      b = servingBroadcasts.poll()
+    }
+    n
   }
 
   /** [[probeClusters]] output packed into one mask-shard word: bit

@@ -63,6 +63,20 @@ object ServeStreaming {
       overFetch: Int = 4,
       quantized: Boolean = true): StreamingQuery = {
     val spark = stream.sparkSession
+    // PRECONDITION, checked loudly at start (round-16 advice): the index
+    // root must already hold one COMPLETE version (an ivfSave that ran
+    // to its CURRENT-pointer commit). Without this, a stream started
+    // before the first save finishes would die inside its first
+    // micro-batch on ivfLoad's opaque `require` — this surfaces the
+    // misuse at .start() time with the fix in the message. The per-batch
+    // re-resolution below is unchanged (that is the refresh mechanism).
+    try { SimilaritySearch.ivfLoad(spark, indexDir); () } catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"ivfServeStream: no complete index version under '$indexDir' — " +
+          "run ivfSave to completion (its CURRENT commit) before starting " +
+          "the serving stream; mid-stream refreshes then land via further " +
+          "ivfSave calls with no restart", e)
+    }
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$outDir/_checkpoint")
@@ -76,6 +90,10 @@ object ServeStreaming {
             SimilaritySearch.ivfTopKBatchChunked(
               index, batch, queryIdCol, queryVecCol, topK, nprobe)
         answers.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        // the batch's answers are on disk: destroy its per-shard
+        // PackedBatch broadcasts now instead of leaking them to GC
+        // (round-16 advice; see releaseServingBroadcasts' contract)
+        SimilaritySearch.releaseServingBroadcasts()
         ()
       }
       .start()

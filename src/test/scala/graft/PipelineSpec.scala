@@ -411,6 +411,27 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ivfServeStream fails fast with a clear message when the index has no complete version") {
+    import spark.implicits._
+    import graft.streaming.ServeStreaming
+    val root = java.nio.file.Files.createTempDirectory("graft_serve_nofail").toString
+    val srcDir = s"$root/queries"
+    Seq((1L, Array.fill(16)(0.1f))).toDF("q_id", "qv")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("q_id LONG, qv ARRAY<FLOAT>")
+      .parquet(srcDir)
+    // an index dir with no ivfSave commit: the misuse must surface AT
+    // .start() with the fix in the message, not kill the first
+    // micro-batch with ivfLoad's opaque require (round-16 advice)
+    val ex = intercept[IllegalArgumentException] {
+      ServeStreaming.ivfServeStream(
+        stream, s"$root/never_saved_index", "q_id", "qv", s"$root/answers")
+    }
+    assert(ex.getMessage.contains("no complete index version"), ex.getMessage)
+    assert(ex.getMessage.contains("ivfSave"), ex.getMessage)
+  }
+
   test("feature-extract stub is deterministic with 8 full-width lanes") {
     val a = graft.queries.MultimodalQueries.featureStub.fn(spark, dir).collect()
     val b = graft.queries.MultimodalQueries.featureStub.fn(spark, dir).collect()

@@ -697,6 +697,31 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(wq == we, s"k=65 sharded arm diverged from exact:\n$wq\nvs\n$we")
   }
 
+  test("releaseServingBroadcasts drains the per-shard broadcasts after materialization") {
+    import spark.implicits._
+    val corpus = (1L to 80L).map(i => (i, vec(i))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 6, lloydIters = 2)
+    val queries = Seq(801L -> jitter(vec(9L), 0.01f),
+      802L -> jitter(vec(33L), 0.01f)).toDF("qid", "qv")
+    def serve() = SimilaritySearch.ivfTopKBatchQuantized(
+        idx, queries, "qid", "qv", topK = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3)).toSeq
+    SimilaritySearch.releaseServingBroadcasts() // start from an empty queue
+    val first = serve()
+    // the quantized scan built >= 1 PackedBatch broadcast; after the
+    // result is MATERIALIZED (collected above) the release destroys
+    // them instead of leaking them to the weak-reference GC
+    assert(SimilaritySearch.releaseServingBroadcasts() >= 1,
+      "the serve must have registered its per-shard broadcasts")
+    // the queue is drained — a second release finds nothing
+    assert(SimilaritySearch.releaseServingBroadcasts() == 0)
+    // a later serve builds FRESH broadcasts and answers identically
+    // (the micro-batch loop shape: serve, write, release, repeat)
+    assert(serve() == first)
+    assert(SimilaritySearch.releaseServingBroadcasts() >= 1)
+  }
+
   test("mask sharding: forced 5-wide shards are bit-identical to the one-word scan") {
     import spark.implicits._
     // k=16 through maskWidth=5 → 4 shards, probe sets split across
