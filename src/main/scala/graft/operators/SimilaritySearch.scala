@@ -243,6 +243,91 @@ object SimilaritySearch {
           (col("__nrm") * col("__qn"))).as("cos_sim"))
   }
 
+  /** Deterministic ±1 weights of pseudo-hyperplane `plane` — the SAME
+    * md5 convention as [[lshSignature]] (parity of the first 15 hex
+    * chars of md5("plane_i")), computed DRIVER-SIDE once per plane
+    * instead of per row: the banded generator evaluates `bands ×
+    * bitsPerBand` planes, and [[lshSignature]]'s in-SQL md5 would cost
+    * dim × planes md5 calls per ROW. The weights ride into the plan as
+    * array literals, so the projection is one codegen'd
+    * [[graft.functions.DotProduct]] per plane — and the oracle replays
+    * the identical weights from the md5 expression, as `v2_ann_lsh`'s
+    * does. */
+  private[graft] def hyperplaneWeights(plane: Int, dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      val hex = md.digest(s"${plane}_$i".getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0f else -1.0f
+    }
+  }
+
+  /** Banded random-hyperplane LSH near-duplicate PAIRS — the scale form
+    * of [[cosineNearDupPairs]] (round-16 verdict #3): instead of the
+    * exact arm's inherent O(N²) cosine evaluations, each vector
+    * computes `bands` signatures of `bitsPerBand` sign bits each
+    * (distinct hyperplane ranges per band, the banding trick of
+    * MinHash-LSH applied to hyperplane LSH), candidate pairs MEET IN
+    * BUCKETS — two vectors pair iff they agree on ALL bits of at least
+    * one band — and only candidates pay an exact cosine, with the
+    * threshold applied to the rounded score exactly as the exact arm
+    * does. Returns (idA, idB, cos_sim), idA < idB, verified ≥
+    * `threshold`; output ⊆ the exact arm's pairs by construction, with
+    * recall the standard banding dial: P(candidate) = 1 − (1 − p^r)^b
+    * for bit-agreement probability p = 1 − θ/π.
+    *
+    * Scale posture: the shuffle key is (band, signature) — bucket
+    * sizes are data-bounded, nothing is ever all-pairs, and the
+    * per-row cost is `bands × bitsPerBand` codegen'd dot products
+    * against LITERAL weight arrays (see [[hyperplaneWeights]]). At a
+    * production dedup threshold (cos ≥ 0.9, p ≈ 0.86) the defaults
+    * give ~1.0 recall; this corpus's deliberately-low 0.45 demo
+    * threshold sits near the hyperplane-LSH noise floor (p ≈ 0.65) —
+    * the measured recall/candidate-volume curve is in
+    * `results/v19_recall_sf0.1_r17.json`.
+    *
+    * Degenerate (zero/empty) vectors have no cosine and are dropped
+    * before banding (they would otherwise meet EVERY all-zero
+    * signature bucket and then fail the verify divide). `dim` must be
+    * the corpus's vector width: the weight literals are built
+    * driver-side at that width, and rows whose width DIFFERS from
+    * `dim` are excluded from pairing rather than silently projected
+    * over a truncated prefix. */
+  def bandedLshNearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bands: Int = 24,
+      bitsPerBand: Int = 6,
+      dim: Int = 64): DataFrame = {
+    implicit val sp: SparkSession = corpus.sparkSession
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(bitsPerBand >= 1 && bitsPerBand <= 62,
+      s"bitsPerBand must be in [1, 62], got $bitsPerBand")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val sigCols: Seq[Column] = (0 until bands).map { b =>
+      (0 until bitsPerBand).map { p =>
+        val plane = b * bitsPerBand + p
+        when(VectorFunctions.dot(
+            col(vecCol), typedLit(hyperplaneWeights(plane, dim))) > 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val sigs = corpus
+      .filter(size(col(vecCol)) === dim &&
+        VectorFunctions.norm(col(vecCol)) > 0)
+      .select(col(idCol).as("__bid"),
+        posexplode(array(sigCols: _*)).as(Seq("band", "sig")))
+    val cand = sigs.select(col("__bid").as("idA"), col("band"), col("sig"))
+      .join(sigs.select(col("__bid").as("idB"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"))
+      .distinct()
+    exactVerify(cand, corpus, idCol, vecCol, threshold)
+  }
+
   // ---- IVF-flat: coarse quantizer + cluster-keyed inverted index ----
 
   private def dotDF(x: Array[Double], y: Array[Float]): Double = {

@@ -184,6 +184,67 @@ object SimQueries {
       .orderBy("vec_id")
   }
 
+  /** The SCALE form of v18 — the semantic-dedup composition a 100 TB
+    * curation pipeline actually ships (round-16 verdict #3): banded
+    * random-hyperplane LSH pair generation (candidates meet in
+    * (band, signature) buckets — NEVER all-pairs; 24 bands × 6 bits,
+    * exact-verified at the v4 threshold on the rounded score) feeding
+    * the SAME pointer-jumped connected-components machinery t19/v18
+    * ride, each vector reporting (component, is_canonical). Differs
+    * from v18 only in the pair GENERATOR: v18's exact all-pairs is the
+    * ground truth this one's recall is measured against
+    * (`results/v19_recall_sf0.1_r17.json` — the two entries share the
+    * corpus). The oracle replays the banding deterministically (the
+    * same md5-derived hyperplanes as v2, grouped into bands), verifies
+    * candidates exactly, and closes components with the recursive CTE
+    * t19/v18 use. */
+  val bandedComponents: Q = Q(
+    "v19_banded_lsh_components",
+    """WITH RECURSIVE d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |proj AS (SELECT vec_id, p,
+      |    SUM(ve[j] * (CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(j-1 AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+      |                 THEN 1.0 ELSE -1.0 END)) AS s
+      |  FROM d, generate_series(0, 143) pp(p), generate_series(1, 64) jj(j)
+      |  GROUP BY vec_id, p),
+      |sig AS (SELECT vec_id, p // 6 AS band,
+      |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (p % 6)) ELSE 0 END) AS BIGINT) AS sg
+      |  FROM proj GROUP BY vec_id, p // 6),
+      |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |         FROM sig a JOIN sig b ON a.band = b.band AND a.sg = b.sg
+      |              AND a.vec_id < b.vec_id),
+      |pv AS (SELECT c.a_id, c.b_id, SUM(da.ve[i] * db.ve[i]) AS dot,
+      |         SUM(da.ve[i] * da.ve[i]) AS n1, SUM(db.ve[i] * db.ve[i]) AS n2
+      |       FROM cand c JOIN d da ON da.vec_id = c.a_id
+      |            JOIN d db ON db.vec_id = c.b_id,
+      |            generate_series(1, 64) t(i)
+      |       GROUP BY c.a_id, c.b_id),
+      |pairs AS (SELECT a_id, b_id FROM pv
+      |          WHERE FLOOR(dot / (SQRT(n1) * SQRT(n2)) * 10000 + 0.5)/10000 >= 0.45),
+      |eb AS (SELECT a_id AS src, b_id AS dst FROM pairs
+      |       UNION ALL SELECT b_id, a_id FROM pairs),
+      |r AS (
+      |  SELECT vec_id, vec_id AS comp FROM embeddings
+      |  UNION
+      |  SELECT eb.dst AS vec_id, r.comp FROM r JOIN eb ON eb.src = r.vec_id
+      |)
+      |SELECT vec_id, MIN(comp) AS comp_id,
+      |  CASE WHEN MIN(comp) = vec_id THEN 1 ELSE 0 END AS is_canonical
+      |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val pairs = graft.operators.SimilaritySearch.bandedLshNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, bands = 24, bitsPerBand = 6, dim = 64)
+      .select(col("idA").as("a_id"), col("idB").as("b_id"))
+    val comps = graft.operators.TextDedup.components(pairs, "a_id", "b_id", maxIters = 20)
+    t(s, dir, "embeddings").select(col("vec_id"))
+      .join(comps.select(col("id").as("lid"), col("componentId").as("comp")),
+        col("vec_id") === col("lid"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("comp_id"),
+        when(coalesce(col("comp"), col("vec_id")) === col("vec_id"), 1)
+          .otherwise(0).as("is_canonical"))
+      .orderBy("vec_id")
+  }
+
   /** DuckDB replay of the ENTIRE IVF-flat pipeline for the `v5` oracle:
     * md5-strided seeding, `iters` unrolled Lloyd rounds (assignment =
     * cosine argmax with ties to the lower cluster index; centroid
@@ -922,5 +983,5 @@ object SimQueries {
     quantizedAnn, quantizedNearDup, annIvfQuantized, clusterSample,
     embeddingDedup, incrementalEmbeddingDedup, incrementalIvfAssign,
     ivfIncrementalDedup, ivfBatchTopK, ivfBatchTopKQuantized,
-    ivfServePersisted, embeddingComponents)
+    ivfServePersisted, embeddingComponents, bandedComponents)
 }

@@ -697,6 +697,45 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(wq == we, s"k=65 sharded arm diverged from exact:\n$wq\nvs\n$we")
   }
 
+  test("bandedLshNearDupPairs: output is a verified subset of the exact arm; planted dups found") {
+    import spark.implicits._
+    // planted structure: 40 base vectors + 5 tight near-copies
+    // (cos ~0.999 — the production dedup regime, where banding recall
+    // is ~1 by construction: p^6 ~ 0.94 per band, 24 bands)
+    val base = (1L to 40L).map(i => (i, vec(i)))
+    val dups = Seq(101L -> jitter(vec(3L), 0.003f), 102L -> jitter(vec(7L), 0.003f),
+      103L -> jitter(vec(11L), 0.003f), 104L -> jitter(vec(19L), 0.003f),
+      105L -> jitter(vec(23L), 0.003f))
+    val zero = Seq(200L -> Array.fill(dim)(0f), 201L -> Array.empty[Float])
+    val corpus = (base ++ dups ++ zero).toDF("id", "v")
+    val thr = 0.9
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairSet(SimilaritySearch.cosineNearDupPairs(
+      corpus, "id", "v", threshold = thr))
+    val banded = pairSet(SimilaritySearch.bandedLshNearDupPairs(
+      corpus, "id", "v", threshold = thr, dim = dim))
+    // every banded pair is an exact pair WITH the identical rounded
+    // score (the verify stage is the same kernel + r4 + threshold)
+    assert(banded.subsetOf(exact),
+      s"banded pairs must be a subset of exact: ${banded -- exact}")
+    // all 5 planted near-copies are found (cos ~0.999 -> candidate
+    // probability ~1 at 24 bands); degenerate rows pair with nothing
+    val plantedFound = dups.map(_._1).count(id =>
+      banded.exists(t => t._1 == id || t._2 == id))
+    assert(plantedFound == dups.size,
+      s"only $plantedFound of ${dups.size} planted near-copies found: $banded")
+    assert(!banded.exists(t => t._1 >= 200L || t._2 >= 200L),
+      "degenerate vectors must not pair")
+    // threshold -1 exposes the raw candidate volume (every candidate
+    // has SOME cosine >= -1): candidates must prune vs all-pairs
+    val nCand = SimilaritySearch.bandedLshNearDupPairs(
+      corpus, "id", "v", threshold = -1.0, dim = dim).count()
+    val n = base.size + dups.size
+    assert(nCand < n.toLong * (n - 1) / 2,
+      s"banding must prune the candidate space: $nCand candidates")
+  }
+
   test("releaseServingBroadcasts drains the per-shard broadcasts after materialization") {
     import spark.implicits._
     val corpus = (1L to 80L).map(i => (i, vec(i))).toDF("id", "v")
