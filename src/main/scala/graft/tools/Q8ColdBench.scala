@@ -69,6 +69,43 @@ object Q8ColdBench {
           java.nio.file.Paths.get(out), (line + "\n").getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
+      case "scan" =>
+        // the ISOLATED form of the question: one un-warmed pass over
+        // each arm's coarse-scan INPUT (the exact frames Q8Diag times
+        // warm) — scan + tuple deserialization, no serving compute on
+        // top. This is where a 1 B-vs-4 B/component delta must show if
+        // it shows anywhere; the full `run` mode buries it under ~60 s
+        // of probe/kernel/rerank work.
+        val indexDir = args(1)
+        val arm = args(2)
+        val out = args(3)
+        val loaded = SimilaritySearch.ivfLoad(spark, indexDir)
+        require(loaded.quantized.isDefined, "saved layout must carry the projection")
+        import spark.implicits._
+        implicit val sp: SparkSession = spark
+        val cq = arm match {
+          case "bytes" => loaded.quantized.get.select(
+            col("vec_id").cast("long").as("__nid"),
+            col("cluster").cast("int").as("__cc"), col("__cq"), col("__cn2"))
+          case "inline" => loaded.assigned.select(
+              col("vec_id").cast("long").as("__nid"),
+              col("cluster").cast("int").as("__cc"),
+              graft.functions.VectorFunctions.quantizeInt8(col("embedding")).as("__cq"))
+            .withColumn("__cn2",
+              graft.functions.VectorFunctions.int8Dot(col("__cq"), col("__cq")))
+          case other => sys.error(s"arm must be bytes|inline, got $other")
+        }
+        val ds = cq.as[(Long, Int, Array[Byte], Long)]
+          .mapPartitions { it => var n = 0L; it.foreach(_ => n += 1); Iterator(n) }
+        val t0 = System.nanoTime()
+        ds.write.mode("overwrite").format("noop").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val line = f"""{"mode":"scan","arm":"$arm","cold_sec":$sec%.3f}"""
+        println(line)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out), (line + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
       case other =>
         sys.error(s"unknown mode '$other'")
     }
