@@ -385,9 +385,18 @@ object SimilaritySearch {
     * in memory, and medians-of-3 at this effect size are band-noise.
     * The projection's durable wins are measurement-independent:
     * at-rest size (16 MB vs 46 MB at sf10 — 3× less to store AND to
-    * read cold, the regime of an object-store corpus) and skipping
-    * the quantize pass per serving run. Runtime-neutral warm,
-    * strictly better cold. */
+    * read cold) and skipping the quantize pass per serving run.
+    * "Strictly better cold" is now a NUMBER, not a claim (r16 verdict
+    * #7, `results/q8cold_scan_sf10_r17.jsonl` — fresh JVM per sample,
+    * OS page cache dropped before each, arms interleaved across
+    * JVMs): the cold coarse-input scan+deserialize reads 0.63–0.74 s
+    * from bytes vs 0.94–1.02 s from floats+inline-quantize — 1.53× at
+    * sf10, every interleaved pair agreeing. In a FULL cold serve the
+    * sub-second delta is invisible under ~60 s of probe/kernel/rerank
+    * compute on a bursting host (`results/q8cold_sf10_r17.jsonl`,
+    * pair ratios 0.69–1.39) — the scan-level number is the honest
+    * form of the claim, and it scales with corpus bytes while the
+    * compute does not. */
   final case class IvfIndex(
       centroids: Array[(Array[Double], Double)],
       assigned: DataFrame,

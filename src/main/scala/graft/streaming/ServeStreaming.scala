@@ -51,7 +51,18 @@ object ServeStreaming {
     * persisted byte projection when the layout carries one),
     * `false` through the exact arm. Returns the started query —
     * callers drive it (`processAllAvailable()` in tests,
-    * awaitTermination in a real server). */
+    * awaitTermination in a real server).
+    *
+    * `cacheIndex` (default on): the resolved-version CACHE. Every
+    * micro-batch still re-reads the one-line CURRENT pointer (the
+    * refresh mechanism — a new [[SimilaritySearch.ivfSave]] version is
+    * picked up on the very next batch, spec'd), but the FULL ivfLoad
+    * (meta read + k centroid rows + two frame constructions) re-runs
+    * only when the resolved version path CHANGES. Measured at sf1
+    * (`results/serve_stream_sf1_r17.json`): the unconditional re-load
+    * cost ~0.33 s of every batch — ~20% of a 1k-row micro-batch —
+    * and the cache removes it (1k-row exact batches 1.72 → 1.38 s
+    * median). `false` restores the unconditional per-batch ivfLoad. */
   def ivfServeStream(
       stream: DataFrame,
       indexDir: String,
@@ -61,7 +72,8 @@ object ServeStreaming {
       topK: Int = 10,
       nprobe: Int = 4,
       overFetch: Int = 4,
-      quantized: Boolean = true): StreamingQuery = {
+      quantized: Boolean = true,
+      cacheIndex: Boolean = true): StreamingQuery = {
     val spark = stream.sparkSession
     // PRECONDITION, checked loudly at start (round-16 advice): the index
     // root must already hold one COMPLETE version (an ivfSave that ran
@@ -77,11 +89,29 @@ object ServeStreaming {
           "the serving stream; mid-stream refreshes then land via further " +
           "ivfSave calls with no restart", e)
     }
+    // resolved-version cache (see scaladoc): driver-side state of this
+    // stream's foreachBatch closure; micro-batches run sequentially on
+    // the driver, so no synchronization. Cache key = the RESOLVED
+    // version path, and the load goes through that same path (a version
+    // dir is a valid flat layout), so a refresh landing between the
+    // probe and the load cannot mis-key the cache.
+    var cachedIndex: Option[(String, SimilaritySearch.IvfIndex)] = None
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val index = SimilaritySearch.ivfLoad(spark, indexDir)
+        val index =
+          if (!cacheIndex) SimilaritySearch.ivfLoad(spark, indexDir)
+          else {
+            val versionPath = SimilaritySearch.ivfCurrentPath(spark, indexDir)
+            cachedIndex match {
+              case Some((p, idx)) if p == versionPath => idx
+              case _ =>
+                val idx = SimilaritySearch.ivfLoad(spark, versionPath)
+                cachedIndex = Some((versionPath, idx))
+                idx
+            }
+          }
         val answers =
           if (quantized)
             SimilaritySearch.ivfTopKBatchQuantizedChunked(

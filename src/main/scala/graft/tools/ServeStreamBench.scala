@@ -46,11 +46,18 @@ object ServeStreamBench {
     loadOnce() // warm: parquet footer + codegen
     val loadSecs = Seq.fill(5)(loadOnce())
     val nBatches = 5
-    val configs = for {
-      quantized <- Seq(false, true)
-      batchSize <- Seq(1000, 10000)
-    } yield {
-      val arm = if (quantized) "sq8" else "exact"
+    // the 2x2 grid with the resolved-version cache ON (the default),
+    // plus cache-OFF arms at 1k rows — the batch size where the
+    // unconditional per-batch ivfLoad is proportionally largest — to
+    // measure what the cache buys (the r16 verdict #4 follow-up rule:
+    // measure the obvious fix before shipping it)
+    val grid = Seq(
+      (false, 1000, true), (false, 10000, true),
+      (true, 1000, true), (true, 10000, true),
+      (false, 1000, false), (true, 1000, false))
+    val configs = grid.map { case (quantized, batchSize, cacheIdx) =>
+      val arm = (if (quantized) "sq8" else "exact") +
+        (if (cacheIdx) "" else "_nocache")
       val srcDir = s"$root/queries_${arm}_$batchSize"
       val outDir = s"$root/answers_${arm}_$batchSize"
       // batch 0 must exist before readStream resolves the source dir;
@@ -68,7 +75,8 @@ object ServeStreamBench {
         .parquet(srcDir)
       val q = graft.streaming.ServeStreaming.ivfServeStream(
         stream, idxDir, "q_id", "embedding", outDir,
-        topK = 10, nprobe = 4, overFetch = 4, quantized = quantized)
+        topK = 10, nprobe = 4, overFetch = 4, quantized = quantized,
+        cacheIndex = cacheIdx)
       val batchSecs = try {
         (0 until nBatches).map { b =>
           if (b > 0) writeBatch(b)
@@ -78,7 +86,7 @@ object ServeStreamBench {
         }
       } finally q.stop()
       val med = BenchProtocol.median(batchSecs.drop(1)) // steady-state
-      f"""{"arm":"$arm","batch_rows":$batchSize,"batch_secs":[${batchSecs.map(s => f"$s%.3f").mkString(",")}],"median_warm_sec":$med%.3f}"""
+      f"""{"arm":"$arm","batch_rows":$batchSize,"cache_index":$cacheIdx,"batch_secs":[${batchSecs.map(s => f"$s%.3f").mkString(",")}],"median_warm_sec":$med%.3f}"""
     }
     val loadMed = BenchProtocol.median(loadSecs)
     val line =
