@@ -59,10 +59,12 @@ object ServeStreaming {
     * picked up on the very next batch, spec'd), but the FULL ivfLoad
     * (meta read + k centroid rows + two frame constructions) re-runs
     * only when the resolved version path CHANGES. Measured at sf1
-    * (`results/serve_stream_sf1_r17.json`): the unconditional re-load
-    * cost ~0.33 s of every batch — ~20% of a 1k-row micro-batch —
-    * and the cache removes it (1k-row exact batches 1.72 → 1.38 s
-    * median). `false` restores the unconditional per-batch ivfLoad. */
+    * (`results/serve_stream_sf1_r17.json`, 20k-vector index, same-run
+    * A/B): the unconditional re-load costs ~0.4 s of EVERY batch
+    * (solo ivfLoad median 0.393 s) — 25–32% of a 1k-row micro-batch —
+    * and the cache removes exactly it: 1k-row steady-state medians
+    * 1.53 → 1.05 s (exact arm) and 1.95 → 1.47 s (SQ8 arm). `false`
+    * restores the unconditional per-batch ivfLoad. */
   def ivfServeStream(
       stream: DataFrame,
       indexDir: String,
