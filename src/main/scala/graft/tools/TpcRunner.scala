@@ -234,7 +234,20 @@ object TpcRunner {
       f""""total_min_ms": $totalMin%.1f""",
       f""""total_median_ms": $totalMedian%.1f""",
       s""""failed": $failed""",
-      s""""adjudicable": $adjudicable""") ++ rows.map { case (n, ts, gc) =>
+      s""""adjudicable": $adjudicable""",
+      // mechanical burst classification (round-16 verdict #2), the
+      // SAME classifier graft.Bench emits: every query window with an
+      // outlier is named host-burst vs jvm-internal. This runner has
+      // no per-sample GC or canary_pre, so classification rides the
+      // legacy query-total-GC fallback (an upper bound on what GC
+      // could explain) — exactly the r15-replay code path.
+      s""""suspect_kind": ${
+        rows.flatMap { case (n, ts, gc) =>
+          val k = BenchProtocol.suspectKind(
+            ts.map(_ / 1000.0), None, Some(gc))
+          if (k == "none") None else Some(s"${jstr(n)}: ${jstr(k)}")
+        }.mkString("{", ",", "}")
+      }""") ++ rows.map { case (n, ts, gc) =>
       s"""${jstr(n)}: {"ms": [${ts.map(t => f"$t%.1f").mkString(",")}], """ +
         f""""median_ms": ${median(ts)}%.1f, "min_ms": ${ts.min}%.1f, """ +
         f""""pair_spread": ${BenchProtocol.pairSpread(ts)}%.3f, "gc_sec": $gc%.3f}"""
