@@ -314,11 +314,29 @@ object SimilaritySearch {
           lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
+    // PERSISTED: the signature projection (bands × bitsPerBand dot
+    // products per row — the generator's dominant cost) feeds BOTH
+    // sides of the candidate self-join; without the persist it would
+    // compute twice (round-17 self-review). Lifecycle per Q.scala's
+    // contract: the runner's clearCache (or an enclosing
+    // withServingResources scope) owns it.
     val sigs = corpus
       .filter(size(col(vecCol)) === dim &&
         VectorFunctions.norm(col(vecCol)) > 0)
       .select(col(idCol).as("__bid"),
         posexplode(array(sigCols: _*)).as(Seq("band", "sig")))
+      .persist()
+    registerServingCleanup(() => { sigs.unpersist(false); () }, None)
+    // a WRONG `dim` must fail loudly, not return an empty dedup
+    // (round-17 self-review: size(vecCol) === dim over a corpus of a
+    // different width matched nothing, and "no pairs" downstream reads
+    // as "no duplicates"): if the filter empties a non-empty corpus,
+    // every row was excluded and the parameters don't fit the data
+    require(!sigs.isEmpty || corpus.isEmpty,
+      s"bandedLshNearDupPairs: every corpus row was excluded from " +
+        s"banding — no row has $dim-wide non-degenerate vectors in " +
+        s"'$vecCol'; pass the corpus's true vector width as `dim` " +
+        "(degenerate all-zero corpora have no near-dup pairs by policy)")
     val cand = sigs.select(col("__bid").as("idA"), col("band"), col("sig"))
       .join(sigs.select(col("__bid").as("idB"), col("band"), col("sig")),
         Seq("band", "sig"))
@@ -873,11 +891,20 @@ object SimilaritySearch {
     // driver — ~600 MB of boxed tuples at the 2^20 cap × nprobe=16 —
     // although only the cluster UNION, at most k ints, is needed
     // driver-side): broadcast() materializes it at join time, and the
-    // union comes from its own distinct() aggregate. The probe flatMap
-    // therefore evaluates twice (once for the union, once through the
-    // broadcast) — each pass is one centroid-argmax scan of the batch,
-    // cheap next to the scoring join it gates, and nothing batch-sized
-    // ever lands on the driver in this arm.
+    // union comes from its own distinct() aggregate. The frame is
+    // PERSISTED before either consumer runs (round-17 self-review):
+    // the union collect below materializes it into the cache, and the
+    // broadcast build then reads the SAME partitions — one probe
+    // evaluation, and the pruning union provably covers every cluster
+    // the join sees (two independent evaluations of a nondeterministic
+    // `queries` source could otherwise disagree and silently drop a
+    // query's neighbors — though note BOTH batch arms, like the
+    // quantized one's collected brows vs its re-evaluated rerank
+    // fetch, assume a deterministic `queries` frame, as Spark itself
+    // does for retries). Cache lifecycle follows Q.scala's contract:
+    // inside a withServingResources scope the unpersist is registered
+    // for the caller's release; otherwise the RUNNER's clearCache owns
+    // it.
     val probed = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])]
@@ -887,6 +914,8 @@ object SimilaritySearch {
         probeClusters(cs, v, effNprobe).map(c => (qid, c))
       }
       .toDF("__qid", "cluster")
+      .persist()
+    registerServingCleanup(() => { probed.unpersist(false); () }, None)
     // Probe-union partition pruning (round-15 verdict #4), matching the
     // quantized arm at :995: rows in clusters no query probes can never
     // survive the probe join, so a static `cluster IN (…)` filter drops
@@ -1106,7 +1135,7 @@ object SimilaritySearch {
       else {
         val packed = packQuantizedBatch(rows)
         val bc = cq.sparkSession.sparkContext.broadcast(packed)
-        servingBroadcasts.add(bc)
+        registerServingCleanup(() => bc.destroy(), Some(bc))
         val slice =
           if (nShards == 1) cq
           else cq.filter(col("__cc") >= base && col("__cc") < base + maskWidth)
@@ -1116,25 +1145,69 @@ object SimilaritySearch {
   }
 
   /** Process-wide queue of the PackedBatch broadcasts the quantized
-    * kernel scans build (see [[shardedKernelScans]]'s lifecycle note).
+    * kernel scans build (see [[shardedKernelScans]]'s lifecycle note)
+    * when NO [[withServingResources]] scope is active.
     * ConcurrentLinkedQueue: adds race only with the release drain, and
     * a broadcast enqueued mid-drain simply survives to the next one. */
   private val servingBroadcasts =
     new java.util.concurrent.ConcurrentLinkedQueue[
       org.apache.spark.broadcast.Broadcast[_]]()
 
-  /** Destroy every per-batch serving broadcast built since the last
-    * call (round-16 advice: without this a k > 64 index leaks
-    * ⌈k/64⌉ batch-sized broadcast blocks per ServeStreaming micro-batch
-    * until a natural GC drains the weak-reference queue). Call ONLY
-    * after every result frame built from those broadcasts is fully
-    * materialized (written/collected) — a released broadcast cannot be
-    * re-read, so re-executing a still-lazy frame afterwards fails.
-    * ServeStreaming calls this at the end of each micro-batch (the
-    * batch's answers are on disk by then, and the next batch builds
-    * fresh broadcasts); single-shot batch callers can call it after
-    * their own write. Concurrent serving jobs in one JVM should skip it
-    * (the queue is process-wide) and rely on the GC fallback.
+  /** The active per-thread resource scope (see
+    * [[withServingResources]]): serving ops register their per-call
+    * cleanups (PackedBatch broadcast destroys, internal persist
+    * unpersists) here when a scope is open on the constructing
+    * thread. */
+  private val cleanupScope =
+    new ThreadLocal[scala.collection.mutable.Buffer[() => Unit]]()
+
+  /** Register a serving-resource cleanup: into the calling thread's
+    * open [[withServingResources]] scope when there is one, else (for
+    * broadcasts only) the process-wide queue that
+    * [[releaseServingBroadcasts]] drains. `asBroadcast` carries the
+    * queue fallback; persist-style cleanups without a scope are left
+    * to the runner's cache lifecycle (see Q.scala's contract). */
+  private def registerServingCleanup(
+      cleanup: () => Unit,
+      asBroadcast: Option[org.apache.spark.broadcast.Broadcast[_]]): Unit = {
+    val scope = cleanupScope.get()
+    if (scope != null) scope += cleanup
+    else asBroadcast.foreach(servingBroadcasts.add)
+  }
+
+  /** SCOPED capture of the serving resources `body` creates on THIS
+    * thread (round-17 self-review: the process-wide release could
+    * destroy broadcasts belonging to a CONCURRENT job — e.g. an ingest
+    * stream sharing the JVM with a serving stream, both riding
+    * [[shardedKernelScans]]). The serving ops create their broadcasts
+    * and internal persists EAGERLY at op-construction time (the probe
+    * collect forces them), so constructing the result frame inside
+    * `body` captures exactly this call's resources and nothing else.
+    * Returns (result, release): call `release()` only after the result
+    * frame is fully materialized (written/collected) — a destroyed
+    * broadcast cannot be re-read. ServeStreaming wraps each
+    * micro-batch's op construction and releases after the batch's
+    * write. */
+  def withServingResources[T](body: => T): (T, () => Unit) = {
+    val buf = scala.collection.mutable.Buffer.empty[() => Unit]
+    val prev = cleanupScope.get()
+    cleanupScope.set(buf)
+    val result = try body finally cleanupScope.set(prev)
+    (result, () => buf.foreach { f =>
+      try f() catch { case _: Exception => () } // best-effort frees
+    })
+  }
+
+  /** Destroy every per-batch serving broadcast registered OUTSIDE a
+    * [[withServingResources]] scope since the last call (round-16
+    * advice: without this a k > 64 index leaks ⌈k/64⌉ batch-sized
+    * broadcast blocks per serving call until a natural GC drains the
+    * weak-reference queue). Call ONLY after every result frame built
+    * from those broadcasts is fully materialized (written/collected) —
+    * a released broadcast cannot be re-read. Single-shot batch callers
+    * call it after their own write; anything running CONCURRENT
+    * serving/ingest jobs in one JVM must use [[withServingResources]]
+    * instead (this queue is process-wide and cannot tell jobs apart).
     * Returns the number of broadcasts destroyed. */
   def releaseServingBroadcasts(): Int = {
     var n = 0

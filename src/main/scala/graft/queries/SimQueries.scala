@@ -200,7 +200,11 @@ object SimQueries {
     * t19/v18 use. */
   val bandedComponents: Q = Q(
     "v19_banded_lsh_components",
-    """WITH RECURSIVE d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    """WITH RECURSIVE d0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+      |           FROM embeddings WHERE len(embedding) = 64),
+      |dn AS (SELECT vec_id, SUM(ve[i] * ve[i]) AS n2
+      |       FROM d0, generate_series(1, 64) t(i) GROUP BY vec_id),
+      |d AS (SELECT d0.vec_id, d0.ve FROM d0 JOIN dn USING (vec_id) WHERE dn.n2 > 0),
       |proj AS (SELECT vec_id, p,
       |    SUM(ve[j] * (CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(j-1 AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
       |                 THEN 1.0 ELSE -1.0 END)) AS s
@@ -219,7 +223,8 @@ object SimQueries {
       |            generate_series(1, 64) t(i)
       |       GROUP BY c.a_id, c.b_id),
       |pairs AS (SELECT a_id, b_id FROM pv
-      |          WHERE FLOOR(dot / (SQRT(n1) * SQRT(n2)) * 10000 + 0.5)/10000 >= 0.45),
+      |          WHERE n1 > 0 AND n2 > 0
+      |            AND FLOOR(dot / (SQRT(n1) * SQRT(n2)) * 10000 + 0.5)/10000 >= 0.45),
       |eb AS (SELECT a_id AS src, b_id AS dst FROM pairs
       |       UNION ALL SELECT b_id, a_id FROM pairs),
       |r AS (

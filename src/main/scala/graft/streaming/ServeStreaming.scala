@@ -81,23 +81,33 @@ object ServeStreaming {
     // root must already hold one COMPLETE version (an ivfSave that ran
     // to its CURRENT-pointer commit). Without this, a stream started
     // before the first save finishes would die inside its first
-    // micro-batch on ivfLoad's opaque `require` — this surfaces the
-    // misuse at .start() time with the fix in the message. The per-batch
-    // re-resolution below is unchanged (that is the refresh mechanism).
-    try { SimilaritySearch.ivfLoad(spark, indexDir); () } catch {
-      case e: Exception => throw new IllegalArgumentException(
-        s"ivfServeStream: no complete index version under '$indexDir' — " +
-          "run ivfSave to completion (its CURRENT commit) before starting " +
-          "the serving stream; mid-stream refreshes then land via further " +
-          "ivfSave calls with no restart", e)
-    }
+    // micro-batch on an opaque `require` — this surfaces the misuse at
+    // .start() time with the fix in the message. The check is the CHEAP
+    // version resolution (one CURRENT read / listing), not a full load,
+    // and only the resolution's own IllegalArgumentException is
+    // rebranded — a transient filesystem error propagates as itself
+    // instead of masquerading as a missing index (round-17
+    // self-review). The per-batch re-resolution below is unchanged
+    // (that is the refresh mechanism).
+    val initialVersion =
+      try SimilaritySearch.ivfCurrentPath(spark, indexDir) catch {
+        case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"ivfServeStream: no complete index version under '$indexDir' — " +
+            "run ivfSave to completion (its CURRENT commit) before starting " +
+            "the serving stream; mid-stream refreshes then land via further " +
+            "ivfSave calls with no restart", e)
+      }
     // resolved-version cache (see scaladoc): driver-side state of this
     // stream's foreachBatch closure; micro-batches run sequentially on
     // the driver, so no synchronization. Cache key = the RESOLVED
     // version path, and the load goes through that same path (a version
     // dir is a valid flat layout), so a refresh landing between the
-    // probe and the load cannot mis-key the cache.
-    var cachedIndex: Option[(String, SimilaritySearch.IvfIndex)] = None
+    // probe and the load cannot mis-key the cache. Seeded from the
+    // precondition's resolution so batch 0 pays no second resolution.
+    var cachedIndex: Option[(String, SimilaritySearch.IvfIndex)] =
+      if (cacheIndex) Some((initialVersion,
+        SimilaritySearch.ivfLoad(spark, initialVersion)))
+      else None
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$outDir/_checkpoint")
@@ -114,18 +124,22 @@ object ServeStreaming {
                 idx
             }
           }
-        val answers =
+        // SCOPED resource capture (round-17 self-review — the previous
+        // process-wide releaseServingBroadcasts() could destroy a
+        // CONCURRENT job's in-flight broadcasts): only the resources
+        // THIS batch's op construction creates (per-shard PackedBatch
+        // broadcasts, the exact arm's probe-frame persist) are freed,
+        // after the batch's answers are on disk.
+        val (answers, release) = SimilaritySearch.withServingResources {
           if (quantized)
             SimilaritySearch.ivfTopKBatchQuantizedChunked(
               index, batch, queryIdCol, queryVecCol, topK, nprobe, overFetch)
           else
             SimilaritySearch.ivfTopKBatchChunked(
               index, batch, queryIdCol, queryVecCol, topK, nprobe)
+        }
         answers.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        // the batch's answers are on disk: destroy its per-shard
-        // PackedBatch broadcasts now instead of leaking them to GC
-        // (round-16 advice; see releaseServingBroadcasts' contract)
-        SimilaritySearch.releaseServingBroadcasts()
+        release()
         ()
       }
       .start()

@@ -761,6 +761,30 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(SimilaritySearch.releaseServingBroadcasts() >= 1)
   }
 
+  test("withServingResources scopes a call's resources away from the global queue") {
+    import spark.implicits._
+    val corpus = (1L to 80L).map(i => (i, vec(i))).toDF("id", "v")
+    val idx = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 6, lloydIters = 2)
+    val queries = Seq(811L -> jitter(vec(5L), 0.01f)).toDF("qid", "qv")
+    SimilaritySearch.releaseServingBroadcasts() // start empty
+    // resources created INSIDE the scope are captured for the scope's
+    // release, NOT enqueued globally — so a concurrent job draining
+    // the global queue cannot destroy them (round-17 self-review)
+    val (rows, release) = SimilaritySearch.withServingResources {
+      SimilaritySearch.ivfTopKBatchQuantized(
+        idx, queries, "qid", "qv", topK = 3, nprobe = 2).collect()
+    }
+    assert(rows.nonEmpty)
+    assert(SimilaritySearch.releaseServingBroadcasts() == 0,
+      "scoped resources must not reach the process-wide queue")
+    release() // frees the scope's broadcasts + persists; idempotent data
+    // the op still answers identically after the scoped release
+    val again = SimilaritySearch.ivfTopKBatchQuantized(
+      idx, queries, "qid", "qv", topK = 3, nprobe = 2).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+    SimilaritySearch.releaseServingBroadcasts(): Unit
+  }
+
   test("mask sharding: forced 5-wide shards are bit-identical to the one-word scan") {
     import spark.implicits._
     // k=16 through maskWidth=5 → 4 shards, probe sets split across

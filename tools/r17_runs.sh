@@ -36,7 +36,9 @@ rm -f "$OUT/q8cold_sf10_r17.jsonl"
 sbt -batch "runMain graft.tools.Q8ColdBench prepare /tmp/graft_sf10 $IDX" || exit 1
 for i in 1 2 3; do
   for arm in bytes inline; do
-    sync && echo 3 > /proc/sys/vm/drop_caches
+    # a FAILED drop must abort, not silently record warm readings into
+    # an artifact labeled cold (round-17 self-review)
+    sync && echo 3 > /proc/sys/vm/drop_caches || exit 1
     sbt -batch "runMain graft.tools.Q8ColdBench run $IDX $arm 16 $OUT/q8cold_sf10_r17.jsonl" || exit 1
   done
 done
