@@ -233,6 +233,69 @@ object TextDedup {
       maxIters: Int = 50): DataFrame =
     Graph.connectedComponents(pairs, aCol, bCol, maxIters)
 
+  /** Exact-substring span dedup — the repeated-passage removal pass of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022), in its windowed distributed form: every
+    * overlapping `window`-token span is fingerprinted; a span whose
+    * fingerprint occurs in at least `minDocs` DISTINCT documents is
+    * duplicated; every token position covered by at least one
+    * duplicated span is removed from the document. Unlike whole-doc
+    * near-dup (MinHash/SimHash — which keeps or drops entire texts),
+    * this surgically strips the shared boilerplate/quoted passages
+    * while keeping each document's unique remainder — the
+    * sub-document counterpart of [[exact]], and the overlapping-span
+    * counterpart of the disjoint-block profile (`t16_block_dedup`).
+    *
+    * Returns one row per input row: (idCol, n_tokens, dup_tokens,
+    * clean_text) where `dup_tokens` counts the removed positions and
+    * `clean_text` is the surviving tokens rejoined in order (empty
+    * string when everything was duplicated). Documents shorter than
+    * `window` tokens have no spans and pass through untouched.
+    *
+    * Scale posture: one window per token position (linear, unlike the
+    * suffix array the single-node original builds), shuffled as 60-bit
+    * md5 fingerprints (8 bytes, never span strings); the duplicated
+    * set is one hash aggregation; coverage flows back through one
+    * fingerprint-keyed join; per-document state (the covered-position
+    * set) is bounded by document length and assembled with
+    * higher-order array functions — no driver state anywhere. A corpus
+    * with degenerate mega-documents should be pre-chunked (the t24
+    * chunker) so the per-doc position arrays stay bounded. */
+  def substringSpanDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 6,
+      minDocs: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val ws = df.select(col(idCol).as("__id"), split(col(textCol), " ").as("__ws"))
+    // one span per 1-based start position p, carried as its 60-bit hash
+    val win = ws.filter(size(col("__ws")) >= window)
+      .select(col("__id"), posexplode(expr(
+        s"transform(sequence(1, size(__ws) - ${window - 1}), " +
+          s"p -> concat_ws(' ', slice(__ws, p, $window)))"))
+        .as(Seq("__p0", "__g")))
+      .select(col("__id"), (col("__p0") + 1).as("__p"), mdHash(col("__g")).as("__gh"))
+    val dup = win.groupBy("__gh")
+      .agg(countDistinct(col("__id")).as("__d"))
+      .filter(col("__d") >= minDocs)
+      .select("__gh")
+    // covered token positions per doc: union of all duplicated spans
+    val cov = win.join(dup, "__gh")
+      .select(col("__id"), explode(expr(s"sequence(__p, __p + ${window - 1})")).as("__cp"))
+      .groupBy("__id")
+      .agg(sort_array(collect_set(col("__cp"))).as("__cov"))
+    ws.join(cov, Seq("__id"), "left")
+      .withColumn("__cov2", expr("coalesce(__cov, CAST(array() AS ARRAY<INT>))"))
+      .select(col("__id").as(idCol),
+        size(col("__ws")).as("n_tokens"),
+        size(col("__cov2")).as("dup_tokens"),
+        expr("""array_join(transform(
+          |  filter(sequence(1, size(__ws)), p -> NOT array_contains(__cov2, p)),
+          |  p -> element_at(__ws, p)), ' ')""".stripMargin).as("clean_text"))
+  }
+
   /** Distinct word-shingle strings per row: (__id, __g). Shared by the
     * shingle-based checks; capped per doc so a degenerate mega-document
     * cannot explode the shingle table. */

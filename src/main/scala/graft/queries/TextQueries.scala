@@ -1093,11 +1093,54 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring span dedup (Lee et al. 2022, windowed form):
+    * 6-token overlapping spans fingerprinted corpus-wide; spans seen in
+    * ≥2 distinct docs mark every covered token position; marked
+    * positions are stripped and the survivors rejoined. The
+    * sub-document dedup a curation pipeline runs between whole-doc
+    * dedup (t1/t6) and quality filtering — it removes shared
+    * boilerplate without dropping the unique remainder. Library twin:
+    * [[graft.operators.TextDedup.substringSpanDedup]]. The oracle
+    * replays spans, the distinct-doc threshold, position coverage, and
+    * the token reassembly verbatim (static position bound 128 ≥ this
+    * corpus's 100-token max — exact, not a cap). */
+  val substringDedup: Q = {
+    val W = 6
+    val spanConcat = (0 until W).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    Q(
+      "t31_substring_dedup",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |win AS (SELECT doc_id, i,
+        |    ('0x' || substr(md5($spanConcat), 1, 15))::BIGINT AS gh
+        |  FROM w, generate_series(1, 128) t(i) WHERE i + ${W - 1} <= len(ws)),
+        |dup AS (SELECT gh FROM win GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT win.doc_id, win.i + o.o AS p
+        |        FROM win JOIN dup USING (gh), generate_series(0, ${W - 1}) o(o)),
+        |cvagg AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id),
+        |tok AS (SELECT doc_id, i, ws[i] AS tk
+        |        FROM w, generate_series(1, 128) t(i) WHERE i <= len(ws)),
+        |cl AS (SELECT t.doc_id,
+        |    COALESCE(string_agg(t.tk, ' ' ORDER BY t.i) FILTER (WHERE c.p IS NULL), '')
+        |      AS clean_text
+        |  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.i
+        |  GROUP BY t.doc_id)
+        |SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_tokens,
+        |  CAST(COALESCE(cv.dup_tokens, 0) AS INT) AS dup_tokens, cl.clean_text
+        |FROM w JOIN cl ON cl.doc_id = w.doc_id
+        |LEFT JOIN cvagg cv ON cv.doc_id = w.doc_id
+        |ORDER BY w.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextDedup
+        .substringSpanDedup(t(s, dir, "documents"), "doc_id", "text",
+          window = W, minDocs = 2)
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(dedupExact, tokenStats, langId, quality,
     fingerprint, ngramJaccard, minhashLsh, simhash,
     trainTestSplit, vocab, lengthBuckets, bpeTokens,
     seqPacking, contamination, stratifiedSample,
     blockDedup, repetitionScore, unigramLogprob, neardupComponents, countMin,
     simhashNearDup, piiRedact, domainMix, chunkOverlap, tfidf,
-    curationPipeline, incrementalDedup)
+    curationPipeline, incrementalDedup, substringDedup)
 }

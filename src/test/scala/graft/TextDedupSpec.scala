@@ -61,6 +61,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(st2 == Map(200L -> "keep", 201L -> "keep"), s"got $st2")
   }
 
+  test("substringSpanDedup strips cross-doc duplicated spans, keeps unique remainder") {
+    import spark.implicits._
+    val boiler = (0 until 8).map(i => s"B$i").mkString(" ") // 8 shared tokens
+    val df = Seq(
+      (1L, s"u1a u1b u1c $boiler u1d u1e"),      // boiler mid-doc (pos 4..11)
+      (2L, s"$boiler u2a u2b u2c u2d u2e u2f"),  // boiler at front (pos 1..8)
+      (3L, "solo tokens only here nothing shared at all"), // unique → untouched
+      (4L, boiler),                               // all boiler → stripped empty
+      (5L, "tiny doc"),                           // shorter than window → untouched
+      (6L, "rep rep rep rep rep rep rep rep rep") // INTRA-doc repeats only
+    ).toDF("id", "text")
+    val out = graft.operators.TextDedup
+      .substringSpanDedup(df, "id", "text", window = 6, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out.size == 6, "one row per input row")
+    // the three 6-token windows inside the boiler are shared by docs 1/2/4;
+    // their union covers exactly the 8 boiler positions in each doc
+    assert(out(1L) == ((13, 8, "u1a u1b u1c u1d u1e")), s"got ${out(1L)}")
+    assert(out(2L) == ((14, 8, "u2a u2b u2c u2d u2e u2f")), s"got ${out(2L)}")
+    assert(out(3L) == ((8, 0, "solo tokens only here nothing shared at all")))
+    assert(out(4L) == ((8, 8, "")), s"fully-duplicated doc strips to empty: ${out(4L)}")
+    assert(out(5L) == ((2, 0, "tiny doc")), "sub-window doc passes through")
+    assert(out(6L)._2 == 0 && out(6L)._3 == "rep rep rep rep rep rep rep rep rep",
+      "single-doc repetition is not cross-doc duplication (minDocs=2 distinct docs)")
+  }
+
   test("incrementalDedup near tier == minhashPairs cross-split pairs (shared machinery)") {
     import spark.implicits._
     // both paths now share affineSignatures + bandKeys, so the batch ids
