@@ -196,6 +196,239 @@ object SimilaritySearch {
   private def coarseCosSelf(implicit sp: SparkSession): Column =
     coarseCos(VectorFunctions.int8Dot(col("__cq"), col("__cq")))
 
+  // ================= Product quantization (PQ / ADC) =================
+
+  /** A trained product-quantization index (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    * space splits into `m` contiguous subspaces of `dsub` components,
+    * each with its own `ksub`-codeword codebook (k-means run in the
+    * subspace), and every corpus vector is stored as m code ids
+    * bit-packed into ONE long (`pq_code`) plus its float norm. At the
+    * m=8 / ksub=16 defaults on 64-dim vectors that is 4 bits × 8 = one
+    * 32-bit code — (id, pq_code, nrm) ≈ 24 B/row against 256 B of
+    * float32 and ~65 B of the SQ8 projection: the compression tier
+    * BELOW scalar quantization, which is what billion-vector serving
+    * fleets keep resident in RAM. `codebook(s)(c)` is the dsub-dim
+    * codeword — m × ksub × dsub doubles of driver state (~8 KB at the
+    * defaults, the k-means driver footprint), inlined into the scoring
+    * expression as literals at serve time. `ksub` is the TRAINED
+    * codebook size (≤ the requested size when the corpus yields fewer
+    * seeds); `bits` is the packing width fixed from the REQUESTED size
+    * so layouts are stable across retrains. `corpus` keeps
+    * (idCol, vecCol) for the exact-rerank float fetch. */
+  final case class PqIndex(
+      m: Int,
+      ksub: Int,
+      dsub: Int,
+      bits: Int,
+      codebook: Array[Array[Array[Double]]],
+      encoded: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String)
+
+  /** Nearest PQ codeword in subspace `s` by the FIXED-POINT squared-L2
+    * distance — per-term `floor((x−c)²·2^24 + 0.5)` summed as longs, so
+    * the metric is exact integer arithmetic (order-free, and replayed
+    * verbatim by the v20 oracle's SQL); ties break to the lower code
+    * id, the same convention as [[nearestCentroid]]. */
+  private def pqNearestCode(
+      cb: Array[Array[Array[Double]]], v: Array[Float], s: Int, dsub: Int): Int = {
+    val sub = cb(s)
+    var best = 0; var bestDist = Long.MaxValue
+    var c = 0
+    while (c < sub.length) {
+      var dist = 0L
+      var i = 0
+      while (i < dsub) {
+        val diff = v(s * dsub + i).toDouble - sub(c)(i)
+        dist += math.floor(diff * diff * 16777216.0 + 0.5).toLong
+        i += 1
+      }
+      if (dist < bestDist) { bestDist = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train a PQ codebook over (idCol, vecCol) and encode the corpus.
+    *
+    * Build shape mirrors [[ivfBuild]] exactly — deterministic
+    * hash-stride seeding (one filter over ~2·ksub candidate rows, never
+    * a corpus sort; each seed vector contributes its s-th subvector to
+    * subspace s's codebook), `lloydIters` rounds of per-subspace Lloyd
+    * where every per-code mean is an ORDER-FREE exact fixed-point
+    * component sum (scale 2^24 — integer addition commutes, so partial
+    * aggregation is bit-deterministic in any merge order and no task
+    * ever holds a whole code's members), empty codes keep their
+    * codeword, then one encode pass packing each vector's m nearest
+    * codes into `pq_code`. All m subspaces train in the SAME corpus
+    * passes (the flatMap emits one (subspace, code) key per subspace),
+    * so the build costs the same number of scans as single-space
+    * k-means. `portableSeeds` swaps the stride hash to the md5-derived
+    * 60-bit hash both engines compute identically, making the whole
+    * build + encode + serve SQL-replayable — how `v20_pq_adc_topk`
+    * rides the hash-exact oracle gate. */
+  def pqBuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      lloydIters: Int = 2,
+      portableSeeds: Boolean = false): PqIndex = {
+    require(m >= 1 && ksub >= 2 && lloydIters >= 0,
+      s"bad m=$m / ksub=$ksub / lloydIters=$lloydIters")
+    val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(ksub - 1))
+    require(m * bits <= 63, s"pq_code does not fit one long: m=$m × $bits bits")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val vecs = corpus.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
+      .persist()
+    val n = vecs.count()
+    require(n > 0, "pqBuild: empty corpus")
+    val dim = vecs.head()._2.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+
+    val strideMod = math.max(1L, n / (2L * ksub))
+    val seedHash =
+      if (portableSeeds) TextDedup.mdHash(col(idCol).cast("string"))
+      else xxhash64(col(idCol))
+    val seeds = corpus.select(col(idCol), col(vecCol))
+      .filter(pmod(seedHash, lit(strideMod)) === 0)
+      .orderBy(seedHash, col(idCol))
+      .limit(ksub)
+      .as[(Long, Array[Float])]
+      .collect()
+    require(seeds.nonEmpty, "pqBuild: stride seeding found no rows")
+    val kEff = seeds.length
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m, kEff, dsub) {
+      (s, c, i) => seeds(c)._2(s * dsub + i).toDouble
+    }
+
+    val FP = 1L << 24
+    val mLoc = m; val ksubLoc = ksub; val dsubLoc = dsub
+    for (_ <- 0 until lloydIters) {
+      val bc = sp.sparkContext.broadcast(cb)
+      val means = vecs
+        .flatMap { case (_, v) =>
+          (0 until mLoc).iterator.map { s =>
+            val fp = new Array[Long](dsubLoc)
+            var i = 0
+            while (i < dsubLoc) {
+              fp(i) = math.round(v(s * dsubLoc + i).toDouble * FP); i += 1
+            }
+            (s * ksubLoc + pqNearestCode(bc.value, v, s, dsubLoc), fp, 1L)
+          }
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (x: (Int, Array[Long], Long), y: (Int, Array[Long], Long)) =>
+          val acc = new Array[Long](x._2.length)
+          var i = 0
+          while (i < acc.length) { acc(i) = x._2(i) + y._2(i); i += 1 }
+          (x._1, acc, x._3 + y._3)
+        }
+        .map { case (key, (_, fp, cnt)) => (key, fp.map(_.toDouble / FP / cnt)) }
+        .collect()
+        .toMap
+      cb = Array.tabulate(m, kEff, dsub) { (s, c, i) =>
+        means.get(s * ksub + c) match {
+          case Some(mean) => mean(i)
+          case None => cb(s)(c)(i) // empty code keeps its codeword
+        }
+      }
+    }
+
+    val bcF = sp.sparkContext.broadcast(cb)
+    val bitsLoc = bits
+    val encoded = vecs.map { case (id, v) =>
+      var packed = 0L
+      var s = 0
+      while (s < mLoc) {
+        packed |= pqNearestCode(bcF.value, v, s, dsubLoc).toLong << (s * bitsLoc)
+        s += 1
+      }
+      var ss = 0.0; var i = 0
+      while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+      (id, packed, math.sqrt(ss))
+    }.toDF(idCol, "pq_code", "nrm")
+    vecs.unpersist(blocking = false)
+    PqIndex(m, kEff, dsub, bits, cb, encoded,
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol)
+  }
+
+  /** ANN top-k served from a [[PqIndex]] by asymmetric distance
+    * computation (ADC): the query builds ONE integer lookup table of
+    * fixed-point ⟨query-subvector, codeword⟩ partial dots (m × ksub
+    * longs, per-term `floor(q·c·2^24 + 0.5)` — computed on the driver,
+    * inlined into the scoring expression as an array literal), and the
+    * coarse pass over the whole corpus is m table lookups + integer
+    * adds per row via an `aggregate` HOF over the packed code — fully
+    * codegen'd, reading only (id, pq_code, nrm) ≈ 24 B/row. Integer
+    * LUT + integer sums make the coarse ranking bit-exact across
+    * engines and aggregation orders — the property the v20 oracle gate
+    * rides. The `topK × overFetch` ADC survivors fetch their floats by
+    * id for the exact rerank (r4-rounded cosine, id tie-break), so
+    * quantization error costs recall only past the overFetch margin,
+    * never the precision of returned scores. Degenerate (zero-norm)
+    * corpus rows score NULL and sort last, the shared drop policy of
+    * [[coarseCos]]. Compose with IVF via `filter` when even a 4-byte
+    * full scan is too much: serve the probe union's clusters only. */
+  def pqTopK(
+      index: PqIndex,
+      query: Array[Float],
+      topK: Int = 10,
+      overFetch: Int = 4,
+      filter: Column = lit(true)): DataFrame = {
+    implicit val sp: SparkSession = index.encoded.sparkSession
+    require(topK >= 1 && overFetch >= 1, "topK and overFetch must be >= 1")
+    require(query.length == index.m * index.dsub,
+      s"query dim ${query.length} != index dim ${index.m * index.dsub}")
+    val FP = 1L << 24
+    val lut = new Array[Long](index.m * index.ksub)
+    var s = 0
+    while (s < index.m) {
+      var c = 0
+      while (c < index.ksub) {
+        var acc = 0L
+        var i = 0
+        while (i < index.dsub) {
+          acc += math.floor(query(s * index.dsub + i).toDouble *
+            index.codebook(s)(c)(i) * FP + 0.5).toLong
+          i += 1
+        }
+        lut(s * index.ksub + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    val qn = normF(query)
+    val lutArr = lut.mkString("array(", "L, ", "L)")
+    val mask = (1L << index.bits) - 1
+    val adc = expr(
+      s"aggregate(sequence(0, ${index.m - 1}), CAST(0 AS BIGINT), " +
+        s"(a, s) -> a + element_at($lutArr, " +
+        s"CAST(s * ${index.ksub} + (shiftright(pq_code, s * ${index.bits}) & $mask) + 1 AS INT)))")
+    val coarse = index.encoded.filter(filter)
+      .select(col(index.idCol),
+        when(col("nrm") =!= 0.0 && lit(qn) =!= 0.0,
+          r4(adc.cast("double") / lit(FP.toDouble) / (col("nrm") * lit(qn))))
+          .as("approx_cos"))
+      .orderBy(col("approx_cos").desc, col(index.idCol))
+      .limit(topK * overFetch)
+    val q = sp.range(1).select(typedLit(query).as("__qe"))
+      .select(col("__qe"), VectorFunctions.norm(col("__qe")).as("__qn"))
+    coarse
+      .join(index.corpus.select(col(index.idCol), col(index.vecCol)), Seq(index.idCol))
+      .crossJoin(broadcast(q))
+      .select(col(index.idCol),
+        r4(VectorFunctions.dot(col(index.vecCol), col("__qe")) /
+          (VectorFunctions.norm(col(index.vecCol)) * col("__qn"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(index.idCol))
+      .limit(topK)
+  }
+
   /** Random-hyperplane LSH signature: bit p of the result is the sign
     * of the vector's projection onto pseudo-hyperplane p, whose ±1
     * weights derive from md5 of (p, component index) — deterministic

@@ -333,6 +333,103 @@ object SimQueries {
        |SELECT vec_id, FLOOR(dot / (n1 * n2) * 10000 + 0.5) / 10000 AS cos_sim
        |FROM rr ORDER BY cos_sim DESC, vec_id LIMIT $topK""".stripMargin
 
+  /** Full product-quantization replay for the v20 oracle: md5-strided
+    * seed selection (each seed's s-th subvector initializes subspace
+    * s's codebook), `iters` unrolled per-subspace Lloyd rounds on the
+    * FIXED-POINT integer L2 metric (per-term floor((x−c)²·2^24+0.5)
+    * summed as BIGINT — exact in any order), fixed-point per-code
+    * means with empty codes keeping their codeword, final encode,
+    * integer ADC LUT from the query subvectors (per-term
+    * floor(q·c·2^24+0.5)), candidate cut at topK×overFetch on the
+    * rounded approx cosine, exact float rerank — every decision
+    * [[graft.operators.SimilaritySearch.pqBuild]]/`pqTopK` make,
+    * verbatim. The subspace id is a GROUP BY key throughout, so all m
+    * codebooks train in ONE CTE chain (not m copies). */
+  private def pqOracleSql(
+      m: Int, ksub: Int, iters: Int, topK: Int, overFetch: Int, dim: Int): String = {
+    val dsub = dim / m
+    def asgCte(name: String, cbIdx: Int): String =
+      s"""$name AS (SELECT vec_id, s, c AS code FROM (
+         |    SELECT t.vec_id, t.s, t.c,
+         |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.s ORDER BY t.dist, t.c) AS rn
+         |    FROM (SELECT b.vec_id, b.s, cb.c,
+         |            SUM(CAST(FLOOR((b.x - cb.comp) * (b.x - cb.comp) * 16777216.0 + 0.5)
+         |              AS BIGINT)) AS dist
+         |          FROM sub b JOIN cb$cbIdx cb ON cb.s = b.s AND cb.i = b.i
+         |          GROUP BY b.vec_id, b.s, cb.c) t) r WHERE rn = 1)""".stripMargin
+    def iterCtes(j: Int): String =
+      s"""${asgCte(s"pasg$j", j - 1)},
+         |psums$j AS (SELECT a.s, a.code AS c, b.i,
+         |    (CAST(SUM(CAST(FLOOR(b.x * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 16777216.0) / CAST(COUNT(*) AS DOUBLE) AS mcomp
+         |  FROM pasg$j a JOIN sub b ON b.vec_id = a.vec_id AND b.s = a.s
+         |  GROUP BY a.s, a.code, b.i),
+         |cb$j AS (SELECT p.s, p.c, p.i, COALESCE(sm.mcomp, p.comp) AS comp
+         |  FROM cb${j - 1} p LEFT JOIN psums$j sm
+         |    ON sm.s = p.s AND sm.c = p.c AND sm.i = p.i)""".stripMargin
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |vnorm AS (SELECT vec_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
+       |          FROM d, generate_series(1, $dim) t(i) GROUP BY vec_id),
+       |cnt AS (SELECT COUNT(*) AS n FROM d),
+       |hashed AS (SELECT vec_id,
+       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM d),
+       |seeds AS (SELECT vec_id, h FROM hashed, cnt
+       |          WHERE h % GREATEST(1, cnt.n // ${2 * ksub}) = 0
+       |          ORDER BY h, vec_id LIMIT $ksub),
+       |sub AS (SELECT vec_id, s, i, ve[s * $dsub + i] AS x
+       |        FROM d, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i)),
+       |cb0 AS (SELECT sd.c, b.s, b.i, b.x AS comp
+       |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c, vec_id FROM seeds) sd
+       |  JOIN sub b ON b.vec_id = sd.vec_id),
+       |${(1 to iters).map(iterCtes).mkString(",\n")},
+       |${asgCte("penc", iters)},
+       |qsub AS (SELECT s, i, x FROM sub WHERE vec_id = 0),
+       |lut AS (SELECT cb.s, cb.c,
+       |          SUM(CAST(FLOOR(q.x * cb.comp * 16777216.0 + 0.5) AS BIGINT)) AS l
+       |        FROM cb$iters cb JOIN qsub q ON q.s = cb.s AND q.i = cb.i
+       |        GROUP BY cb.s, cb.c),
+       |adc AS (SELECT e.vec_id, SUM(l.l) AS adot
+       |        FROM penc e JOIN lut l ON l.s = e.s AND l.c = e.code
+       |        WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+       |pcand AS (SELECT a.vec_id FROM adc a JOIN vnorm vn ON vn.vec_id = a.vec_id,
+       |            (SELECT nrm FROM vnorm WHERE vec_id = 0) qn
+       |          ORDER BY FLOOR(a.adot / 16777216.0 / (vn.nrm * qn.nrm) * 10000 + 0.5)
+       |            / 10000 DESC, a.vec_id
+       |          LIMIT ${topK * overFetch}),
+       |prr AS (SELECT d.vec_id, SUM(d.ve[t.i] * q.ve[t.i]) AS dot, vn.nrm AS n1, qn.nrm AS n2
+       |        FROM pcand ct, d, d q, vnorm vn, vnorm qn, generate_series(1, $dim) t(i)
+       |        WHERE d.vec_id = ct.vec_id AND q.vec_id = 0
+       |          AND vn.vec_id = d.vec_id AND qn.vec_id = 0
+       |        GROUP BY d.vec_id, vn.nrm, qn.nrm)
+       |SELECT vec_id, FLOOR(dot / (n1 * n2) * 10000 + 0.5) / 10000 AS cos_sim
+       |FROM prr ORDER BY cos_sim DESC, vec_id LIMIT $topK""".stripMargin
+  }
+
+  /** PQ-ADC ANN — the compression tier BELOW SQ8, the regime
+    * billion-vector serving fleets keep resident in RAM: the corpus is
+    * product-quantized to one 32-bit code + norm per vector (~24 B/row
+    * vs 256 B float32 / ~65 B SQ8), the coarse pass is m integer
+    * table-lookups per row against the query's ADC LUT (codegen'd
+    * `aggregate` HOF over the packed code — bit-exact in any order),
+    * and the topK×overFetch survivors rerank on the floats. The oracle
+    * replays the ENTIRE stack — seeding, 2 fixed-point per-subspace
+    * Lloyd rounds, encode, integer LUT, candidate cut, exact rerank —
+    * verbatim ([[pqOracleSql]]). */
+  val pqAdcTopK: Q = Q(
+    "v20_pq_adc_topk",
+    pqOracleSql(m = 8, ksub = 16, iters = 2, topK = 10, overFetch = 4, dim = 64)) { (s, dir) =>
+    val sp = s
+    import sp.implicits._
+    val e = t(s, dir, "embeddings")
+    val idx = graft.operators.SimilaritySearch.pqBuild(
+      e, "vec_id", "embedding", m = 8, ksub = 16, lloydIters = 2,
+      portableSeeds = true)
+    val qVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    graft.operators.SimilaritySearch.pqTopK(idx, qVec, topK = 10,
+      overFetch = 4, filter = col("vec_id") =!= 0)
+  }
+
   /** The centroid-build prefix of [[ivfBuildSql]]: `d` (optionally
     * filtered — how v13 builds the index over the CORPUS split only),
     * seeding, `iters` unrolled fixed-point Lloyd rounds, ending in
@@ -988,5 +1085,5 @@ object SimQueries {
     quantizedAnn, quantizedNearDup, annIvfQuantized, clusterSample,
     embeddingDedup, incrementalEmbeddingDedup, incrementalIvfAssign,
     ivfIncrementalDedup, ivfBatchTopK, ivfBatchTopKQuantized,
-    ivfServePersisted, embeddingComponents, bandedComponents)
+    ivfServePersisted, embeddingComponents, bandedComponents, pqAdcTopK)
 }

@@ -1338,4 +1338,73 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(indexed == oneShot,
       s"indexed=$indexed oneShot=$oneShot")
   }
+
+  test("pqBuild + pqTopK retrieve the planted near-copy through the ADC scan") {
+    import spark.implicits._
+    val q = vec(314L)
+    val corpus = ((1L, jitter(q, 0.01f)) +:
+      (2L to 400L).map(i => (i, vec(i * 613 + 7)))).toDF("id", "v")
+    val idx = SimilaritySearch.pqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 2)
+    assert(idx.m == 4 && idx.dsub == 4 && idx.bits == 3)
+    assert(idx.codebook.length == 4 && idx.codebook.forall(_.length == idx.ksub))
+    // every corpus row encodes to one packed code within the bit budget
+    val enc = idx.encoded.collect()
+    assert(enc.length == 400)
+    enc.foreach { r =>
+      val code = r.getLong(1)
+      assert(code >= 0 && code < (1L << (idx.m * idx.bits)), s"packed code $code")
+    }
+    val top = SimilaritySearch.pqTopK(idx, q, topK = 5, overFetch = 4).collect()
+    assert(top.head.getLong(0) == 1L, "planted near-copy must rank first")
+    assert(top.head.getDouble(1) > 0.99)
+    // the rerank is exact: every returned score equals the float scorer's
+    val exact = SimilaritySearch.cosineScores(corpus, "id", "v",
+        Seq(Tuple1(q)).toDF("qv"), "qv")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    top.foreach(r => assert(r.getDouble(1) == exact(r.getLong(0))))
+  }
+
+  test("pqTopK == exact cosineTopK when overFetch covers the corpus") {
+    import spark.implicits._
+    val q = vec(2718L)
+    val corpus = (1L to 120L).map(i => (i, vec(i * 101 + 3))).toDF("id", "v")
+    val idx = SimilaritySearch.pqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 1)
+    // overFetch large enough that the ADC coarse cut keeps every row:
+    // the result must then be BIT-IDENTICAL to the exact scorer's top-k
+    // (the approximation can only cost recall at the cut, never scores)
+    val pq = SimilaritySearch.pqTopK(idx, q, topK = 10, overFetch = 12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = SimilaritySearch.cosineTopK(corpus, "id", "v",
+        Seq(Tuple1(q)).toDF("qv"), "qv", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pq == exact, s"pq=$pq exact=$exact")
+  }
+
+  test("pqBuild is deterministic and guards bad geometry loudly") {
+    import spark.implicits._
+    val corpus = (1L to 80L).map(i => (i, vec(i * 37 + 1))).toDF("id", "v")
+    val a = SimilaritySearch.pqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 2)
+    val b = SimilaritySearch.pqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 2)
+    assert(a.codebook.flatten.flatten.toSeq == b.codebook.flatten.flatten.toSeq,
+      "re-training on the same data must reproduce the codebook bit-for-bit")
+    // m must divide the dimension
+    val e1 = intercept[IllegalArgumentException] {
+      SimilaritySearch.pqBuild(corpus, "id", "v", m = 5, ksub = 8)
+    }
+    assert(e1.getMessage.contains("must divide"))
+    // code must fit one long
+    val e2 = intercept[IllegalArgumentException] {
+      SimilaritySearch.pqBuild(corpus, "id", "v", m = 16, ksub = 256)
+    }
+    assert(e2.getMessage.contains("does not fit"))
+    // query dimension mismatch is loud
+    val e3 = intercept[IllegalArgumentException] {
+      SimilaritySearch.pqTopK(a, new Array[Float](7), topK = 3)
+    }
+    assert(e3.getMessage.contains("dim"))
+  }
 }
