@@ -215,7 +215,21 @@ object SimilaritySearch {
     * codebook size (≤ the requested size when the corpus yields fewer
     * seeds); `bits` is the packing width fixed from the REQUESTED size
     * so layouts are stable across retrains. `corpus` keeps
-    * (idCol, vecCol) for the exact-rerank float fetch. */
+    * (idCol, vecCol) for the exact-rerank float fetch.
+    *
+    * Measured (`results/pq_sf1_r17.json`, sf1, 17k corpus, 30 queries):
+    * at rest the 32-bit config is 293 KB vs SQ8's 1.33 MB vs 4.47 MB
+    * float (15.3× / 4.5×). Recall@10 vs exact is the ksub × overFetch
+    * dial: 0.19 → 0.34 → 0.45 at overFetch=4 for ksub 16/64/128
+    * (0.59 at 128×8), where SQ8 reads 1.0 — honest context: this
+    * synthetic corpus is near-isotropic (top-10 neighbors sit in a
+    * ~0.04-cosine sliver under a 0.48 top-1), the adversarial case
+    * for sub-byte codes; production embedding corpora are clustered,
+    * which is what makes IVF-PQ the billion-vector default. Use PQ as
+    * the RAM-resident coarse tier when even SQ8 bytes don't fit;
+    * keep SQ8 when they do. Per-query wall at this scale is
+    * driver-dominated (~0.2 s all arms) — the byte reduction is the
+    * scale story, as with the persisted SQ8 projection (q8cold). */
   final case class PqIndex(
       m: Int,
       ksub: Int,
@@ -380,7 +394,21 @@ object SimilaritySearch {
       query: Array[Float],
       topK: Int = 10,
       overFetch: Int = 4,
-      filter: Column = lit(true)): DataFrame = {
+      filter: Column = lit(true)): DataFrame =
+    pqServe(index, query, topK, overFetch, index.encoded.filter(filter))
+
+  /** The ADC scan + exact rerank shared by [[pqTopK]] (full-corpus
+    * scan) and [[ivfPqTopK]] (probed-clusters scan): builds the
+    * per-query integer LUT on the driver, scores `scan` (a subset of
+    * `index.encoded`) with the codegen'd lookup-sum expression, cuts to
+    * topK × overFetch on the rounded approx cosine (id tie-break), and
+    * reranks the survivors on their floats. */
+  private def pqServe(
+      index: PqIndex,
+      query: Array[Float],
+      topK: Int,
+      overFetch: Int,
+      scan: DataFrame): DataFrame = {
     implicit val sp: SparkSession = index.encoded.sparkSession
     require(topK >= 1 && overFetch >= 1, "topK and overFetch must be >= 1")
     require(query.length == index.m * index.dsub,
@@ -410,7 +438,7 @@ object SimilaritySearch {
       s"aggregate(sequence(0, ${index.m - 1}), CAST(0 AS BIGINT), " +
         s"(a, s) -> a + element_at($lutArr, " +
         s"CAST(s * ${index.ksub} + (shiftright(pq_code, s * ${index.bits}) & $mask) + 1 AS INT)))")
-    val coarse = index.encoded.filter(filter)
+    val coarse = scan
       .select(col(index.idCol),
         when(col("nrm") =!= 0.0 && lit(qn) =!= 0.0,
           r4(adc.cast("double") / lit(FP.toDouble) / (col("nrm") * lit(qn))))
@@ -427,6 +455,41 @@ object SimilaritySearch {
           (VectorFunctions.norm(col(index.vecCol)) * col("__qn"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(index.idCol))
       .limit(topK)
+  }
+
+  /** IVF-PQ — the two pruning axes composed the way billion-vector
+    * systems (the FAISS `IVF<k>,PQ<m>` default) serve: the IVF coarse
+    * quantizer keeps ~nprobe/k of the corpus, and the kept rows are
+    * ranked by the PQ integer ADC scan (m table lookups per row over
+    * ~24 B/row) before the exact float rerank of the topK × overFetch
+    * survivors. Against the float brute force that is the product of
+    * both reductions — (nprobe/k) of the rows × ~1/10 of the bytes —
+    * which is why this composition is the standard RAM-resident
+    * billion-vector shape. Probe selection reuses [[probeClusters]]
+    * (strict argmax, ties to the lower cluster — identical to
+    * [[ivfTopK]] and the oracle's replay). Here the probed restriction
+    * is a left-semi join from the IVF assignment; a deployment stores
+    * `encoded` cluster-partitioned (the [[ivfSave]] layout) so the
+    * same restriction is file-listing partition pruning instead.
+    * Degenerate queries probe nothing and return empty, matching
+    * [[ivfTopK]]'s convention. */
+  def ivfPqTopK(
+      ivf: IvfIndex,
+      pq: PqIndex,
+      query: Array[Float],
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4,
+      filter: Column = lit(true)): DataFrame = {
+    require(ivf.idCol == pq.idCol,
+      s"indexes disagree on the id column: ${ivf.idCol} vs ${pq.idCol}")
+    val probed = probeClusters(ivf.centroids, query, nprobe)
+    val probedIds = ivf.assigned
+      .filter(col("cluster").isin(probed: _*))
+      .select(col(ivf.idCol))
+    val scan = pq.encoded.filter(filter)
+      .join(probedIds, Seq(pq.idCol), "left_semi")
+    pqServe(pq, query, topK, overFetch, scan)
   }
 
   /** Random-hyperplane LSH signature: bit p of the result is the sign

@@ -345,8 +345,13 @@ object SimQueries {
     * [[graft.operators.SimilaritySearch.pqBuild]]/`pqTopK` make,
     * verbatim. The subspace id is a GROUP BY key throughout, so all m
     * codebooks train in ONE CTE chain (not m copies). */
-  private def pqOracleSql(
-      m: Int, ksub: Int, iters: Int, topK: Int, overFetch: Int, dim: Int): String = {
+  /** The PQ-specific CTE chain — `pseeds` (md5-stride), `sub`
+    * (subvector explode), `cb0..cb$iters` (fixed-point Lloyd per
+    * subspace), `penc` (final encode), `qsub`, `lut` (integer ADC
+    * table) — expressed against pre-existing `d`/`cnt`/`hashed` CTEs,
+    * so the standalone v20 oracle and the v21 IVF-composed oracle
+    * share ONE definition of every PQ decision. */
+  private def pqChainSql(m: Int, ksub: Int, iters: Int, dim: Int): String = {
     val dsub = dim / m
     def asgCte(name: String, cbIdx: Int): String =
       s"""$name AS (SELECT vec_id, s, c AS code FROM (
@@ -367,19 +372,13 @@ object SimQueries {
          |cb$j AS (SELECT p.s, p.c, p.i, COALESCE(sm.mcomp, p.comp) AS comp
          |  FROM cb${j - 1} p LEFT JOIN psums$j sm
          |    ON sm.s = p.s AND sm.c = p.c AND sm.i = p.i)""".stripMargin
-    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-       |vnorm AS (SELECT vec_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
-       |          FROM d, generate_series(1, $dim) t(i) GROUP BY vec_id),
-       |cnt AS (SELECT COUNT(*) AS n FROM d),
-       |hashed AS (SELECT vec_id,
-       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM d),
-       |seeds AS (SELECT vec_id, h FROM hashed, cnt
-       |          WHERE h % GREATEST(1, cnt.n // ${2 * ksub}) = 0
-       |          ORDER BY h, vec_id LIMIT $ksub),
+    s"""pseeds AS (SELECT vec_id, h FROM hashed, cnt
+       |           WHERE h % GREATEST(1, cnt.n // ${2 * ksub}) = 0
+       |           ORDER BY h, vec_id LIMIT $ksub),
        |sub AS (SELECT vec_id, s, i, ve[s * $dsub + i] AS x
        |        FROM d, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i)),
        |cb0 AS (SELECT sd.c, b.s, b.i, b.x AS comp
-       |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c, vec_id FROM seeds) sd
+       |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c, vec_id FROM pseeds) sd
        |  JOIN sub b ON b.vec_id = sd.vec_id),
        |${(1 to iters).map(iterCtes).mkString(",\n")},
        |${asgCte("penc", iters)},
@@ -387,9 +386,15 @@ object SimQueries {
        |lut AS (SELECT cb.s, cb.c,
        |          SUM(CAST(FLOOR(q.x * cb.comp * 16777216.0 + 0.5) AS BIGINT)) AS l
        |        FROM cb$iters cb JOIN qsub q ON q.s = cb.s AND q.i = cb.i
-       |        GROUP BY cb.s, cb.c),
-       |adc AS (SELECT e.vec_id, SUM(l.l) AS adot
-       |        FROM penc e JOIN lut l ON l.s = e.s AND l.c = e.code
+       |        GROUP BY cb.s, cb.c)""".stripMargin
+  }
+
+  /** ADC candidate cut + exact rerank tail shared by v20/v21: `adcSrc`
+    * is the encoded-row source the ADC sum runs over (the full corpus
+    * for v20, the IVF-probed subset for v21). */
+  private def pqServeTailSql(topK: Int, overFetch: Int, dim: Int, adcSrc: String): String =
+    s"""adc AS (SELECT e.vec_id, SUM(l.l) AS adot
+       |        FROM $adcSrc JOIN lut l ON l.s = e.s AND l.c = e.code
        |        WHERE e.vec_id <> 0 GROUP BY e.vec_id),
        |pcand AS (SELECT a.vec_id FROM adc a JOIN vnorm vn ON vn.vec_id = a.vec_id,
        |            (SELECT nrm FROM vnorm WHERE vec_id = 0) qn
@@ -403,7 +408,31 @@ object SimQueries {
        |        GROUP BY d.vec_id, vn.nrm, qn.nrm)
        |SELECT vec_id, FLOOR(dot / (n1 * n2) * 10000 + 0.5) / 10000 AS cos_sim
        |FROM prr ORDER BY cos_sim DESC, vec_id LIMIT $topK""".stripMargin
-  }
+
+  private def pqOracleSql(
+      m: Int, ksub: Int, iters: Int, topK: Int, overFetch: Int, dim: Int): String =
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |vnorm AS (SELECT vec_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
+       |          FROM d, generate_series(1, $dim) t(i) GROUP BY vec_id),
+       |cnt AS (SELECT COUNT(*) AS n FROM d),
+       |hashed AS (SELECT vec_id,
+       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM d),
+       |${pqChainSql(m, ksub, iters, dim)},
+       |${pqServeTailSql(topK, overFetch, dim, "penc e")}""".stripMargin
+
+  /** IVF-PQ oracle: [[ivfBuildSql]]'s full IVF replay (build, probe
+    * selection, `cand` = the probed corpus) composed with
+    * [[pqChainSql]]'s full PQ replay; the ADC sum runs over encoded
+    * rows RESTRICTED to `cand` — both pruning axes, exactly as
+    * [[graft.operators.SimilaritySearch.ivfPqTopK]] executes them. */
+  private def ivfPqOracleSql(
+      k: Int, kIters: Int, nprobe: Int,
+      m: Int, ksub: Int, pqIters: Int,
+      topK: Int, overFetch: Int, dim: Int): String =
+    s"""${ivfBuildSql(k, kIters, nprobe, dim)},
+       |${pqChainSql(m, ksub, pqIters, dim)},
+       |${pqServeTailSql(topK, overFetch, dim,
+          "(SELECT p.* FROM penc p JOIN cand cd ON cd.vec_id = p.vec_id) e")}""".stripMargin
 
   /** PQ-ADC ANN — the compression tier BELOW SQ8, the regime
     * billion-vector serving fleets keep resident in RAM: the corpus is
@@ -428,6 +457,35 @@ object SimQueries {
       .select(col("embedding")).as[Array[Float]].head()
     graft.operators.SimilaritySearch.pqTopK(idx, qVec, topK = 10,
       overFetch = 4, filter = col("vec_id") =!= 0)
+  }
+
+  /** IVF-PQ ANN — both pruning axes composed, the FAISS `IVF,PQ`
+    * default every billion-vector RAM-resident deployment runs: the
+    * IVF probe keeps ~nprobe/k of the corpus, the PQ integer ADC scan
+    * ranks the kept rows at ~24 B/row, and only topK×overFetch
+    * survivors touch the floats. Against brute force that multiplies
+    * both reductions — 1/4 of the rows × ~1/10 of the bytes at these
+    * dials. The oracle replays BOTH stacks verbatim ([[ivfPqOracleSql]]
+    * = [[ivfBuildSql]] ∘ [[pqChainSql]]): IVF seeding + 3 Lloyd rounds
+    * + probe selection, PQ seeding + 2 per-subspace Lloyd rounds +
+    * encode + integer LUT, the composed candidate cut, the exact
+    * rerank. */
+  val ivfPqAdcTopK: Q = Q(
+    "v21_ivf_pq_topk",
+    ivfPqOracleSql(k = 16, kIters = 3, nprobe = 4, m = 8, ksub = 16,
+      pqIters = 2, topK = 10, overFetch = 4, dim = 64)) { (s, dir) =>
+    val sp = s
+    import sp.implicits._
+    val e = t(s, dir, "embeddings")
+    val ivf = graft.operators.SimilaritySearch.ivfBuild(
+      e, "vec_id", "embedding", k = 16, lloydIters = 3, portableSeeds = true)
+    val pq = graft.operators.SimilaritySearch.pqBuild(
+      e, "vec_id", "embedding", m = 8, ksub = 16, lloydIters = 2,
+      portableSeeds = true)
+    val qVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    graft.operators.SimilaritySearch.ivfPqTopK(ivf, pq, qVec, topK = 10,
+      nprobe = 4, overFetch = 4, filter = col("vec_id") =!= 0)
   }
 
   /** The centroid-build prefix of [[ivfBuildSql]]: `d` (optionally
@@ -1085,5 +1143,6 @@ object SimQueries {
     quantizedAnn, quantizedNearDup, annIvfQuantized, clusterSample,
     embeddingDedup, incrementalEmbeddingDedup, incrementalIvfAssign,
     ivfIncrementalDedup, ivfBatchTopK, ivfBatchTopKQuantized,
-    ivfServePersisted, embeddingComponents, bandedComponents, pqAdcTopK)
+    ivfServePersisted, embeddingComponents, bandedComponents, pqAdcTopK,
+    ivfPqAdcTopK)
 }

@@ -1382,6 +1382,35 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(pq == exact, s"pq=$pq exact=$exact")
   }
 
+  test("ivfPqTopK: full probe == pure PQ; pruned probe finds the planted copy") {
+    import spark.implicits._
+    val q = vec(1618L)
+    val corpus = ((1L, jitter(q, 0.01f)) +:
+      (2L to 400L).map(i => (i, vec(i * 271 + 9)))).toDF("id", "v")
+    val ivf = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 8, lloydIters = 2)
+    val pq = SimilaritySearch.pqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 2)
+    // probing ALL clusters disables the IVF restriction: the composed
+    // serve must be BIT-IDENTICAL to the pure PQ scan
+    val full = SimilaritySearch.ivfPqTopK(ivf, pq, q, topK = 5, nprobe = 8,
+      overFetch = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pure = SimilaritySearch.pqTopK(pq, q, topK = 5, overFetch = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == pure, s"full=$full pure=$pure")
+    // a pruned probe still retrieves the planted near-copy, exactly scored
+    val top = SimilaritySearch.ivfPqTopK(ivf, pq, q, topK = 5, nprobe = 3,
+      overFetch = 4).collect()
+    assert(top.head.getLong(0) == 1L, "planted near-copy must rank first")
+    assert(top.head.getDouble(1) > 0.99)
+    // id columns must agree across the two indexes
+    val other = SimilaritySearch.pqBuild(
+      corpus.withColumnRenamed("id", "key"), "key", "v", m = 4, ksub = 8)
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfPqTopK(ivf, other, q, topK = 3)
+    }
+    assert(e.getMessage.contains("disagree"))
+  }
+
   test("pqBuild is deterministic and guards bad geometry loudly") {
     import spark.implicits._
     val corpus = (1L to 80L).map(i => (i, vec(i * 37 + 1))).toDF("id", "v")
