@@ -473,6 +473,94 @@ object SimilaritySearch {
     * same restriction is file-listing partition pruning instead.
     * Degenerate queries probe nothing and return empty, matching
     * [[ivfTopK]]'s convention. */
+  /** Persist a [[PqIndex]] — codebook + encoded codes — under the SAME
+    * crash-consistent versioned layout as [[ivfSave]] (shared
+    * [[listVersions]]/[[liveVersion]] resolution, meta.json written
+    * last as the completeness marker, single-tiny-file CURRENT commit,
+    * GC keyed to the previously-LIVE version): `dir/v<N>/{codebook,
+    * encoded, meta.json}`. Codebook doubles round-trip bit-exactly
+    * through parquet, so a loaded index serves bit-identically. The
+    * float corpus is deliberately NOT persisted: PQ codes are an index
+    * OVER a corpus the caller already stores (persisting 24 B/row
+    * codes next to a 256 B/row float copy would defeat the tier's
+    * point) — [[pqLoad]] takes the corpus frame and re-binds the
+    * rerank to it. Same writer/reader contract as [[ivfSave]]: one
+    * writer per dir; a reader is safe through one refresh cycle. */
+  def pqSave(index: PqIndex, dir: String): Unit = {
+    val sp = index.encoded.sparkSession
+    import sp.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val versions = listVersions(fs, dir)
+    val next = versions.map(_ + 1).maxOption.getOrElse(1)
+    val prevLive: Option[Int] = liveVersion(fs, dir)
+    val vdir = s"$dir/v$next"
+    val cbRows = for {
+      s <- 0 until index.m
+      c <- 0 until index.ksub
+    } yield (s, c, index.codebook(s)(c).toSeq)
+    sp.createDataset(cbRows).toDF("s", "c", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/codebook")
+    index.encoded.write.mode("overwrite").parquet(s"$vdir/encoded")
+    val meta =
+      s"""{"idCol":"${jsonStr(index.idCol)}","vecCol":"${jsonStr(index.vecCol)}","m":${index.m},"ksub":${index.ksub},"dsub":${index.dsub},"bits":${index.bits}}"""
+    writeSmallFile(fs, s"$vdir/meta.json", meta) // version-complete marker
+    writeSmallFile(fs, s"$dir/CURRENT.tmp", s"v$next")
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT")
+    if (fs.exists(cur)) fs.delete(cur, false)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(s"$dir/CURRENT.tmp"), cur))
+      throw new java.io.IOException(
+        s"pqSave: committing $dir/CURRENT failed; v$next is fully written " +
+          "and pqLoad will resolve it as the newest complete version")
+    val keepFloor = prevLive.getOrElse(next)
+    versions.filter(_ < keepFloor).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true)
+    }
+  }
+
+  /** Load an index [[pqSave]] wrote, re-binding the exact rerank to
+    * `corpus` (the caller's float table — must carry the saved id and
+    * vector columns). Resolves the live version through
+    * [[ivfCurrentPath]] (one resolution definition for every index
+    * kind this file persists). Serving from the loaded index is
+    * bit-identical to the in-memory one: the codebook and the integer
+    * codes both round-trip exactly. */
+  def pqLoad(spark: SparkSession, rootDir: String, corpus: DataFrame): PqIndex = {
+    val dir = ivfCurrentPath(spark, rootDir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val meta = try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      om.readTree(in)
+    } finally in.close()
+    require(meta.has("m") && meta.has("ksub"),
+      s"$dir/meta.json is not a PQ index (missing m/ksub — an IVF tree?)")
+    val idCol = meta.get("idCol").asText()
+    val vecCol = meta.get("vecCol").asText()
+    val m = meta.get("m").asInt()
+    val ksub = meta.get("ksub").asInt()
+    val dsub = meta.get("dsub").asInt()
+    val bits = meta.get("bits").asInt()
+    import spark.implicits._
+    val cb = Array.ofDim[Array[Double]](m, ksub)
+    spark.read.parquet(s"$dir/codebook")
+      .select(col("s").cast("int"), col("c").cast("int"), col("codeword"))
+      .as[(Int, Int, Array[Double])]
+      .collect()
+      .foreach { case (s, c, w) =>
+        require(s >= 0 && s < m && c >= 0 && c < ksub,
+          s"codebook row ($s, $c) outside m=$m × ksub=$ksub")
+        cb(s)(c) = w
+      }
+    require(cb.forall(_.forall(_ != null)),
+      s"codebook parquet is missing codewords (m=$m × ksub=$ksub)")
+    val encoded = spark.read.parquet(s"$dir/encoded")
+      .select(col(idCol), col("pq_code"), col("nrm"))
+    PqIndex(m, ksub, dsub, bits, cb.map(_.map(_.clone())), encoded,
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol)
+  }
+
   def ivfPqTopK(
       ivf: IvfIndex,
       pq: PqIndex,

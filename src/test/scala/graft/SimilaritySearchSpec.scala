@@ -1411,6 +1411,62 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("disagree"))
   }
 
+  test("pqSave/pqLoad: bit-exact codebook, identical serving, versioned refresh") {
+    import spark.implicits._
+    def rmTree(p: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }
+    val q = vec(4242L)
+    val corpus = ((1L, jitter(q, 0.01f)) +:
+      (2L to 150L).map(i => (i, vec(i * 53 + 17)))).toDF("id", "v")
+    val idx = SimilaritySearch.pqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_save").toString
+    try {
+      SimilaritySearch.pqSave(idx, dir)
+      val loaded = SimilaritySearch.pqLoad(spark, dir, corpus)
+      assert(loaded.m == idx.m && loaded.ksub == idx.ksub &&
+        loaded.dsub == idx.dsub && loaded.bits == idx.bits)
+      assert(loaded.codebook.flatten.flatten.toSeq ==
+        idx.codebook.flatten.flatten.toSeq,
+        "codebook doubles must round-trip bit-exactly through parquet")
+      val served = SimilaritySearch.pqTopK(idx, q, topK = 5, overFetch = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val servedLoaded = SimilaritySearch.pqTopK(loaded, q, topK = 5, overFetch = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(served == servedLoaded, "loaded index must serve bit-identically")
+      // refresh in place: a second save commits v2, keeps v1 for
+      // in-flight readers; a third save GCs v1 (one-refresh-cycle
+      // guarantee — the ivfSave contract, shared machinery)
+      val idx2 = SimilaritySearch.pqBuild(corpus.filter(col("id") <= 100L),
+        "id", "v", m = 4, ksub = 8, lloydIters = 1)
+      SimilaritySearch.pqSave(idx2, dir)
+      val cur = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/CURRENT"))).trim
+      assert(cur == "v2")
+      assert(new java.io.File(s"$dir/v1").exists(),
+        "previously-live version survives one refresh for in-flight readers")
+      assert(SimilaritySearch.pqLoad(spark, dir, corpus).encoded.count() == 100)
+      SimilaritySearch.pqSave(idx2, dir)
+      assert(!new java.io.File(s"$dir/v1").exists(),
+        "two refreshes past, v1 is garbage-collected")
+      // an IVF tree is refused loudly, not misread
+      val ivfDir = java.nio.file.Files.createTempDirectory("graft_pq_ivf").toString
+      try {
+        val ivf = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 4, lloydIters = 1)
+        SimilaritySearch.ivfSave(ivf, ivfDir)
+        val e = intercept[IllegalArgumentException] {
+          SimilaritySearch.pqLoad(spark, ivfDir, corpus)
+        }
+        assert(e.getMessage.contains("not a PQ index"))
+      } finally rmTree(ivfDir)
+    } finally rmTree(dir)
+  }
+
   test("pqBuild is deterministic and guards bad geometry loudly") {
     import spark.implicits._
     val corpus = (1L to 80L).map(i => (i, vec(i * 37 + 1))).toDF("id", "v")
