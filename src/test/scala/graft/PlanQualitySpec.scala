@@ -352,6 +352,44 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no ingest-arm pruning: read $qRead of $qTotalFiles quantized files for a 2-of-16 probe")
   }
 
+  test("v20: the persisted ADC coarse pass reads codes only, never floats") {
+    // the PQ tier's whole point is that the pass touching EVERY corpus
+    // row reads ~24 B/row: served from a pqLoad-ed index, the coarse
+    // scan over the persisted encoded tree must read (id, pq_code, nrm)
+    // ONLY — the float corpus is fetched AFTER the topK×overFetch cut,
+    // by id join, and must never appear in the coarse scan's schema
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.SimilaritySearch
+    val e = graft.engine.Tables.t(spark, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 7 =!= 4)
+      .select(col("vec_id"), col("embedding"))
+    val idx = SimilaritySearch.pqBuild(corpus, "vec_id", "embedding",
+      m = 8, ksub = 16, lloydIters = 1, portableSeeds = true)
+    val path = "/tmp/graft_v20_planspec"
+    SimilaritySearch.pqSave(idx, path)
+    val loaded = SimilaritySearch.pqLoad(spark, path, corpus)
+    val qv = e.filter(col("vec_id") === 4)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val served = SimilaritySearch.pqTopK(loaded, qv, topK = 5, overFetch = 4)
+    assert(served.collect().nonEmpty, "the served query must produce answers")
+    val scans = flatten(served.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft_v20_planspec")) => f
+    }
+    assert(scans.nonEmpty, "expected a scan over the persisted encoded tree")
+    scans.foreach { f =>
+      val schema = f.requiredSchema.fieldNames.toSet
+      assert(schema.subsetOf(Set("vec_id", "pq_code", "nrm")),
+        s"the coarse scan must read codes only, got $schema")
+    }
+    // the serve never degrades to a cartesian/nested-loop over the
+    // corpus (the only broadcast-nested-loop allowed is the 1-row query)
+    val plans = flatten(served.queryExecution.executedPlan)
+    assert(!plans.exists(_.isInstanceOf[CartesianProductExec]),
+      "pq serve must not plan a cartesian product")
+  }
+
   test("column pruning reaches the scan on a wide-table projection") {
     val s = planString("q13_customer_distribution")
     // orders is read for (o_orderkey, o_custkey, o_comment)-ish subsets,
