@@ -302,6 +302,7 @@ object SimilaritySearch {
     val n = vecs.count()
     require(n > 0, "pqBuild: empty corpus")
     val dim = vecs.head()._2.length
+    require(dim > 0, "pqBuild: zero-dimensional vectors")
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
 

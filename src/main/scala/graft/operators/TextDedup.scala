@@ -260,7 +260,10 @@ object TextDedup {
     * set) is bounded by document length and assembled with
     * higher-order array functions — no driver state anywhere. A corpus
     * with degenerate mega-documents should be pre-chunked (the t24
-    * chunker) so the per-doc position arrays stay bounded. */
+    * chunker) so the per-doc position arrays stay bounded. Measured
+    * (`results/t31_scale_r17.json`): 10× the documents (5k → 50k)
+    * costs 1.56× wall at local[32] — fixed job overhead dominates at
+    * these SFs, the data-dependent cost is the linear token scan. */
   def substringSpanDedup(
       df: DataFrame,
       idCol: String,
