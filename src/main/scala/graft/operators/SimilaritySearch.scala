@@ -299,24 +299,35 @@ object SimilaritySearch {
     import sp.implicits._
     val vecs = corpus.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
       .persist()
-    val n = vecs.count()
-    require(n > 0, "pqBuild: empty corpus")
-    val dim = vecs.head()._2.length
-    require(dim > 0, "pqBuild: zero-dimensional vectors")
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val dsub = dim / m
+    // a validation failure below must not leak the build cache (the
+    // success path unpersists before returning) — a tuning loop probing
+    // bad m values would otherwise pin one block per failed attempt
+    def failing[A](body: => A): A =
+      try body
+      catch { case t: Throwable => vecs.unpersist(blocking = false); throw t }
+    val (n, dim, dsub) = failing {
+      val n = vecs.count()
+      require(n > 0, "pqBuild: empty corpus")
+      val dim = vecs.head()._2.length
+      require(dim > 0, "pqBuild: zero-dimensional vectors")
+      require(dim % m == 0, s"m=$m must divide dim=$dim")
+      (n, dim, dim / m)
+    }
 
     val strideMod = math.max(1L, n / (2L * ksub))
     val seedHash =
       if (portableSeeds) TextDedup.mdHash(col(idCol).cast("string"))
       else xxhash64(col(idCol))
-    val seeds = corpus.select(col(idCol), col(vecCol))
-      .filter(pmod(seedHash, lit(strideMod)) === 0)
-      .orderBy(seedHash, col(idCol))
-      .limit(ksub)
-      .as[(Long, Array[Float])]
-      .collect()
-    require(seeds.nonEmpty, "pqBuild: stride seeding found no rows")
+    val seeds = failing {
+      val s = corpus.select(col(idCol), col(vecCol))
+        .filter(pmod(seedHash, lit(strideMod)) === 0)
+        .orderBy(seedHash, col(idCol))
+        .limit(ksub)
+        .as[(Long, Array[Float])]
+        .collect()
+      require(s.nonEmpty, "pqBuild: stride seeding found no rows")
+      s
+    }
     val kEff = seeds.length
     var cb: Array[Array[Array[Double]]] = Array.tabulate(m, kEff, dsub) {
       (s, c, i) => seeds(c)._2(s * dsub + i).toDouble
@@ -444,6 +455,10 @@ object SimilaritySearch {
         when(col("nrm") =!= 0.0 && lit(qn) =!= 0.0,
           r4(adc.cast("double") / lit(FP.toDouble) / (col("nrm") * lit(qn))))
           .as("approx_cos"))
+      // NULL scores (zero-norm corpus row, or a degenerate query which
+      // NULLs EVERY row) are dropped, not padded into the cut — a
+      // degenerate query returns empty, matching ivfTopK's convention
+      .filter(col("approx_cos").isNotNull)
       .orderBy(col("approx_cos").desc, col(index.idCol))
       .limit(topK * overFetch)
     val q = sp.range(1).select(typedLit(query).as("__qe"))
@@ -458,22 +473,6 @@ object SimilaritySearch {
       .limit(topK)
   }
 
-  /** IVF-PQ — the two pruning axes composed the way billion-vector
-    * systems (the FAISS `IVF<k>,PQ<m>` default) serve: the IVF coarse
-    * quantizer keeps ~nprobe/k of the corpus, and the kept rows are
-    * ranked by the PQ integer ADC scan (m table lookups per row over
-    * ~24 B/row) before the exact float rerank of the topK × overFetch
-    * survivors. Against the float brute force that is the product of
-    * both reductions — (nprobe/k) of the rows × ~1/10 of the bytes —
-    * which is why this composition is the standard RAM-resident
-    * billion-vector shape. Probe selection reuses [[probeClusters]]
-    * (strict argmax, ties to the lower cluster — identical to
-    * [[ivfTopK]] and the oracle's replay). Here the probed restriction
-    * is a left-semi join from the IVF assignment; a deployment stores
-    * `encoded` cluster-partitioned (the [[ivfSave]] layout) so the
-    * same restriction is file-listing partition pruning instead.
-    * Degenerate queries probe nothing and return empty, matching
-    * [[ivfTopK]]'s convention. */
   /** Persist a [[PqIndex]] — codebook + encoded codes — under the SAME
     * crash-consistent versioned layout as [[ivfSave]] (shared
     * [[listVersions]]/[[liveVersion]] resolution, meta.json written
@@ -506,17 +505,7 @@ object SimilaritySearch {
     val meta =
       s"""{"idCol":"${jsonStr(index.idCol)}","vecCol":"${jsonStr(index.vecCol)}","m":${index.m},"ksub":${index.ksub},"dsub":${index.dsub},"bits":${index.bits}}"""
     writeSmallFile(fs, s"$vdir/meta.json", meta) // version-complete marker
-    writeSmallFile(fs, s"$dir/CURRENT.tmp", s"v$next")
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT")
-    if (fs.exists(cur)) fs.delete(cur, false)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(s"$dir/CURRENT.tmp"), cur))
-      throw new java.io.IOException(
-        s"pqSave: committing $dir/CURRENT failed; v$next is fully written " +
-          "and pqLoad will resolve it as the newest complete version")
-    val keepFloor = prevLive.getOrElse(next)
-    versions.filter(_ < keepFloor).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true)
-    }
+    commitVersionAndGc(fs, dir, next, prevLive, versions, "pqSave")
   }
 
   /** Load an index [[pqSave]] wrote, re-binding the exact rerank to
@@ -562,6 +551,22 @@ object SimilaritySearch {
       corpus.select(col(idCol), col(vecCol)), idCol, vecCol)
   }
 
+  /** IVF-PQ — the two pruning axes composed the way billion-vector
+    * systems (the FAISS `IVF<k>,PQ<m>` default) serve: the IVF probe
+    * keeps ~nprobe/k of the corpus, and the kept rows are
+    * ranked by the PQ integer ADC scan (m table lookups per row over
+    * ~24 B/row) before the exact float rerank of the topK × overFetch
+    * survivors. Against the float brute force that is the product of
+    * both reductions — (nprobe/k) of the rows × ~1/10 of the bytes —
+    * which is why this composition is the standard RAM-resident
+    * billion-vector shape. Probe selection reuses [[probeClusters]]
+    * (strict argmax, ties to the lower cluster — identical to
+    * [[ivfTopK]] and the oracle's replay). Here the probed restriction
+    * is a left-semi join from the IVF assignment; a deployment stores
+    * `encoded` cluster-partitioned (the [[ivfSave]] layout) so the
+    * same restriction is file-listing partition pruning instead.
+    * Degenerate queries probe nothing and return empty, matching
+    * [[ivfTopK]]'s convention. */
   def ivfPqTopK(
       ivf: IvfIndex,
       pq: PqIndex,
@@ -1057,21 +1062,35 @@ object SimilaritySearch {
     val meta =
       s"""{"idCol":"${jsonStr(index.idCol)}","vecCol":"${jsonStr(index.vecCol)}","k":${index.centroids.length},"quantized":true}"""
     writeSmallFile(fs, s"$vdir/meta.json", meta) // version-complete marker
-    // commit: CURRENT now names the new version. delete+rename of one
-    // tiny file — a crash in the blink leaves no CURRENT, and ivfLoad's
-    // newest-complete-version fallback still resolves to v<next>
+    commitVersionAndGc(fs, dir, next, prevLive, versions, "ivfSave")
+  }
+
+  /** The version-commit + GC tail shared by [[ivfSave]] and [[pqSave]]
+    * — the crash-consistency-critical piece, defined ONCE so a fix to
+    * either half can never drift between index kinds. Commit: CURRENT
+    * now names the new version via a single tiny-file delete+rename (a
+    * crash in the blink leaves no CURRENT, and load-side resolution
+    * falls back to the newest COMPLETE version — still v<next>). GC:
+    * keep the new version and everything from the previously-LIVE
+    * version up (in-flight readers resolved AT MOST as far back as
+    * prevLive; higher-numbered non-live versions are crash leftovers
+    * kept one extra cycle, harmless — round-15 advice). With no
+    * complete previous version every older v-dir is partial garbage
+    * and goes. */
+  private def commitVersionAndGc(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      next: Int,
+      prevLive: Option[Int],
+      versions: Seq[Int],
+      what: String): Unit = {
     writeSmallFile(fs, s"$dir/CURRENT.tmp", s"v$next")
     val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT")
     if (fs.exists(cur)) fs.delete(cur, false)
     if (!fs.rename(new org.apache.hadoop.fs.Path(s"$dir/CURRENT.tmp"), cur))
       throw new java.io.IOException(
-        s"ivfSave: committing $dir/CURRENT failed; v$next is fully written " +
-          "and ivfLoad will resolve it as the newest complete version")
-    // GC: keep the new version and everything from the previously-live
-    // version up (in-flight readers resolved AT MOST as far back as
-    // prevLive; higher-numbered non-live versions are crash leftovers
-    // kept one extra cycle, harmless). With no complete previous version
-    // every older v-dir is partial garbage and goes.
+        s"$what: committing $dir/CURRENT failed; v$next is fully written " +
+          "and load-side resolution will pick it as the newest complete version")
     val keepFloor = prevLive.getOrElse(next)
     versions.filter(_ < keepFloor).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true)
@@ -1164,6 +1183,11 @@ object SimilaritySearch {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       om.readTree(in)
     } finally in.close()
+    // the mirror of pqLoad's guard: a PQ tree in the same shared
+    // versioned format has m/ksub and no k — refuse it loudly instead
+    // of dying on a bare NPE at meta.get("k")
+    require(meta.has("k"),
+      s"$dir/meta.json is not an IVF index (missing k — a PQ tree?)")
     val idCol = meta.get("idCol").asText()
     val vecCol = meta.get("vecCol").asText()
     val k = meta.get("k").asInt()

@@ -1102,8 +1102,11 @@ object TextQueries {
     * boilerplate without dropping the unique remainder. Library twin:
     * [[graft.operators.TextDedup.substringSpanDedup]]. The oracle
     * replays spans, the distinct-doc threshold, position coverage, and
-    * the token reassembly verbatim (static position bound 128 ≥ this
-    * corpus's 100-token max — exact, not a cap). */
+    * the token reassembly verbatim. The oracle's static position bound
+    * is 1024 — 10× this corpus's 100-token max, headroom rather than a
+    * cap (the Spark operator is unbounded; a corpus breaching 1024
+    * tokens would silently diverge the ORACLE, so the bound is set far
+    * past anything the generator emits). */
   val substringDedup: Q = {
     val W = 6
     val spanConcat = (0 until W).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
@@ -1112,13 +1115,13 @@ object TextQueries {
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |win AS (SELECT doc_id, i,
         |    ('0x' || substr(md5($spanConcat), 1, 15))::BIGINT AS gh
-        |  FROM w, generate_series(1, 128) t(i) WHERE i + ${W - 1} <= len(ws)),
+        |  FROM w, generate_series(1, 1024) t(i) WHERE i + ${W - 1} <= len(ws)),
         |dup AS (SELECT gh FROM win GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
         |cov AS (SELECT DISTINCT win.doc_id, win.i + o.o AS p
         |        FROM win JOIN dup USING (gh), generate_series(0, ${W - 1}) o(o)),
         |cvagg AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id),
         |tok AS (SELECT doc_id, i, ws[i] AS tk
-        |        FROM w, generate_series(1, 128) t(i) WHERE i <= len(ws)),
+        |        FROM w, generate_series(1, 1024) t(i) WHERE i <= len(ws)),
         |cl AS (SELECT t.doc_id,
         |    COALESCE(string_agg(t.tk, ' ' ORDER BY t.i) FILTER (WHERE c.p IS NULL), '')
         |      AS clean_text

@@ -1491,5 +1491,9 @@ class SimilaritySearchSpec extends AnyFunSuite {
       SimilaritySearch.pqTopK(a, new Array[Float](7), topK = 3)
     }
     assert(e3.getMessage.contains("dim"))
+    // a degenerate (all-zero) query returns EMPTY — NULL coarse scores
+    // are dropped, never padded into the cut (ivfTopK's convention)
+    assert(SimilaritySearch.pqTopK(a, new Array[Float](16), topK = 3)
+      .collect().isEmpty)
   }
 }
