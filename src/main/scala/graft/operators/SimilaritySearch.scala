@@ -473,6 +473,109 @@ object SimilaritySearch {
       .limit(topK)
   }
 
+  /** BATCHED ANN top-k through a [[PqIndex]] — the serving-throughput
+    * form of [[pqTopK]]: a whole DataFrame of query vectors resolves in
+    * ONE distributed pass. Each query's integer ADC LUT is computed in
+    * a distributed map over the query frame (broadcast codebook —
+    * m × ksub × dsub flops per query, never a driver loop) and rides
+    * the broadcast query row into the scan; the coarse pass is then
+    * corpus × queries pairs at m table lookups + integer adds each,
+    * over the ~24 B/row encoded frame. PQ-flat scans the WHOLE corpus
+    * per query BY DESIGN — it is the bandwidth-floor tier; compose
+    * with the IVF probe ([[ivfPqTopK]]'s restriction) when row pruning
+    * is wanted too. The per-query coarse cut (topK × overFetch,
+    * rounded-approx order, id tiebreak) flows through the
+    * [[partialTopK]] heap combiner exactly like the IVF batch arms;
+    * survivors fetch their floats by id for the exact rerank. Returns
+    * (queryIdCol, idCol, cos_sim, rank), rank 1..topK per query. NULL
+    * coarse scores drop — a degenerate query produces no rows, the
+    * batch counterpart of [[pqTopK]]'s empty answer. Batches beyond
+    * [[maxExactRows]] queries are refused loudly (the broadcast
+    * contract all batch serving arms share — chunk above it). */
+  def pqTopKBatch(
+      index: PqIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      overFetch: Int = 4): DataFrame = {
+    implicit val sp: SparkSession = index.encoded.sparkSession
+    import sp.implicits._
+    require(topK >= 1 && overFetch >= 1, "topK and overFetch must be >= 1")
+    requireDistinctIdCols("pqTopKBatch", queryIdCol, index.idCol)
+    val nQueries = queries.select(col(queryIdCol)).count()
+    require(nQueries <= maxExactRows,
+      s"pqTopKBatch got $nQueries queries — the broadcast query side is " +
+        s"capped at $maxExactRows; chunk the batch")
+    val dim = index.m * index.dsub
+    val FP = 1L << 24
+    val bcCb = sp.sparkContext.broadcast(index.codebook)
+    val mLoc = index.m; val ksubLoc = index.ksub; val dsubLoc = index.dsub
+    val qf = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Array[Float])]
+      .map { case (qid, v) =>
+        if (v.nonEmpty && v.length != dim)
+          throw new IllegalArgumentException(
+            s"mixed-dimension batch vs index: index dimension $dim vs " +
+              s"query vector of ${v.length} components")
+        val cb = bcCb.value
+        val lut = new Array[Long](mLoc * ksubLoc)
+        var s = 0
+        while (s < mLoc) {
+          var c = 0
+          while (c < ksubLoc) {
+            var acc = 0L
+            var i = 0
+            while (i < dsubLoc && s * dsubLoc + i < v.length) {
+              acc += math.floor(v(s * dsubLoc + i).toDouble *
+                cb(s)(c)(i) * FP + 0.5).toLong
+              i += 1
+            }
+            lut(s * ksubLoc + c) = acc
+            c += 1
+          }
+          s += 1
+        }
+        var ss = 0.0; var i = 0
+        while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+        (qid, lut, math.sqrt(ss), v)
+      }
+      .toDF("__qid", "__lut", "__qn", "__qv")
+    val mask = (1L << index.bits) - 1
+    val adc = expr(
+      s"aggregate(sequence(0, ${index.m - 1}), CAST(0 AS BIGINT), " +
+        s"(a, s) -> a + element_at(__lut, " +
+        s"CAST(s * ${index.ksub} + (shiftright(pq_code, s * ${index.bits}) & $mask) + 1 AS INT)))")
+    val scored = index.encoded
+      .crossJoin(broadcast(qf.select(col("__qid"), col("__lut"), col("__qn"))))
+      .select(col("__qid"), col(index.idCol).cast("long").as("__nid"),
+        when(col("nrm") =!= 0.0 && col("__qn") =!= 0.0,
+          r4(adc.cast("double") / lit(FP.toDouble) / (col("nrm") * col("__qn"))))
+          .as("__score"))
+      .filter(col("__score").isNotNull)
+      .as[(Long, Long, Double)]
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("__score").desc, col("__nid"))
+    val cand = partialTopK(scored, topK * overFetch)
+      .withColumn("__crank", row_number().over(win))
+      .filter(col("__crank") <= topK * overFetch)
+      .select("__qid", "__nid")
+    val rr = cand
+      .join(index.corpus.select(col(index.idCol).cast("long").as("__nid"),
+        col(index.vecCol).as("__cv")), Seq("__nid"))
+      .join(broadcast(qf.select(col("__qid"), col("__qv"), col("__qn"))), Seq("__qid"))
+      .select(col("__qid"), col("__nid"),
+        r4(VectorFunctions.dot(col("__cv"), col("__qv")) /
+          (VectorFunctions.norm(col("__cv")) * col("__qn"))).as("__score"))
+      .as[(Long, Long, Double)]
+    partialTopK(rr, topK)
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= topK)
+      .select(col("__qid").as(queryIdCol), col("__nid").as(index.idCol),
+        col("__score").as("cos_sim"), col("rank").cast("long").as("rank"))
+  }
+
   /** Persist a [[PqIndex]] — codebook + encoded codes — under the SAME
     * crash-consistent versioned layout as [[ivfSave]] (shared
     * [[listVersions]]/[[liveVersion]] resolution, meta.json written

@@ -351,7 +351,20 @@ object SimQueries {
     * table) — expressed against pre-existing `d`/`cnt`/`hashed` CTEs,
     * so the standalone v20 oracle and the v21 IVF-composed oracle
     * share ONE definition of every PQ decision. */
-  private def pqChainSql(m: Int, ksub: Int, iters: Int, dim: Int): String = {
+  private def pqChainSql(m: Int, ksub: Int, iters: Int, dim: Int): String =
+    s"""${pqCodebookSql(m, ksub, iters, dim)},
+       |qsub AS (SELECT s, i, x FROM sub WHERE vec_id = 0),
+       |lut AS (SELECT cb.s, cb.c,
+       |          SUM(CAST(FLOOR(q.x * cb.comp * 16777216.0 + 0.5) AS BIGINT)) AS l
+       |        FROM cb$iters cb JOIN qsub q ON q.s = cb.s AND q.i = cb.i
+       |        GROUP BY cb.s, cb.c)""".stripMargin
+
+  /** The codebook-train + corpus-encode prefix of [[pqChainSql]] —
+    * everything that depends only on `d` (the corpus CTE): `pseeds`,
+    * `sub`, `cb0..cb$iters`, `penc`. The single-query oracles
+    * (v20/v21) add the vec-0 LUT on top; the BATCH oracle (v22) adds a
+    * per-query LUT over its own query CTE instead. */
+  private def pqCodebookSql(m: Int, ksub: Int, iters: Int, dim: Int): String = {
     val dsub = dim / m
     def asgCte(name: String, cbIdx: Int): String =
       s"""$name AS (SELECT vec_id, s, c AS code FROM (
@@ -381,12 +394,7 @@ object SimQueries {
        |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c, vec_id FROM pseeds) sd
        |  JOIN sub b ON b.vec_id = sd.vec_id),
        |${(1 to iters).map(iterCtes).mkString(",\n")},
-       |${asgCte("penc", iters)},
-       |qsub AS (SELECT s, i, x FROM sub WHERE vec_id = 0),
-       |lut AS (SELECT cb.s, cb.c,
-       |          SUM(CAST(FLOOR(q.x * cb.comp * 16777216.0 + 0.5) AS BIGINT)) AS l
-       |        FROM cb$iters cb JOIN qsub q ON q.s = cb.s AND q.i = cb.i
-       |        GROUP BY cb.s, cb.c)""".stripMargin
+       |${asgCte("penc", iters)}""".stripMargin
   }
 
   /** ADC candidate cut + exact rerank tail shared by v20/v21: `adcSrc`
@@ -419,6 +427,86 @@ object SimQueries {
        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM d),
        |${pqChainSql(m, ksub, iters, dim)},
        |${pqServeTailSql(topK, overFetch, dim, "penc e")}""".stripMargin
+
+  /** Batched PQ-ADC oracle (v22): the corpus CTE `d` is the % 7 ≠ 4
+    * split (codebook trains and encodes on it alone, via
+    * [[pqCodebookSql]] unchanged), queries are the other split, the
+    * LUT is keyed per query, the coarse cut and the exact rerank are
+    * per-query ROW_NUMBER windows — the same decisions
+    * [[graft.operators.SimilaritySearch.pqTopKBatch]] makes, verbatim. */
+  private def pqBatchOracleSql(
+      m: Int, ksub: Int, iters: Int, topK: Int, overFetch: Int, dim: Int): String = {
+    val dsub = dim / m
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+       |           WHERE vec_id % 7 <> 4),
+       |vnorm AS (SELECT vec_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
+       |          FROM d, generate_series(1, $dim) t(i) GROUP BY vec_id),
+       |qd AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+       |       WHERE vec_id % 7 = 4),
+       |qnorm AS (SELECT q_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
+       |          FROM qd, generate_series(1, $dim) t(i) GROUP BY q_id),
+       |cnt AS (SELECT COUNT(*) AS n FROM d),
+       |hashed AS (SELECT vec_id,
+       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM d),
+       |${pqCodebookSql(m, ksub, iters, dim)},
+       |qsubB AS (SELECT q_id, s, i, ve[s * $dsub + i] AS x
+       |          FROM qd, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i)),
+       |lutB AS (SELECT q.q_id, cb.s, cb.c,
+       |           SUM(CAST(FLOOR(q.x * cb.comp * 16777216.0 + 0.5) AS BIGINT)) AS l
+       |         FROM cb$iters cb JOIN qsubB q ON q.s = cb.s AND q.i = cb.i
+       |         GROUP BY q.q_id, cb.s, cb.c),
+       |adcB AS (SELECT l.q_id, e.vec_id, SUM(l.l) AS adot
+       |         FROM penc e JOIN lutB l ON l.s = e.s AND l.c = e.code
+       |         GROUP BY l.q_id, e.vec_id),
+       |candB AS (SELECT q_id, vec_id FROM (
+       |    SELECT a.q_id, a.vec_id, ROW_NUMBER() OVER (PARTITION BY a.q_id
+       |        ORDER BY FLOOR(a.adot / 16777216.0 / (vn.nrm * qn.nrm) * 10000 + 0.5)
+       |          / 10000 DESC, a.vec_id) AS rn
+       |    FROM adcB a JOIN vnorm vn ON vn.vec_id = a.vec_id
+       |      JOIN qnorm qn ON qn.q_id = a.q_id) t
+       |  WHERE rn <= ${topK * overFetch}),
+       |rrB AS (SELECT c.q_id, d.vec_id, SUM(d.ve[t.i] * q.ve[t.i]) AS dot,
+       |          vn.nrm AS n1, qn.nrm AS n2
+       |        FROM candB c JOIN d ON d.vec_id = c.vec_id
+       |          JOIN qd q ON q.q_id = c.q_id
+       |          JOIN vnorm vn ON vn.vec_id = c.vec_id
+       |          JOIN qnorm qn ON qn.q_id = c.q_id,
+       |          generate_series(1, $dim) t(i)
+       |        GROUP BY c.q_id, d.vec_id, vn.nrm, qn.nrm),
+       |rankedB AS (SELECT q_id, vec_id,
+       |    FLOOR(dot / (n1 * n2) * 10000 + 0.5) / 10000 AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY FLOOR(dot / (n1 * n2) * 10000 + 0.5) / 10000 DESC, vec_id) AS rn
+       |  FROM rrB)
+       |SELECT q_id, vec_id, cos_sim, CAST(rn AS BIGINT) AS rank
+       |FROM rankedB WHERE rn <= $topK ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Batched PQ-ADC serving (v22) — the PQ tier's serving-matrix
+    * counterpart of v15/v16: a whole query frame answers in one
+    * distributed pass, each query's integer LUT computed in a
+    * distributed map and riding the broadcast row, the coarse pass m
+    * integer lookups per (row, query) over the ~24 B/row codes, the
+    * per-query cut through the shared [[graft.operators
+    * .SimilaritySearch.partialTopK]] heap combiner, exact rerank on
+    * the survivors. The oracle replays codebook, encode, per-query
+    * LUTs, the rounded coarse windows, and the rerank windows verbatim
+    * ([[pqBatchOracleSql]]). */
+  val pqBatchTopK: Q = Q(
+    "v22_pq_batch_topk",
+    pqBatchOracleSql(m = 8, ksub = 16, iters = 2, topK = 3, overFetch = 4,
+      dim = 64)) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val idx = graft.operators.SimilaritySearch.pqBuild(
+      e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
+      m = 8, ksub = 16, lloydIters = 2, portableSeeds = true)
+    graft.operators.SimilaritySearch.pqTopKBatch(
+        idx,
+        e.filter(col("vec_id") % 7 === 4)
+          .select(col("vec_id").as("q_id"), col("embedding")),
+        "q_id", "embedding", topK = 3, overFetch = 4)
+      .orderBy("q_id", "rank")
+  }
 
   /** IVF-PQ oracle: [[ivfBuildSql]]'s full IVF replay (build, probe
     * selection, `cand` = the probed corpus) composed with
@@ -1144,5 +1232,5 @@ object SimQueries {
     embeddingDedup, incrementalEmbeddingDedup, incrementalIvfAssign,
     ivfIncrementalDedup, ivfBatchTopK, ivfBatchTopKQuantized,
     ivfServePersisted, embeddingComponents, bandedComponents, pqAdcTopK,
-    ivfPqAdcTopK)
+    ivfPqAdcTopK, pqBatchTopK)
 }

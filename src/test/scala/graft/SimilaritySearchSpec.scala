@@ -1411,6 +1411,36 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("disagree"))
   }
 
+  test("pqTopKBatch agrees with per-query pqTopK; degenerate queries yield no rows") {
+    import spark.implicits._
+    val corpus = (1L to 300L).map(i => (i, vec(i * 811 + 23))).toDF("id", "v")
+    val idx = SimilaritySearch.pqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 2)
+    val queryIds = Seq(901L, 902L, 903L)
+    val queries = (queryIds.map(q => (q, vec(q))) :+
+      (999L, new Array[Float](dim))).toDF("q_id", "qv") // one degenerate
+    val batch = SimilaritySearch.pqTopKBatch(idx, queries, "q_id", "qv",
+        topK = 5, overFetch = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(!batch.contains(999L), "a degenerate query must produce no rows")
+    queryIds.foreach { q =>
+      val solo = SimilaritySearch.pqTopK(idx, vec(q), topK = 5, overFetch = 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (q, r.getLong(0), r.getDouble(1), (i + 1).toLong) }
+        .toSeq
+      assert(batch(q).sortBy(_._4).toSeq == solo,
+        s"batch and per-query serving disagree for query $q")
+    }
+    // a query-id column colliding with the index id column is refused
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.pqTopKBatch(idx,
+        queries.withColumnRenamed("q_id", "id"), "id", "qv", topK = 3)
+    }
+    assert(e.getMessage.contains("both"), s"unexpected message: ${e.getMessage}")
+  }
+
   test("pqSave/pqLoad: bit-exact codebook, identical serving, versioned refresh") {
     import spark.implicits._
     def rmTree(p: String): Unit = {
