@@ -491,7 +491,10 @@ object SimilaritySearch {
     * coarse scores drop — a degenerate query produces no rows, the
     * batch counterpart of [[pqTopK]]'s empty answer. Batches beyond
     * [[maxExactRows]] queries are refused loudly (the broadcast
-    * contract all batch serving arms share — chunk above it). */
+    * contract all batch serving arms share — chunk above it).
+    * Measured (`results/pq_sf1_r17.json`, sf1, 17k corpus): 2857
+    * queries in 24.4 s = 8.5 ms/query — ~20× the per-query driver
+    * round-trip form at the same config. */
   def pqTopKBatch(
       index: PqIndex,
       queries: DataFrame,

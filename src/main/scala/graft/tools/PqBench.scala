@@ -119,12 +119,36 @@ object PqBench {
          |"bytes_at_rest":$pqBytes,"arms":${arms.mkString("[", ",", "]")}}"""
         .stripMargin.replace("\n", "")
     }
+    // the batch arm's throughput: the WHOLE query split in one
+    // distributed pass at the ship config (vs the per-query driver
+    // round-trips timed above)
+    val allQueries = e.filter(col("vec_id") % 7 === 4)
+      .select(col("vec_id").as("q_id"), col("embedding")).cache()
+    val nBatch = allQueries.count()
+    val shipIdx = SimilaritySearch.pqBuild(corpus, "vec_id", "embedding",
+      m = 8, ksub = 16, lloydIters = 2, portableSeeds = true)
+    shipIdx.encoded.cache().count()
+    def batchOnce(): Double = {
+      val t0 = System.nanoTime()
+      SimilaritySearch.pqTopKBatch(shipIdx, allQueries, "q_id", "embedding",
+        topK = topK, overFetch = 4)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    batchOnce() // warm
+    val batchWalls = (1 to 3).map(_ => batchOnce()).sorted
+    val batchSec = batchWalls(1)
+    System.err.println(
+      f"[pq] batch arm: $nBatch queries in $batchSec%.2f s = ${batchSec / nBatch * 1000}%.2f ms/query")
+
     val json =
       f"""{"sf_dir":"$sfDir","n_corpus":$nCorpus,"n_queries":${queryRows.length},
          |"top_k":$topK,
          |"exact_sec_per_query":$exactSec%.4f,
          |"sq8_sec_per_query":$sq8Sec%.4f,"sq8_recall":$sq8Recall%.4f,
          |"pq_configs":${cfgJson.mkString("[", ",", "]")},
+         |"batch":{"n_queries":$nBatch,"sec":$batchSec%.3f,
+         |"sec_per_query":${batchSec / nBatch}%.5f},
          |"bytes_at_rest":{"sq8":$sq8Bytes,"float":$floatBytes}}"""
         .stripMargin.replace("\n", "")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
