@@ -2057,6 +2057,21 @@ object SimilaritySearch {
     * to avoid; an UNCACHED expensive query source would instead pay
     * its full recompute per chunk, which is why the guidance says
     * cache first. */
+  /** [[ivfTopKBatchChunked]]'s shape for the PQ tier — the same
+    * deterministic hash chunking and exact-union argument, wrapping
+    * [[pqTopKBatch]], so no serving micro-batch is refused for size. */
+  def pqTopKBatchChunked(
+      index: PqIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      overFetch: Int = 4,
+      chunkTarget: Long = maxExactRows / 2): DataFrame =
+    chunkedUnion(queries, queryIdCol, chunkTarget) { chunk =>
+      pqTopKBatch(index, chunk, queryIdCol, queryVecCol, topK, overFetch)
+    }
+
   private def chunkedUnion(
       queries: DataFrame, queryIdCol: String, chunkTarget: Long)(
       run: DataFrame => DataFrame): DataFrame = {

@@ -144,4 +144,70 @@ object ServeStreaming {
       }
       .start()
   }
+
+  /** Streaming PQ-ADC serving — the PQ tier's streaming arm, closing
+    * ITS serving matrix (one-shot [[SimilaritySearch.pqTopK]] /
+    * batched [[SimilaritySearch.pqTopKBatch]] / persisted
+    * [[SimilaritySearch.pqLoad]] / STREAM): query micro-batches answer
+    * against a [[SimilaritySearch.pqSave]]-persisted index with the
+    * SAME per-batch CURRENT re-resolution, resolved-version cache,
+    * fail-fast start precondition, scoped resource release, and
+    * per-batch idempotent `outDir/batch=<id>` overwrite as
+    * [[ivfServeStream]] (one streaming recipe for every index kind —
+    * the two persistence layouts share their version machinery, so the
+    * serving loops share theirs). A mid-stream [[SimilaritySearch
+    * .pqSave]] refresh lands on the very next micro-batch, no restart.
+    * `corpus` is the caller's float table for the exact rerank (the
+    * [[SimilaritySearch.pqLoad]] contract: codes index a corpus the
+    * caller already stores). Output schema per batch:
+    * (queryIdCol, index idCol, cos_sim, rank 1..topK). */
+  def pqServeStream(
+      stream: DataFrame,
+      indexDir: String,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      outDir: String,
+      topK: Int = 10,
+      overFetch: Int = 4,
+      cacheIndex: Boolean = true): StreamingQuery = {
+    val spark = stream.sparkSession
+    val initialVersion =
+      try SimilaritySearch.ivfCurrentPath(spark, indexDir) catch {
+        case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"pqServeStream: no complete index version under '$indexDir' — " +
+            "run pqSave to completion (its CURRENT commit) before starting " +
+            "the serving stream; mid-stream refreshes then land via further " +
+            "pqSave calls with no restart", e)
+      }
+    var cachedIndex: Option[(String, SimilaritySearch.PqIndex)] =
+      if (cacheIndex) Some((initialVersion,
+        SimilaritySearch.pqLoad(spark, initialVersion, corpus)))
+      else None
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val index =
+          if (!cacheIndex) SimilaritySearch.pqLoad(spark, indexDir, corpus)
+          else {
+            val versionPath = SimilaritySearch.ivfCurrentPath(spark, indexDir)
+            cachedIndex match {
+              case Some((p, idx)) if p == versionPath => idx
+              case _ =>
+                val idx = SimilaritySearch.pqLoad(spark, versionPath, corpus)
+                cachedIndex = Some((versionPath, idx))
+                idx
+            }
+          }
+        val (answers, release) = SimilaritySearch.withServingResources {
+          SimilaritySearch.pqTopKBatchChunked(
+            index, batch, queryIdCol, queryVecCol, topK, overFetch)
+        }
+        answers.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        release()
+        ()
+      }
+      .start()
+  }
 }

@@ -411,6 +411,86 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PQ serving answers per micro-batch and picks up a mid-stream pqSave refresh") {
+    import spark.implicits._
+    import graft.streaming.ServeStreaming
+    import graft.operators.SimilaritySearch
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed * 2654435761L)
+      Array.fill(16)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val corpus = (1L to 60L).map(i => (i, vec(i))).toDF("id", "v")
+    val idx = SimilaritySearch.pqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 2)
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_stream").toString
+    val idxDir = s"$root/index"
+    SimilaritySearch.pqSave(idx, idxDir)
+    val corpus2 = corpus.union(Seq((777L, vec(777L))).toDF("id", "v"))
+    val srcDir = s"$root/queries"
+    Seq((900L, jitter(vec(5L), 0.01f))).toDF("q_id", "qv")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("q_id LONG, qv ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    // corpus2 is the rerank frame from the start: the rerank corpus may
+    // legitimately be a superset of the ENCODED corpus (pqLoad's
+    // contract — only encoded ids can surface, floats fetch by id)
+    val q = ServeStreaming.pqServeStream(
+      stream, idxDir, corpus2, "q_id", "qv", s"$root/answers",
+      topK = 3, overFetch = 4)
+    try {
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$root/answers/batch=0")
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val direct = SimilaritySearch.pqTopKBatch(
+          SimilaritySearch.pqLoad(spark, idxDir, corpus2),
+          Seq((900L, jitter(vec(5L), 0.01f))).toDF("q_id", "qv"),
+          "q_id", "qv", topK = 3, overFetch = 4)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      assert(b0.toSeq == direct.toSeq,
+        s"stream batch 0 diverged from the direct batch op:\n${b0.toSeq}\nvs\n${direct.toSeq}")
+      assert(b0.head._2 == 5L, s"near-copy of 5 must rank first: ${b0.toSeq}")
+      // MID-STREAM REFRESH: re-encode with vector 777 and pqSave the
+      // SAME dir (v2). No stream restart; 777 is answerable only from v2.
+      val refreshed = SimilaritySearch.pqBuild(corpus2, "id", "v",
+        m = 4, ksub = 8, lloydIters = 2)
+      SimilaritySearch.pqSave(refreshed, idxDir)
+      Seq((901L, jitter(vec(777L), 0.01f))).toDF("q_id", "qv")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(s"$root/answers/batch=1")
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      assert(b1.nonEmpty && b1.head == ((901L, 777L, 1L)),
+        s"the micro-batch after a pqSave refresh must serve from the NEW " +
+          s"version (777 is encoded only in v2): ${b1.toSeq}")
+    } finally q.stop()
+  }
+
+  test("pqServeStream fails fast when the index has no complete version") {
+    import spark.implicits._
+    import graft.streaming.ServeStreaming
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_nofail").toString
+    val srcDir = s"$root/queries"
+    Seq((1L, Array.fill(16)(0.1f))).toDF("q_id", "qv")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("q_id LONG, qv ARRAY<FLOAT>")
+      .parquet(srcDir)
+    val corpus = Seq((1L, Array.fill(16)(0.1f))).toDF("id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      ServeStreaming.pqServeStream(
+        stream, s"$root/never_saved_index", corpus, "q_id", "qv", s"$root/answers")
+    }
+    assert(ex.getMessage.contains("no complete index version"), ex.getMessage)
+    assert(ex.getMessage.contains("pqSave"), ex.getMessage)
+  }
+
   test("ivfServeStream fails fast with a clear message when the index has no complete version") {
     import spark.implicits._
     import graft.streaming.ServeStreaming
