@@ -492,9 +492,25 @@ object SimilaritySearch {
     * batch counterpart of [[pqTopK]]'s empty answer. Batches beyond
     * [[maxExactRows]] queries are refused loudly (the broadcast
     * contract all batch serving arms share — chunk above it).
-    * Measured (`results/pq_sf1_r17.json`, sf1, 17k corpus): 2857
-    * queries in 24.4 s = 8.5 ms/query — ~20× the per-query driver
-    * round-trip form at the same config. */
+    *
+    * ==The coarse pass is a FLAT LUT SCAN, not a join== — the r13
+    * KernelShapeBench lesson applied a third time: a first revision
+    * scored corpus × queries through a broadcast crossJoin and the
+    * codegen'd `aggregate` HOF, and measured 8.5 ms/query at sf1
+    * (per-join-row overhead, not arithmetic — the same shape that
+    * cost the IVF-SQ8 arm 51 s vs 12.6 s at sf10). This form
+    * broadcasts the per-query LUTs as ONE flat long array, streams
+    * each encoded partition through a tight unpack-lookup-add loop
+    * with bounded per-query heaps (the [[partialTopK]] combiner fused
+    * into the scan), and emits only ≤ partitions × queries × cut
+    * rows. Result-identical to the join form by construction (same
+    * integer adc, same r4 rounding, same heap order) — pinned by the
+    * batch==per-query spec and the v22 oracle gate, and measured
+    * 15× faster (8.5 → 0.57 ms/query, `results/pq_sf1_r17.json`;
+    * streaming 1k-row micro-batches 10.7 → 1.19 s, parity with the
+    * IVF arms, `results/pq_stream_sf1_r17.json`).
+    * Per-partition heap state is queries × topK × overFetch entries —
+    * the documented cost of the driver-mediated batch contract. */
   def pqTopKBatch(
       index: PqIndex,
       queries: DataFrame,
@@ -512,62 +528,109 @@ object SimilaritySearch {
         s"capped at $maxExactRows; chunk the batch")
     val dim = index.m * index.dsub
     val FP = 1L << 24
-    val bcCb = sp.sparkContext.broadcast(index.codebook)
-    val mLoc = index.m; val ksubLoc = index.ksub; val dsubLoc = index.dsub
-    val qf = queries
+    val mLoc = index.m; val ksubLoc = index.ksub; val bitsLoc = index.bits
+    val stride = mLoc * ksubLoc
+    require(nQueries * stride <= Int.MaxValue,
+      s"pqTopKBatch LUT table ($nQueries queries × $stride entries) exceeds " +
+        "one array; chunk the batch")
+    // driver-collected batch — cap-checked ABOVE, the same
+    // driver-mediated broadcast contract the IVF quantized arm's
+    // packed batch uses. LUT construction is m × ksub × dsub flops per
+    // query on the driver; degenerate queries keep qn = 0 and are
+    // skipped by every scan row (no rows out).
+    val qRows = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])]
-      .map { case (qid, v) =>
-        if (v.nonEmpty && v.length != dim)
-          throw new IllegalArgumentException(
-            s"mixed-dimension batch vs index: index dimension $dim vs " +
-              s"query vector of ${v.length} components")
-        val cb = bcCb.value
-        val lut = new Array[Long](mLoc * ksubLoc)
-        var s = 0
-        while (s < mLoc) {
-          var c = 0
-          while (c < ksubLoc) {
-            var acc = 0L
-            var i = 0
-            while (i < dsubLoc && s * dsubLoc + i < v.length) {
-              acc += math.floor(v(s * dsubLoc + i).toDouble *
-                cb(s)(c)(i) * FP + 0.5).toLong
-              i += 1
-            }
-            lut(s * ksubLoc + c) = acc
-            c += 1
+      .collect()
+    val nQ = qRows.length
+    val qids = new Array[Long](nQ)
+    val qns = new Array[Double](nQ)
+    val luts = new Array[Long](nQ * stride)
+    var j = 0
+    while (j < nQ) {
+      val (qid, v) = qRows(j)
+      if (v.nonEmpty && v.length != dim)
+        throw new IllegalArgumentException(
+          s"mixed-dimension batch vs index: index dimension $dim vs " +
+            s"query vector of ${v.length} components")
+      qids(j) = qid
+      var ss = 0.0
+      var i = 0
+      while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+      qns(j) = math.sqrt(ss)
+      var s = 0
+      while (s < mLoc) {
+        var c = 0
+        while (c < ksubLoc) {
+          var acc = 0L
+          var i2 = 0
+          while (i2 < index.dsub && s * index.dsub + i2 < v.length) {
+            acc += math.floor(v(s * index.dsub + i2).toDouble *
+              index.codebook(s)(c)(i2) * FP + 0.5).toLong
+            i2 += 1
           }
-          s += 1
+          luts(j * stride + s * ksubLoc + c) = acc
+          c += 1
         }
-        var ss = 0.0; var i = 0
-        while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
-        (qid, lut, math.sqrt(ss), v)
+        s += 1
       }
-      .toDF("__qid", "__lut", "__qn", "__qv")
-    val mask = (1L << index.bits) - 1
-    val adc = expr(
-      s"aggregate(sequence(0, ${index.m - 1}), CAST(0 AS BIGINT), " +
-        s"(a, s) -> a + element_at(__lut, " +
-        s"CAST(s * ${index.ksub} + (shiftright(pq_code, s * ${index.bits}) & $mask) + 1 AS INT)))")
-    val scored = index.encoded
-      .crossJoin(broadcast(qf.select(col("__qid"), col("__lut"), col("__qn"))))
-      .select(col("__qid"), col(index.idCol).cast("long").as("__nid"),
-        when(col("nrm") =!= 0.0 && col("__qn") =!= 0.0,
-          r4(adc.cast("double") / lit(FP.toDouble) / (col("nrm") * col("__qn"))))
-          .as("__score"))
-      .filter(col("__score").isNotNull)
+      j += 1
+    }
+    val bc = sp.sparkContext.broadcast((qids, qns, luts))
+    val keep = topK * overFetch
+    val mask = (1L << bitsLoc) - 1
+    // the flat scan: unpack each row's m codes ONCE, then one LUT add
+    // per (query, subspace); bounded per-query heaps keep the cut
+    val cand = index.encoded
+      .select(col(index.idCol).cast("long"), col("pq_code"), col("nrm"))
       .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val (ids, ns, lt) = bc.value
+        val heaps = Array.fill(ids.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](heapWorst))
+        val codes = new Array[Int](mLoc)
+        it.foreach { case (nid, code, nrm) =>
+          if (nrm != 0.0) {
+            var s = 0
+            while (s < mLoc) {
+              codes(s) = ((code >>> (s * bitsLoc)) & mask).toInt; s += 1
+            }
+            var q = 0
+            while (q < ids.length) {
+              val qn = ns(q)
+              if (qn != 0.0) {
+                var adc = 0L
+                val base = q * stride
+                var s2 = 0
+                while (s2 < mLoc) {
+                  adc += lt(base + s2 * ksubLoc + codes(s2)); s2 += 1
+                }
+                heapOffer(heaps(q),
+                  math.floor(adc.toDouble / FP / (nrm * qn) * 10000 + 0.5) / 10000.0,
+                  nid, keep)
+              }
+              q += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qj) =>
+          h.iterator.map { case (sc, nid) => (ids(qj), nid, sc) }
+        }
+      }
+      .toDF("__qid", "__nid", "__score")
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__qid")).orderBy(col("__score").desc, col("__nid"))
-    val cand = partialTopK(scored, topK * overFetch)
+    val cut = cand
       .withColumn("__crank", row_number().over(win))
-      .filter(col("__crank") <= topK * overFetch)
+      .filter(col("__crank") <= keep)
       .select("__qid", "__nid")
-    val rr = cand
+    val qf = sp.createDataset(qRows.toSeq.zipWithIndex.map { case ((qid, v), i) =>
+        (qid, v, qns(i))
+      }).toDF("__qid", "__qv", "__qn")
+    val rr = cut
       .join(index.corpus.select(col(index.idCol).cast("long").as("__nid"),
         col(index.vecCol).as("__cv")), Seq("__nid"))
-      .join(broadcast(qf.select(col("__qid"), col("__qv"), col("__qn"))), Seq("__qid"))
+      .join(broadcast(qf), Seq("__qid"))
       .select(col("__qid"), col("__nid"),
         r4(VectorFunctions.dot(col("__cv"), col("__qv")) /
           (VectorFunctions.norm(col("__cv")) * col("__qn"))).as("__score"))
