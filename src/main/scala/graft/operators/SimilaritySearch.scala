@@ -508,7 +508,12 @@ object SimilaritySearch {
     * batch==per-query spec and the v22 oracle gate, and measured
     * 15× faster (8.5 → 0.57 ms/query, `results/pq_sf1_r17.json`;
     * streaming 1k-row micro-batches 10.7 → 1.19 s, parity with the
-    * IVF arms, `results/pq_stream_sf1_r17.json`).
+    * IVF arms, `results/pq_stream_sf1_r17.json`). At sf10
+    * (`results/pq_sf10_r17.json`, 171k corpus, 28,571 queries): 2.11
+    * ms/query with NO row pruning — 4.2× the full exact float scan on
+    * the same fixture (249.7 s, the v16 artifact) from bytes +
+    * integer math alone; at rest 2.6 MB vs 12.7 MB SQ8 vs 44 MB
+    * float. Compose with IVF when row pruning is wanted too.
     * Per-partition heap state is queries × topK × overFetch entries —
     * the documented cost of the driver-mediated batch contract. */
   def pqTopKBatch(
