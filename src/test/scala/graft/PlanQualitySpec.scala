@@ -117,7 +117,12 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("new pipeline ops stay free of cartesian products") {
     for (name <- Seq("t21_simhash_neardup", "t22_pii_redact",
-        "t23_domain_mix", "t24_chunk_overlap")) {
+        "t23_domain_mix", "t24_chunk_overlap",
+        // round 17: span dedup (fingerprint-keyed joins only) and the
+        // PQ tier (ADC scans + id-keyed rerank fetches; the only
+        // intended product is the broadcast of the 1-row query/LUT)
+        "t31_substring_dedup", "v20_pq_adc_topk", "v21_ivf_pq_topk",
+        "v22_pq_batch_topk")) {
       val nodes = finalPlan(name)
       assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
         s"$name contains a cartesian product")
