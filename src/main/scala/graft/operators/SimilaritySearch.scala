@@ -457,8 +457,13 @@ object SimilaritySearch {
           .as("approx_cos"))
       // NULL scores (zero-norm corpus row, or a degenerate query which
       // NULLs EVERY row) are dropped, not padded into the cut — a
-      // degenerate query returns empty, matching ivfTopK's convention
-      .filter(col("approx_cos").isNotNull)
+      // degenerate query returns empty, matching ivfTopK's convention.
+      // NaN scores (a NaN-poisoned query or corpus vector) are dropped
+      // too: NaN is NOT null in Spark and sorts FIRST under desc, so
+      // without this a poisoned vector would fill the cut with
+      // arbitrary ids (review) — the batch arm's heapOffer refuses the
+      // same NaNs, keeping the two forms result-identical
+      .filter(col("approx_cos").isNotNull && !isnan(col("approx_cos")))
       .orderBy(col("approx_cos").desc, col(index.idCol))
       .limit(topK * overFetch)
     val q = sp.range(1).select(typedLit(query).as("__qe"))
@@ -535,25 +540,33 @@ object SimilaritySearch {
     val FP = 1L << 24
     val mLoc = index.m; val ksubLoc = index.ksub; val bitsLoc = index.bits
     val stride = mLoc * ksubLoc
-    require(nQueries * stride <= Int.MaxValue,
-      s"pqTopKBatch LUT table ($nQueries queries × $stride entries) exceeds " +
-        "one array; chunk the batch")
-    // driver-collected batch — cap-checked ABOVE, the same
-    // driver-mediated broadcast contract the IVF quantized arm's
-    // packed batch uses. LUT construction is m × ksub × dsub flops per
-    // query on the driver; degenerate queries keep qn = 0 and are
-    // skipped by every scan row (no rows out).
+    // driver-collected batch — the same driver-mediated broadcast
+    // contract the IVF quantized arm's packed batch uses. LUT
+    // construction is m × ksub × dsub flops per query on the driver;
+    // degenerate (empty, zero, NaN-poisoned, NULL) queries keep qn = 0
+    // and are skipped by every scan row (no rows out). Both caps are
+    // re-validated against the COLLECTED length (review: the count()
+    // above is a separate evaluation of a possibly-nondeterministic
+    // source; the arrays are sized by what actually arrived).
     val qRows = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol))
       .as[(Long, Array[Float])]
       .collect()
     val nQ = qRows.length
+    require(nQ <= maxExactRows && nQ.toLong * stride <= Int.MaxValue,
+      s"pqTopKBatch collected $nQ queries × $stride LUT entries — over the " +
+        s"broadcast cap ($maxExactRows queries, ${Int.MaxValue} LUT longs); " +
+        "chunk the batch")
     val qids = new Array[Long](nQ)
     val qns = new Array[Double](nQ)
     val luts = new Array[Long](nQ * stride)
     var j = 0
     while (j < nQ) {
-      val (qid, v) = qRows(j)
+      val (qid, v0) = qRows(j)
+      // a NULL vector (nullable streaming source) degrades like the
+      // empty vector: qn stays 0, the query answers nothing — one bad
+      // row must not kill a serving stream (review)
+      val v = if (v0 == null) Array.empty[Float] else v0
       if (v.nonEmpty && v.length != dim)
         throw new IllegalArgumentException(
           s"mixed-dimension batch vs index: index dimension $dim vs " +
@@ -562,7 +575,9 @@ object SimilaritySearch {
       var ss = 0.0
       var i = 0
       while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
-      qns(j) = math.sqrt(ss)
+      // NaN components poison the norm: treat as degenerate (qn = 0 →
+      // no rows), matching heapOffer's NaN-refusal downstream
+      qns(j) = { val n = math.sqrt(ss); if (n.isNaN) 0.0 else n }
       var s = 0
       while (s < mLoc) {
         var c = 0
@@ -582,6 +597,13 @@ object SimilaritySearch {
       j += 1
     }
     val bc = sp.sparkContext.broadcast((qids, qns, luts))
+    // registered like the quantized arm's PackedBatch broadcast: under
+    // withServingResources the caller's release() destroys it after
+    // the batch's answers are materialized; otherwise the process-wide
+    // queue owns it (review: the LUT table is ~nQ × stride longs —
+    // unreclaimed, a long-running pqServeStream would accumulate one
+    // per micro-batch)
+    registerServingCleanup(() => bc.destroy(), Some(bc))
     val keep = topK * overFetch
     val mask = (1L << bitsLoc) - 1
     // the flat scan: unpack each row's m codes ONCE, then one LUT add
@@ -2127,7 +2149,12 @@ object SimilaritySearch {
     * cache first. */
   /** [[ivfTopKBatchChunked]]'s shape for the PQ tier — the same
     * deterministic hash chunking and exact-union argument, wrapping
-    * [[pqTopKBatch]], so no serving micro-batch is refused for size. */
+    * [[pqTopKBatch]], so no serving micro-batch is refused for size.
+    * The chunk target is additionally derated by the index's LUT
+    * stride so a chunk can never trip the inner op's Int-capacity
+    * guard (review: a large-ksub index shrinks the per-chunk query
+    * budget — maxExactRows/2 queries × a 2^16-codeword LUT would
+    * overflow one long array). */
   def pqTopKBatchChunked(
       index: PqIndex,
       queries: DataFrame,
@@ -2135,10 +2162,12 @@ object SimilaritySearch {
       queryVecCol: String,
       topK: Int = 10,
       overFetch: Int = 4,
-      chunkTarget: Long = maxExactRows / 2): DataFrame =
-    chunkedUnion(queries, queryIdCol, chunkTarget) { chunk =>
+      chunkTarget: Long = maxExactRows / 2): DataFrame = {
+    val lutCap = Int.MaxValue.toLong / (index.m * index.ksub)
+    chunkedUnion(queries, queryIdCol, math.max(1L, math.min(chunkTarget, lutCap))) { chunk =>
       pqTopKBatch(index, chunk, queryIdCol, queryVecCol, topK, overFetch)
     }
+  }
 
   private def chunkedUnion(
       queries: DataFrame, queryIdCol: String, chunkTarget: Long)(
