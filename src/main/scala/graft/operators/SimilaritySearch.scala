@@ -478,6 +478,61 @@ object SimilaritySearch {
       .limit(topK)
   }
 
+  /** Encode NEW vectors against an EXISTING codebook — the
+    * between-retrains ingest path of a PQ deployment, mirroring
+    * [[ivfAssign]]: one broadcast of the (m × ksub × dsub)-double
+    * codebook, one map over the batch (cost ∝ batch; the corpus is
+    * never touched), codes by the SAME fixed-point integer metric as
+    * [[pqBuild]]'s own encode — a batch row identical to a corpus row
+    * gets the identical pq_code. The codebook is re-trained by a
+    * periodic [[pqBuild]] when drift accumulates, exactly like the IVF
+    * coarse quantizer. Returns (idCol, pq_code, nrm) — the
+    * [[PqIndex.encoded]] row shape. Degenerate (empty/NULL) vectors
+    * encode to code 0s with nrm 0 — nrm 0 rows never score
+    * (the serve paths' shared drop policy). Mixed dimensions are loud. */
+  def pqEncode(index: PqIndex, batch: DataFrame): DataFrame = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val dim = index.m * index.dsub
+    val bc = sp.sparkContext.broadcast(index.codebook)
+    val mLoc = index.m; val dsubLoc = index.dsub; val bitsLoc = index.bits
+    batch.select(col(index.idCol).cast("long"), col(index.vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v0) =>
+        val v = if (v0 == null) Array.empty[Float] else v0
+        if (v.nonEmpty && v.length != dim)
+          throw new IllegalArgumentException(
+            s"mixed-dimension batch vs index: index dimension $dim vs " +
+              s"batch vector of ${v.length} components")
+        var packed = 0L
+        if (v.nonEmpty) {
+          var s = 0
+          while (s < mLoc) {
+            packed |= pqNearestCode(bc.value, v, s, dsubLoc).toLong << (s * bitsLoc)
+            s += 1
+          }
+        }
+        var ss = 0.0; var i = 0
+        while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+        (id, packed, math.sqrt(ss))
+      }
+      .toDF(index.idCol, "pq_code", "nrm")
+  }
+
+  /** The growing-index fold, mirroring [[ivfAppend]]:
+    * [[pqEncode]]-shaped placement of `batch` into `index.encoded`
+    * (and its floats into the rerank corpus), returning an index whose
+    * new rows serve queries immediately through every arm. The
+    * codebook is unchanged by design — re-coding the world is
+    * [[pqBuild]]'s periodic job. */
+  def pqAppend(index: PqIndex, batch: DataFrame): PqIndex = {
+    val placed = pqEncode(index, batch)
+    index.copy(
+      encoded = index.encoded.unionByName(placed),
+      corpus = index.corpus.unionByName(
+        batch.select(col(index.idCol), col(index.vecCol))))
+  }
+
   /** BATCHED ANN top-k through a [[PqIndex]] — the serving-throughput
     * form of [[pqTopK]]: a whole DataFrame of query vectors resolves in
     * ONE distributed pass. Each query's integer ADC LUT is computed in

@@ -1441,6 +1441,40 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("both"), s"unexpected message: ${e.getMessage}")
   }
 
+  test("pqEncode/pqAppend place new vectors on the existing codebook") {
+    import spark.implicits._
+    val q = vec(5150L)
+    val corpus = (1L to 200L).map(i => (i, vec(i * 131 + 7))).toDF("id", "v")
+    val idx = SimilaritySearch.pqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 2)
+    // re-submitting corpus vectors under new ids must produce the
+    // IDENTICAL codes and norms the build's own encode produced — the
+    // ingest path and the build path share one metric
+    val resub = (50L to 52L).map(i => (i + 1000L, vec(i * 131 + 7))).toDF("id", "v")
+    val enc = SimilaritySearch.pqEncode(idx, resub)
+      .collect().map(r => (r.getLong(0) - 1000L, r.getLong(1), r.getDouble(2))).toSet
+    val built = idx.encoded.filter(col("id").between(50L, 52L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(enc == built, s"ingest codes diverged from build codes:\n$enc\nvs\n$built")
+    // appended rows serve immediately through every arm
+    val appended = SimilaritySearch.pqAppend(idx,
+      Seq((999L, jitter(q, 0.01f))).toDF("id", "v"))
+    val top = SimilaritySearch.pqTopK(appended, q, topK = 3, overFetch = 4)
+      .collect()
+    assert(top.head.getLong(0) == 999L,
+      s"the appended near-copy must rank first: ${top.toSeq}")
+    // degenerate batch rows encode to nrm 0 (never score); mixed dims loud
+    val deg = SimilaritySearch.pqEncode(idx,
+      Seq((7777L, Array.empty[Float])).toDF("id", "v")).collect()
+    assert(deg.head.getDouble(2) == 0.0)
+    val e = intercept[org.apache.spark.SparkException] {
+      SimilaritySearch.pqEncode(idx,
+        Seq((7778L, new Array[Float](5))).toDF("id", "v")).collect()
+    }
+    assert(e.getMessage.contains("mixed-dimension") ||
+      Option(e.getCause).exists(_.getMessage.contains("mixed-dimension")))
+  }
+
   test("pqSave/pqLoad: bit-exact codebook, identical serving, versioned refresh") {
     import spark.implicits._
     def rmTree(p: String): Unit = {
