@@ -1441,6 +1441,44 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("both"), s"unexpected message: ${e.getMessage}")
   }
 
+  test("property: pqTopKBatch kernel == per-query pqServe on random geometry") {
+    // the batch arm's flat LUT scan is hand-written bit-twiddling
+    // (unpack, lookup, integer adds, fixed-point rounding); the
+    // per-query path scores through Catalyst expressions. The two must
+    // agree on EVERY (m, ksub, iters, corpus) draw — a divergence means
+    // the kernel's arithmetic drifted from the expression form the
+    // oracle replays
+    import spark.implicits._
+    for (seed <- Seq(11L, 23L, 37L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 80 + rnd.nextInt(120)
+      val m = Seq(2, 4, 8)(rnd.nextInt(3)) // all divide dim = 16
+      val ksub = Seq(4, 8, 16)(rnd.nextInt(3))
+      val iters = 1 + rnd.nextInt(2)
+      val corpus = (1L to n.toLong).map(i => (i, vec(i * (seed * 2 + 1) + 3)))
+        .toDF("id", "v")
+      val idx = SimilaritySearch.pqBuild(corpus, "id", "v", m = m,
+        ksub = ksub, lloydIters = iters)
+      val qids = Seq(500L, 501L)
+      val queries = qids.map(qq => (qq, vec(qq * seed))).toDF("q_id", "qv")
+      val batch = SimilaritySearch.pqTopKBatch(idx, queries, "q_id", "qv",
+          topK = 7, overFetch = 3)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(3), r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k2, v2) => k2 -> v2.map(_._2).sortBy(_._1).toSeq }
+      qids.foreach { qq =>
+        val solo = SimilaritySearch.pqTopK(idx, vec(qq * seed), topK = 7,
+            overFetch = 3)
+          .collect().zipWithIndex
+          .map { case (r, i) => ((i + 1).toLong, r.getLong(0), r.getDouble(1)) }
+          .toSeq
+        assert(batch.getOrElse(qq, Seq.empty) == solo,
+          s"seed=$seed m=$m ksub=$ksub iters=$iters query=$qq:\n" +
+            s"batch=${batch.getOrElse(qq, Seq.empty)}\nsolo=$solo")
+      }
+    }
+  }
+
   test("pqEncode/pqAppend place new vectors on the existing codebook") {
     import spark.implicits._
     val q = vec(5150L)
