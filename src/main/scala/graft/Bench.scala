@@ -355,14 +355,53 @@ object Bench {
       // flagged on the artifact, not only inferable from the canary_pre
       // field's presence) — artifacts reading "median5_warm1" alone
       // predate the probe
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1_cpre","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"canary_shuffle_sec":$canaryShuffle%.3f,"canary_shuffle_drift":$canaryShuffleDrift%.3f,"norm_parity_band":[$pLo%.2f,$pHi%.2f],"spliced":$splicedJson,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"samples_ts":$samplesTsJson,"samples_gc":$samplesGcJson,"canary_pre":$canaryPreJson,"gc_sec":$gcJson,"suspect_kind":$suspectKindJson,"spread":$spread,"variance":$variance%.3f,"variance_trimmed":$varianceTrimmed%.3f,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1_cpre","provenance":"live","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"canary_shuffle_sec":$canaryShuffle%.3f,"canary_shuffle_drift":$canaryShuffleDrift%.3f,"norm_parity_band":[$pLo%.2f,$pHi%.2f],"spliced":$splicedJson,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"samples_ts":$samplesTsJson,"samples_gc":$samplesGcJson,"canary_pre":$canaryPreJson,"gc_sec":$gcJson,"suspect_kind":$suspectKindJson,"spread":$spread,"variance":$variance%.3f,"variance_trimmed":$varianceTrimmed%.3f,"failed":$failed,"sf":"$sfDir"}"""
     }
     val line = artifactLine(results, Nil)
-    println(line)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_output.json")
+    // SELF-CONTAINED REFUSAL (round-17 verdict #3): when this window is
+    // not adjudicable and a standing same-sf slot exists, the archived
+    // artifact is the STANDING numbers stamped provenance:"standing-slot"
+    // + the refusal reason + this window's canaries — the per-round
+    // BENCH_r<N>.json series then always carries an adjudicable number
+    // whatever the host weather. The refused window's own full line is
+    // preserved next to it (bench_refused.json), and rc stays non-zero:
+    // automation still learns the live window failed.
+    val emitted: String =
+      if (adjudicable) line
+      else {
+        val suspectNote =
+          if (suspectKinds.isEmpty) ""
+          else suspectKinds.map { case (k, v) => s"$k=$v" }
+            .mkString(" [suspect windows: ", ", ", "]")
+        val reason =
+          f"not adjudicable: variance_trimmed=$varianceTrimmed%.3f (raw $variance%.3f, " +
+            f"floor ${graft.tools.BenchProtocol.VarianceFloor}), failed=$failed$suspectNote"
+        val standingRaw = try {
+          val p = java.nio.file.Paths.get("bench_last_good.json")
+          if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p))
+          else None
+        } catch { case _: Exception => None }
+        val fallback = standingRaw
+          .filter(_ => sfMatches) // a cross-scale standing number is no fallback
+          .flatMap(raw => graft.tools.BenchProtocol.standingFallbackLine(
+            raw, reason, canary, canaryShuffle, varianceTrimmed,
+            bad.map(_._1)))
+        fallback match {
+          case Some(fb) =>
+            System.err.println(
+              "[bench] window refused — archiving the standing slot with " +
+                "provenance:standing-slot (refused window preserved in bench_refused.json)")
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get("bench_refused.json"), line + "\n")
+            fb
+          case None => line // nothing to fall back to: the refused line stands alone
+        }
+      }
+    println(emitted)
     // the same line to a stable file so the driver's parser never has to
     // fish it out of sbt log decorations
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_output.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), emitted + "\n")
     // the standing "last known good" slot is only ever overwritten by an
     // adjudicable run of the FULL headline slice under the STANDARD
     // config — focused slices, A/B runs (non-empty extra conf, echoed in

@@ -358,6 +358,12 @@ object SimilaritySearch {
         .map { case (key, (_, fp, cnt)) => (key, fp.map(_.toDouble / FP / cnt)) }
         .collect()
         .toMap
+      // the per-iteration codebook broadcast is dead once the means are
+      // collected — destroy it eagerly, or a tuning sweep building many
+      // indexes in one JVM accumulates leaked broadcast blocks (advice
+      // r17; the FINAL encode broadcast below must stay alive — the
+      // lazy `encoded` frame references it)
+      bc.destroy()
       cb = Array.tabulate(m, kEff, dsub) { (s, c, i) =>
         means.get(s * ksub + c) match {
           case Some(mean) => mean(i)
@@ -425,6 +431,15 @@ object SimilaritySearch {
     require(topK >= 1 && overFetch >= 1, "topK and overFetch must be >= 1")
     require(query.length == index.m * index.dsub,
       s"query dim ${query.length} != index dim ${index.m * index.dsub}")
+    // the LUT is inlined below as a SQL array literal (m × ksub BIGINTs
+    // in the generated expression text) — ksub is unbounded up to the
+    // m·bits ≤ 63 packing limit, so a large trained codebook would
+    // otherwise emit a pathologically large expression per query; the
+    // batch arm guards its LUT capacity the same way (advice r17)
+    require(index.m * index.ksub <= 65536,
+      s"pqServe inlines the LUT as a literal: m=${index.m} × ksub=${index.ksub} " +
+        s"= ${index.m * index.ksub} entries exceeds the 65536 cap — use " +
+        "pqTopKBatch (broadcast LUT) for codebooks this large")
     val FP = 1L << 24
     val lut = new Array[Long](index.m * index.ksub)
     var s = 0
@@ -1134,6 +1149,10 @@ object SimilaritySearch {
         .map { case (c, (_, fp, cnt)) => (c, fp.map(_.toDouble / FP / cnt)) }
         .collect()
         .toMap
+      // dead once collected — destroy eagerly, same leak as pqBuild's
+      // Lloyd broadcast (advice r17); the final assignment broadcast
+      // below stays alive for the lazy `assigned` frame
+      bc.destroy()
       cents = cents.indices.map { c =>
         means.get(c) match {
           case Some(m) => (m, normD(m)) // refined centroid

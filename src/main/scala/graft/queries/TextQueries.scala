@@ -1105,10 +1105,13 @@ object TextQueries {
     * the token reassembly verbatim. The oracle's static position bound
     * is 1024 — 10× this corpus's 100-token max, headroom rather than a
     * cap (the Spark operator is unbounded; a corpus breaching 1024
-    * tokens would silently diverge the ORACLE, so the bound is set far
-    * past anything the generator emits). */
+    * tokens would silently diverge the ORACLE, so the Spark side
+    * asserts the bound per row via `assert_true` — a breach fails
+    * LOUDLY with the real cause instead of surfacing as a confusing
+    * hash mismatch at verify time). */
   val substringDedup: Q = {
     val W = 6
+    val OracleBound = 1024 // generate_series(1, 1024) in the SQL below
     val spanConcat = (0 until W).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
     Q(
       "t31_substring_dedup",
@@ -1132,8 +1135,18 @@ object TextQueries {
         |FROM w JOIN cl ON cl.doc_id = w.doc_id
         |LEFT JOIN cvagg cv ON cv.doc_id = w.doc_id
         |ORDER BY w.doc_id""".stripMargin) { (s, dir) =>
+      // per-row loud guard on the ORACLE's static position bound: the
+      // SQL above enumerates positions 1..1024, so a longer document
+      // would silently truncate the oracle's span set while the Spark
+      // operator (unbounded) keeps every span — assert_true turns that
+      // silent divergence into a failure naming the breaching document
+      val docs = t(s, dir, "documents").withColumn("text",
+        when(assert_true(size(split(col("text"), " ")) <= OracleBound,
+          concat(lit(s"t31 oracle bound breach (doc_id="), col("doc_id"),
+            lit(s"): > $OracleBound tokens — raise the oracle's " +
+              "generate_series bound to match"))).isNull, col("text")))
       graft.operators.TextDedup
-        .substringSpanDedup(t(s, dir, "documents"), "doc_id", "text",
+        .substringSpanDedup(docs, "doc_id", "text",
           window = W, minDocs = 2)
         .orderBy("doc_id")
     }

@@ -395,4 +395,47 @@ object BenchProtocol {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
+
+  /** The self-contained REFUSAL artifact (round-17 verdict #3): when a
+    * bench run is not adjudicable (host weather), the per-round
+    * `BENCH_r<N>.json` used to carry only the refused run — the round
+    * series then had holes a reader must fill by hand from
+    * `bench_last_good.json`. This builds the fallback line the driver
+    * archives instead: the STANDING slot's numbers verbatim, stamped
+    *   - `provenance: "standing-slot"` (a live accepted run would carry
+    *     `"live"`; pre-r18 artifacts carry neither and are live),
+    *   - `refusal_reason`: why THIS window was refused,
+    *   - `refused_run`: the refused window's own canaries + dispersion,
+    *     so the band that caused the refusal stays adjudicable too.
+    * Returns None when there is no standing artifact to fall back to,
+    * or the standing line does not parse — the refused line then stands
+    * alone, as before. Implemented by JSON-tree edit (not string
+    * concatenation) so the standing artifact's field set rides through
+    * unmodified whatever vintage it is. */
+  def standingFallbackLine(
+      standingLine: String,
+      refusalReason: String,
+      refusedCanary: Double,
+      refusedCanaryShuffle: Double,
+      refusedVarianceTrimmed: Double,
+      refusedFailed: Seq[String]): Option[String] =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(standingLine)
+      if (root == null || !root.isObject) None
+      else {
+        val obj = root.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        obj.put("provenance", "standing-slot")
+        obj.put("refusal_reason", refusalReason)
+        val refused = om.createObjectNode()
+        refused.put("canary_sec", refusedCanary)
+        refused.put("canary_shuffle_sec", refusedCanaryShuffle)
+        refused.put("variance_trimmed", refusedVarianceTrimmed)
+        val fa = om.createArrayNode()
+        refusedFailed.foreach(fa.add)
+        refused.set("failed", fa)
+        obj.set[com.fasterxml.jackson.databind.JsonNode]("refused_run", refused)
+        Some(om.writeValueAsString(obj))
+      }
+    } catch { case _: Exception => None }
 }

@@ -278,6 +278,43 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(BenchProtocol.suspectKind(Seq(-1.0, 1.0, 9.0), None, Some(0.1)) == "none")
   }
 
+  test("standingFallbackLine: refused-window artifact carries the standing numbers + provenance") {
+    // a miniature standing slot of the real shape (r17 vintage fields)
+    val standing =
+      """{"metric":"total","value":34.132,"unit":"sec","adjudicable":true,""" +
+        """"canary_sec":2.156,"queries":{"q1_pricing_summary":1.234,"gr2_triangle_count":4.800},""" +
+        """"variance_trimmed":0.252,"sf":"/root/testdata/sf0.1"}"""
+    val out = BenchProtocol.standingFallbackLine(
+      standing, "not adjudicable: variance_trimmed=0.608 (floor 0.5), failed=[]",
+      refusedCanary = 2.31, refusedCanaryShuffle = 1.88,
+      refusedVarianceTrimmed = 0.608, refusedFailed = Seq("e1_events_hourly"))
+    assert(out.isDefined)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(out.get)
+    // the standing numbers ride through verbatim — the round series
+    // always carries an adjudicable number (r17 verdict #3)
+    assert(node.get("value").asDouble() == 34.132)
+    assert(node.get("adjudicable").asBoolean())
+    assert(node.get("canary_sec").asDouble() == 2.156)
+    assert(node.get("queries").get("gr2_triangle_count").asDouble() == 4.8)
+    // stamped as a fallback, with the mechanism
+    assert(node.get("provenance").asText() == "standing-slot")
+    assert(node.get("refusal_reason").asText().contains("variance_trimmed=0.608"))
+    // the refused window's own band stays adjudicable
+    val refused = node.get("refused_run")
+    assert(refused.get("canary_sec").asDouble() == 2.31)
+    assert(refused.get("canary_shuffle_sec").asDouble() == 1.88)
+    assert(refused.get("variance_trimmed").asDouble() == 0.608)
+    assert(refused.get("failed").get(0).asText() == "e1_events_hourly")
+  }
+
+  test("standingFallbackLine degrades to None on a missing or corrupt standing line") {
+    assert(BenchProtocol.standingFallbackLine(
+      "not json at all {", "r", 1.0, 1.0, 0.6, Nil).isEmpty)
+    assert(BenchProtocol.standingFallbackLine(
+      "[1,2,3]", "r", 1.0, 1.0, 0.6, Nil).isEmpty) // array, not an object
+  }
+
   test("jsonEscape neutralizes quotes, backslashes and control chars") {
     assert(BenchProtocol.jsonEscape("""a"b\c""") == """a\"b\\c""")
     assert(BenchProtocol.jsonEscape("x\ny") == "x\\u000ay")
