@@ -245,9 +245,13 @@ object SimilaritySearch {
     * distance — per-term `floor((x−c)²·2^24 + 0.5)` summed as longs, so
     * the metric is exact integer arithmetic (order-free, and replayed
     * verbatim by the v20 oracle's SQL); ties break to the lower code
-    * id, the same convention as [[nearestCentroid]]. */
+    * id, the same convention as [[nearestCentroid]]. Takes the vector
+    * as doubles so the raw tier (float corpus components, converted
+    * once per row — `toFloat.toDouble` is exact, so results are
+    * bit-identical to per-access conversion) and the RESIDUAL tier
+    * (v − centroid differences, natively double) share one metric. */
   private def pqNearestCode(
-      cb: Array[Array[Array[Double]]], v: Array[Float], s: Int, dsub: Int): Int = {
+      cb: Array[Array[Array[Double]]], v: Array[Double], s: Int, dsub: Int): Int = {
     val sub = cb(s)
     var best = 0; var bestDist = Long.MaxValue
     var c = 0
@@ -255,7 +259,7 @@ object SimilaritySearch {
       var dist = 0L
       var i = 0
       while (i < dsub) {
-        val diff = v(s * dsub + i).toDouble - sub(c)(i)
+        val diff = v(s * dsub + i) - sub(c)(i)
         dist += math.floor(diff * diff * 16777216.0 + 0.5).toLong
         i += 1
       }
@@ -263,6 +267,14 @@ object SimilaritySearch {
       c += 1
     }
     best
+  }
+
+  /** One exact float→double widening per row (see [[pqNearestCode]]). */
+  private def toDoubles(v: Array[Float]): Array[Double] = {
+    val d = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
+    d
   }
 
   /** Train a PQ codebook over (idCol, vecCol) and encode the corpus.
@@ -339,13 +351,14 @@ object SimilaritySearch {
       val bc = sp.sparkContext.broadcast(cb)
       val means = vecs
         .flatMap { case (_, v) =>
+          val vd = toDoubles(v)
           (0 until mLoc).iterator.map { s =>
             val fp = new Array[Long](dsubLoc)
             var i = 0
             while (i < dsubLoc) {
-              fp(i) = math.round(v(s * dsubLoc + i).toDouble * FP); i += 1
+              fp(i) = math.round(vd(s * dsubLoc + i) * FP); i += 1
             }
-            (s * ksubLoc + pqNearestCode(bc.value, v, s, dsubLoc), fp, 1L)
+            (s * ksubLoc + pqNearestCode(bc.value, vd, s, dsubLoc), fp, 1L)
           }
         }
         .groupByKey(_._1)
@@ -375,14 +388,15 @@ object SimilaritySearch {
     val bcF = sp.sparkContext.broadcast(cb)
     val bitsLoc = bits
     val encoded = vecs.map { case (id, v) =>
+      val vd = toDoubles(v)
       var packed = 0L
       var s = 0
       while (s < mLoc) {
-        packed |= pqNearestCode(bcF.value, v, s, dsubLoc).toLong << (s * bitsLoc)
+        packed |= pqNearestCode(bcF.value, vd, s, dsubLoc).toLong << (s * bitsLoc)
         s += 1
       }
       var ss = 0.0; var i = 0
-      while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+      while (i < vd.length) { ss += vd(i) * vd(i); i += 1 }
       (id, packed, math.sqrt(ss))
     }.toDF(idCol, "pq_code", "nrm")
     vecs.unpersist(blocking = false)
@@ -426,47 +440,80 @@ object SimilaritySearch {
       query: Array[Float],
       topK: Int,
       overFetch: Int,
-      scan: DataFrame): DataFrame = {
-    implicit val sp: SparkSession = index.encoded.sparkSession
+      scan: DataFrame): DataFrame =
+    pqServeCore(index.m, index.ksub, index.dsub, index.bits, index.codebook,
+      index.idCol, index.vecCol, index.corpus, query, topK, overFetch, scan,
+      fpOffset = None)
+
+  /** The per-query integer ADC lookup table — fixed-point
+    * ⟨query-subvector, codeword⟩ partial dots, per-term
+    * `floor(q·c·2^24 + 0.5)` summed as longs; entry `s·ksub + c` is
+    * subspace s's dot against codeword c. Shared by the single-query
+    * serve (inlined literal) and any driver-side LUT use. */
+  private def pqQueryLut(
+      codebook: Array[Array[Array[Double]]],
+      query: Array[Float], m: Int, ksub: Int, dsub: Int): Array[Long] = {
+    val FP = 1L << 24
+    val lut = new Array[Long](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        var acc = 0L
+        var i = 0
+        while (i < dsub) {
+          acc += math.floor(query(s * dsub + i).toDouble *
+            codebook(s)(c)(i) * FP + 0.5).toLong
+          i += 1
+        }
+        lut(s * ksub + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    lut
+  }
+
+  /** The field-level form of [[pqServe]], shared with the RESIDUAL
+    * tier ([[ivfResidualPqTopK]]): `fpOffset`, when present, is a
+    * BIGINT column added to every row's LUT sum BEFORE the fixed-point
+    * rescale — the residual tier's per-(query, cluster)
+    * ⟨query, centroid⟩ term. With `fpOffset = None` the generated plan
+    * is exactly the raw tier's (the v20/v21 oracle-gated expression). */
+  private def pqServeCore(
+      m: Int, ksub: Int, dsub: Int, bits: Int,
+      codebook: Array[Array[Array[Double]]],
+      idCol: String, vecCol: String, corpus: DataFrame,
+      query: Array[Float],
+      topK: Int,
+      overFetch: Int,
+      scan: DataFrame,
+      fpOffset: Option[Column]): DataFrame = {
+    implicit val sp: SparkSession = scan.sparkSession
     require(topK >= 1 && overFetch >= 1, "topK and overFetch must be >= 1")
-    require(query.length == index.m * index.dsub,
-      s"query dim ${query.length} != index dim ${index.m * index.dsub}")
+    require(query.length == m * dsub,
+      s"query dim ${query.length} != index dim ${m * dsub}")
     // the LUT is inlined below as a SQL array literal (m × ksub BIGINTs
     // in the generated expression text) — ksub is unbounded up to the
     // m·bits ≤ 63 packing limit, so a large trained codebook would
     // otherwise emit a pathologically large expression per query; the
     // batch arm guards its LUT capacity the same way (advice r17)
-    require(index.m * index.ksub <= 65536,
-      s"pqServe inlines the LUT as a literal: m=${index.m} × ksub=${index.ksub} " +
-        s"= ${index.m * index.ksub} entries exceeds the 65536 cap — use " +
+    require(m * ksub <= 65536,
+      s"pqServe inlines the LUT as a literal: m=$m × ksub=$ksub " +
+        s"= ${m * ksub} entries exceeds the 65536 cap — use " +
         "pqTopKBatch (broadcast LUT) for codebooks this large")
     val FP = 1L << 24
-    val lut = new Array[Long](index.m * index.ksub)
-    var s = 0
-    while (s < index.m) {
-      var c = 0
-      while (c < index.ksub) {
-        var acc = 0L
-        var i = 0
-        while (i < index.dsub) {
-          acc += math.floor(query(s * index.dsub + i).toDouble *
-            index.codebook(s)(c)(i) * FP + 0.5).toLong
-          i += 1
-        }
-        lut(s * index.ksub + c) = acc
-        c += 1
-      }
-      s += 1
-    }
+    val lut = pqQueryLut(codebook, query, m, ksub, dsub)
     val qn = normF(query)
     val lutArr = lut.mkString("array(", "L, ", "L)")
-    val mask = (1L << index.bits) - 1
-    val adc = expr(
-      s"aggregate(sequence(0, ${index.m - 1}), CAST(0 AS BIGINT), " +
+    val mask = (1L << bits) - 1
+    val adcSum = expr(
+      s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), " +
         s"(a, s) -> a + element_at($lutArr, " +
-        s"CAST(s * ${index.ksub} + (shiftright(pq_code, s * ${index.bits}) & $mask) + 1 AS INT)))")
+        s"CAST(s * $ksub + (shiftright(pq_code, s * $bits) & $mask) + 1 AS INT)))")
+    val adc = fpOffset.map(_ + adcSum).getOrElse(adcSum)
     val coarse = scan
-      .select(col(index.idCol),
+      .select(col(idCol),
         when(col("nrm") =!= 0.0 && lit(qn) =!= 0.0,
           r4(adc.cast("double") / lit(FP.toDouble) / (col("nrm") * lit(qn))))
           .as("approx_cos"))
@@ -479,17 +526,17 @@ object SimilaritySearch {
       // arbitrary ids (review) — the batch arm's heapOffer refuses the
       // same NaNs, keeping the two forms result-identical
       .filter(col("approx_cos").isNotNull && !isnan(col("approx_cos")))
-      .orderBy(col("approx_cos").desc, col(index.idCol))
+      .orderBy(col("approx_cos").desc, col(idCol))
       .limit(topK * overFetch)
     val q = sp.range(1).select(typedLit(query).as("__qe"))
       .select(col("__qe"), VectorFunctions.norm(col("__qe")).as("__qn"))
     coarse
-      .join(index.corpus.select(col(index.idCol), col(index.vecCol)), Seq(index.idCol))
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
       .crossJoin(broadcast(q))
-      .select(col(index.idCol),
-        r4(VectorFunctions.dot(col(index.vecCol), col("__qe")) /
-          (VectorFunctions.norm(col(index.vecCol)) * col("__qn"))).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col(index.idCol))
+      .select(col(idCol),
+        r4(VectorFunctions.dot(col(vecCol), col("__qe")) /
+          (VectorFunctions.norm(col(vecCol)) * col("__qn"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
       .limit(topK)
   }
 
@@ -521,9 +568,10 @@ object SimilaritySearch {
               s"batch vector of ${v.length} components")
         var packed = 0L
         if (v.nonEmpty) {
+          val vd = toDoubles(v)
           var s = 0
           while (s < mLoc) {
-            packed |= pqNearestCode(bc.value, v, s, dsubLoc).toLong << (s * bitsLoc)
+            packed |= pqNearestCode(bc.value, vd, s, dsubLoc).toLong << (s * bitsLoc)
             s += 1
           }
         }
@@ -546,6 +594,214 @@ object SimilaritySearch {
       encoded = index.encoded.unionByName(placed),
       corpus = index.corpus.unionByName(
         batch.select(col(index.idCol), col(index.vecCol))))
+  }
+
+  /** Incremental (delta-vs-corpus) dedup screened through the PQ
+    * tier — the [[incrementalNearDup]] (v12) analog when the standing
+    * corpus's RAM-resident representation is its PQ codes: each ingest
+    * batch row is ADC-screened against `index.encoded` (~24 B/row, the
+    * compression tier's whole point — the int8 projection v12 scans is
+    * ~2.7× larger, the floats ~10×) and only admitted (batch, corpus)
+    * pairs touch floats for the exact verify. Same margin-admission
+    * rule and same (idCol, n_dups, best_sim, status) contract as v12,
+    * with ONE honest semantic difference: PQ reconstruction error is
+    * orders of magnitude larger than int8's ~0.005 cosine, so `margin`
+    * here is a real RECALL dial (a true dup whose ADC estimate falls
+    * below threshold − margin is not seen) rather than v12's
+    * 10×-headroom formality — size it from the corpus's measured ADC
+    * error (the `results/pq_sf1_r17.json` recall curves) and note the
+    * verify stage still never admits a false positive. Cost shape:
+    * LUT construction ∝ batch (distributed, [[collectBatchLuts]]),
+    * one code scan of the standing index per batch (never a float
+    * corpus × batch product), exact verify ∝ admitted pairs. The
+    * coarse pass is the v22 flat-LUT kernel with threshold admission
+    * in place of heaps — unpack each row's m codes ONCE, one integer
+    * add per (row, batch vector). Compose with IVF row pruning by
+    * passing a cluster-restricted `index.encoded` via [[PqIndex.copy]]
+    * when even the code scan is too much. */
+  def pqIncrementalNearDup(
+      index: PqIndex,
+      batch: DataFrame,
+      threshold: Double = 0.45,
+      margin: Double = 0.2,
+      corpusSizeHint: Long = -1L): DataFrame = {
+    implicit val sp: SparkSession = index.encoded.sparkSession
+    import sp.implicits._
+    require(margin >= 0.0,
+      s"margin must be >= 0, got $margin — a negative margin would raise the " +
+        "coarse bound ABOVE the threshold and silently drop true dups")
+    val FP = 1L << 24
+    val mLoc = index.m; val ksubLoc = index.ksub; val bitsLoc = index.bits
+    val stride = mLoc * ksubLoc
+    val bound = threshold - margin
+    val (_, qids, qns, luts) = collectBatchLuts(
+      index, batch, index.idCol, index.vecCol, "pqIncrementalNearDup")
+    val bc = sp.sparkContext.broadcast((qids, qns, luts))
+    registerServingCleanup(() => bc.destroy(), Some(bc))
+    val mask = (1L << bitsLoc) - 1
+    val admitted = index.encoded
+      .select(col(index.idCol).cast("long"), col("pq_code"), col("nrm"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val (ids, ns, lt) = bc.value
+        val codes = new Array[Int](mLoc)
+        it.flatMap { case (cid, code, nrm) =>
+          if (nrm == 0.0 || ids.length == 0) Iterator.empty
+          else {
+            var s = 0
+            while (s < mLoc) {
+              codes(s) = ((code >>> (s * bitsLoc)) & mask).toInt; s += 1
+            }
+            val hits = Array.newBuilder[(Long, Long)]
+            var q = 0
+            while (q < ids.length) {
+              val qn = ns(q)
+              if (qn != 0.0) {
+                var adc = 0L
+                val base = q * stride
+                var s2 = 0
+                while (s2 < mLoc) {
+                  adc += lt(base + s2 * ksubLoc + codes(s2)); s2 += 1
+                }
+                val ac =
+                  math.floor(adc.toDouble / FP / (nrm * qn) * 10000 + 0.5) / 10000.0
+                if (!ac.isNaN && ac >= bound) hits += ((ids(q), cid))
+              }
+              q += 1
+            }
+            hits.result().iterator
+          }
+        }
+      }
+      .toDF("__bid", "__cid")
+    statusAdmitted(admitted, index.corpus, batch, index.idCol, index.vecCol,
+      threshold, corpusSizeHint)
+  }
+
+  /** Per-query norm + integer ADC LUT of one batch vector — the exact
+    * arithmetic of the (pre-r18) driver loop, factored so the
+    * distributed and driver LUT arms cannot drift: NaN-poisoned norms
+    * degrade to 0 (the query answers nothing, matching heapOffer's
+    * NaN refusal), and short/empty vectors zero-fill their LUT tail
+    * (qn = 0 makes the content irrelevant — kept only so the layout
+    * stays rectangular). */
+  private def pqBatchLutRow(
+      codebook: Array[Array[Array[Double]]],
+      v: Array[Float], m: Int, ksub: Int, dsub: Int): (Double, Array[Long]) = {
+    val FP = 1L << 24
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+    val qn = { val n = math.sqrt(ss); if (n.isNaN) 0.0 else n }
+    val lut = new Array[Long](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        var acc = 0L
+        var i2 = 0
+        while (i2 < dsub && s * dsub + i2 < v.length) {
+          acc += math.floor(v(s * dsub + i2).toDouble *
+            codebook(s)(c)(i2) * FP + 0.5).toLong
+          i2 += 1
+        }
+        lut(s * ksub + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    (qn, lut)
+  }
+
+  /** [[pqBatchLutRow]] plus the shared NULL-degrade + loud
+    * mixed-dimension policy — object-level (not a local def) so the
+    * distributed arm's closure stays serializable. */
+  private def batchLutRowChecked(
+      cb: Array[Array[Array[Double]]], dim: Int, m: Int, ksub: Int, dsub: Int,
+      qid: Long, v0: Array[Float]): (Long, Array[Float], Double, Array[Long]) = {
+    // a NULL vector (nullable streaming source) degrades like the
+    // empty vector: qn stays 0, the query answers nothing — one bad
+    // row must not kill a serving stream
+    val v = if (v0 == null) Array.empty[Float] else v0
+    if (v.nonEmpty && v.length != dim)
+      throw new IllegalArgumentException(
+        s"mixed-dimension batch vs index: index dimension $dim vs " +
+          s"batch vector of ${v.length} components")
+    val (qn, lut) = pqBatchLutRow(cb, v, m, ksub, dsub)
+    (qid, v, qn, lut)
+  }
+
+  /** Collect a query/ingest batch with its per-query integer ADC LUTs —
+    * the driver-mediated broadcast contract shared by [[pqTopKBatch]]
+    * and [[pqIncrementalNearDup]]. LUT construction runs as a
+    * DISTRIBUTED map over the batch frame by default (r17 verdict #5):
+    * one broadcast of the m × ksub × dsub codebook, m × ksub × dsub
+    * flops per query on the executors, and the driver collects the
+    * SAME bytes it would have collected anyway (the float vectors ride
+    * along for the exact-rerank frame) plus the packed LUT longs —
+    * zero driver flops. `spark.graft.pq.batchLut = driver` keeps the
+    * pre-r18 driver loop as the A/B baseline (measured at a 10k-query
+    * batch in `results/pq_sf1_r18.json`); both arms call
+    * [[pqBatchLutRow]], so they are bit-identical by construction.
+    * Degenerate (empty, zero, NaN-poisoned, NULL) vectors keep qn = 0
+    * and are skipped by every scan row. Mixed dimensions are loud
+    * (from the executor in the distributed arm, as [[pqEncode]]).
+    * Both caps are validated against the COLLECTED length (the count()
+    * is a separate evaluation of a possibly-nondeterministic source). */
+  private def collectBatchLuts(
+      index: PqIndex,
+      frame: DataFrame,
+      idColName: String,
+      vecColName: String,
+      opName: String)
+      : (Array[(Long, Array[Float])], Array[Long], Array[Double], Array[Long]) = {
+    val sp = frame.sparkSession
+    import sp.implicits._
+    val dim = index.m * index.dsub
+    val stride = index.m * index.ksub
+    val nPre = frame.select(col(idColName)).count()
+    require(nPre <= maxExactRows,
+      s"$opName got $nPre batch rows — the broadcast batch side is " +
+        s"capped at $maxExactRows; chunk the batch")
+    val mode = sp.conf.getOption("spark.graft.pq.batchLut").getOrElse("distributed")
+    require(mode == "distributed" || mode == "driver",
+      s"spark.graft.pq.batchLut must be distributed or driver, got '$mode'")
+    val src = frame.select(col(idColName).cast("long"), col(vecColName))
+      .as[(Long, Array[Float])]
+    val mLoc = index.m; val ksubLoc = index.ksub; val dsubLoc = index.dsub
+    val dimLoc = dim
+    val collected: Array[(Long, Array[Float], Double, Array[Long])] =
+      if (mode == "driver")
+        src.collect().map { case (q, v) =>
+          batchLutRowChecked(index.codebook, dimLoc, mLoc, ksubLoc, dsubLoc, q, v)
+        }
+      else {
+        val bcCb = sp.sparkContext.broadcast(index.codebook)
+        // the closure captures ONLY the broadcast handle + primitive
+        // dims — a local helper def here captured the enclosing frame
+        // (whose DataFrames are not serializable)
+        val out = src.map { case (q, v) =>
+          batchLutRowChecked(bcCb.value, dimLoc, mLoc, ksubLoc, dsubLoc, q, v)
+        }.collect()
+        bcCb.destroy() // dead once collected (the advice-r17 rule)
+        out
+      }
+    val nQ = collected.length
+    require(nQ <= maxExactRows && nQ.toLong * stride <= Int.MaxValue,
+      s"$opName collected $nQ batch rows × $stride LUT entries — over the " +
+        s"broadcast cap ($maxExactRows rows, ${Int.MaxValue} LUT longs); " +
+        "chunk the batch")
+    val qids = new Array[Long](nQ)
+    val qns = new Array[Double](nQ)
+    val luts = new Array[Long](nQ * stride)
+    var j = 0
+    while (j < nQ) {
+      qids(j) = collected(j)._1
+      qns(j) = collected(j)._3
+      System.arraycopy(collected(j)._4, 0, luts, j * stride, stride)
+      j += 1
+    }
+    (collected.map(t => (t._1, t._2)), qids, qns, luts)
   }
 
   /** BATCHED ANN top-k through a [[PqIndex]] — the serving-throughput
@@ -602,70 +858,11 @@ object SimilaritySearch {
     import sp.implicits._
     require(topK >= 1 && overFetch >= 1, "topK and overFetch must be >= 1")
     requireDistinctIdCols("pqTopKBatch", queryIdCol, index.idCol)
-    val nQueries = queries.select(col(queryIdCol)).count()
-    require(nQueries <= maxExactRows,
-      s"pqTopKBatch got $nQueries queries — the broadcast query side is " +
-        s"capped at $maxExactRows; chunk the batch")
-    val dim = index.m * index.dsub
     val FP = 1L << 24
     val mLoc = index.m; val ksubLoc = index.ksub; val bitsLoc = index.bits
     val stride = mLoc * ksubLoc
-    // driver-collected batch — the same driver-mediated broadcast
-    // contract the IVF quantized arm's packed batch uses. LUT
-    // construction is m × ksub × dsub flops per query on the driver;
-    // degenerate (empty, zero, NaN-poisoned, NULL) queries keep qn = 0
-    // and are skipped by every scan row (no rows out). Both caps are
-    // re-validated against the COLLECTED length (review: the count()
-    // above is a separate evaluation of a possibly-nondeterministic
-    // source; the arrays are sized by what actually arrived).
-    val qRows = queries
-      .select(col(queryIdCol).cast("long"), col(queryVecCol))
-      .as[(Long, Array[Float])]
-      .collect()
-    val nQ = qRows.length
-    require(nQ <= maxExactRows && nQ.toLong * stride <= Int.MaxValue,
-      s"pqTopKBatch collected $nQ queries × $stride LUT entries — over the " +
-        s"broadcast cap ($maxExactRows queries, ${Int.MaxValue} LUT longs); " +
-        "chunk the batch")
-    val qids = new Array[Long](nQ)
-    val qns = new Array[Double](nQ)
-    val luts = new Array[Long](nQ * stride)
-    var j = 0
-    while (j < nQ) {
-      val (qid, v0) = qRows(j)
-      // a NULL vector (nullable streaming source) degrades like the
-      // empty vector: qn stays 0, the query answers nothing — one bad
-      // row must not kill a serving stream (review)
-      val v = if (v0 == null) Array.empty[Float] else v0
-      if (v.nonEmpty && v.length != dim)
-        throw new IllegalArgumentException(
-          s"mixed-dimension batch vs index: index dimension $dim vs " +
-            s"query vector of ${v.length} components")
-      qids(j) = qid
-      var ss = 0.0
-      var i = 0
-      while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
-      // NaN components poison the norm: treat as degenerate (qn = 0 →
-      // no rows), matching heapOffer's NaN-refusal downstream
-      qns(j) = { val n = math.sqrt(ss); if (n.isNaN) 0.0 else n }
-      var s = 0
-      while (s < mLoc) {
-        var c = 0
-        while (c < ksubLoc) {
-          var acc = 0L
-          var i2 = 0
-          while (i2 < index.dsub && s * index.dsub + i2 < v.length) {
-            acc += math.floor(v(s * index.dsub + i2).toDouble *
-              index.codebook(s)(c)(i2) * FP + 0.5).toLong
-            i2 += 1
-          }
-          luts(j * stride + s * ksubLoc + c) = acc
-          c += 1
-        }
-        s += 1
-      }
-      j += 1
-    }
+    val (qRows, qids, qns, luts) =
+      collectBatchLuts(index, queries, queryIdCol, queryVecCol, "pqTopKBatch")
     val bc = sp.sparkContext.broadcast((qids, qns, luts))
     // registered like the quantized arm's PackedBatch broadcast: under
     // withServingResources the caller's release() destroys it after
@@ -850,6 +1047,232 @@ object SimilaritySearch {
     val scan = pq.encoded.filter(filter)
       .join(probedIds, Seq(pq.idCol), "left_semi")
     pqServe(pq, query, topK, overFetch, scan)
+  }
+
+  /** A RESIDUAL-encoded IVF-PQ index (Jégou et al. 2011 §IV.A — the
+    * recall-recovering composition the raw [[ivfPqTopK]] scaladoc
+    * cites): the PQ codebook is trained on r = x − centroid(cluster(x))
+    * instead of x itself, so the ksub codewords per subspace spend
+    * their precision on the WITHIN-cluster geometry (‖r‖ ≪ ‖x‖ on a
+    * clustered corpus) instead of re-describing the coarse structure
+    * the IVF quantizer already captured. `encoded` is
+    * (idCol, pq_code, nrm, cluster) — the raw shape plus the row's IVF
+    * cluster, because serving must add back the ⟨query, centroid⟩ term
+    * the residual dropped; `nrm` stays the TRUE float norm of x (the
+    * cosine denominator is exact either way). `centroids` is the IVF
+    * coarse quantizer the residuals were taken against — serving MUST
+    * use the same one, so the index carries it. */
+  final case class ResidualPqIndex(
+      m: Int,
+      ksub: Int,
+      dsub: Int,
+      bits: Int,
+      codebook: Array[Array[Array[Double]]],
+      centroids: Array[(Array[Double], Double)],
+      encoded: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String)
+
+  /** Train a residual PQ codebook over an [[IvfIndex]]'s assignment and
+    * encode the corpus — [[pqBuild]]'s exact recipe (hash-stride
+    * seeding, fixed-point per-subspace Lloyd with order-free integer
+    * component sums, empty codes keeping their codeword, one final
+    * encode pass) applied to the RESIDUALS r = x − centroid(cluster(x))
+    * instead of the raw vectors. Residual components are natively
+    * double (float x minus double centroid), which is why
+    * [[pqNearestCode]] takes doubles; every fixed-point decision
+    * (`round(r·2^24)` Lloyd sums, `floor((r−c)²·2^24+0.5)` assignment)
+    * is the same expression the v23 oracle replays in SQL over
+    * `ve[i] − comp`. Degenerate rows (cluster −1 / empty vector)
+    * contribute nothing to training and encode to code 0s with nrm 0 —
+    * never served, the shared drop policy. The coarse quantizer is
+    * UNCHANGED by this build: residuals are always against
+    * `ivf.centroids`, and re-training the coarse tier means a new
+    * [[ivfBuild]] followed by a new residual build. */
+  def ivfResidualPqBuild(
+      ivf: IvfIndex,
+      m: Int = 8,
+      ksub: Int = 16,
+      lloydIters: Int = 2,
+      portableSeeds: Boolean = false): ResidualPqIndex = {
+    require(m >= 1 && ksub >= 2 && lloydIters >= 0,
+      s"bad m=$m / ksub=$ksub / lloydIters=$lloydIters")
+    val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(ksub - 1))
+    require(m * bits <= 63, s"pq_code does not fit one long: m=$m × $bits bits")
+    require(ivf.centroids.nonEmpty, "ivfResidualPqBuild: index has no centroids")
+    val dim = ivf.centroids(0)._1.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val sp = ivf.assigned.sparkSession
+    import sp.implicits._
+    val bcC = sp.sparkContext.broadcast(ivf.centroids)
+    // (id, residual, cluster, true-norm) — the residual is double-
+    // precision by construction; the true norm rides along so encode
+    // never touches the floats again
+    val resid = ivf.assigned
+      .select(col(ivf.idCol).cast("long"), col(ivf.vecCol),
+        col("cluster").cast("int"))
+      .as[(Long, Array[Float], Int)]
+      .map { case (id, v0, cl) =>
+        val v = if (v0 == null) Array.empty[Float] else v0
+        var ss = 0.0; var i = 0
+        while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+        val r =
+          if (cl < 0 || v.isEmpty) Array.empty[Double]
+          else {
+            val cent = bcC.value(cl)._1
+            val rr = new Array[Double](v.length)
+            var j = 0
+            while (j < v.length) { rr(j) = v(j).toDouble - cent(j); j += 1 }
+            rr
+          }
+        (id, r, cl, math.sqrt(ss))
+      }
+      .persist()
+    def failing[A](body: => A): A =
+      try body
+      catch { case t: Throwable => resid.unpersist(blocking = false); throw t }
+
+    val n = failing {
+      val n = resid.count()
+      require(n > 0, "ivfResidualPqBuild: empty corpus")
+      n
+    }
+    val strideMod = math.max(1L, n / (2L * ksub))
+    val rdf = resid.toDF(ivf.idCol, "__res", "cluster", "nrm")
+    val seedHash =
+      if (portableSeeds) TextDedup.mdHash(col(ivf.idCol).cast("string"))
+      else xxhash64(col(ivf.idCol))
+    val seeds = failing {
+      val s = rdf
+        .filter(pmod(seedHash, lit(strideMod)) === 0)
+        .orderBy(seedHash, col(ivf.idCol))
+        .limit(ksub)
+        .select(col(ivf.idCol), col("__res"))
+        .as[(Long, Array[Double])]
+        .collect()
+      require(s.nonEmpty, "ivfResidualPqBuild: stride seeding found no rows")
+      s
+    }
+    val kEff = seeds.length
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m, kEff, dsub) {
+      (s, c, i) => seeds(c)._2(s * dsub + i)
+    }
+
+    val FP = 1L << 24
+    val mLoc = m; val ksubLoc = ksub; val dsubLoc = dsub
+    for (_ <- 0 until lloydIters) {
+      val bc = sp.sparkContext.broadcast(cb)
+      val means = failing {
+        resid
+          .flatMap { case (_, r, _, _) =>
+            if (r.isEmpty) Iterator.empty
+            else (0 until mLoc).iterator.map { s =>
+              val fp = new Array[Long](dsubLoc)
+              var i = 0
+              while (i < dsubLoc) {
+                fp(i) = math.round(r(s * dsubLoc + i) * FP); i += 1
+              }
+              (s * ksubLoc + pqNearestCode(bc.value, r, s, dsubLoc), fp, 1L)
+            }
+          }
+          .groupByKey(_._1)
+          .reduceGroups { (x: (Int, Array[Long], Long), y: (Int, Array[Long], Long)) =>
+            val acc = new Array[Long](x._2.length)
+            var i = 0
+            while (i < acc.length) { acc(i) = x._2(i) + y._2(i); i += 1 }
+            (x._1, acc, x._3 + y._3)
+          }
+          .map { case (key, (_, fp, cnt)) => (key, fp.map(_.toDouble / FP / cnt)) }
+          .collect()
+          .toMap
+      }
+      bc.destroy() // dead once collected (advice r17, as in pqBuild)
+      cb = Array.tabulate(m, kEff, dsub) { (s, c, i) =>
+        means.get(s * ksub + c) match {
+          case Some(mean) => mean(i)
+          case None => cb(s)(c)(i) // empty code keeps its codeword
+        }
+      }
+    }
+
+    val bcF = sp.sparkContext.broadcast(cb)
+    val bitsLoc = bits
+    val encoded = resid.map { case (id, r, cl, nrm) =>
+      var packed = 0L
+      if (r.nonEmpty) {
+        var s = 0
+        while (s < mLoc) {
+          packed |= pqNearestCode(bcF.value, r, s, dsubLoc).toLong << (s * bitsLoc)
+          s += 1
+        }
+      }
+      (id, packed, nrm, cl)
+    }.toDF(ivf.idCol, "pq_code", "nrm", "cluster")
+    resid.unpersist(blocking = false)
+    ResidualPqIndex(m, kEff, dsub, bits, cb, ivf.centroids, encoded,
+      ivf.assigned.select(col(ivf.idCol), col(ivf.vecCol)),
+      ivf.idCol, ivf.vecCol)
+  }
+
+  /** Serve ANN top-k from a [[ResidualPqIndex]] — IVF probe + residual
+    * ADC: the probe keeps the `nprobe` closest clusters' rows (a DIRECT
+    * `cluster IN (...)` filter on the encoded frame — the encoded rows
+    * carry their cluster, so at scale with a cluster-partitioned layout
+    * this is file-listing partition pruning, no join at all, one better
+    * than [[ivfPqTopK]]'s left-semi restriction), and each kept row's
+    * approximate dot is
+    *   ⟨q, centroid(cluster)⟩ + Σ_s LUT[s, code_s]
+    * — the first term a per-cluster integer offset computed once on the
+    * driver (k fixed-point dots, inlined as a k-entry array literal
+    * indexed by the row's cluster), the second the same per-query LUT
+    * sum as the raw tier, both exact integer arithmetic so the coarse
+    * ranking stays bit-exact across engines (the v23 oracle gate).
+    * Everything downstream — rounded approx-cos cut at topK ×
+    * overFetch, NULL/NaN drop policy, exact float rerank — is
+    * [[pqServeCore]], shared verbatim with v20/v21. Degenerate queries
+    * probe nothing and return empty, matching [[ivfTopK]]. */
+  def ivfResidualPqTopK(
+      index: ResidualPqIndex,
+      query: Array[Float],
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4,
+      filter: Column = lit(true)): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(index.centroids.length <= 65536,
+      s"ivfResidualPqTopK inlines the per-cluster offset table as a literal: " +
+        s"k=${index.centroids.length} exceeds the 65536 cap")
+    val FP = 1L << 24
+    val dim = index.m * index.dsub
+    require(query.length == dim,
+      s"query dim ${query.length} != index dim $dim")
+    // per-cluster fixed-point ⟨query, centroid⟩ — the term the residual
+    // encoding dropped, added back at serve time; same per-term
+    // floor(q·c·2^24 + 0.5) convention as the LUT so the total stays an
+    // exact integer
+    val off = new Array[Long](index.centroids.length)
+    var c = 0
+    while (c < index.centroids.length) {
+      val cent = index.centroids(c)._1
+      var acc = 0L
+      var i = 0
+      while (i < dim) {
+        acc += math.floor(query(i).toDouble * cent(i) * FP + 0.5).toLong
+        i += 1
+      }
+      off(c) = acc
+      c += 1
+    }
+    val probed = probeClusters(index.centroids, query, nprobe)
+    val offArr = off.mkString("array(", "L, ", "L)")
+    val scan = index.encoded.filter(filter)
+      .filter(col("cluster").isin(probed: _*))
+    pqServeCore(index.m, index.ksub, index.dsub, index.bits, index.codebook,
+      index.idCol, index.vecCol, index.corpus, query, topK, overFetch, scan,
+      fpOffset = Some(expr(
+        s"element_at($offArr, CAST(cluster + 1 AS INT))")))
   }
 
   /** Random-hyperplane LSH signature: bit p of the result is the sign

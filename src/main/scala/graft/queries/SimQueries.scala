@@ -364,8 +364,19 @@ object SimQueries {
     * `sub`, `cb0..cb$iters`, `penc`. The single-query oracles
     * (v20/v21) add the vec-0 LUT on top; the BATCH oracle (v22) adds a
     * per-query LUT over its own query CTE instead. */
-  private def pqCodebookSql(m: Int, ksub: Int, iters: Int, dim: Int): String = {
+  private def pqCodebookSql(
+      m: Int, ksub: Int, iters: Int, dim: Int, subCte: String = ""): String = {
     val dsub = dim / m
+    // `sub` is the training frame — (vec_id, s, i, x) with x the i-th
+    // component of vector vec_id's subspace-s subvector. The default is
+    // the RAW corpus (v20/v21/v22); the residual oracle (v23) passes a
+    // `sub` whose x is ve[·] − centroid component, and every downstream
+    // decision (seed init, Lloyd, encode) trains on residuals unchanged.
+    val subBody =
+      if (subCte.nonEmpty) subCte
+      else
+        s"""sub AS (SELECT vec_id, s, i, ve[s * $dsub + i] AS x
+           |        FROM d, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i))""".stripMargin
     def asgCte(name: String, cbIdx: Int): String =
       s"""$name AS (SELECT vec_id, s, c AS code FROM (
          |    SELECT t.vec_id, t.s, t.c,
@@ -388,8 +399,7 @@ object SimQueries {
     s"""pseeds AS (SELECT vec_id, h FROM hashed, cnt
        |           WHERE h % GREATEST(1, cnt.n // ${2 * ksub}) = 0
        |           ORDER BY h, vec_id LIMIT $ksub),
-       |sub AS (SELECT vec_id, s, i, ve[s * $dsub + i] AS x
-       |        FROM d, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i)),
+       |$subBody,
        |cb0 AS (SELECT sd.c, b.s, b.i, b.x AS comp
        |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c, vec_id FROM pseeds) sd
        |  JOIN sub b ON b.vec_id = sd.vec_id),
@@ -404,7 +414,13 @@ object SimQueries {
     s"""adc AS (SELECT e.vec_id, SUM(l.l) AS adot
        |        FROM $adcSrc JOIN lut l ON l.s = e.s AND l.c = e.code
        |        WHERE e.vec_id <> 0 GROUP BY e.vec_id),
-       |pcand AS (SELECT a.vec_id FROM adc a JOIN vnorm vn ON vn.vec_id = a.vec_id,
+       |${pqRerankTailSql(topK, overFetch, dim)}""".stripMargin
+
+  /** The candidate cut + exact rerank AFTER the `adc` CTE — factored so
+    * the residual oracle (v23), whose `adc` adds the per-cluster
+    * ⟨query, centroid⟩ offset, shares the tail verbatim with v20/v21. */
+  private def pqRerankTailSql(topK: Int, overFetch: Int, dim: Int): String =
+    s"""pcand AS (SELECT a.vec_id FROM adc a JOIN vnorm vn ON vn.vec_id = a.vec_id,
        |            (SELECT nrm FROM vnorm WHERE vec_id = 0) qn
        |          ORDER BY FLOOR(a.adot / 16777216.0 / (vn.nrm * qn.nrm) * 10000 + 0.5)
        |            / 10000 DESC, a.vec_id
@@ -508,6 +524,91 @@ object SimQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** PQ incremental-dedup oracle (v24): the corpus split trains and
+    * encodes through [[pqCodebookSql]] unchanged (v22's replay), the
+    * batch split gets per-row LUTs (`lutB`), every (batch, corpus) pair
+    * is ADC-scored and margin-admitted at `threshold − margin` on the
+    * ROUNDED approx cosine, admitted pairs exact-verify on floats at
+    * `threshold`, and the status tail is v12's verbatim — the same
+    * decisions [[graft.operators.SimilaritySearch.pqIncrementalNearDup]]
+    * makes. */
+  private def pqIncrementalOracleSql(
+      m: Int, ksub: Int, iters: Int,
+      threshold: Double, margin: Double, dim: Int): String = {
+    val dsub = dim / m
+    val bound = threshold - margin
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+       |           WHERE vec_id % 7 <> 4),
+       |vnorm AS (SELECT vec_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
+       |          FROM d, generate_series(1, $dim) t(i) GROUP BY vec_id),
+       |qd AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+       |       WHERE vec_id % 7 = 4),
+       |qnorm AS (SELECT q_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
+       |          FROM qd, generate_series(1, $dim) t(i) GROUP BY q_id),
+       |cnt AS (SELECT COUNT(*) AS n FROM d),
+       |hashed AS (SELECT vec_id,
+       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM d),
+       |${pqCodebookSql(m, ksub, iters, dim)},
+       |qsubB AS (SELECT q_id, s, i, ve[s * $dsub + i] AS x
+       |          FROM qd, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i)),
+       |lutB AS (SELECT q.q_id, cb.s, cb.c,
+       |           SUM(CAST(FLOOR(q.x * cb.comp * 16777216.0 + 0.5) AS BIGINT)) AS l
+       |         FROM cb$iters cb JOIN qsubB q ON q.s = cb.s AND q.i = cb.i
+       |         GROUP BY q.q_id, cb.s, cb.c),
+       |adcB AS (SELECT l.q_id, e.vec_id, SUM(l.l) AS adot
+       |         FROM penc e JOIN lutB l ON l.s = e.s AND l.c = e.code
+       |         GROUP BY l.q_id, e.vec_id),
+       |candB AS (SELECT a.q_id, a.vec_id
+       |          FROM adcB a JOIN vnorm vn ON vn.vec_id = a.vec_id
+       |            JOIN qnorm qn ON qn.q_id = a.q_id
+       |          WHERE FLOOR(a.adot / 16777216.0 / (vn.nrm * qn.nrm) * 10000 + 0.5)
+       |                / 10000 >= CAST($bound AS DOUBLE)),
+       |ex AS (SELECT c.q_id, c.vec_id, SUM(dc.ve[t.i] * qb.ve[t.i]) AS dot,
+       |         vn.nrm AS n1, qn.nrm AS n2
+       |       FROM candB c JOIN d dc ON dc.vec_id = c.vec_id
+       |         JOIN qd qb ON qb.q_id = c.q_id
+       |         JOIN vnorm vn ON vn.vec_id = c.vec_id
+       |         JOIN qnorm qn ON qn.q_id = c.q_id,
+       |         generate_series(1, $dim) t(i)
+       |       GROUP BY c.q_id, c.vec_id, vn.nrm, qn.nrm),
+       |sims AS (SELECT q_id,
+       |           FLOOR(dot / (n1 * n2) * 10000 + 0.5) / 10000 AS sim
+       |         FROM ex),
+       |agg AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_dups, MAX(sim) AS best_sim
+       |        FROM sims WHERE sim >= CAST($threshold AS DOUBLE) GROUP BY q_id)
+       |SELECT e.vec_id, CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups,
+       |  CAST(COALESCE(a.best_sim, -1.0) AS DOUBLE) AS best_sim,
+       |  CASE WHEN a.q_id IS NOT NULL THEN 'dup' ELSE 'keep' END AS status
+       |FROM embeddings e LEFT JOIN agg a ON a.q_id = e.vec_id
+       |WHERE e.vec_id % 7 = 4 ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** PQ incremental dedup (v24) — the ingest-screening composition the
+    * PQ tier was missing (r17 verdict #6, the v12/v14 analog): newly
+    * ingested vectors (vec_id % 7 = 4) are ADC-screened against the
+    * STANDING corpus's PQ codes (~24 B/row — the representation a
+    * billion-vector deployment actually keeps in RAM) before admission;
+    * only margin-admitted pairs touch floats for the exact verify. Same
+    * (vec_id, n_dups, best_sim, status) contract as v12; margin 0.2
+    * reflects PQ's real reconstruction error (a recall dial, not v12's
+    * formality — the scaladoc documents the honest difference). Oracle
+    * replays codebook training on the corpus split, the batch LUTs, the
+    * rounded margin admission, and the exact verify verbatim
+    * ([[pqIncrementalOracleSql]]). */
+  val pqIncrementalDedup: Q = Q(
+    "v24_pq_incremental_dedup",
+    pqIncrementalOracleSql(m = 8, ksub = 16, iters = 2,
+      threshold = 0.45, margin = 0.2, dim = 64)) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val idx = graft.operators.SimilaritySearch.pqBuild(
+      e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
+      m = 8, ksub = 16, lloydIters = 2, portableSeeds = true)
+    graft.operators.SimilaritySearch.pqIncrementalNearDup(
+        idx, e.filter(col("vec_id") % 7 === 4),
+        threshold = 0.45, margin = 0.2)
+      .orderBy("vec_id")
+  }
+
   /** IVF-PQ oracle: [[ivfBuildSql]]'s full IVF replay (build, probe
     * selection, `cand` = the probed corpus) composed with
     * [[pqChainSql]]'s full PQ replay; the ADC sum runs over encoded
@@ -573,6 +674,95 @@ object SimQueries {
     val qVec = e.filter(col("vec_id") === 0)
       .select(col("embedding")).as[Array[Float]].head()
     graft.operators.SimilaritySearch.ivfPqTopK(ivf, pq, qVec, topK = 10,
+      nprobe = 4, overFetch = 4, filter = col("vec_id") =!= 0)
+  }
+
+  /** Residual IVF-PQ oracle (v23): the FULL IVF replay
+    * ([[ivfBuildSql]] — build, probe, `cand`) feeding a PQ codebook
+    * trained on RESIDUALS — the `sub` CTE handed to [[pqCodebookSql]]
+    * is `ve[·] − comp` of the row's assigned final centroid, so
+    * seeding, both fixed-point Lloyd rounds, and the encode all train
+    * on within-cluster geometry. Serving replays as: the query's LUT
+    * over its RAW subvectors (`qsubr` — the query is never
+    * residualized), a per-cluster integer offset `qoff` =
+    * Σ floor(q·centroid·2^24 + 0.5), and each probed row's adot =
+    * offset(cluster) + Σ LUT — exactly the integer sum
+    * [[graft.operators.SimilaritySearch.ivfResidualPqTopK]] computes —
+    * then the shared [[pqRerankTailSql]]. */
+  private def residualPqOracleSql(
+      k: Int, kIters: Int, nprobe: Int,
+      m: Int, ksub: Int, pqIters: Int,
+      topK: Int, overFetch: Int, dim: Int): String = {
+    val dsub = dim / m
+    val residualSub =
+      s"""sub AS (SELECT v.vec_id, ss.s, ti.i, v.ve[ss.s * $dsub + ti.i] - cc.comp AS x
+         |        FROM d v, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i),
+         |          finalassign a, cents$kIters cc
+         |        WHERE a.vec_id = v.vec_id AND cc.c = a.cluster
+         |          AND cc.i = ss.s * $dsub + ti.i)""".stripMargin
+    val composed =
+      s"""${ivfBuildSql(k, kIters, nprobe, dim)},
+         |${pqCodebookSql(m, ksub, pqIters, dim, residualSub)},
+         |qsubr AS (SELECT ss.s, ti.i, q.ve[ss.s * $dsub + ti.i] AS x
+         |          FROM d q, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i)
+         |          WHERE q.vec_id = 0),
+         |lut AS (SELECT cb.s, cb.c,
+         |          SUM(CAST(FLOOR(q.x * cb.comp * 16777216.0 + 0.5) AS BIGINT)) AS l
+         |        FROM cb$pqIters cb JOIN qsubr q ON q.s = cb.s AND q.i = cb.i
+         |        GROUP BY cb.s, cb.c),
+         |qoff AS (SELECT cc.c,
+         |           SUM(CAST(FLOOR(q.ve[cc.i] * cc.comp * 16777216.0 + 0.5) AS BIGINT)) AS off
+         |         FROM cents$kIters cc, d q WHERE q.vec_id = 0 GROUP BY cc.c),
+         |radc AS (SELECT cd.vec_id, cd.cluster, SUM(l.l) AS rdot
+         |         FROM cand cd JOIN penc e ON e.vec_id = cd.vec_id
+         |           JOIN lut l ON l.s = e.s AND l.c = e.code
+         |         GROUP BY cd.vec_id, cd.cluster),
+         |adc AS (SELECT r.vec_id, r.rdot + o.off AS adot
+         |        FROM radc r JOIN qoff o ON o.c = r.cluster),
+         |${pqRerankTailSql(topK, overFetch, dim)}""".stripMargin
+    // Unlike every other chain in this file, the residual `sub` CTE
+    // references the IVF tail (finalassign + cents) — and DuckDB
+    // INLINES CTEs by default, so each of `sub`'s many consumers
+    // (cb0, two Lloyd rounds, penc) would re-evaluate the ENTIRE IVF
+    // build: measured 6.7 s materialized vs >8 MINUTES inlined at
+    // sf0.01. MATERIALIZED pins each expensive node to one evaluation;
+    // results are identical (it is a pure evaluation-strategy hint).
+    // Applied by name to the definition sites only — each "<name> AS ("
+    // occurs exactly once in the composed text.
+    Seq("finalassign", "sub", s"cents$kIters", "penc", "cand")
+      .foldLeft(composed) { (sql, name) =>
+        sql.replace(s"$name AS (", s"$name AS MATERIALIZED (")
+      }
+  }
+
+  /** Residual-encoded IVF-PQ ANN (v23) — the recall-recovering form of
+    * v21 (Jégou et al. §IV.A, the FAISS `IVF,PQ` TRAINING default): the
+    * PQ codebook trains on r = x − centroid(cluster(x)), spending its
+    * ksub codewords per subspace on within-cluster geometry instead of
+    * re-describing the coarse structure; serving adds the
+    * ⟨query, centroid⟩ term back as a per-cluster integer offset. Same
+    * dials as v21 (k=16/3 Lloyd, m=8/ksub=16/2 Lloyd, nprobe=4,
+    * overFetch=4) so the two entries are the controlled residual-vs-raw
+    * pair; the recall delta at sf1 is the `results/pq_sf1_r18.json`
+    * artifact. The probe restriction is a DIRECT cluster filter on the
+    * encoded frame (it carries `cluster`), not v21's left-semi join —
+    * at scale that is partition pruning. Oracle: [[residualPqOracleSql]]
+    * replays both builds, the residual encode, the raw-query LUT, the
+    * per-cluster offset, and the composed integer ADC verbatim. */
+  val ivfResidualPqAdcTopK: Q = Q(
+    "v23_ivf_residual_pq_topk",
+    residualPqOracleSql(k = 16, kIters = 3, nprobe = 4, m = 8, ksub = 16,
+      pqIters = 2, topK = 10, overFetch = 4, dim = 64)) { (s, dir) =>
+    val sp = s
+    import sp.implicits._
+    val e = t(s, dir, "embeddings")
+    val ivf = graft.operators.SimilaritySearch.ivfBuild(
+      e, "vec_id", "embedding", k = 16, lloydIters = 3, portableSeeds = true)
+    val rpq = graft.operators.SimilaritySearch.ivfResidualPqBuild(
+      ivf, m = 8, ksub = 16, lloydIters = 2, portableSeeds = true)
+    val qVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    graft.operators.SimilaritySearch.ivfResidualPqTopK(rpq, qVec, topK = 10,
       nprobe = 4, overFetch = 4, filter = col("vec_id") =!= 0)
   }
 
@@ -1232,5 +1422,5 @@ object SimQueries {
     embeddingDedup, incrementalEmbeddingDedup, incrementalIvfAssign,
     ivfIncrementalDedup, ivfBatchTopK, ivfBatchTopKQuantized,
     ivfServePersisted, embeddingComponents, bandedComponents, pqAdcTopK,
-    ivfPqAdcTopK, pqBatchTopK)
+    ivfPqAdcTopK, pqBatchTopK, ivfResidualPqAdcTopK, pqIncrementalDedup)
 }

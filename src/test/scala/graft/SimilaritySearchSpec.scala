@@ -1411,6 +1411,84 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("disagree"))
   }
 
+  test("ivfResidualPqTopK: exact rerank; full probe + covering overFetch == exact top-k") {
+    import spark.implicits._
+    val q = vec(4242L)
+    val corpus = ((1L, jitter(q, 0.01f)) +:
+      (2L to 200L).map(i => (i, vec(i * 733 + 5)))).toDF("id", "v")
+    val ivf = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 8, lloydIters = 2)
+    val rpq = SimilaritySearch.ivfResidualPqBuild(ivf, m = 4, ksub = 8,
+      lloydIters = 2)
+    // encoded carries the row's IVF cluster (the serve-time offset key)
+    // and the TRUE float norm (the exact cosine denominator)
+    assert(rpq.encoded.columns.toSeq == Seq("id", "pq_code", "nrm", "cluster"))
+    assert(rpq.ksub == 8 && rpq.dsub == 4 && rpq.bits == 3)
+    // full probe + corpus-covering overFetch: the residual-ADC
+    // approximation can only cost recall at the cut, never returned
+    // scores — the answer must be BIT-IDENTICAL to the exact scorer
+    val res = SimilaritySearch.ivfResidualPqTopK(rpq, q, topK = 10,
+      nprobe = 8, overFetch = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = SimilaritySearch.cosineTopK(corpus, "id", "v",
+        Seq(Tuple1(q)).toDF("qv"), "qv", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(res == exact, s"res=$res exact=$exact")
+    // a pruned probe still retrieves the planted near-copy, exactly scored
+    val top = SimilaritySearch.ivfResidualPqTopK(rpq, q, topK = 5,
+      nprobe = 3, overFetch = 4).collect()
+    assert(top.head.getLong(0) == 1L, "planted near-copy must rank first")
+    assert(top.head.getDouble(1) > 0.99)
+    // degenerate query probes nothing — empty answer, ivfTopK's convention
+    assert(SimilaritySearch.ivfResidualPqTopK(rpq, Array.fill(dim)(0f),
+      topK = 5).count() == 0)
+    // mixed-dimension query is loud
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfResidualPqTopK(rpq, Array.fill(dim + 1)(0.5f), topK = 3)
+    }
+    assert(e.getMessage.contains("query dim"))
+  }
+
+  test("residual encoding beats raw PQ recall on a clustered corpus (why the tier exists)") {
+    import spark.implicits._
+    // 16 well-separated anchors with tightly jittered members: the
+    // coarse structure alone saturates a ksub=8 raw codebook, while the
+    // residuals live in the small within-cluster ball those 8 codewords
+    // can actually describe — the Jégou §IV.A argument in miniature
+    val anchors = (0 until 16).map(a => vec(9000L + a))
+    val rows = (0L until 320L).map { i =>
+      val a = anchors((i % 16).toInt)
+      val r = new scala.util.Random(i * 104729 + 13)
+      (i + 1, a.map(x => x + (r.nextDouble().toFloat - 0.5f) * 0.1f))
+    }
+    val corpus = rows.toDF("id", "v")
+    val ivf = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 16, lloydIters = 3)
+    val rpq = SimilaritySearch.ivfResidualPqBuild(ivf, m = 4, ksub = 8,
+      lloydIters = 2)
+    val raw = SimilaritySearch.pqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 2)
+    val queries = (0 until 10).map(qi => rows(qi * 31)._2)
+    def recallOf(serve: Array[Float] => org.apache.spark.sql.DataFrame): Double = {
+      val per = queries.map { qv =>
+        val truth = SimilaritySearch.cosineTopK(corpus, "id", "v",
+            Seq(Tuple1(qv)).toDF("qv"), "qv", k = 10)
+          .collect().map(_.getLong(0)).toSet
+        val got = serve(qv).collect().map(_.getLong(0)).toSet
+        got.intersect(truth).size.toDouble / truth.size
+      }
+      per.sum / per.size
+    }
+    // nprobe = k on the residual arm: both arms then scan every row and
+    // the comparison isolates the ENCODING (not the probe)
+    val residRecall = recallOf(qv =>
+      SimilaritySearch.ivfResidualPqTopK(rpq, qv, topK = 10, nprobe = 16,
+        overFetch = 2))
+    val rawRecall = recallOf(qv =>
+      SimilaritySearch.pqTopK(raw, qv, topK = 10, overFetch = 2))
+    assert(residRecall >= rawRecall,
+      s"residual recall $residRecall < raw recall $rawRecall on clustered corpus")
+    assert(residRecall > 0.7, s"residual recall $residRecall unreasonably low")
+  }
+
   test("pqTopKBatch agrees with per-query pqTopK; degenerate queries yield no rows") {
     import spark.implicits._
     val corpus = (1L to 300L).map(i => (i, vec(i * 811 + 23))).toDF("id", "v")
@@ -1439,6 +1517,71 @@ class SimilaritySearchSpec extends AnyFunSuite {
         queries.withColumnRenamed("q_id", "id"), "id", "qv", topK = 3)
     }
     assert(e.getMessage.contains("both"), s"unexpected message: ${e.getMessage}")
+  }
+
+  test("pqIncrementalNearDup statuses a batch against the standing codes (brute-force agreement)") {
+    import spark.implicits._
+    val corpus = (1L to 200L).map(i => (i, vec(i * 613 + 7))).toDF("id", "v")
+    val idx = SimilaritySearch.pqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 2)
+    // batch: 501 = near-copy of corpus row 17 (a dup), 502 = fresh
+    // vector (keep), 503 = degenerate (keep, matches nothing)
+    val batch = Seq(
+      (501L, jitter(vec(17L * 613 + 7), 0.01f)),
+      (502L, vec(987654L)),
+      (503L, new Array[Float](dim))).toDF("id", "v")
+    // margin that covers the whole coarse range: the ADC screen then
+    // admits every (batch, corpus) pair and the result must agree with
+    // the EXACT brute-force status (same threshold, same rounding)
+    val res = SimilaritySearch.pqIncrementalNearDup(idx, batch,
+        threshold = 0.95, margin = 2.0)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    assert(res(501L)._3 == "dup" && res(501L)._1 == 1L)
+    assert(res(501L)._2 > 0.99)
+    assert(res(502L)._3 == "keep" && res(502L)._2 == -1.0)
+    assert(res(503L)._3 == "keep", "degenerate batch row must status keep")
+    // the exact arm agrees when both screens are wide open
+    val exact = SimilaritySearch.incrementalNearDup(corpus, batch, "id", "v",
+        threshold = 0.95, margin = 2.0)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    assert(res == exact, s"pq=$res exact=$exact")
+    // a pruned margin is a RECALL dial, never a false-positive source:
+    // every dup the tight screen reports is also in the wide screen
+    val tight = SimilaritySearch.pqIncrementalNearDup(idx, batch,
+        threshold = 0.95, margin = 0.2)
+      .collect().filter(_.getString(3) == "dup").map(_.getLong(0)).toSet
+    assert(tight.subsetOf(res.filter(_._2._3 == "dup").keySet))
+    // negative margin is loud
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.pqIncrementalNearDup(idx, batch, margin = -0.1)
+    }
+    assert(e.getMessage.contains("margin"))
+  }
+
+  test("pq batchLut knob: distributed and driver arms are bit-identical; bad value loud") {
+    import spark.implicits._
+    val corpus = (1L to 150L).map(i => (i, vec(i * 271 + 9))).toDF("id", "v")
+    val idx = SimilaritySearch.pqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 2)
+    val queries = (901L to 905L).map(q => (q, vec(q))).toDF("q_id", "qv")
+    def run(): Seq[(Long, Long, Double, Long)] =
+      SimilaritySearch.pqTopKBatch(idx, queries, "q_id", "qv", topK = 5,
+          overFetch = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val dist = run() // default = distributed
+    spark.conf.set("spark.graft.pq.batchLut", "driver")
+    val driver = try run()
+    finally spark.conf.unset("spark.graft.pq.batchLut")
+    assert(dist == driver,
+      "distributed and driver LUT construction must be bit-identical")
+    spark.conf.set("spark.graft.pq.batchLut", "nonsense")
+    val e = try intercept[IllegalArgumentException] { run() }
+    finally spark.conf.unset("spark.graft.pq.batchLut")
+    assert(e.getMessage.contains("batchLut"))
   }
 
   test("property: pqTopKBatch kernel == per-query pqServe on random geometry") {
