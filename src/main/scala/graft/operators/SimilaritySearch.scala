@@ -224,12 +224,21 @@ object SimilaritySearch {
     * (0.59 at 128×8), where SQ8 reads 1.0 — honest context: this
     * synthetic corpus is near-isotropic (top-10 neighbors sit in a
     * ~0.04-cosine sliver under a 0.48 top-1), the adversarial case
-    * for sub-byte codes; production embedding corpora are clustered,
-    * which is what makes IVF-PQ the billion-vector default. Use PQ as
-    * the RAM-resident coarse tier when even SQ8 bytes don't fit;
-    * keep SQ8 when they do. Per-query wall at this scale is
-    * driver-dominated (~0.2 s all arms) — the byte reduction is the
-    * scale story, as with the persisted SQ8 projection (q8cold). */
+    * for sub-byte codes. The earlier defense "production corpora are
+    * clustered, which rescues PQ" is now MEASURED and was wrong for
+    * raw codes (`results/pq_clustered_r18.json`, 64 planted clusters
+    * at mean top-1 cos 0.876): raw-PQ recall@10 stays at 0.18 because
+    * the within-cluster top-10 still sits in a ~0.02-cosine sliver —
+    * clustering does not help codes that waste precision re-describing
+    * cluster structure. What recovers recall is RESIDUAL encoding
+    * ([[ivfResidualPqBuild]], v23): 0.18 → 0.27 (ksub=16) and
+    * 0.18 → 0.34 (ksub=64) on that fixture, +0.03–0.08 even on the
+    * isotropic one, with the nprobe=8/64 probe losing nothing. Use PQ
+    * as the RAM-resident coarse tier when even SQ8 bytes don't fit —
+    * residual-encoded when an IVF exists — and keep SQ8 when its bytes
+    * fit. Per-query wall at this scale is driver-dominated (~0.2 s all
+    * arms) — the byte reduction is the scale story, as with the
+    * persisted SQ8 projection (q8cold). */
   final case class PqIndex(
       m: Int,
       ksub: Int,
@@ -635,7 +644,8 @@ object SimilaritySearch {
     val stride = mLoc * ksubLoc
     val bound = threshold - margin
     val (_, qids, qns, luts) = collectBatchLuts(
-      index, batch, index.idCol, index.vecCol, "pqIncrementalNearDup")
+      index.codebook, index.m, index.ksub, index.dsub,
+      batch, index.idCol, index.vecCol, "pqIncrementalNearDup")
     val bc = sp.sparkContext.broadcast((qids, qns, luts))
     registerServingCleanup(() => bc.destroy(), Some(bc))
     val mask = (1L << bitsLoc) - 1
@@ -740,16 +750,24 @@ object SimilaritySearch {
     * SAME bytes it would have collected anyway (the float vectors ride
     * along for the exact-rerank frame) plus the packed LUT longs —
     * zero driver flops. `spark.graft.pq.batchLut = driver` keeps the
-    * pre-r18 driver loop as the A/B baseline (measured at a 10k-query
-    * batch in `results/pq_sf1_r18.json`); both arms call
-    * [[pqBatchLutRow]], so they are bit-identical by construction.
+    * pre-r18 driver loop as the A/B baseline. Measured honestly at a
+    * 10k-query batch (`results/pq_sf1_r18.json`): distributed 4.57 s
+    * vs driver 4.12 s — at the oracle dials (m·ksub·dsub = 1k flops
+    * per query) the driver loop is NOT a bottleneck and the extra
+    * Spark stage costs ~0.45 s; the distributed default is the
+    * COORDINATOR-OFFLOAD shape (at the 1M-query cap, or large m·ksub,
+    * the single-threaded driver loop serializes what executors
+    * parallelize — and the overhead amortizes), not a local win.
+    * Both arms call [[pqBatchLutRow]], so they are bit-identical by
+    * construction.
     * Degenerate (empty, zero, NaN-poisoned, NULL) vectors keep qn = 0
     * and are skipped by every scan row. Mixed dimensions are loud
     * (from the executor in the distributed arm, as [[pqEncode]]).
     * Both caps are validated against the COLLECTED length (the count()
     * is a separate evaluation of a possibly-nondeterministic source). */
   private def collectBatchLuts(
-      index: PqIndex,
+      codebook: Array[Array[Array[Double]]],
+      m: Int, ksub: Int, dsub: Int,
       frame: DataFrame,
       idColName: String,
       vecColName: String,
@@ -757,8 +775,8 @@ object SimilaritySearch {
       : (Array[(Long, Array[Float])], Array[Long], Array[Double], Array[Long]) = {
     val sp = frame.sparkSession
     import sp.implicits._
-    val dim = index.m * index.dsub
-    val stride = index.m * index.ksub
+    val dim = m * dsub
+    val stride = m * ksub
     val nPre = frame.select(col(idColName)).count()
     require(nPre <= maxExactRows,
       s"$opName got $nPre batch rows — the broadcast batch side is " +
@@ -768,15 +786,15 @@ object SimilaritySearch {
       s"spark.graft.pq.batchLut must be distributed or driver, got '$mode'")
     val src = frame.select(col(idColName).cast("long"), col(vecColName))
       .as[(Long, Array[Float])]
-    val mLoc = index.m; val ksubLoc = index.ksub; val dsubLoc = index.dsub
+    val mLoc = m; val ksubLoc = ksub; val dsubLoc = dsub
     val dimLoc = dim
     val collected: Array[(Long, Array[Float], Double, Array[Long])] =
       if (mode == "driver")
         src.collect().map { case (q, v) =>
-          batchLutRowChecked(index.codebook, dimLoc, mLoc, ksubLoc, dsubLoc, q, v)
+          batchLutRowChecked(codebook, dimLoc, mLoc, ksubLoc, dsubLoc, q, v)
         }
       else {
-        val bcCb = sp.sparkContext.broadcast(index.codebook)
+        val bcCb = sp.sparkContext.broadcast(codebook)
         // the closure captures ONLY the broadcast handle + primitive
         // dims — a local helper def here captured the enclosing frame
         // (whose DataFrames are not serializable)
@@ -862,7 +880,8 @@ object SimilaritySearch {
     val mLoc = index.m; val ksubLoc = index.ksub; val bitsLoc = index.bits
     val stride = mLoc * ksubLoc
     val (qRows, qids, qns, luts) =
-      collectBatchLuts(index, queries, queryIdCol, queryVecCol, "pqTopKBatch")
+      collectBatchLuts(index.codebook, index.m, index.ksub, index.dsub,
+        queries, queryIdCol, queryVecCol, "pqTopKBatch")
     val bc = sp.sparkContext.broadcast((qids, qns, luts))
     // registered like the quantized arm's PackedBatch broadcast: under
     // withServingResources the caller's release() destroys it after
@@ -966,7 +985,7 @@ object SimilaritySearch {
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/codebook")
     index.encoded.write.mode("overwrite").parquet(s"$vdir/encoded")
     val meta =
-      s"""{"idCol":"${jsonStr(index.idCol)}","vecCol":"${jsonStr(index.vecCol)}","m":${index.m},"ksub":${index.ksub},"dsub":${index.dsub},"bits":${index.bits}}"""
+      s"""{"kind":"pq","idCol":"${jsonStr(index.idCol)}","vecCol":"${jsonStr(index.vecCol)}","m":${index.m},"ksub":${index.ksub},"dsub":${index.dsub},"bits":${index.bits}}"""
     writeSmallFile(fs, s"$vdir/meta.json", meta) // version-complete marker
     commitVersionAndGc(fs, dir, next, prevLive, versions, "pqSave")
   }
@@ -989,6 +1008,13 @@ object SimilaritySearch {
     } finally in.close()
     require(meta.has("m") && meta.has("ksub"),
       s"$dir/meta.json is not a PQ index (missing m/ksub — an IVF tree?)")
+    // a RESIDUAL tree must never load through the raw path: its codes
+    // are meaningless without the per-cluster offsets, and this loader
+    // would silently drop the cluster column and serve wrong scores.
+    // Legacy (pre-r18) trees carry no kind and are raw by construction.
+    require(!meta.has("kind") || meta.get("kind").asText() == "pq",
+      s"$dir is a '${meta.get("kind").asText()}' index — use residualPqLoad " +
+        "(raw pqLoad would serve residual codes without their centroid offsets)")
     val idCol = meta.get("idCol").asText()
     val vecCol = meta.get("vecCol").asText()
     val m = meta.get("m").asInt()
@@ -1012,6 +1038,96 @@ object SimilaritySearch {
       .select(col(idCol), col("pq_code"), col("nrm"))
     PqIndex(m, ksub, dsub, bits, cb.map(_.map(_.clone())), encoded,
       corpus.select(col(idCol), col(vecCol)), idCol, vecCol)
+  }
+
+  /** Persist a [[ResidualPqIndex]] — codebook + centroids + encoded
+    * codes — under the SAME crash-consistent versioned layout as
+    * [[pqSave]]/[[ivfSave]]: `dir/v<N>/{codebook, centroids, encoded,
+    * meta.json}`, meta written last as the completeness marker,
+    * `kind: "residual-pq"` so the raw loader refuses the tree loudly
+    * instead of serving residual codes without their offsets. The
+    * coarse CENTROIDS persist alongside (k rows — the residuals are
+    * meaningless against any other quantizer); the float corpus stays
+    * external, as in [[pqSave]]. Doubles round-trip bit-exactly, so a
+    * loaded index serves bit-identically — spec'd. */
+  def residualPqSave(index: ResidualPqIndex, dir: String): Unit = {
+    val sp = index.encoded.sparkSession
+    import sp.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val versions = listVersions(fs, dir)
+    val next = versions.map(_ + 1).maxOption.getOrElse(1)
+    val prevLive: Option[Int] = liveVersion(fs, dir)
+    val vdir = s"$dir/v$next"
+    val cbRows = for {
+      s <- 0 until index.m
+      c <- 0 until index.ksub
+    } yield (s, c, index.codebook(s)(c).toSeq)
+    sp.createDataset(cbRows).toDF("s", "c", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/codebook")
+    val centRows = index.centroids.zipWithIndex.map { case ((comp, nrm), c) =>
+      (c, comp.toSeq, nrm)
+    }.toSeq
+    sp.createDataset(centRows).toDF("c", "comp", "nrm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/centroids")
+    index.encoded.write.mode("overwrite").parquet(s"$vdir/encoded")
+    val meta =
+      s"""{"kind":"residual-pq","idCol":"${jsonStr(index.idCol)}","vecCol":"${jsonStr(index.vecCol)}","m":${index.m},"ksub":${index.ksub},"dsub":${index.dsub},"bits":${index.bits},"k":${index.centroids.length}}"""
+    writeSmallFile(fs, s"$vdir/meta.json", meta) // version-complete marker
+    commitVersionAndGc(fs, dir, next, prevLive, versions, "residualPqSave")
+  }
+
+  /** Load an index [[residualPqSave]] wrote, re-binding the exact
+    * rerank to `corpus`. Refuses raw-PQ and IVF trees loudly (the
+    * `kind` marker); serving from the loaded index is bit-identical —
+    * codebook, centroids and codes all round-trip exactly. */
+  def residualPqLoad(
+      spark: SparkSession, rootDir: String, corpus: DataFrame): ResidualPqIndex = {
+    val dir = ivfCurrentPath(spark, rootDir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val meta = try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      om.readTree(in)
+    } finally in.close()
+    require(meta.has("kind") && meta.get("kind").asText() == "residual-pq",
+      s"$dir/meta.json is not a residual-PQ index — use pqLoad/ivfLoad")
+    val idCol = meta.get("idCol").asText()
+    val vecCol = meta.get("vecCol").asText()
+    val m = meta.get("m").asInt()
+    val ksub = meta.get("ksub").asInt()
+    val dsub = meta.get("dsub").asInt()
+    val bits = meta.get("bits").asInt()
+    val k = meta.get("k").asInt()
+    import spark.implicits._
+    val cb = Array.ofDim[Array[Double]](m, ksub)
+    spark.read.parquet(s"$dir/codebook")
+      .select(col("s").cast("int"), col("c").cast("int"), col("codeword"))
+      .as[(Int, Int, Array[Double])]
+      .collect()
+      .foreach { case (s, c, w) =>
+        require(s >= 0 && s < m && c >= 0 && c < ksub,
+          s"codebook row ($s, $c) outside m=$m × ksub=$ksub")
+        cb(s)(c) = w
+      }
+    require(cb.forall(_.forall(_ != null)),
+      s"codebook parquet is missing codewords (m=$m × ksub=$ksub)")
+    val cents = new Array[(Array[Double], Double)](k)
+    spark.read.parquet(s"$dir/centroids")
+      .select(col("c").cast("int"), col("comp"), col("nrm"))
+      .as[(Int, Array[Double], Double)]
+      .collect()
+      .foreach { case (c, comp, nrm) =>
+        require(c >= 0 && c < k, s"centroid row $c outside k=$k")
+        cents(c) = (comp, nrm)
+      }
+    require(cents.forall(_ != null),
+      s"centroids parquet is missing rows (k=$k)")
+    val encoded = spark.read.parquet(s"$dir/encoded")
+      .select(col(idCol), col("pq_code"), col("nrm"), col("cluster"))
+    ResidualPqIndex(m, ksub, dsub, bits, cb.map(_.map(_.clone())), cents,
+      encoded, corpus.select(col(idCol), col(vecCol)), idCol, vecCol)
   }
 
   /** IVF-PQ — the two pruning axes composed the way billion-vector
@@ -1273,6 +1389,145 @@ object SimilaritySearch {
       index.idCol, index.vecCol, index.corpus, query, topK, overFetch, scan,
       fpOffset = Some(expr(
         s"element_at($offArr, CAST(cluster + 1 AS INT))")))
+  }
+
+  /** BATCHED residual IVF-PQ top-k — v23's serving-throughput form,
+    * closing the residual tier's serving matrix the way v22 closed the
+    * raw tier's: a whole query frame resolves in ONE pass over the
+    * residual-encoded codes. Per query the driver-mediated broadcast
+    * carries three flat arrays — the ADC LUT ([[collectBatchLuts]],
+    * distributed construction), the k fixed-point ⟨q, centroid⟩
+    * offsets, and a ⌈k/64⌉-word probe bitmask of its `nprobe` closest
+    * clusters (the [[maskWord]] layout of the IVF-SQ8 arm) — and the
+    * scan is the v22 flat kernel with two residual deltas: a row
+    * scores only against queries whose mask contains its cluster (row
+    * pruning without any join), and its integer adot adds the
+    * per-(query, cluster) offset before the shared rounding. Bounded
+    * per-query heaps, window cut, exact float rerank — the v22 tail
+    * verbatim. Degenerate queries probe nothing (empty mask → no
+    * rows). Returns (queryIdCol, idCol, cos_sim, rank). */
+  def ivfResidualPqTopKBatch(
+      index: ResidualPqIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4): DataFrame = {
+    implicit val sp: SparkSession = index.encoded.sparkSession
+    import sp.implicits._
+    require(topK >= 1 && overFetch >= 1 && nprobe >= 1,
+      "topK, overFetch and nprobe must be >= 1")
+    requireDistinctIdCols("ivfResidualPqTopKBatch", queryIdCol, index.idCol)
+    val FP = 1L << 24
+    val k = index.centroids.length
+    val dim = index.m * index.dsub
+    val mLoc = index.m; val ksubLoc = index.ksub; val bitsLoc = index.bits
+    val stride = mLoc * ksubLoc
+    val words = (k + 63) / 64
+    val (qRows, qids, qns, luts) =
+      collectBatchLuts(index.codebook, index.m, index.ksub, index.dsub,
+        queries, queryIdCol, queryVecCol, "ivfResidualPqTopKBatch")
+    val nQ = qids.length
+    require(nQ.toLong * k <= Int.MaxValue,
+      s"ivfResidualPqTopKBatch: $nQ queries × $k offsets exceeds the " +
+        "broadcast layout; chunk the batch")
+    // per-query centroid offsets + probe masks — k·dim flops per query
+    // on the driver (tiny next to the LUT work, which is distributed)
+    val offs = new Array[Long](nQ * k)
+    val masks = new Array[Long](nQ * words)
+    var j = 0
+    while (j < nQ) {
+      val v = qRows(j)._2
+      if (qns(j) != 0.0) {
+        var c = 0
+        while (c < k) {
+          val cent = index.centroids(c)._1
+          var acc = 0L
+          var i = 0
+          while (i < dim) {
+            acc += math.floor(v(i).toDouble * cent(i) * FP + 0.5).toLong
+            i += 1
+          }
+          offs(j * k + c) = acc
+          c += 1
+        }
+        probeClusters(index.centroids, v, nprobe).foreach { cl =>
+          masks(j * words + cl / 64) |= 1L << (cl % 64)
+        }
+      }
+      j += 1
+    }
+    val bc = sp.sparkContext.broadcast((qids, qns, luts, offs, masks))
+    registerServingCleanup(() => bc.destroy(), Some(bc))
+    val keep = topK * overFetch
+    val mask = (1L << bitsLoc) - 1
+    val kLoc = k; val wordsLoc = words
+    val cand = index.encoded
+      .select(col(index.idCol).cast("long"), col("pq_code"), col("nrm"),
+        col("cluster").cast("int"))
+      .as[(Long, Long, Double, Int)]
+      .mapPartitions { it =>
+        val (ids, ns, lt, of, mk) = bc.value
+        val heaps = Array.fill(ids.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](heapWorst))
+        val codes = new Array[Int](mLoc)
+        it.foreach { case (nid, code, nrm, cl) =>
+          if (nrm != 0.0 && cl >= 0) {
+            var unpacked = false
+            var q = 0
+            while (q < ids.length) {
+              val qn = ns(q)
+              if (qn != 0.0 &&
+                  (mk(q * wordsLoc + cl / 64) & (1L << (cl % 64))) != 0L) {
+                if (!unpacked) {
+                  var s = 0
+                  while (s < mLoc) {
+                    codes(s) = ((code >>> (s * bitsLoc)) & mask).toInt; s += 1
+                  }
+                  unpacked = true
+                }
+                var adc = of(q * kLoc + cl)
+                val base = q * stride
+                var s2 = 0
+                while (s2 < mLoc) {
+                  adc += lt(base + s2 * ksubLoc + codes(s2)); s2 += 1
+                }
+                heapOffer(heaps(q),
+                  math.floor(adc.toDouble / FP / (nrm * qn) * 10000 + 0.5) / 10000.0,
+                  nid, keep)
+              }
+              q += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qj) =>
+          h.iterator.map { case (sc, nid) => (ids(qj), nid, sc) }
+        }
+      }
+      .toDF("__qid", "__nid", "__score")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("__score").desc, col("__nid"))
+    val cut = cand
+      .withColumn("__crank", row_number().over(win))
+      .filter(col("__crank") <= keep)
+      .select("__qid", "__nid")
+    val qf = sp.createDataset(qRows.toSeq.zipWithIndex.map { case ((qid, v), i) =>
+        (qid, v, qns(i))
+      }).toDF("__qid", "__qv", "__qn")
+    val rr = cut
+      .join(index.corpus.select(col(index.idCol).cast("long").as("__nid"),
+        col(index.vecCol).as("__cv")), Seq("__nid"))
+      .join(broadcast(qf), Seq("__qid"))
+      .select(col("__qid"), col("__nid"),
+        r4(VectorFunctions.dot(col("__cv"), col("__qv")) /
+          (VectorFunctions.norm(col("__cv")) * col("__qn"))).as("__score"))
+      .as[(Long, Long, Double)]
+    partialTopK(rr, topK)
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= topK)
+      .select(col("__qid").as(queryIdCol), col("__nid").as(index.idCol),
+        col("__score").as("cos_sim"), col("rank").cast("long").as("rank"))
   }
 
   /** Random-hyperplane LSH signature: bit p of the result is the sign
@@ -2663,6 +2918,27 @@ object SimilaritySearch {
     val lutCap = Int.MaxValue.toLong / (index.m * index.ksub)
     chunkedUnion(queries, queryIdCol, math.max(1L, math.min(chunkTarget, lutCap))) { chunk =>
       pqTopKBatch(index, chunk, queryIdCol, queryVecCol, topK, overFetch)
+    }
+  }
+
+  /** [[ivfTopKBatchChunked]]'s shape for the RESIDUAL tier — the chunk
+    * budget derated by BOTH per-query broadcast layouts (the LUT
+    * stride, as the PQ arm, and the k-entry offset table). */
+  def ivfResidualPqTopKBatchChunked(
+      index: ResidualPqIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4,
+      chunkTarget: Long = maxExactRows / 2): DataFrame = {
+    val lutCap = Int.MaxValue.toLong / (index.m * index.ksub)
+    val offCap = Int.MaxValue.toLong / math.max(1, index.centroids.length)
+    chunkedUnion(queries, queryIdCol,
+      math.max(1L, Seq(chunkTarget, lutCap, offCap).min)) { chunk =>
+      ivfResidualPqTopKBatch(index, chunk, queryIdCol, queryVecCol, topK,
+        nprobe, overFetch)
     }
   }
 

@@ -766,6 +766,117 @@ object SimQueries {
       nprobe = 4, overFetch = 4, filter = col("vec_id") =!= 0)
   }
 
+  /** Batched residual IVF-PQ oracle (v25): the corpus split
+    * (vec_id % 7 ≠ 4) builds the IVF ([[ivfCentroidSql]] with the
+    * split predicate) and the residual PQ codebook ([[pqCodebookSql]]
+    * over the residual `sub`); the batch split supplies per-query
+    * LUTs (`lutB`), per-(query, cluster) integer offsets (`qoffB`),
+    * and per-query probe sets (`bprobed`, the qsim argmax windows);
+    * each probed (query, corpus-row) pair's adot = offset + LUT sum;
+    * the cut and the exact rerank are v22's per-query ROW_NUMBER
+    * windows — exactly [[graft.operators.SimilaritySearch
+    * .ivfResidualPqTopKBatch]]'s decisions. MATERIALIZED hints pin
+    * the IVF tail + residual-sub + penc nodes (the v23 lesson:
+    * DuckDB inlines CTEs, and `sub` here re-evaluates the whole IVF
+    * build at every consumer without them). */
+  private def residualPqBatchOracleSql(
+      k: Int, kIters: Int, nprobe: Int,
+      m: Int, ksub: Int, pqIters: Int,
+      topK: Int, overFetch: Int, dim: Int): String = {
+    val dsub = dim / m
+    val residualSub =
+      s"""sub AS (SELECT v.vec_id, ss.s, ti.i, v.ve[ss.s * $dsub + ti.i] - cc.comp AS x
+         |        FROM d v, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i),
+         |          finalassign a, cents$kIters cc
+         |        WHERE a.vec_id = v.vec_id AND cc.c = a.cluster
+         |          AND cc.i = ss.s * $dsub + ti.i)""".stripMargin
+    val composed =
+      s"""${ivfCentroidSql(k, kIters, dim, " WHERE vec_id % 7 <> 4")},
+         |${pqCodebookSql(m, ksub, pqIters, dim, residualSub)},
+         |qd AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+         |       WHERE vec_id % 7 = 4),
+         |qnorm AS (SELECT q_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
+         |          FROM qd, generate_series(1, $dim) t(i) GROUP BY q_id),
+         |bqsim AS (SELECT q.q_id, cc.c,
+         |            SUM(q.ve[cc.i] * cc.comp) / (cn.nrm * qn.nrm) AS sim
+         |          FROM qd q, cents$kIters cc, cnorm$kIters cn, qnorm qn
+         |          WHERE cn.c = cc.c AND qn.q_id = q.q_id
+         |          GROUP BY q.q_id, cc.c, cn.nrm, qn.nrm),
+         |bprobed AS (SELECT q_id, c FROM (
+         |    SELECT q_id, c, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, c) AS rn FROM bqsim) p
+         |  WHERE rn <= $nprobe),
+         |qsubB AS (SELECT q_id, s, i, ve[s * $dsub + i] AS x
+         |          FROM qd, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i)),
+         |lutB AS (SELECT q.q_id, cb.s, cb.c,
+         |           SUM(CAST(FLOOR(q.x * cb.comp * 16777216.0 + 0.5) AS BIGINT)) AS l
+         |         FROM cb$pqIters cb JOIN qsubB q ON q.s = cb.s AND q.i = cb.i
+         |         GROUP BY q.q_id, cb.s, cb.c),
+         |qoffB AS (SELECT q.q_id, cc.c,
+         |            SUM(CAST(FLOOR(q.ve[cc.i] * cc.comp * 16777216.0 + 0.5) AS BIGINT)) AS off
+         |          FROM qd q, cents$kIters cc GROUP BY q.q_id, cc.c),
+         |radcB AS (SELECT l.q_id, fa.cluster, e.vec_id, SUM(l.l) AS rdot
+         |          FROM penc e JOIN finalassign fa ON fa.vec_id = e.vec_id
+         |            JOIN bprobed p ON p.c = fa.cluster
+         |            JOIN lutB l ON l.q_id = p.q_id AND l.s = e.s AND l.c = e.code
+         |          GROUP BY l.q_id, fa.cluster, e.vec_id),
+         |adcB AS (SELECT r.q_id, r.vec_id, r.rdot + o.off AS adot
+         |         FROM radcB r JOIN qoffB o ON o.q_id = r.q_id AND o.c = r.cluster),
+         |candB AS (SELECT q_id, vec_id FROM (
+         |    SELECT a.q_id, a.vec_id, ROW_NUMBER() OVER (PARTITION BY a.q_id
+         |        ORDER BY FLOOR(a.adot / 16777216.0 / (vn.nrm * qn.nrm) * 10000 + 0.5)
+         |          / 10000 DESC, a.vec_id) AS rn
+         |    FROM adcB a JOIN vnorm vn ON vn.vec_id = a.vec_id
+         |      JOIN qnorm qn ON qn.q_id = a.q_id) t
+         |  WHERE rn <= ${topK * overFetch}),
+         |rrB AS (SELECT c.q_id, d.vec_id, SUM(d.ve[t.i] * q.ve[t.i]) AS dot,
+         |          vn.nrm AS n1, qn.nrm AS n2
+         |        FROM candB c JOIN d ON d.vec_id = c.vec_id
+         |          JOIN qd q ON q.q_id = c.q_id
+         |          JOIN vnorm vn ON vn.vec_id = c.vec_id
+         |          JOIN qnorm qn ON qn.q_id = c.q_id,
+         |          generate_series(1, $dim) t(i)
+         |        GROUP BY c.q_id, d.vec_id, vn.nrm, qn.nrm),
+         |rankedB AS (SELECT q_id, vec_id,
+         |    FLOOR(dot / (n1 * n2) * 10000 + 0.5) / 10000 AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY FLOOR(dot / (n1 * n2) * 10000 + 0.5) / 10000 DESC, vec_id) AS rn
+         |  FROM rrB)
+         |SELECT q_id, vec_id, cos_sim, CAST(rn AS BIGINT) AS rank
+         |FROM rankedB WHERE rn <= $topK ORDER BY q_id, rank""".stripMargin
+    Seq("finalassign", "sub", s"cents$kIters", "penc")
+      .foldLeft(composed) { (sql, name) =>
+        sql.replace(s"$name AS (", s"$name AS MATERIALIZED (")
+      }
+  }
+
+  /** Batched residual IVF-PQ serving (v25) — the residual tier's
+    * serving-matrix closer, as v22 was the raw tier's: the whole query
+    * split answers in one distributed pass over the residual codes,
+    * each query pruned to its own nprobe probe set by a broadcast
+    * bitmask (no join), each probed row's integer adot = per-(query,
+    * cluster) ⟨q, centroid⟩ offset + LUT sum. The oracle replays the
+    * corpus-split IVF build, the residual codebook + encode, per-query
+    * probes/LUTs/offsets, the composed ADC windows, and the exact
+    * rerank verbatim ([[residualPqBatchOracleSql]]). */
+  val residualPqBatchTopK: Q = Q(
+    "v25_residual_pq_batch_topk",
+    residualPqBatchOracleSql(k = 16, kIters = 3, nprobe = 4, m = 8, ksub = 16,
+      pqIters = 2, topK = 3, overFetch = 4, dim = 64)) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val ivf = graft.operators.SimilaritySearch.ivfBuild(
+      e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
+      k = 16, lloydIters = 3, portableSeeds = true)
+    val rpq = graft.operators.SimilaritySearch.ivfResidualPqBuild(
+      ivf, m = 8, ksub = 16, lloydIters = 2, portableSeeds = true)
+    graft.operators.SimilaritySearch.ivfResidualPqTopKBatch(
+        rpq,
+        e.filter(col("vec_id") % 7 === 4)
+          .select(col("vec_id").as("q_id"), col("embedding")),
+        "q_id", "embedding", topK = 3, nprobe = 4, overFetch = 4)
+      .orderBy("q_id", "rank")
+  }
+
   /** The centroid-build prefix of [[ivfBuildSql]]: `d` (optionally
     * filtered — how v13 builds the index over the CORPUS split only),
     * seeding, `iters` unrolled fixed-point Lloyd rounds, ending in
@@ -1422,5 +1533,6 @@ object SimQueries {
     embeddingDedup, incrementalEmbeddingDedup, incrementalIvfAssign,
     ivfIncrementalDedup, ivfBatchTopK, ivfBatchTopKQuantized,
     ivfServePersisted, embeddingComponents, bandedComponents, pqAdcTopK,
-    ivfPqAdcTopK, pqBatchTopK, ivfResidualPqAdcTopK, pqIncrementalDedup)
+    ivfPqAdcTopK, pqBatchTopK, ivfResidualPqAdcTopK, pqIncrementalDedup,
+    residualPqBatchTopK)
 }

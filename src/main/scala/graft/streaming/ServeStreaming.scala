@@ -192,4 +192,35 @@ object ServeStreaming {
         SimilaritySearch.pqTopKBatchChunked(
           index, batch, queryIdCol, queryVecCol, topK, overFetch))
   }
+
+  /** Streaming RESIDUAL IVF-PQ serving — completes the residual tier's
+    * serving matrix (one-shot [[SimilaritySearch.ivfResidualPqTopK]] /
+    * batched [[SimilaritySearch.ivfResidualPqTopKBatch]] / persisted
+    * [[SimilaritySearch.residualPqLoad]] / STREAM) on the same
+    * [[serveStreamLoop]] recipe: fail-fast start precondition,
+    * per-batch CURRENT re-resolution with the resolved-version cache,
+    * scoped broadcast release, idempotent per-batch overwrite. A
+    * mid-stream [[SimilaritySearch.residualPqSave]] refresh (e.g.
+    * after a coarse-quantizer re-train + residual re-encode) lands on
+    * the very next micro-batch, no restart. */
+  def residualPqServeStream(
+      stream: DataFrame,
+      indexDir: String,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      outDir: String,
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4,
+      cacheIndex: Boolean = true): StreamingQuery = {
+    val spark = stream.sparkSession
+    serveStreamLoop[SimilaritySearch.ResidualPqIndex](
+      stream, indexDir, outDir, "residualPqServeStream", "residualPqSave",
+      cacheIndex,
+      load = path => SimilaritySearch.residualPqLoad(spark, path, corpus),
+      serve = (index, batch) =>
+        SimilaritySearch.ivfResidualPqTopKBatchChunked(
+          index, batch, queryIdCol, queryVecCol, topK, nprobe, overFetch))
+  }
 }

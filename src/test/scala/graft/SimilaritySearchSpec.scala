@@ -1519,6 +1519,90 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("both"), s"unexpected message: ${e.getMessage}")
   }
 
+  test("ivfResidualPqTopKBatch agrees with per-query serving; degenerate queries yield no rows") {
+    import spark.implicits._
+    val corpus = (1L to 300L).map(i => (i, vec(i * 811 + 23))).toDF("id", "v")
+    val ivf = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 8, lloydIters = 2)
+    val rpq = SimilaritySearch.ivfResidualPqBuild(ivf, m = 4, ksub = 8,
+      lloydIters = 2)
+    val queryIds = Seq(901L, 902L, 903L)
+    val queries = (queryIds.map(q => (q, vec(q))) :+
+      (999L, new Array[Float](dim))).toDF("q_id", "qv") // one degenerate
+    val batch = SimilaritySearch.ivfResidualPqTopKBatch(rpq, queries, "q_id",
+        "qv", topK = 5, nprobe = 3, overFetch = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(!batch.contains(999L), "a degenerate query must produce no rows")
+    queryIds.foreach { q =>
+      val solo = SimilaritySearch.ivfResidualPqTopK(rpq, vec(q), topK = 5,
+          nprobe = 3, overFetch = 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (q, r.getLong(0), r.getDouble(1), (i + 1).toLong) }
+        .toSeq
+      assert(batch(q).sortBy(_._4).toSeq == solo,
+        s"batch and per-query residual serving disagree for query $q")
+    }
+    // id-column collision refused, the shared batch-arm contract
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfResidualPqTopKBatch(rpq,
+        queries.withColumnRenamed("q_id", "id"), "id", "qv", topK = 3)
+    }
+    assert(e.getMessage.contains("both"))
+  }
+
+  test("residualPqSave/Load: bit-exact round-trip, identical serving, kind guards both ways") {
+    import spark.implicits._
+    val corpus = (1L to 200L).map(i => (i, vec(i * 433 + 3))).toDF("id", "v")
+    val ivf = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 8, lloydIters = 2)
+    val rpq = SimilaritySearch.ivfResidualPqBuild(ivf, m = 4, ksub = 8,
+      lloydIters = 2)
+    def rmTree(path: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_rpq").toString
+    try {
+      SimilaritySearch.residualPqSave(rpq, dir)
+      val loaded = SimilaritySearch.residualPqLoad(spark, dir, corpus)
+      // codebook + centroids round-trip bit-exactly
+      assert(loaded.m == rpq.m && loaded.ksub == rpq.ksub && loaded.bits == rpq.bits)
+      for (s <- 0 until rpq.m; c <- 0 until rpq.ksub)
+        assert(loaded.codebook(s)(c).sameElements(rpq.codebook(s)(c)))
+      loaded.centroids.zip(rpq.centroids).foreach { case ((lc, ln), (rc, rn)) =>
+        assert(lc.sameElements(rc) && ln == rn)
+      }
+      // serving from the loaded tree is bit-identical
+      val q = vec(777L)
+      def ans(i: SimilaritySearch.ResidualPqIndex) =
+        SimilaritySearch.ivfResidualPqTopK(i, q, topK = 5, nprobe = 3,
+          overFetch = 4)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(ans(loaded) == ans(rpq))
+      // the raw loader refuses a residual tree loudly (it would
+      // otherwise serve residual codes without their offsets)
+      val e1 = intercept[IllegalArgumentException] {
+        SimilaritySearch.pqLoad(spark, dir, corpus)
+      }
+      assert(e1.getMessage.contains("residualPqLoad"))
+      // and the residual loader refuses a raw tree
+      val raw = SimilaritySearch.pqBuild(corpus, "id", "v", m = 4, ksub = 8)
+      val rawDir = java.nio.file.Files.createTempDirectory("graft_rawpq").toString
+      try {
+        SimilaritySearch.pqSave(raw, rawDir)
+        // raw trees still load through the raw path (kind: "pq")
+        SimilaritySearch.pqLoad(spark, rawDir, corpus)
+        val e2 = intercept[IllegalArgumentException] {
+          SimilaritySearch.residualPqLoad(spark, rawDir, corpus)
+        }
+        assert(e2.getMessage.contains("not a residual-PQ index"))
+      } finally rmTree(rawDir)
+    } finally rmTree(dir)
+  }
+
   test("pqIncrementalNearDup statuses a batch against the standing codes (brute-force agreement)") {
     import spark.implicits._
     val corpus = (1L to 200L).map(i => (i, vec(i * 613 + 7))).toDF("id", "v")
