@@ -382,8 +382,14 @@ object Bench {
           if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p))
           else None
         } catch { case _: Exception => None }
+        // the fallback applies ONLY to what the standing slot can stand
+        // in for: a full-headline run under the standard config at the
+        // standing sf (review: without the args/extraConf gate, a
+        // refused FOCUSED slice or A/B run would archive the whole-
+        // suite standing line — a grossly wrong artifact for that
+        // slice — exactly the slot-overwrite conditions below)
         val fallback = standingRaw
-          .filter(_ => sfMatches) // a cross-scale standing number is no fallback
+          .filter(_ => sfMatches && args.isEmpty && extraConf.isEmpty)
           .flatMap(raw => graft.tools.BenchProtocol.standingFallbackLine(
             raw, reason, canary, canaryShuffle, varianceTrimmed,
             bad.map(_._1)))

@@ -454,34 +454,6 @@ object SimilaritySearch {
       index.idCol, index.vecCol, index.corpus, query, topK, overFetch, scan,
       fpOffset = None)
 
-  /** The per-query integer ADC lookup table — fixed-point
-    * ⟨query-subvector, codeword⟩ partial dots, per-term
-    * `floor(q·c·2^24 + 0.5)` summed as longs; entry `s·ksub + c` is
-    * subspace s's dot against codeword c. Shared by the single-query
-    * serve (inlined literal) and any driver-side LUT use. */
-  private def pqQueryLut(
-      codebook: Array[Array[Array[Double]]],
-      query: Array[Float], m: Int, ksub: Int, dsub: Int): Array[Long] = {
-    val FP = 1L << 24
-    val lut = new Array[Long](m * ksub)
-    var s = 0
-    while (s < m) {
-      var c = 0
-      while (c < ksub) {
-        var acc = 0L
-        var i = 0
-        while (i < dsub) {
-          acc += math.floor(query(s * dsub + i).toDouble *
-            codebook(s)(c)(i) * FP + 0.5).toLong
-          i += 1
-        }
-        lut(s * ksub + c) = acc
-        c += 1
-      }
-      s += 1
-    }
-    lut
-  }
 
   /** The field-level form of [[pqServe]], shared with the RESIDUAL
     * tier ([[ivfResidualPqTopK]]): `fpOffset`, when present, is a
@@ -512,7 +484,12 @@ object SimilaritySearch {
         s"= ${m * ksub} entries exceeds the 65536 cap — use " +
         "pqTopKBatch (broadcast LUT) for codebooks this large")
     val FP = 1L << 24
-    val lut = pqQueryLut(codebook, query, m, ksub, dsub)
+    // ONE definition of the fixed-point LUT arithmetic for all three
+    // serve forms ([[pqBatchLutRow]] — review r18: a second copy here
+    // could silently drift from the batch arms the spec pins against
+    // this path); qn stays normF's convention (NaN queries NULL every
+    // row and the NaN filter drops them — same empty answer either way)
+    val lut = pqBatchLutRow(codebook, query, m, ksub, dsub)._2
     val qn = normF(query)
     val lutArr = lut.mkString("array(", "L, ", "L)")
     val mask = (1L << bits) - 1
@@ -645,7 +622,8 @@ object SimilaritySearch {
     val bound = threshold - margin
     val (_, qids, qns, luts) = collectBatchLuts(
       index.codebook, index.m, index.ksub, index.dsub,
-      batch, index.idCol, index.vecCol, "pqIncrementalNearDup")
+      batch, index.idCol, index.vecCol, "pqIncrementalNearDup",
+      keepVectors = false) // the exact verify re-reads the batch frame
     val bc = sp.sparkContext.broadcast((qids, qns, luts))
     registerServingCleanup(() => bc.destroy(), Some(bc))
     val mask = (1L << bitsLoc) - 1
@@ -728,6 +706,7 @@ object SimilaritySearch {
     * distributed arm's closure stays serializable. */
   private def batchLutRowChecked(
       cb: Array[Array[Array[Double]]], dim: Int, m: Int, ksub: Int, dsub: Int,
+      keepVectors: Boolean,
       qid: Long, v0: Array[Float]): (Long, Array[Float], Double, Array[Long]) = {
     // a NULL vector (nullable streaming source) degrades like the
     // empty vector: qn stays 0, the query answers nothing — one bad
@@ -738,7 +717,12 @@ object SimilaritySearch {
         s"mixed-dimension batch vs index: index dimension $dim vs " +
           s"batch vector of ${v.length} components")
     val (qn, lut) = pqBatchLutRow(cb, v, m, ksub, dsub)
-    (qid, v, qn, lut)
+    // callers that never touch the floats again (the incremental-dedup
+    // screen — its exact verify re-reads the batch FRAME) drop them
+    // HERE, before the executors→driver collect moves the bytes
+    // (review r18: at the 1M-row cap a dim-768 batch is ~3 GB of
+    // floats hauled for nothing)
+    (qid, if (keepVectors) v else Array.empty[Float], qn, lut)
   }
 
   /** Collect a query/ingest batch with its per-query integer ADC LUTs —
@@ -771,7 +755,8 @@ object SimilaritySearch {
       frame: DataFrame,
       idColName: String,
       vecColName: String,
-      opName: String)
+      opName: String,
+      keepVectors: Boolean = true)
       : (Array[(Long, Array[Float])], Array[Long], Array[Double], Array[Long]) = {
     val sp = frame.sparkSession
     import sp.implicits._
@@ -788,10 +773,11 @@ object SimilaritySearch {
       .as[(Long, Array[Float])]
     val mLoc = m; val ksubLoc = ksub; val dsubLoc = dsub
     val dimLoc = dim
+    val keepLoc = keepVectors
     val collected: Array[(Long, Array[Float], Double, Array[Long])] =
       if (mode == "driver")
         src.collect().map { case (q, v) =>
-          batchLutRowChecked(codebook, dimLoc, mLoc, ksubLoc, dsubLoc, q, v)
+          batchLutRowChecked(codebook, dimLoc, mLoc, ksubLoc, dsubLoc, keepLoc, q, v)
         }
       else {
         val bcCb = sp.sparkContext.broadcast(codebook)
@@ -799,7 +785,7 @@ object SimilaritySearch {
         // dims — a local helper def here captured the enclosing frame
         // (whose DataFrames are not serializable)
         val out = src.map { case (q, v) =>
-          batchLutRowChecked(bcCb.value, dimLoc, mLoc, ksubLoc, dsubLoc, q, v)
+          batchLutRowChecked(bcCb.value, dimLoc, mLoc, ksubLoc, dsubLoc, keepLoc, q, v)
         }.collect()
         bcCb.destroy() // dead once collected (the advice-r17 rule)
         out
@@ -1262,6 +1248,11 @@ object SimilaritySearch {
       else xxhash64(col(ivf.idCol))
     val seeds = failing {
       val s = rdf
+        // degenerate rows (cluster −1 / empty vector → empty residual)
+        // must not seed a codebook — indexing their empty residual
+        // below would crash the build; the scaladoc's "contribute
+        // nothing to training" covers seeding too (review r18)
+        .filter(size(col("__res")) === dim)
         .filter(pmod(seedHash, lit(strideMod)) === 0)
         .orderBy(seedHash, col(ivf.idCol))
         .limit(ksub)
@@ -1272,8 +1263,8 @@ object SimilaritySearch {
       s
     }
     val kEff = seeds.length
-    var cb: Array[Array[Array[Double]]] = Array.tabulate(m, kEff, dsub) {
-      (s, c, i) => seeds(c)._2(s * dsub + i)
+    var cb: Array[Array[Array[Double]]] = failing {
+      Array.tabulate(m, kEff, dsub) { (s, c, i) => seeds(c)._2(s * dsub + i) }
     }
 
     val FP = 1L << 24
@@ -1357,9 +1348,6 @@ object SimilaritySearch {
       overFetch: Int = 4,
       filter: Column = lit(true)): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
-    require(index.centroids.length <= 65536,
-      s"ivfResidualPqTopK inlines the per-cluster offset table as a literal: " +
-        s"k=${index.centroids.length} exceeds the 65536 cap")
     val FP = 1L << 24
     val dim = index.m * index.dsub
     require(query.length == dim,
@@ -1367,10 +1355,13 @@ object SimilaritySearch {
     // per-cluster fixed-point ⟨query, centroid⟩ — the term the residual
     // encoding dropped, added back at serve time; same per-term
     // floor(q·c·2^24 + 0.5) convention as the LUT so the total stays an
-    // exact integer
-    val off = new Array[Long](index.centroids.length)
-    var c = 0
-    while (c < index.centroids.length) {
+    // exact integer. Computed for the PROBED clusters only (review r18:
+    // the scan below keeps only those, so a k-entry table was k·dim
+    // wasted driver flops and a k-entry literal — the former 65536 cap
+    // existed solely to bound that waste) and inlined as an
+    // nprobe-branch CASE on the row's cluster.
+    val probed = probeClusters(index.centroids, query, nprobe)
+    val offOf: Map[Int, Long] = probed.map { c =>
       val cent = index.centroids(c)._1
       var acc = 0L
       var i = 0
@@ -1378,17 +1369,20 @@ object SimilaritySearch {
         acc += math.floor(query(i).toDouble * cent(i) * FP + 0.5).toLong
         i += 1
       }
-      off(c) = acc
-      c += 1
-    }
-    val probed = probeClusters(index.centroids, query, nprobe)
-    val offArr = off.mkString("array(", "L, ", "L)")
+      c -> acc
+    }.toMap
     val scan = index.encoded.filter(filter)
       .filter(col("cluster").isin(probed: _*))
+    // a degenerate query probes nothing — the scan is empty, the offset
+    // is never evaluated (the 0 literal just keeps the plan well-typed)
+    val offExpr =
+      if (probed.isEmpty) lit(0L)
+      else expr("CASE cluster " +
+        probed.map(c => s"WHEN $c THEN ${offOf(c)}L").mkString(" ") +
+        " ELSE CAST(0 AS BIGINT) END")
     pqServeCore(index.m, index.ksub, index.dsub, index.bits, index.codebook,
       index.idCol, index.vecCol, index.corpus, query, topK, overFetch, scan,
-      fpOffset = Some(expr(
-        s"element_at($offArr, CAST(cluster + 1 AS INT))")))
+      fpOffset = Some(offExpr))
   }
 
   /** BATCHED residual IVF-PQ top-k — v23's serving-throughput form,

@@ -727,13 +727,25 @@ object SimQueries {
     // build: measured 6.7 s materialized vs >8 MINUTES inlined at
     // sf0.01. MATERIALIZED pins each expensive node to one evaluation;
     // results are identical (it is a pure evaluation-strategy hint).
-    // Applied by name to the definition sites only — each "<name> AS ("
-    // occurs exactly once in the composed text.
-    Seq("finalassign", "sub", s"cents$kIters", "penc", "cand")
-      .foldLeft(composed) { (sql, name) =>
-        sql.replace(s"$name AS (", s"$name AS MATERIALIZED (")
-      }
+    materializeCtes(composed,
+      Seq("finalassign", "sub", s"cents$kIters", "penc", "cand"))
   }
+
+  /** Rewrite the named CTEs' DEFINITION sites to `AS MATERIALIZED` —
+    * anchored at the line boundary (every CTE definition in the
+    * composed chains starts its own line) so a name that is a suffix
+    * of another (`cand` vs `pcand`, `sub` vs `qsub`) can never
+    * materialize the wrong node, and ASSERTED unique — a composed
+    * chain that gains a second definition site fails loudly here, not
+    * as a silent wrong-node performance cliff (review r18). */
+  private def materializeCtes(sql: String, names: Seq[String]): String =
+    names.foldLeft(sql) { (s, name) =>
+      val defSite = s"\n$name AS ("
+      val n = s.sliding(defSite.length).count(_ == defSite)
+      require(n == 1,
+        s"materializeCtes: expected exactly one definition of '$name', found $n")
+      s.replace(defSite, s"\n$name AS MATERIALIZED (")
+    }
 
   /** Residual-encoded IVF-PQ ANN (v23) — the recall-recovering form of
     * v21 (Jégou et al. §IV.A, the FAISS `IVF,PQ` TRAINING default): the
@@ -844,10 +856,8 @@ object SimQueries {
          |  FROM rrB)
          |SELECT q_id, vec_id, cos_sim, CAST(rn AS BIGINT) AS rank
          |FROM rankedB WHERE rn <= $topK ORDER BY q_id, rank""".stripMargin
-    Seq("finalassign", "sub", s"cents$kIters", "penc")
-      .foldLeft(composed) { (sql, name) =>
-        sql.replace(s"$name AS (", s"$name AS MATERIALIZED (")
-      }
+    materializeCtes(composed,
+      Seq("finalassign", "sub", s"cents$kIters", "penc"))
   }
 
   /** Batched residual IVF-PQ serving (v25) — the residual tier's
