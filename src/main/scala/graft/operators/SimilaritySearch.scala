@@ -2915,6 +2915,122 @@ object SimilaritySearch {
     }
   }
 
+  /** Probe-pruned incremental dedup at the RESIDUAL-PQ tier — the
+    * [[ivfIncrementalNearDup]] (v14) analog when the standing corpus's
+    * RAM-resident form is residual codes: each ingest batch vector is
+    * ADC-screened ONLY against the codes in its `nprobe` nearest
+    * clusters (the 100 TB ingest shape — per-batch cost is
+    * ~nprobe/k of one ~24 B/row code scan, and against a
+    * [[residualPqSave]]d cluster layout the probe union is partition
+    * pruning), with the same margin-admission rule, exact float
+    * verify, and (idCol, n_dups, best_sim, status) contract as
+    * [[pqIncrementalNearDup]]. TWO recall dials stack here, both
+    * documented: the probe (a corpus dup outside the batch vector's
+    * probed clusters is not seen — v14's trade) and the PQ margin
+    * (an ADC estimate below threshold − margin is not admitted);
+    * the verify stage still never admits a false positive. The scan
+    * is the v25 kernel with threshold admission in place of heaps:
+    * per-query LUT + probed-cluster offsets + ⌈k/64⌉-word probe
+    * bitmask on one broadcast, one integer add per (row, subspace)
+    * for queries probing the row's cluster. */
+  def residualPqIncrementalNearDup(
+      index: ResidualPqIndex,
+      batch: DataFrame,
+      threshold: Double = 0.45,
+      margin: Double = 0.2,
+      nprobe: Int = 4,
+      corpusSizeHint: Long = -1L): DataFrame = {
+    implicit val sp: SparkSession = index.encoded.sparkSession
+    import sp.implicits._
+    require(margin >= 0.0,
+      s"margin must be >= 0, got $margin — a negative margin would raise the " +
+        "coarse bound ABOVE the threshold and silently drop true dups")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val FP = 1L << 24
+    val k = index.centroids.length
+    val dim = index.m * index.dsub
+    val mLoc = index.m; val ksubLoc = index.ksub; val bitsLoc = index.bits
+    val stride = mLoc * ksubLoc
+    val words = (k + 63) / 64
+    val bound = threshold - margin
+    // floats kept: the probe sets + offsets need them (the exact
+    // verify still re-reads the batch FRAME, as in pqIncrementalNearDup)
+    val (qRows, qids, qns, luts) = collectBatchLuts(
+      index.codebook, index.m, index.ksub, index.dsub,
+      batch, index.idCol, index.vecCol, "residualPqIncrementalNearDup")
+    val nQ = qids.length
+    require(nQ.toLong * k <= Int.MaxValue,
+      s"residualPqIncrementalNearDup: $nQ batch rows × $k offsets exceeds " +
+        "the broadcast layout; chunk the batch")
+    val offs = new Array[Long](nQ * k)
+    val masks = new Array[Long](nQ * words)
+    var j = 0
+    while (j < nQ) {
+      val v = qRows(j)._2
+      if (qns(j) != 0.0) {
+        probeClusters(index.centroids, v, nprobe).foreach { cl =>
+          masks(j * words + cl / 64) |= 1L << (cl % 64)
+          val cent = index.centroids(cl)._1
+          var acc = 0L
+          var i = 0
+          while (i < dim) {
+            acc += math.floor(v(i).toDouble * cent(i) * FP + 0.5).toLong
+            i += 1
+          }
+          offs(j * k + cl) = acc
+        }
+      }
+      j += 1
+    }
+    val bc = sp.sparkContext.broadcast((qids, qns, luts, offs, masks))
+    registerServingCleanup(() => bc.destroy(), Some(bc))
+    val mask = (1L << bitsLoc) - 1
+    val kLoc = k; val wordsLoc = words
+    val admitted = index.encoded
+      .select(col(index.idCol).cast("long"), col("pq_code"), col("nrm"),
+        col("cluster").cast("int"))
+      .as[(Long, Long, Double, Int)]
+      .mapPartitions { it =>
+        val (ids, ns, lt, of, mk) = bc.value
+        val codes = new Array[Int](mLoc)
+        it.flatMap { case (cid, code, nrm, cl) =>
+          if (nrm == 0.0 || cl < 0 || ids.length == 0) Iterator.empty
+          else {
+            var unpacked = false
+            val hits = Array.newBuilder[(Long, Long)]
+            var q = 0
+            while (q < ids.length) {
+              val qn = ns(q)
+              if (qn != 0.0 &&
+                  (mk(q * wordsLoc + cl / 64) & (1L << (cl % 64))) != 0L) {
+                if (!unpacked) {
+                  var s = 0
+                  while (s < mLoc) {
+                    codes(s) = ((code >>> (s * bitsLoc)) & mask).toInt; s += 1
+                  }
+                  unpacked = true
+                }
+                var adc = of(q * kLoc + cl)
+                val base = q * stride
+                var s2 = 0
+                while (s2 < mLoc) {
+                  adc += lt(base + s2 * ksubLoc + codes(s2)); s2 += 1
+                }
+                val ac =
+                  math.floor(adc.toDouble / FP / (nrm * qn) * 10000 + 0.5) / 10000.0
+                if (!ac.isNaN && ac >= bound) hits += ((ids(q), cid))
+              }
+              q += 1
+            }
+            hits.result().iterator
+          }
+        }
+      }
+      .toDF("__bid", "__cid")
+    statusAdmitted(admitted, index.corpus, batch, index.idCol, index.vecCol,
+      threshold, corpusSizeHint)
+  }
+
   /** [[ivfTopKBatchChunked]]'s shape for the RESIDUAL tier — the chunk
     * budget derated by BOTH per-query broadcast layouts (the LUT
     * stride, as the PQ arm, and the k-entry offset table). */

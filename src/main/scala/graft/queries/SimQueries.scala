@@ -558,12 +558,24 @@ object SimQueries {
        |adcB AS (SELECT l.q_id, e.vec_id, SUM(l.l) AS adot
        |         FROM penc e JOIN lutB l ON l.s = e.s AND l.c = e.code
        |         GROUP BY l.q_id, e.vec_id),
-       |candB AS (SELECT a.q_id, a.vec_id
+       |${incrementalAdmissionSql(bound)},
+       |${incrementalStatusTailSql(threshold, dim)}""".stripMargin
+  }
+
+  /** The margin-admission cut over `adcB` — rounded approx cosine ≥
+    * `bound` (= threshold − margin), shared by the raw (v24) and
+    * residual (v26) incremental oracles. */
+  private def incrementalAdmissionSql(bound: Double): String =
+    s"""candB AS (SELECT a.q_id, a.vec_id
        |          FROM adcB a JOIN vnorm vn ON vn.vec_id = a.vec_id
        |            JOIN qnorm qn ON qn.q_id = a.q_id
        |          WHERE FLOOR(a.adot / 16777216.0 / (vn.nrm * qn.nrm) * 10000 + 0.5)
-       |                / 10000 >= CAST($bound AS DOUBLE)),
-       |ex AS (SELECT c.q_id, c.vec_id, SUM(dc.ve[t.i] * qb.ve[t.i]) AS dot,
+       |                / 10000 >= CAST($bound AS DOUBLE))""".stripMargin
+
+  /** The exact-verify + status tail over `candB` — v12's contract,
+    * shared by every incremental-dedup oracle on the batch split. */
+  private def incrementalStatusTailSql(threshold: Double, dim: Int): String =
+    s"""ex AS (SELECT c.q_id, c.vec_id, SUM(dc.ve[t.i] * qb.ve[t.i]) AS dot,
        |         vn.nrm AS n1, qn.nrm AS n2
        |       FROM candB c JOIN d dc ON dc.vec_id = c.vec_id
        |         JOIN qd qb ON qb.q_id = c.q_id
@@ -581,7 +593,6 @@ object SimQueries {
        |  CASE WHEN a.q_id IS NOT NULL THEN 'dup' ELSE 'keep' END AS status
        |FROM embeddings e LEFT JOIN agg a ON a.q_id = e.vec_id
        |WHERE e.vec_id % 7 = 4 ORDER BY e.vec_id""".stripMargin
-  }
 
   /** PQ incremental dedup (v24) — the ingest-screening composition the
     * PQ tier was missing (r17 verdict #6, the v12/v14 analog): newly
@@ -791,10 +802,16 @@ object SimQueries {
     * the IVF tail + residual-sub + penc nodes (the v23 lesson:
     * DuckDB inlines CTEs, and `sub` here re-evaluates the whole IVF
     * build at every consumer without them). */
-  private def residualPqBatchOracleSql(
+  /** Everything through `adcB` for the BATCH residual oracles: the
+    * corpus-split IVF build + residual codebook, the batch split's
+    * per-query probes (`bprobed`), LUTs (`lutB`) and centroid offsets
+    * (`qoffB`), and the probe-restricted composed integer ADC (`adcB`
+    * = offset + LUT sum per (query, probed corpus row)). v25 tops this
+    * with the per-query top-k windows; v26 with the margin admission +
+    * status tail. MATERIALIZED hints applied here (the v23 lesson). */
+  private def residualBatchAdcSql(
       k: Int, kIters: Int, nprobe: Int,
-      m: Int, ksub: Int, pqIters: Int,
-      topK: Int, overFetch: Int, dim: Int): String = {
+      m: Int, ksub: Int, pqIters: Int, dim: Int): String = {
     val dsub = dim / m
     val residualSub =
       s"""sub AS (SELECT v.vec_id, ss.s, ti.i, v.ve[ss.s * $dsub + ti.i] - cc.comp AS x
@@ -833,7 +850,16 @@ object SimQueries {
          |            JOIN lutB l ON l.q_id = p.q_id AND l.s = e.s AND l.c = e.code
          |          GROUP BY l.q_id, fa.cluster, e.vec_id),
          |adcB AS (SELECT r.q_id, r.vec_id, r.rdot + o.off AS adot
-         |         FROM radcB r JOIN qoffB o ON o.q_id = r.q_id AND o.c = r.cluster),
+         |         FROM radcB r JOIN qoffB o ON o.q_id = r.q_id AND o.c = r.cluster)""".stripMargin
+    materializeCtes(composed,
+      Seq("finalassign", "sub", s"cents$kIters", "penc"))
+  }
+
+  private def residualPqBatchOracleSql(
+      k: Int, kIters: Int, nprobe: Int,
+      m: Int, ksub: Int, pqIters: Int,
+      topK: Int, overFetch: Int, dim: Int): String =
+    s"""${residualBatchAdcSql(k, kIters, nprobe, m, ksub, pqIters, dim)},
          |candB AS (SELECT q_id, vec_id FROM (
          |    SELECT a.q_id, a.vec_id, ROW_NUMBER() OVER (PARTITION BY a.q_id
          |        ORDER BY FLOOR(a.adot / 16777216.0 / (vn.nrm * qn.nrm) * 10000 + 0.5)
@@ -856,8 +882,45 @@ object SimQueries {
          |  FROM rrB)
          |SELECT q_id, vec_id, cos_sim, CAST(rn AS BIGINT) AS rank
          |FROM rankedB WHERE rn <= $topK ORDER BY q_id, rank""".stripMargin
-    materializeCtes(composed,
-      Seq("finalassign", "sub", s"cents$kIters", "penc"))
+
+  /** Residual-tier incremental dedup oracle (v26): the SAME
+    * probe-restricted composed ADC prefix as v25
+    * ([[residualBatchAdcSql]] — every (batch vector, corpus row) pair
+    * whose row sits in the vector's nprobe probed clusters gets
+    * adot = ⟨q, centroid⟩ offset + residual LUT sum), cut by the
+    * shared margin admission and verified/statused by v24's exact
+    * tail — exactly [[graft.operators.SimilaritySearch
+    * .residualPqIncrementalNearDup]]'s decisions. */
+  private def residualPqIncrementalOracleSql(
+      k: Int, kIters: Int, nprobe: Int,
+      m: Int, ksub: Int, pqIters: Int,
+      threshold: Double, margin: Double, dim: Int): String =
+    s"""${residualBatchAdcSql(k, kIters, nprobe, m, ksub, pqIters, dim)},
+       |${incrementalAdmissionSql(threshold - margin)},
+       |${incrementalStatusTailSql(threshold, dim)}""".stripMargin
+
+  /** Residual-PQ incremental dedup (v26) — the v14 analog at the
+    * residual tier, the 100 TB ingest shape when the standing corpus
+    * lives as residual codes: each ingest vector ADC-screens ONLY the
+    * codes in its nprobe nearest clusters (~nprobe/k of one ~24 B/row
+    * scan; partition pruning against a saved cluster layout), two
+    * documented recall dials (probe + PQ margin), exact verify on
+    * admitted pairs, v12's status contract. */
+  val residualPqIncrementalDedup: Q = Q(
+    "v26_residual_pq_incremental_dedup",
+    residualPqIncrementalOracleSql(k = 16, kIters = 3, nprobe = 4,
+      m = 8, ksub = 16, pqIters = 2,
+      threshold = 0.45, margin = 0.2, dim = 64)) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val ivf = graft.operators.SimilaritySearch.ivfBuild(
+      e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
+      k = 16, lloydIters = 3, portableSeeds = true)
+    val rpq = graft.operators.SimilaritySearch.ivfResidualPqBuild(
+      ivf, m = 8, ksub = 16, lloydIters = 2, portableSeeds = true)
+    graft.operators.SimilaritySearch.residualPqIncrementalNearDup(
+        rpq, e.filter(col("vec_id") % 7 === 4),
+        threshold = 0.45, margin = 0.2, nprobe = 4)
+      .orderBy("vec_id")
   }
 
   /** Batched residual IVF-PQ serving (v25) — the residual tier's
@@ -1544,5 +1607,5 @@ object SimQueries {
     ivfIncrementalDedup, ivfBatchTopK, ivfBatchTopKQuantized,
     ivfServePersisted, embeddingComponents, bandedComponents, pqAdcTopK,
     ivfPqAdcTopK, pqBatchTopK, ivfResidualPqAdcTopK, pqIncrementalDedup,
-    residualPqBatchTopK)
+    residualPqBatchTopK, residualPqIncrementalDedup)
 }

@@ -1551,6 +1551,48 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("both"))
   }
 
+  test("residualPqIncrementalNearDup: pruned statuses subset the full screen; planted dup found") {
+    import spark.implicits._
+    val corpus = (1L to 200L).map(i => (i, vec(i * 613 + 7))).toDF("id", "v")
+    val ivf = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 8, lloydIters = 2)
+    val rpq = SimilaritySearch.ivfResidualPqBuild(ivf, m = 4, ksub = 8,
+      lloydIters = 2)
+    val batch = Seq(
+      (501L, jitter(vec(17L * 613 + 7), 0.01f)), // near-copy of corpus row 17
+      (502L, vec(987654L)),                      // fresh → keep
+      (503L, new Array[Float](dim))              // degenerate → keep
+    ).toDF("id", "v")
+    // full probe + covering margin: the screen admits every probed
+    // pair, so the status must agree with the EXACT incremental arm
+    val wide = SimilaritySearch.residualPqIncrementalNearDup(rpq, batch,
+        threshold = 0.95, margin = 2.0, nprobe = 8)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    val exact = SimilaritySearch.incrementalNearDup(corpus, batch, "id", "v",
+        threshold = 0.95, margin = 2.0)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    assert(wide == exact, s"wide=$wide exact=$exact")
+    assert(wide(501L)._3 == "dup" && wide(501L)._2 > 0.99)
+    assert(wide(503L)._3 == "keep")
+    // a pruned probe finds the planted dup (its near-copy shares the
+    // cluster by construction) and its dups subset the full screen's
+    val pruned = SimilaritySearch.residualPqIncrementalNearDup(rpq, batch,
+        threshold = 0.95, margin = 2.0, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(pruned(501L) == "dup", "planted dup must survive probe pruning")
+    val prunedDups = pruned.filter(_._2 == "dup").keySet
+    val wideDups = wide.filter(_._2._3 == "dup").keySet
+    assert(prunedDups.subsetOf(wideDups))
+    // loud guards
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.residualPqIncrementalNearDup(rpq, batch, margin = -0.1)
+    }
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.residualPqIncrementalNearDup(rpq, batch, nprobe = 0)
+    }
+  }
+
   test("residualPqSave/Load: bit-exact round-trip, identical serving, kind guards both ways") {
     import spark.implicits._
     val corpus = (1L to 200L).map(i => (i, vec(i * 433 + 3))).toDF("id", "v")
