@@ -227,13 +227,15 @@ object SimilaritySearch {
     * for sub-byte codes. The earlier defense "production corpora are
     * clustered, which rescues PQ" is now MEASURED and was wrong for
     * raw codes (`results/pq_clustered_r18.json`, 64 planted clusters
-    * at mean top-1 cos 0.876): raw-PQ recall@10 stays at 0.18 because
-    * the within-cluster top-10 still sits in a ~0.02-cosine sliver —
-    * clustering does not help codes that waste precision re-describing
-    * cluster structure. What recovers recall is RESIDUAL encoding
-    * ([[ivfResidualPqBuild]], v23): 0.18 → 0.27 (ksub=16) and
-    * 0.18 → 0.34 (ksub=64) on that fixture, +0.03–0.08 even on the
-    * isotropic one, with the nprobe=8/64 probe losing nothing. Use PQ
+    * at mean top-1 cos 0.876): raw-PQ recall@10 is FLAT at ~0.17
+    * across ksub 16 → 64 → 128 — 8× more codewords buy NOTHING,
+    * because they are all spent re-describing the cluster structure
+    * while the within-cluster top-10 sits in a ~0.02-cosine sliver
+    * (contrast the isotropic corpus, where the same dial climbs
+    * 0.19 → 0.45). What recovers recall is RESIDUAL encoding
+    * ([[ivfResidualPqBuild]], v23): 0.27 / 0.34 / 0.43 at the same
+    * ksub dial on that fixture, +0.03–0.08 even on the isotropic
+    * one, with the nprobe=8/64 probe losing nothing. Use PQ
     * as the RAM-resident coarse tier when even SQ8 bytes don't fit —
     * residual-encoded when an IVF exists — and keep SQ8 when its bytes
     * fit. Per-query wall at this scale is driver-dominated (~0.2 s all

@@ -111,7 +111,7 @@ object PqClusteredBench {
       k = kClusters, lloydIters = 3)
 
     val arms = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (ksub <- Seq(16, 64)) {
+    for (ksub <- Seq(16, 64, 128)) { // the isotropic artifact's full dial
       val raw = SimilaritySearch.pqBuild(corpus, "vec_id", "embedding",
         m = 8, ksub = ksub, lloydIters = 2)
       raw.encoded.cache().count()
