@@ -203,7 +203,14 @@ object SimilaritySearch {
     * space splits into `m` contiguous subspaces of `dsub` components,
     * each with its own `ksub`-codeword codebook (k-means run in the
     * subspace), and every corpus vector is stored as m code ids
-    * bit-packed into ONE long (`pq_code`) plus its float norm. At the
+    * bit-packed into `pq_code` plus its float norm. The packing is
+    * NON-SPANNING words of ⌊63/bits⌋ codes each ([[pqPerWord]]): any
+    * config with m × bits ≤ 63 packs into one word and `pq_code` is a
+    * plain BIGINT (bit-identical to the historical one-long layout —
+    * the v20–v26 oracle-gated plans are untouched); wider configs —
+    * the literature-default ksub=256 ⇒ 8 bits × m=8 = 64 bits among
+    * them — carry `pq_code` as ARRAY<BIGINT> ([[pqNumWords]] words)
+    * through the same build/serve/persist/stream surface. At the
     * m=8 / ksub=16 defaults on 64-dim vectors that is 4 bits × 8 = one
     * 32-bit code — (id, pq_code, nrm) ≈ 24 B/row against 256 B of
     * float32 and ~65 B of the SQ8 projection: the compression tier
@@ -288,6 +295,76 @@ object SimilaritySearch {
     d
   }
 
+  /** Codes-per-word of the NON-SPANNING `pq_code` packing: each 64-bit
+    * word carries ⌊63/bits⌋ whole code fields (the sign bit stays
+    * clear, as in the original one-long layout), and no code straddles
+    * a word boundary — so word 0 of any config that fits one word is
+    * BIT-IDENTICAL to the historical single-long `pq_code`. */
+  private[graft] def pqPerWord(bits: Int): Int = math.max(1, 63 / bits)
+
+  /** Words needed to pack `m` codes of `bits` bits each — 1 for every
+    * config with m × bits ≤ 63 (the historical single-long layout,
+    * kept as a plain BIGINT column), 2+ for the literature-default
+    * wide configs (ksub=256 ⇒ 8 bits × m=8 = 2 words). */
+  private[graft] def pqNumWords(m: Int, bits: Int): Int =
+    (m + pqPerWord(bits) - 1) / pqPerWord(bits)
+
+  /** Unpack a row's m code fields from its packed words into `codes` —
+    * the ONE decode definition every kernel shares (word = s / perWord,
+    * shift = (s mod perWord) × bits; inverse of the encode loops). */
+  private def unpackPqCodes(
+      words: Array[Long], codes: Array[Int],
+      m: Int, bits: Int, perWord: Int): Unit = {
+    val mask = (1L << bits) - 1
+    var s = 0
+    while (s < m) {
+      codes(s) = ((words(s / perWord) >>> ((s % perWord) * bits)) & mask).toInt
+      s += 1
+    }
+  }
+
+  /** Encode one row's m nearest-code fields into packed words — the
+    * ONE encode definition [[pqBuild]]/[[pqEncode]]/[[ivfResidualPqBuild]]
+    * share (inverse of [[unpackPqCodes]]); word 0 of a single-word
+    * config is bit-identical to the historical one-long `pq_code`. */
+  private def encodePqWords(
+      cb: Array[Array[Array[Double]]], vd: Array[Double],
+      m: Int, dsub: Int, bits: Int, perWord: Int, nWords: Int): Array[Long] = {
+    val w = new Array[Long](nWords)
+    var s = 0
+    while (s < m) {
+      w(s / perWord) |= pqNearestCode(cb, vd, s, dsub).toLong << ((s % perWord) * bits)
+      s += 1
+    }
+    w
+  }
+
+  /** The kernel-side read of the packed-code column, uniform across
+    * layouts: single-word indexes (BIGINT `pq_code`) are wrapped into a
+    * one-element array so every kernel deserializes `Array[Long]`
+    * words; wide indexes carry the array natively. */
+  private def pqWordsCol(nWords: Int): Column =
+    if (nWords == 1) array(col("pq_code")) else col("pq_code")
+
+  /** Loud layout guard for the persisted-tree loaders: the encoded
+    * parquet's `pq_code` type must agree with the meta's (m, bits) —
+    * a mixed or hand-edited tree fails here, not as garbage scores. */
+  private def requirePqCodeType(
+      df: DataFrame, m: Int, bits: Int, where: String): Unit = {
+    val nW = pqNumWords(m, bits)
+    val dt = df.schema("pq_code").dataType
+    val ok =
+      if (nW == 1) dt == org.apache.spark.sql.types.LongType
+      else dt == org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, false) ||
+        dt == org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, true)
+    require(ok,
+      s"$where: encoded pq_code is $dt but meta (m=$m, bits=$bits) implies " +
+        s"${if (nW == 1) "BIGINT (one word)" else s"ARRAY<BIGINT> ($nW words)"} " +
+        "— the tree's encoded parquet does not match its meta.json")
+  }
+
   /** Train a PQ codebook over (idCol, vecCol) and encode the corpus.
     *
     * Build shape mirrors [[ivfBuild]] exactly — deterministic
@@ -317,7 +394,11 @@ object SimilaritySearch {
     require(m >= 1 && ksub >= 2 && lloydIters >= 0,
       s"bad m=$m / ksub=$ksub / lloydIters=$lloydIters")
     val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(ksub - 1))
-    require(m * bits <= 63, s"pq_code does not fit one long: m=$m × $bits bits")
+    // the non-spanning word packing handles any width; 16 bits (ksub
+    // 65536) is where per-subspace codebooks stop being "product"
+    // quantization in any meaningful sense — refuse beyond it loudly
+    require(bits <= 16, s"ksub=$ksub needs $bits-bit codes — beyond the " +
+      "16-bit sanity cap (a codebook that large is not a PQ tier)")
     val sp = corpus.sparkSession
     import sp.implicits._
     val vecs = corpus.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
@@ -398,18 +479,25 @@ object SimilaritySearch {
 
     val bcF = sp.sparkContext.broadcast(cb)
     val bitsLoc = bits
-    val encoded = vecs.map { case (id, v) =>
-      val vd = toDoubles(v)
-      var packed = 0L
-      var s = 0
-      while (s < mLoc) {
-        packed |= pqNearestCode(bcF.value, vd, s, dsubLoc).toLong << (s * bitsLoc)
-        s += 1
-      }
-      var ss = 0.0; var i = 0
-      while (i < vd.length) { ss += vd(i) * vd(i); i += 1 }
-      (id, packed, math.sqrt(ss))
-    }.toDF(idCol, "pq_code", "nrm")
+    val perW = pqPerWord(bits); val nW = pqNumWords(m, bits)
+    val encoded = (if (nW == 1) {
+      vecs.map { case (id, v) =>
+        val vd = toDoubles(v)
+        val packed =
+          encodePqWords(bcF.value, vd, mLoc, dsubLoc, bitsLoc, perW, 1)(0)
+        var ss = 0.0; var i = 0
+        while (i < vd.length) { ss += vd(i) * vd(i); i += 1 }
+        (id, packed, math.sqrt(ss))
+      }.toDF(idCol, "pq_code", "nrm")
+    } else {
+      vecs.map { case (id, v) =>
+        val vd = toDoubles(v)
+        val words = encodePqWords(bcF.value, vd, mLoc, dsubLoc, bitsLoc, perW, nW)
+        var ss = 0.0; var i = 0
+        while (i < vd.length) { ss += vd(i) * vd(i); i += 1 }
+        (id, words, math.sqrt(ss))
+      }.toDF(idCol, "pq_code", "nrm")
+    })
     vecs.unpersist(blocking = false)
     PqIndex(m, kEff, dsub, bits, cb, encoded,
       corpus.select(col(idCol), col(vecCol)), idCol, vecCol)
@@ -495,10 +583,19 @@ object SimilaritySearch {
     val qn = normF(query)
     val lutArr = lut.mkString("array(", "L, ", "L)")
     val mask = (1L << bits) - 1
+    // single-word layout keeps the historical expression verbatim (the
+    // v20/v21/v23 oracle-gated plan); the wide layout indexes the words
+    // array with the same non-spanning decode the kernels use
+    val codeField = {
+      val perW = pqPerWord(bits)
+      if (pqNumWords(m, bits) == 1) s"shiftright(pq_code, s * $bits)"
+      else s"shiftright(element_at(pq_code, CAST(s div $perW AS INT) + 1), " +
+        s"CAST((s % $perW) * $bits AS INT))"
+    }
     val adcSum = expr(
       s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), " +
         s"(a, s) -> a + element_at($lutArr, " +
-        s"CAST(s * $ksub + (shiftright(pq_code, s * $bits) & $mask) + 1 AS INT)))")
+        s"CAST(s * $ksub + ($codeField & $mask) + 1 AS INT)))")
     val adc = fpOffset.map(_ + adcSum).getOrElse(adcSum)
     val coarse = scan
       .select(col(idCol),
@@ -546,28 +643,43 @@ object SimilaritySearch {
     val dim = index.m * index.dsub
     val bc = sp.sparkContext.broadcast(index.codebook)
     val mLoc = index.m; val dsubLoc = index.dsub; val bitsLoc = index.bits
-    batch.select(col(index.idCol).cast("long"), col(index.vecCol))
+    val perW = pqPerWord(index.bits); val nW = pqNumWords(index.m, index.bits)
+    val src = batch.select(col(index.idCol).cast("long"), col(index.vecCol))
       .as[(Long, Array[Float])]
-      .map { case (id, v0) =>
-        val v = if (v0 == null) Array.empty[Float] else v0
-        if (v.nonEmpty && v.length != dim)
-          throw new IllegalArgumentException(
-            s"mixed-dimension batch vs index: index dimension $dim vs " +
-              s"batch vector of ${v.length} components")
-        var packed = 0L
-        if (v.nonEmpty) {
-          val vd = toDoubles(v)
-          var s = 0
-          while (s < mLoc) {
-            packed |= pqNearestCode(bc.value, vd, s, dsubLoc).toLong << (s * bitsLoc)
-            s += 1
-          }
-        }
-        var ss = 0.0; var i = 0
-        while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
-        (id, packed, math.sqrt(ss))
-      }
-      .toDF(index.idCol, "pq_code", "nrm")
+    // both layout branches call the SAME hoisted encode (a local helper
+    // here would drag this frame — and its DataFrames — into the task)
+    if (nW == 1)
+      src.map { case (id, v0) =>
+        val (w, nrm) =
+          encodeBatchRow(bc.value, v0, dim, mLoc, dsubLoc, bitsLoc, perW, 1)
+        (id, w(0), nrm)
+      }.toDF(index.idCol, "pq_code", "nrm")
+    else
+      src.map { case (id, v0) =>
+        val (w, nrm) =
+          encodeBatchRow(bc.value, v0, dim, mLoc, dsubLoc, bitsLoc, perW, nW)
+        (id, w, nrm)
+      }.toDF(index.idCol, "pq_code", "nrm")
+  }
+
+  /** [[pqEncode]]'s per-row body, hoisted to object level so the map
+    * closures capture only primitives + the codebook broadcast:
+    * mixed-dimension rows are loud, degenerate (empty/NULL) rows encode
+    * to all-zero words with nrm 0 (never scored by any serve path). */
+  private def encodeBatchRow(
+      cb: Array[Array[Array[Double]]], v0: Array[Float], dim: Int,
+      m: Int, dsub: Int, bits: Int, perW: Int, nW: Int): (Array[Long], Double) = {
+    val v = if (v0 == null) Array.empty[Float] else v0
+    if (v.nonEmpty && v.length != dim)
+      throw new IllegalArgumentException(
+        s"mixed-dimension batch vs index: index dimension $dim vs " +
+          s"batch vector of ${v.length} components")
+    val words =
+      if (v.isEmpty) new Array[Long](nW)
+      else encodePqWords(cb, toDoubles(v), m, dsub, bits, perW, nW)
+    var ss = 0.0; var i = 0
+    while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+    (words, math.sqrt(ss))
   }
 
   /** The growing-index fold, mirroring [[ivfAppend]]:
@@ -628,20 +740,18 @@ object SimilaritySearch {
       keepVectors = false) // the exact verify re-reads the batch frame
     val bc = sp.sparkContext.broadcast((qids, qns, luts))
     registerServingCleanup(() => bc.destroy(), Some(bc))
-    val mask = (1L << bitsLoc) - 1
+    val perW = pqPerWord(index.bits)
     val admitted = index.encoded
-      .select(col(index.idCol).cast("long"), col("pq_code"), col("nrm"))
-      .as[(Long, Long, Double)]
+      .select(col(index.idCol).cast("long"),
+        pqWordsCol(pqNumWords(index.m, index.bits)).as("pq_code"), col("nrm"))
+      .as[(Long, Array[Long], Double)]
       .mapPartitions { it =>
         val (ids, ns, lt) = bc.value
         val codes = new Array[Int](mLoc)
-        it.flatMap { case (cid, code, nrm) =>
+        it.flatMap { case (cid, words, nrm) =>
           if (nrm == 0.0 || ids.length == 0) Iterator.empty
           else {
-            var s = 0
-            while (s < mLoc) {
-              codes(s) = ((code >>> (s * bitsLoc)) & mask).toInt; s += 1
-            }
+            unpackPqCodes(words, codes, mLoc, bitsLoc, perW)
             val hits = Array.newBuilder[(Long, Long)]
             var q = 0
             while (q < ids.length) {
@@ -879,23 +989,21 @@ object SimilaritySearch {
     // per micro-batch)
     registerServingCleanup(() => bc.destroy(), Some(bc))
     val keep = topK * overFetch
-    val mask = (1L << bitsLoc) - 1
+    val perW = pqPerWord(index.bits)
     // the flat scan: unpack each row's m codes ONCE, then one LUT add
     // per (query, subspace); bounded per-query heaps keep the cut
     val cand = index.encoded
-      .select(col(index.idCol).cast("long"), col("pq_code"), col("nrm"))
-      .as[(Long, Long, Double)]
+      .select(col(index.idCol).cast("long"),
+        pqWordsCol(pqNumWords(index.m, index.bits)).as("pq_code"), col("nrm"))
+      .as[(Long, Array[Long], Double)]
       .mapPartitions { it =>
         val (ids, ns, lt) = bc.value
         val heaps = Array.fill(ids.length)(
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](heapWorst))
         val codes = new Array[Int](mLoc)
-        it.foreach { case (nid, code, nrm) =>
+        it.foreach { case (nid, words, nrm) =>
           if (nrm != 0.0) {
-            var s = 0
-            while (s < mLoc) {
-              codes(s) = ((code >>> (s * bitsLoc)) & mask).toInt; s += 1
-            }
+            unpackPqCodes(words, codes, mLoc, bitsLoc, perW)
             var q = 0
             while (q < ids.length) {
               val qn = ns(q)
@@ -1024,6 +1132,7 @@ object SimilaritySearch {
       s"codebook parquet is missing codewords (m=$m × ksub=$ksub)")
     val encoded = spark.read.parquet(s"$dir/encoded")
       .select(col(idCol), col("pq_code"), col("nrm"))
+    requirePqCodeType(encoded, m, bits, "pqLoad")
     PqIndex(m, ksub, dsub, bits, cb.map(_.map(_.clone())), encoded,
       corpus.select(col(idCol), col(vecCol)), idCol, vecCol)
   }
@@ -1114,6 +1223,7 @@ object SimilaritySearch {
       s"centroids parquet is missing rows (k=$k)")
     val encoded = spark.read.parquet(s"$dir/encoded")
       .select(col(idCol), col("pq_code"), col("nrm"), col("cluster"))
+    requirePqCodeType(encoded, m, bits, "residualPqLoad")
     ResidualPqIndex(m, ksub, dsub, bits, cb.map(_.map(_.clone())), cents,
       encoded, corpus.select(col(idCol), col(vecCol)), idCol, vecCol)
   }
@@ -1203,7 +1313,8 @@ object SimilaritySearch {
     require(m >= 1 && ksub >= 2 && lloydIters >= 0,
       s"bad m=$m / ksub=$ksub / lloydIters=$lloydIters")
     val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(ksub - 1))
-    require(m * bits <= 63, s"pq_code does not fit one long: m=$m × $bits bits")
+    require(bits <= 16, s"ksub=$ksub needs $bits-bit codes — beyond the " +
+      "16-bit sanity cap (a codebook that large is not a PQ tier)")
     require(ivf.centroids.nonEmpty, "ivfResidualPqBuild: index has no centroids")
     val dim = ivf.centroids(0)._1.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
@@ -1308,17 +1419,26 @@ object SimilaritySearch {
 
     val bcF = sp.sparkContext.broadcast(cb)
     val bitsLoc = bits
-    val encoded = resid.map { case (id, r, cl, nrm) =>
-      var packed = 0L
-      if (r.nonEmpty) {
-        var s = 0
-        while (s < mLoc) {
-          packed |= pqNearestCode(bcF.value, r, s, dsubLoc).toLong << (s * bitsLoc)
-          s += 1
-        }
-      }
-      (id, packed, nrm, cl)
-    }.toDF(ivf.idCol, "pq_code", "nrm", "cluster")
+    val perW = pqPerWord(bits); val nW = pqNumWords(m, bits)
+    // degenerate rows (cluster −1, from an empty/NaN vector) store
+    // nrm 0 alongside their zero codes, so EITHER half of a consumer's
+    // (nrm != 0 && cl >= 0) guard excludes them — the stored norm is
+    // not load-bearing for rows no serve path may score (advice r18)
+    val encoded = (if (nW == 1) {
+      resid.map { case (id, r, cl, nrm) =>
+        val packed =
+          if (r.isEmpty) 0L
+          else encodePqWords(bcF.value, r, mLoc, dsubLoc, bitsLoc, perW, 1)(0)
+        (id, packed, if (cl < 0) 0.0 else nrm, cl)
+      }.toDF(ivf.idCol, "pq_code", "nrm", "cluster")
+    } else {
+      resid.map { case (id, r, cl, nrm) =>
+        val cw =
+          if (r.isEmpty) new Array[Long](nW)
+          else encodePqWords(bcF.value, r, mLoc, dsubLoc, bitsLoc, perW, nW)
+        (id, cw, if (cl < 0) 0.0 else nrm, cl)
+      }.toDF(ivf.idCol, "pq_code", "nrm", "cluster")
+    })
     resid.unpersist(blocking = false)
     ResidualPqIndex(m, kEff, dsub, bits, cb, ivf.centroids, encoded,
       ivf.assigned.select(col(ivf.idCol), col(ivf.vecCol)),
@@ -1457,18 +1577,19 @@ object SimilaritySearch {
     val bc = sp.sparkContext.broadcast((qids, qns, luts, offs, masks))
     registerServingCleanup(() => bc.destroy(), Some(bc))
     val keep = topK * overFetch
-    val mask = (1L << bitsLoc) - 1
+    val perW = pqPerWord(index.bits)
     val kLoc = k; val wordsLoc = words
     val cand = index.encoded
-      .select(col(index.idCol).cast("long"), col("pq_code"), col("nrm"),
+      .select(col(index.idCol).cast("long"),
+        pqWordsCol(pqNumWords(index.m, index.bits)).as("pq_code"), col("nrm"),
         col("cluster").cast("int"))
-      .as[(Long, Long, Double, Int)]
+      .as[(Long, Array[Long], Double, Int)]
       .mapPartitions { it =>
         val (ids, ns, lt, of, mk) = bc.value
         val heaps = Array.fill(ids.length)(
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](heapWorst))
         val codes = new Array[Int](mLoc)
-        it.foreach { case (nid, code, nrm, cl) =>
+        it.foreach { case (nid, cw, nrm, cl) =>
           if (nrm != 0.0 && cl >= 0) {
             var unpacked = false
             var q = 0
@@ -1477,10 +1598,7 @@ object SimilaritySearch {
               if (qn != 0.0 &&
                   (mk(q * wordsLoc + cl / 64) & (1L << (cl % 64))) != 0L) {
                 if (!unpacked) {
-                  var s = 0
-                  while (s < mLoc) {
-                    codes(s) = ((code >>> (s * bitsLoc)) & mask).toInt; s += 1
-                  }
+                  unpackPqCodes(cw, codes, mLoc, bitsLoc, perW)
                   unpacked = true
                 }
                 var adc = of(q * kLoc + cl)
@@ -2986,16 +3104,17 @@ object SimilaritySearch {
     }
     val bc = sp.sparkContext.broadcast((qids, qns, luts, offs, masks))
     registerServingCleanup(() => bc.destroy(), Some(bc))
-    val mask = (1L << bitsLoc) - 1
+    val perW = pqPerWord(index.bits)
     val kLoc = k; val wordsLoc = words
     val admitted = index.encoded
-      .select(col(index.idCol).cast("long"), col("pq_code"), col("nrm"),
+      .select(col(index.idCol).cast("long"),
+        pqWordsCol(pqNumWords(index.m, index.bits)).as("pq_code"), col("nrm"),
         col("cluster").cast("int"))
-      .as[(Long, Long, Double, Int)]
+      .as[(Long, Array[Long], Double, Int)]
       .mapPartitions { it =>
         val (ids, ns, lt, of, mk) = bc.value
         val codes = new Array[Int](mLoc)
-        it.flatMap { case (cid, code, nrm, cl) =>
+        it.flatMap { case (cid, cw, nrm, cl) =>
           if (nrm == 0.0 || cl < 0 || ids.length == 0) Iterator.empty
           else {
             var unpacked = false
@@ -3006,10 +3125,7 @@ object SimilaritySearch {
               if (qn != 0.0 &&
                   (mk(q * wordsLoc + cl / 64) & (1L << (cl % 64))) != 0L) {
                 if (!unpacked) {
-                  var s = 0
-                  while (s < mLoc) {
-                    codes(s) = ((code >>> (s * bitsLoc)) & mask).toInt; s += 1
-                  }
+                  unpackPqCodes(cw, codes, mLoc, bitsLoc, perW)
                   unpacked = true
                 }
                 var adc = of(q * kLoc + cl)
