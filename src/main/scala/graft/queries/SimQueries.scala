@@ -688,6 +688,56 @@ object SimQueries {
       nprobe = 4, overFetch = 4, filter = col("vec_id") =!= 0)
   }
 
+  /** Wide-layout PQ ANN (v27) — v20 at the LITERATURE-DEFAULT operating
+    * point the one-long packing could not reach (verdict r18 #1): 8-bit
+    * subquantizers (ksub=256) at m=8 = 64 bits of code, packed as TWO
+    * non-spanning BIGINT words (`pq_code` becomes ARRAY<BIGINT>; see
+    * [[graft.operators.SimilaritySearch.pqPerWord]]). Same seeding,
+    * Lloyd, encode, LUT, cut, and rerank decisions as v20 — the oracle
+    * is [[pqOracleSql]] re-dialed, UNCHANGED structurally, because it
+    * replays codes at the (vec_id, subspace, code) level and never
+    * packs: the hash gate therefore pins that the wide word layout is
+    * pure representation, invisible to every scoring decision. */
+  val pqWideAdcTopK: Q = Q(
+    "v27_pq_wide_topk",
+    pqOracleSql(m = 8, ksub = 256, iters = 2, topK = 10, overFetch = 4, dim = 64)) { (s, dir) =>
+    val sp = s
+    import sp.implicits._
+    val e = t(s, dir, "embeddings")
+    val idx = graft.operators.SimilaritySearch.pqBuild(
+      e, "vec_id", "embedding", m = 8, ksub = 256, lloydIters = 2,
+      portableSeeds = true)
+    val qVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    graft.operators.SimilaritySearch.pqTopK(idx, qVec, topK = 10,
+      overFetch = 4, filter = col("vec_id") =!= 0)
+  }
+
+  /** Wide-layout residual IVF-PQ ANN (v28) — v23 at ksub=256, the dial
+    * the r18 clustered fixture proved is the one that matters (residual
+    * recall climbs 0.27 → 0.43 across ksub 16 → 128 and was CAPPED by
+    * the one-long packing at 128; raw PQ stays flat). This entry is the
+    * FAISS-default `IVF,PQ8x8` shape end-to-end: residual training,
+    * 2-word codes, probe-direct cluster filter, per-cluster integer
+    * offset. Oracle: [[residualPqOracleSql]] re-dialed, structurally
+    * unchanged (packing-agnostic replay). */
+  val residualPqWideTopK: Q = Q(
+    "v28_residual_pq_wide_topk",
+    residualPqOracleSql(k = 16, kIters = 3, nprobe = 4, m = 8, ksub = 256,
+      pqIters = 2, topK = 10, overFetch = 4, dim = 64)) { (s, dir) =>
+    val sp = s
+    import sp.implicits._
+    val e = t(s, dir, "embeddings")
+    val ivf = graft.operators.SimilaritySearch.ivfBuild(
+      e, "vec_id", "embedding", k = 16, lloydIters = 3, portableSeeds = true)
+    val rpq = graft.operators.SimilaritySearch.ivfResidualPqBuild(
+      ivf, m = 8, ksub = 256, lloydIters = 2, portableSeeds = true)
+    val qVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    graft.operators.SimilaritySearch.ivfResidualPqTopK(rpq, qVec, topK = 10,
+      nprobe = 4, overFetch = 4, filter = col("vec_id") =!= 0)
+  }
+
   /** Residual IVF-PQ oracle (v23): the FULL IVF replay
     * ([[ivfBuildSql]] — build, probe, `cand`) feeding a PQ codebook
     * trained on RESIDUALS — the `sub` CTE handed to [[pqCodebookSql]]
@@ -1607,5 +1657,6 @@ object SimQueries {
     ivfIncrementalDedup, ivfBatchTopK, ivfBatchTopKQuantized,
     ivfServePersisted, embeddingComponents, bandedComponents, pqAdcTopK,
     ivfPqAdcTopK, pqBatchTopK, ivfResidualPqAdcTopK, pqIncrementalDedup,
-    residualPqBatchTopK, residualPqIncrementalDedup)
+    residualPqBatchTopK, residualPqIncrementalDedup, pqWideAdcTopK,
+    residualPqWideTopK)
 }
