@@ -339,6 +339,23 @@ object SimilaritySearch {
     w
   }
 
+  /** Rank of probed cluster `cl` within query `q`'s probe set — the
+    * popcount of mask bits BELOW `cl` in the query's ⌈k/64⌉-word probe
+    * bitmask (base = q × words). [[probeClusters]] returns clusters in
+    * ASCENDING index order, so this rank IS the cluster's slot in the
+    * query's (q, probe-slot) offset layout — the layout that shrinks
+    * the residual batch arms' offset table from nQ × k to nQ × nprobe
+    * (r18 verdict #4: at the old contract's edge the k-entry-per-query
+    * table was ~10⁹ driver flops and an 8·nQ·k-byte broadcast of
+    * mostly-unread zeros). Caller guarantees cl's own bit is set. */
+  private def probeSlot(mk: Array[Long], base: Int, cl: Int): Int = {
+    var rank = 0
+    val word = cl / 64
+    var w = 0
+    while (w < word) { rank += java.lang.Long.bitCount(mk(base + w)); w += 1 }
+    rank + java.lang.Long.bitCount(mk(base + word) & ((1L << (cl % 64)) - 1))
+  }
+
   /** The kernel-side read of the packed-code column, uniform across
     * layouts: single-word indexes (BIGINT `pq_code`) are wrapped into a
     * one-element array so every kernel deserializes `Array[Long]`
@@ -962,7 +979,13 @@ object SimilaritySearch {
     * integer math alone; at rest 2.6 MB vs 12.7 MB SQ8 vs 44 MB
     * float. Compose with IVF when row pruning is wanted too.
     * Per-partition heap state is queries × topK × overFetch entries —
-    * the documented cost of the driver-mediated batch contract. */
+    * the documented cost of the driver-mediated batch contract.
+    *
+    * Error surface (advice r18): the per-query LUTs are computed in a
+    * DISTRIBUTED map ([[collectBatchLuts]]), so a mixed-dimension query
+    * batch fails on an EXECUTOR — callers see the
+    * IllegalArgumentException wrapped in a SparkException (match on the
+    * message chain, not the exception class). */
   def pqTopKBatch(
       index: PqIndex,
       queries: DataFrame,
@@ -1167,7 +1190,13 @@ object SimilaritySearch {
     }.toSeq
     sp.createDataset(centRows).toDF("c", "comp", "nrm")
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/centroids")
-    index.encoded.write.mode("overwrite").parquet(s"$vdir/encoded")
+    // cluster-partitioned like ivfSave's assigned/quantized trees: the
+    // serve path's probe is a DIRECT `cluster IN (…)` filter, so a
+    // loaded tree answers an nprobe-of-k query by LISTING nprobe
+    // directories — the partition-pruning claim v23's scaladoc makes,
+    // now true of the persisted layout too (r18 verdict #1, plan-pinned)
+    index.encoded.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$vdir/encoded")
     val meta =
       s"""{"kind":"residual-pq","idCol":"${jsonStr(index.idCol)}","vecCol":"${jsonStr(index.vecCol)}","m":${index.m},"ksub":${index.ksub},"dsub":${index.dsub},"bits":${index.bits},"k":${index.centroids.length}}"""
     writeSmallFile(fs, s"$vdir/meta.json", meta) // version-complete marker
@@ -1512,9 +1541,13 @@ object SimilaritySearch {
     * raw tier's: a whole query frame resolves in ONE pass over the
     * residual-encoded codes. Per query the driver-mediated broadcast
     * carries three flat arrays — the ADC LUT ([[collectBatchLuts]],
-    * distributed construction), the k fixed-point ⟨q, centroid⟩
-    * offsets, and a ⌈k/64⌉-word probe bitmask of its `nprobe` closest
-    * clusters (the [[maskWord]] layout of the IVF-SQ8 arm) — and the
+    * distributed construction), the `nprobe` fixed-point ⟨q, centroid⟩
+    * offsets of its PROBED clusters in (q, probe-slot) layout (the
+    * kernel recovers a cluster's slot from the mask via [[probeSlot]];
+    * r18 verdict #4 — the former all-k table was k/nprobe larger and
+    * mostly unread zeros), and a ⌈k/64⌉-word probe bitmask of its
+    * `nprobe` closest clusters (the [[maskWord]] layout of the
+    * IVF-SQ8 arm) — and the
     * scan is the v22 flat kernel with two residual deltas: a row
     * scores only against queries whose mask contains its cluster (row
     * pruning without any join), and its integer adot adds the
@@ -1545,31 +1578,32 @@ object SimilaritySearch {
       collectBatchLuts(index.codebook, index.m, index.ksub, index.dsub,
         queries, queryIdCol, queryVecCol, "ivfResidualPqTopKBatch")
     val nQ = qids.length
-    require(nQ.toLong * k <= Int.MaxValue,
-      s"ivfResidualPqTopKBatch: $nQ queries × $k offsets exceeds the " +
-        "broadcast layout; chunk the batch")
-    // per-query centroid offsets + probe masks — k·dim flops per query
-    // on the driver (tiny next to the LUT work, which is distributed)
-    val offs = new Array[Long](nQ * k)
+    require(nQ.toLong * nprobe <= Int.MaxValue && nQ.toLong * words <= Int.MaxValue,
+      s"ivfResidualPqTopKBatch: $nQ queries × $nprobe offsets (or × $words " +
+        "mask words) exceeds the broadcast layout; chunk the batch")
+    // per-query PROBED-ONLY centroid offsets in (q, probe-slot) layout
+    // + probe masks — nprobe·dim flops per query on the driver, and an
+    // 8·nQ·nprobe-byte table instead of the former all-k layout (r18
+    // verdict #4: k/nprobe smaller on both axes; the kernel recovers a
+    // cluster's slot from the mask via [[probeSlot]]). probeClusters
+    // returns ascending cluster indices, so slot order == mask-rank.
+    val offs = new Array[Long](nQ * nprobe)
     val masks = new Array[Long](nQ * words)
     var j = 0
     while (j < nQ) {
       val v = qRows(j)._2
       if (qns(j) != 0.0) {
-        var c = 0
-        while (c < k) {
-          val cent = index.centroids(c)._1
-          var acc = 0L
-          var i = 0
-          while (i < dim) {
-            acc += math.floor(v(i).toDouble * cent(i) * FP + 0.5).toLong
-            i += 1
-          }
-          offs(j * k + c) = acc
-          c += 1
-        }
-        probeClusters(index.centroids, v, nprobe).foreach { cl =>
-          masks(j * words + cl / 64) |= 1L << (cl % 64)
+        probeClusters(index.centroids, v, nprobe).zipWithIndex.foreach {
+          case (cl, slot) =>
+            masks(j * words + cl / 64) |= 1L << (cl % 64)
+            val cent = index.centroids(cl)._1
+            var acc = 0L
+            var i = 0
+            while (i < dim) {
+              acc += math.floor(v(i).toDouble * cent(i) * FP + 0.5).toLong
+              i += 1
+            }
+            offs(j * nprobe + slot) = acc
         }
       }
       j += 1
@@ -1578,7 +1612,7 @@ object SimilaritySearch {
     registerServingCleanup(() => bc.destroy(), Some(bc))
     val keep = topK * overFetch
     val perW = pqPerWord(index.bits)
-    val kLoc = k; val wordsLoc = words
+    val nprobeLoc = nprobe; val wordsLoc = words
     val cand = index.encoded
       .select(col(index.idCol).cast("long"),
         pqWordsCol(pqNumWords(index.m, index.bits)).as("pq_code"), col("nrm"),
@@ -1601,7 +1635,8 @@ object SimilaritySearch {
                   unpackPqCodes(cw, codes, mLoc, bitsLoc, perW)
                   unpacked = true
                 }
-                var adc = of(q * kLoc + cl)
+                var adc =
+                  of(q * nprobeLoc + probeSlot(mk, q * wordsLoc, cl))
                 val base = q * stride
                 var s2 = 0
                 while (s2 < mLoc) {
@@ -3079,25 +3114,30 @@ object SimilaritySearch {
       index.codebook, index.m, index.ksub, index.dsub,
       batch, index.idCol, index.vecCol, "residualPqIncrementalNearDup")
     val nQ = qids.length
-    require(nQ.toLong * k <= Int.MaxValue,
-      s"residualPqIncrementalNearDup: $nQ batch rows × $k offsets exceeds " +
-        "the broadcast layout; chunk the batch")
-    val offs = new Array[Long](nQ * k)
+    require(nQ.toLong * nprobe <= Int.MaxValue && nQ.toLong * words <= Int.MaxValue,
+      s"residualPqIncrementalNearDup: $nQ batch rows × $nprobe offsets (or " +
+        s"× $words mask words) exceeds the broadcast layout; chunk the batch")
+    // probed-only offsets in the (q, probe-slot) layout shared with
+    // ivfResidualPqTopKBatch — this arm already FILLED probed-only
+    // (the v26 pattern the batch arm adopted), but its table was still
+    // nQ × k of mostly zeros; now it is nQ × nprobe (r18 verdict #4)
+    val offs = new Array[Long](nQ * nprobe)
     val masks = new Array[Long](nQ * words)
     var j = 0
     while (j < nQ) {
       val v = qRows(j)._2
       if (qns(j) != 0.0) {
-        probeClusters(index.centroids, v, nprobe).foreach { cl =>
-          masks(j * words + cl / 64) |= 1L << (cl % 64)
-          val cent = index.centroids(cl)._1
-          var acc = 0L
-          var i = 0
-          while (i < dim) {
-            acc += math.floor(v(i).toDouble * cent(i) * FP + 0.5).toLong
-            i += 1
-          }
-          offs(j * k + cl) = acc
+        probeClusters(index.centroids, v, nprobe).zipWithIndex.foreach {
+          case (cl, slot) =>
+            masks(j * words + cl / 64) |= 1L << (cl % 64)
+            val cent = index.centroids(cl)._1
+            var acc = 0L
+            var i = 0
+            while (i < dim) {
+              acc += math.floor(v(i).toDouble * cent(i) * FP + 0.5).toLong
+              i += 1
+            }
+            offs(j * nprobe + slot) = acc
         }
       }
       j += 1
@@ -3105,7 +3145,7 @@ object SimilaritySearch {
     val bc = sp.sparkContext.broadcast((qids, qns, luts, offs, masks))
     registerServingCleanup(() => bc.destroy(), Some(bc))
     val perW = pqPerWord(index.bits)
-    val kLoc = k; val wordsLoc = words
+    val nprobeLoc = nprobe; val wordsLoc = words
     val admitted = index.encoded
       .select(col(index.idCol).cast("long"),
         pqWordsCol(pqNumWords(index.m, index.bits)).as("pq_code"), col("nrm"),
@@ -3128,7 +3168,8 @@ object SimilaritySearch {
                   unpackPqCodes(cw, codes, mLoc, bitsLoc, perW)
                   unpacked = true
                 }
-                var adc = of(q * kLoc + cl)
+                var adc =
+                  of(q * nprobeLoc + probeSlot(mk, q * wordsLoc, cl))
                 val base = q * stride
                 var s2 = 0
                 while (s2 < mLoc) {
@@ -3150,8 +3191,9 @@ object SimilaritySearch {
   }
 
   /** [[ivfTopKBatchChunked]]'s shape for the RESIDUAL tier — the chunk
-    * budget derated by BOTH per-query broadcast layouts (the LUT
-    * stride, as the PQ arm, and the k-entry offset table). */
+    * budget derated by EVERY per-query broadcast layout (the LUT
+    * stride, as the PQ arm; the nprobe-entry offset table; the
+    * ⌈k/64⌉-word probe mask). */
   def ivfResidualPqTopKBatchChunked(
       index: ResidualPqIndex,
       queries: DataFrame,
@@ -3162,9 +3204,13 @@ object SimilaritySearch {
       overFetch: Int = 4,
       chunkTarget: Long = maxExactRows / 2): DataFrame = {
     val lutCap = Int.MaxValue.toLong / (index.m * index.ksub)
-    val offCap = Int.MaxValue.toLong / math.max(1, index.centroids.length)
+    // the offset table is (q, probe-slot) — nprobe entries per query,
+    // not k (r18 verdict #4) — and the mask ⌈k/64⌉ words per query
+    val offCap = Int.MaxValue.toLong / math.max(1, nprobe)
+    val maskCap =
+      Int.MaxValue.toLong / math.max(1, (index.centroids.length + 63) / 64)
     chunkedUnion(queries, queryIdCol,
-      math.max(1L, Seq(chunkTarget, lutCap, offCap).min)) { chunk =>
+      math.max(1L, Seq(chunkTarget, lutCap, offCap, maskCap).min)) { chunk =>
       ivfResidualPqTopKBatch(index, chunk, queryIdCol, queryVecCol, topK,
         nprobe, overFetch)
     }

@@ -122,7 +122,13 @@ class PlanQualitySpec extends AnyFunSuite {
         // PQ tier (ADC scans + id-keyed rerank fetches; the only
         // intended product is the broadcast of the 1-row query/LUT)
         "t31_substring_dedup", "v20_pq_adc_topk", "v21_ivf_pq_topk",
-        "v22_pq_batch_topk")) {
+        "v22_pq_batch_topk",
+        // round 18: the residual tier — flat kernels + id-keyed rerank
+        // fetches, nothing here may plan a product (r18 verdict #3)
+        "v23_ivf_residual_pq_topk", "v24_pq_incremental_dedup",
+        "v25_residual_pq_batch_topk", "v26_residual_pq_incremental_dedup",
+        // round 19: the wide (two-word) code layout at ksub=256
+        "v27_pq_wide_topk", "v28_residual_pq_wide_topk")) {
       val nodes = finalPlan(name)
       assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
         s"$name contains a cartesian product")
@@ -393,6 +399,59 @@ class PlanQualitySpec extends AnyFunSuite {
     val plans = flatten(served.queryExecution.executedPlan)
     assert(!plans.exists(_.isInstanceOf[CartesianProductExec]),
       "pq serve must not plan a cartesian product")
+  }
+
+  test("v23 persisted: the probe filter prunes the cluster-partitioned residual tree") {
+    // v23's scaladoc sells the direct `cluster IN (…)` probe as
+    // partition pruning at scale — this pins it on the PERSISTED
+    // layout (r18 verdict #3): a residualPqSave'd tree is
+    // cluster-partitioned, and a loaded one-shot serve at nprobe=2
+    // must list only the probed directories, never the full tree
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.SimilaritySearch
+    val e = graft.engine.Tables.t(spark, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 7 =!= 4)
+      .select(col("vec_id"), col("embedding"))
+    val ivf = SimilaritySearch.ivfBuild(corpus, "vec_id", "embedding",
+      k = 16, lloydIters = 2, portableSeeds = true)
+    val rpq = SimilaritySearch.ivfResidualPqBuild(ivf, m = 8, ksub = 16,
+      lloydIters = 1, portableSeeds = true)
+    val path = "/tmp/graft_v23_planspec"
+    SimilaritySearch.residualPqSave(rpq, path)
+    val loaded = SimilaritySearch.residualPqLoad(spark, path, corpus)
+    val qv = e.filter(col("vec_id") === 4)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val served = SimilaritySearch.ivfResidualPqTopK(loaded, qv, topK = 5,
+      nprobe = 2, overFetch = 4)
+    assert(served.collect().nonEmpty, "the loaded serve must produce answers")
+    val scans = flatten(served.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft_v23_planspec")) => f
+    }
+    assert(scans.nonEmpty, "expected scans over the persisted encoded tree")
+    assert(scans.forall(_.partitionFilters.exists(_.references.exists(_.name == "cluster"))),
+      "every persisted residual-code scan must carry a cluster partition filter " +
+        s"(got: ${scans.map(_.partitionFilters.mkString(","))})")
+    def countParquet(subtree: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(
+          s"${SimilaritySearch.ivfCurrentPath(spark, path)}/$subtree"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val totalFiles = countParquet("encoded")
+    val readFiles = scans.map(_.metrics("numFiles").value).max
+    assert(readFiles > 0, "executed scan metrics must be populated")
+    assert(readFiles < totalFiles,
+      s"no pruning: read $readFiles of $totalFiles files for a 2-of-16 probe")
+    // and the coarse scan stays codes-only: the floats are fetched
+    // after the cut by id join, never in the probed partition scan
+    scans.foreach { f =>
+      val schema = f.requiredSchema.fieldNames.toSet
+      assert(schema.subsetOf(Set("vec_id", "pq_code", "nrm", "cluster")),
+        s"the residual coarse scan must read codes only, got $schema")
+    }
   }
 
   test("column pruning reaches the scan on a wide-table projection") {
