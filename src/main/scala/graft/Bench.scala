@@ -355,7 +355,7 @@ object Bench {
       // flagged on the artifact, not only inferable from the canary_pre
       // field's presence) — artifacts reading "median5_warm1" alone
       // predate the probe
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1_cpre","provenance":"live","adjudicable":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"canary_shuffle_sec":$canaryShuffle%.3f,"canary_shuffle_drift":$canaryShuffleDrift%.3f,"norm_parity_band":[$pLo%.2f,$pHi%.2f],"spliced":$splicedJson,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"samples_ts":$samplesTsJson,"samples_gc":$samplesGcJson,"canary_pre":$canaryPreJson,"gc_sec":$gcJson,"suspect_kind":$suspectKindJson,"spread":$spread,"variance":$variance%.3f,"variance_trimmed":$varianceTrimmed%.3f,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1_cpre","provenance":"live","adjudicable":$adjudicable,"adjudicable_live":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"canary_shuffle_sec":$canaryShuffle%.3f,"canary_shuffle_drift":$canaryShuffleDrift%.3f,"norm_parity_band":[$pLo%.2f,$pHi%.2f],"spliced":$splicedJson,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"samples_ts":$samplesTsJson,"samples_gc":$samplesGcJson,"canary_pre":$canaryPreJson,"gc_sec":$gcJson,"suspect_kind":$suspectKindJson,"spread":$spread,"variance":$variance%.3f,"variance_trimmed":$varianceTrimmed%.3f,"failed":$failed,"sf":"$sfDir"}"""
     }
     val line = artifactLine(results, Nil)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_output.json")
@@ -388,8 +388,12 @@ object Bench {
         // refused FOCUSED slice or A/B run would archive the whole-
         // suite standing line — a grossly wrong artifact for that
         // slice — exactly the slot-overwrite conditions below)
+        // stricter than the ratio paths' lenient forall: a standing
+        // artifact that PREDATES the sf field must not stand in for a
+        // refused run (it could be a cross-scale line — advice r18);
+        // the fallback requires the field present AND equal
         val fallback = standingRaw
-          .filter(_ => sfMatches && args.isEmpty && extraConf.isEmpty)
+          .filter(_ => lastGoodSf.contains(sfDir) && args.isEmpty && extraConf.isEmpty)
           .flatMap(raw => graft.tools.BenchProtocol.standingFallbackLine(
             raw, reason, canary, canaryShuffle, varianceTrimmed,
             bad.map(_._1)))
@@ -404,9 +408,12 @@ object Bench {
           case None => line // nothing to fall back to: the refused line stands alone
         }
       }
-    println(emitted)
-    // the same line to a stable file so the driver's parser never has to
-    // fish it out of sbt log decorations
+    // the artifact line to a stable file so the driver's parser never has
+    // to fish it out of sbt log decorations; the STDOUT copy prints as
+    // the LAST line of main (after spark.stop() and every notice) so a
+    // tail-capture that only keeps the final lines still finds it —
+    // BENCH_r18.json parsed null because the line printed BEFORE the
+    // slot-keep notice and the Spark shutdown chatter (r18 verdict #5)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), emitted + "\n")
     // the standing "last known good" slot is only ever overwritten by an
     // adjudicable run of the FULL headline slice under the STANDARD
@@ -553,7 +560,9 @@ object Bench {
           (if (suspectKinds.isEmpty) ""
            else suspectKinds.map { case (k, v) => s"$k=$v" }
              .mkString(" [suspect windows: ", ", ", "]")))
+      println(emitted) // LAST stdout line, for tail parsers (see above)
       sys.exit(1)
     }
+    println(emitted) // LAST stdout line, for tail parsers (see above)
   }
 }

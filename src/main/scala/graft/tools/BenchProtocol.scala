@@ -426,6 +426,14 @@ object BenchProtocol {
       else {
         val obj = root.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
         obj.put("provenance", "standing-slot")
+        // the standing line's adjudicable:true survives the copy by
+        // design (the NUMBERS are adjudicable) — but a pre-r18 reader
+        // filtering on adjudicable alone would misread the refused
+        // round as a live measurement, so stamp a field old parsers
+        // cannot have seen: adjudicable_live is false exactly when the
+        // archived numbers did not come from this round's window
+        // (advice r18; live lines carry adjudicable_live == adjudicable)
+        obj.put("adjudicable_live", false)
         obj.put("refusal_reason", refusalReason)
         val refused = om.createObjectNode()
         refused.put("canary_sec", refusedCanary)

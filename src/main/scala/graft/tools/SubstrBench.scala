@@ -21,8 +21,14 @@ import org.apache.spark.sql.SparkSession
 object SubstrBench {
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("substr_bench.json")
-    val window = if (args.length > 1) args(1).toInt else 6
-    val dirs = if (args.length > 2) args.drop(2).toSeq
+    // r18 moved `window` into position 1; the pre-r18 shape was
+    // `out.json dir1 [dir2 ...]` — accept both (advice r18): a
+    // non-numeric arg(1) is a directory and the window stays default
+    val oldShape = args.length > 1 && args(1).toIntOption.isEmpty
+    val window =
+      if (args.length > 1 && !oldShape) args(1).toInt else 6
+    val dirArgs = if (oldShape) args.drop(1).toSeq else args.drop(2).toSeq
+    val dirs = if (dirArgs.nonEmpty) dirArgs
       else Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")
     val iters = 5
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -297,8 +297,11 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(node.get("adjudicable").asBoolean())
     assert(node.get("canary_sec").asDouble() == 2.156)
     assert(node.get("queries").get("gr2_triangle_count").asDouble() == 4.8)
-    // stamped as a fallback, with the mechanism
+    // stamped as a fallback, with the mechanism; adjudicable_live is
+    // the field pre-r18 parsers cannot misread — false exactly when
+    // the numbers did not come from this round's window (advice r18)
     assert(node.get("provenance").asText() == "standing-slot")
+    assert(!node.get("adjudicable_live").asBoolean())
     assert(node.get("refusal_reason").asText().contains("variance_trimmed=0.608"))
     // the refused window's own band stays adjudicable
     val refused = node.get("refused_run")
