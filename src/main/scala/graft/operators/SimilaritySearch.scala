@@ -576,7 +576,12 @@ object SimilaritySearch {
       topK: Int,
       overFetch: Int,
       scan: DataFrame,
-      fpOffset: Option[Column]): DataFrame = {
+      fpOffset: Option[Column],
+      // the ROTATED tier scores against the transformed query (its LUT
+      // is built over HD-rotated doubles) while norms stay the ORIGINAL
+      // vectors' — it supplies both here; None = derive from `query`
+      // (the raw/residual tiers, byte-for-byte the historical path)
+      lutQn: Option[(Array[Long], Double)] = None): DataFrame = {
     implicit val sp: SparkSession = scan.sparkSession
     require(topK >= 1 && overFetch >= 1, "topK and overFetch must be >= 1")
     require(query.length == m * dsub,
@@ -596,8 +601,8 @@ object SimilaritySearch {
     // could silently drift from the batch arms the spec pins against
     // this path); qn stays normF's convention (NaN queries NULL every
     // row and the NaN filter drops them — same empty answer either way)
-    val lut = pqBatchLutRow(codebook, query, m, ksub, dsub)._2
-    val qn = normF(query)
+    val (lut, qn) = lutQn.getOrElse(
+      (pqBatchLutRow(codebook, query, m, ksub, dsub)._2, normF(query)))
     val lutArr = lut.mkString("array(", "L, ", "L)")
     val mask = (1L << bits) - 1
     // single-word layout keeps the historical expression verbatim (the
@@ -804,11 +809,20 @@ object SimilaritySearch {
     * stays rectangular). */
   private def pqBatchLutRow(
       codebook: Array[Array[Array[Double]]],
-      v: Array[Float], m: Int, ksub: Int, dsub: Int): (Double, Array[Long]) = {
+      v: Array[Float], m: Int, ksub: Int, dsub: Int): (Double, Array[Long]) =
+    // one exact float→double widening (see [[pqNearestCode]]) — the
+    // double core is shared with the ROTATED tier, whose query vectors
+    // are natively double (integer-sum HD transforms)
+    pqBatchLutRowD(codebook, toDoubles(v), m, ksub, dsub)
+
+  /** [[pqBatchLutRow]]'s double-vector core. */
+  private def pqBatchLutRowD(
+      codebook: Array[Array[Array[Double]]],
+      v: Array[Double], m: Int, ksub: Int, dsub: Int): (Double, Array[Long]) = {
     val FP = 1L << 24
     var ss = 0.0
     var i = 0
-    while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+    while (i < v.length) { ss += v(i) * v(i); i += 1 }
     val qn = { val n = math.sqrt(ss); if (n.isNaN) 0.0 else n }
     val lut = new Array[Long](m * ksub)
     var s = 0
@@ -818,7 +832,7 @@ object SimilaritySearch {
         var acc = 0L
         var i2 = 0
         while (i2 < dsub && s * dsub + i2 < v.length) {
-          acc += math.floor(v(s * dsub + i2).toDouble *
+          acc += math.floor(v(s * dsub + i2) *
             codebook(s)(c)(i2) * FP + 0.5).toLong
           i2 += 1
         }
@@ -828,6 +842,303 @@ object SimilaritySearch {
       s += 1
     }
     (qn, lut)
+  }
+
+  /** The deterministic ±1 diagonal D of the HD rotation ([[rotPqBuild]]):
+    * the sign of dimension i derives from the parity of the 60-bit
+    * md5 hash of "rot:i" — the hash both engines compute identically
+    * (TextDedup.mdHash's recipe), so the rotation is stable across
+    * engines, machines and re-runs, and SQL-replayable. */
+  private[graft] def rotationSigns(dim: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      md.reset()
+      val hex = md.digest(s"rot:$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+    }
+  }
+
+  /** Apply the HD rotation (Walsh–Hadamard × the [[rotationSigns]]
+    * diagonal — the "random rotation" baseline of Ge et al.'s OPQ,
+    * CVPR'13 §4, and the FAISS RandomRotationMatrix fallback) to one
+    * vector, in ORDER-FREE exact arithmetic: inputs snap to the 2^24
+    * fixed-point grid (floor(x·2^24 + 0.5), the build's shared
+    * convention), the transform is a signed INTEGER sum — commutative,
+    * so bit-deterministic in any order — and the result divides by
+    * 2^24·√dim (both powers of two for the required power-of-4 dim),
+    * making every output double EXACT and engine-portable. Empty/NULL
+    * vectors rotate to empty (the degenerate-row convention). O(dim²)
+    * per vector; at encode/serve time that is ~4k integer adds for
+    * dim=64 — noise next to the k-means passes. */
+  private[graft] def rotateFp(v: Array[Float], signs: Array[Int]): Array[Double] = {
+    if (v == null || v.isEmpty) return Array.empty[Double]
+    val dim = signs.length
+    val FP = 1L << 24
+    val fp = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      fp(i) = math.floor(v(i).toDouble * FP + 0.5).toLong * signs(i)
+      i += 1
+    }
+    val root = math.sqrt(dim.toDouble)
+    val out = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      var acc = 0L
+      var i2 = 0
+      while (i2 < dim) {
+        // Hadamard entry (−1)^popcount(i∧j) — the Sylvester construction
+        acc += (if ((java.lang.Long.bitCount((i2 & j).toLong) & 1) == 0) fp(i2)
+                else -fp(i2))
+        i2 += 1
+      }
+      out(j) = acc.toDouble / FP / root
+      j += 1
+    }
+    out
+  }
+
+  /** A trained ROTATED-PQ index (v29): [[pq]]'s codebook and codes live
+    * in the HD-rotated space, `pq.encoded`'s norms and `pq.corpus` stay
+    * the ORIGINAL vectors (rotation is orthogonal, so true cosines are
+    * unchanged and the exact rerank needs no inverse). */
+  final case class RotatedPqIndex(signs: Array[Int], pq: PqIndex)
+
+  /** Train PQ over the HD-ROTATED corpus — the OPQ family's
+    * decorrelation step (Ge et al., CVPR'13: a rotation applied before
+    * the subspace split spreads correlated structure across subspaces
+    * so the product codebooks spend their bits evenly; the HD form is
+    * the paper's random-rotation baseline, deterministic here so the
+    * build stays SQL-replayable — the r18 verdict's task #2, taken at
+    * the replayable rung; the TRAINED rotation is the next one). Build
+    * shape mirrors [[pqBuild]] exactly — same stride seeding on the
+    * same id hash, same fixed-point Lloyd, same packed-word encode —
+    * over y = HDx instead of x; stored norms are the ORIGINAL vectors'
+    * (⟨Hx, Hq⟩ = ⟨x, q⟩, so the ADC estimate divided by the true norms
+    * still approximates the true cosine). Requires a power-of-4
+    * dimension (√dim must be a power of two for the exact rescale). */
+  def rotPqBuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      lloydIters: Int = 2,
+      portableSeeds: Boolean = false): RotatedPqIndex = {
+    require(m >= 1 && ksub >= 2 && lloydIters >= 0,
+      s"bad m=$m / ksub=$ksub / lloydIters=$lloydIters")
+    val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(ksub - 1))
+    require(bits <= 16, s"ksub=$ksub needs $bits-bit codes — beyond the " +
+      "16-bit sanity cap (a codebook that large is not a PQ tier)")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val dim0 = corpus.select(col(vecCol)).as[Array[Float]].head().length
+    require(dim0 > 0, "rotPqBuild: zero-dimensional vectors")
+    val rt = math.sqrt(dim0.toDouble).toLong
+    require(rt * rt == dim0 && java.lang.Long.bitCount(rt) == 1,
+      s"rotPqBuild needs a power-of-4 dimension (√dim a power of two " +
+        s"for the exact fixed-point rescale), got dim=$dim0")
+    require(dim0 % m == 0, s"m=$m must divide dim=$dim0")
+    val dsub = dim0 / m
+    val signs = rotationSigns(dim0)
+    val bcS = sp.sparkContext.broadcast(signs)
+    // (id, y = HDx, original norm) — the rotated training frame; empty
+    // rows keep empty y and norm 0 (never trained, never scored)
+    val rotated = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v0) =>
+        val v = if (v0 == null) Array.empty[Float] else v0
+        var ss = 0.0; var i = 0
+        while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+        (id, rotateFp(v, bcS.value), math.sqrt(ss))
+      }
+      .persist()
+    def failing[A](body: => A): A =
+      try body
+      catch { case t: Throwable => rotated.unpersist(blocking = false); throw t }
+    val n = failing {
+      val n = rotated.count()
+      require(n > 0, "rotPqBuild: empty corpus")
+      n
+    }
+    val strideMod = math.max(1L, n / (2L * ksub))
+    val rdf = rotated.toDF(idCol, "__y", "nrm")
+    val seedHash =
+      if (portableSeeds) TextDedup.mdHash(col(idCol).cast("string"))
+      else xxhash64(col(idCol))
+    val seeds = failing {
+      val s = rdf
+        .filter(size(col("__y")) === dim0) // degenerate rows never seed
+        .filter(pmod(seedHash, lit(strideMod)) === 0)
+        .orderBy(seedHash, col(idCol))
+        .limit(ksub)
+        .select(col(idCol), col("__y"))
+        .as[(Long, Array[Double])]
+        .collect()
+      require(s.nonEmpty, "rotPqBuild: stride seeding found no rows")
+      s
+    }
+    val kEff = seeds.length
+    var cb: Array[Array[Array[Double]]] = failing {
+      Array.tabulate(m, kEff, dsub) { (s, c, i) => seeds(c)._2(s * dsub + i) }
+    }
+
+    val FP = 1L << 24
+    val mLoc = m; val ksubLoc = ksub; val dsubLoc = dsub
+    for (_ <- 0 until lloydIters) {
+      val bc = sp.sparkContext.broadcast(cb)
+      val means = failing {
+        rotated
+          .flatMap { case (_, y, _) =>
+            if (y.isEmpty) Iterator.empty
+            else (0 until mLoc).iterator.map { s =>
+              val fp = new Array[Long](dsubLoc)
+              var i = 0
+              while (i < dsubLoc) {
+                fp(i) = math.round(y(s * dsubLoc + i) * FP); i += 1
+              }
+              (s * ksubLoc + pqNearestCode(bc.value, y, s, dsubLoc), fp, 1L)
+            }
+          }
+          .groupByKey(_._1)
+          .reduceGroups { (x: (Int, Array[Long], Long), y: (Int, Array[Long], Long)) =>
+            val acc = new Array[Long](x._2.length)
+            var i = 0
+            while (i < acc.length) { acc(i) = x._2(i) + y._2(i); i += 1 }
+            (x._1, acc, x._3 + y._3)
+          }
+          .map { case (key, (_, fp, cnt)) => (key, fp.map(_.toDouble / FP / cnt)) }
+          .collect()
+          .toMap
+      }
+      bc.destroy() // dead once collected (the advice-r17 rule)
+      cb = Array.tabulate(m, kEff, dsub) { (s, c, i) =>
+        means.get(s * ksub + c) match {
+          case Some(mean) => mean(i)
+          case None => cb(s)(c)(i) // empty code keeps its codeword
+        }
+      }
+    }
+
+    val bcF = sp.sparkContext.broadcast(cb)
+    val bitsLoc = bits
+    val perW = pqPerWord(bits); val nW = pqNumWords(m, bits)
+    val encoded = (if (nW == 1) {
+      rotated.map { case (id, y, nrm) =>
+        val packed =
+          if (y.isEmpty) 0L
+          else encodePqWords(bcF.value, y, mLoc, dsubLoc, bitsLoc, perW, 1)(0)
+        (id, packed, if (y.isEmpty) 0.0 else nrm)
+      }.toDF(idCol, "pq_code", "nrm")
+    } else {
+      rotated.map { case (id, y, nrm) =>
+        val cw =
+          if (y.isEmpty) new Array[Long](nW)
+          else encodePqWords(bcF.value, y, mLoc, dsubLoc, bitsLoc, perW, nW)
+        (id, cw, if (y.isEmpty) 0.0 else nrm)
+      }.toDF(idCol, "pq_code", "nrm")
+    })
+    rotated.unpersist(blocking = false)
+    RotatedPqIndex(signs, PqIndex(m, kEff, dsub, bits, cb, encoded,
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol))
+  }
+
+  /** ANN top-k served from a [[RotatedPqIndex]]: the QUERY rotates
+    * through the same HD transform, its integer ADC LUT is built over
+    * the rotated doubles, and the coarse scan + exact rerank are
+    * [[pqServeCore]] verbatim — the approx score divides the rotated
+    * integer dot by the ORIGINAL norms (orthogonality keeps true
+    * cosines unchanged), and the rerank touches only original floats,
+    * so returned scores are exact regardless of the rotation. */
+  def rotPqTopK(
+      index: RotatedPqIndex,
+      query: Array[Float],
+      topK: Int = 10,
+      overFetch: Int = 4,
+      filter: Column = lit(true)): DataFrame = {
+    val pq = index.pq
+    require(query.length == pq.m * pq.dsub,
+      s"query dim ${query.length} != index dim ${pq.m * pq.dsub}")
+    val qRot = rotateFp(query, index.signs)
+    val lut = pqBatchLutRowD(pq.codebook, qRot, pq.m, pq.ksub, pq.dsub)._2
+    pqServeCore(pq.m, pq.ksub, pq.dsub, pq.bits, pq.codebook,
+      pq.idCol, pq.vecCol, pq.corpus, query, topK, overFetch,
+      pq.encoded.filter(filter), fpOffset = None,
+      lutQn = Some((lut, normF(query))))
+  }
+
+  /** Persist a [[RotatedPqIndex]] under the shared versioned layout —
+    * [[pqSave]]'s exact tree with `kind: "rot-pq"`, so the raw and
+    * residual loaders refuse it loudly (rotated codes served against
+    * un-rotated queries would be silent garbage). The ±1 diagonal is
+    * NOT persisted: [[rotationSigns]] is a pure deterministic function
+    * of the dimension, so the loader re-derives it — one fewer file to
+    * corrupt. */
+  def rotPqSave(index: RotatedPqIndex, dir: String): Unit = {
+    val pq = index.pq
+    val sp = pq.encoded.sparkSession
+    import sp.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val versions = listVersions(fs, dir)
+    val next = versions.map(_ + 1).maxOption.getOrElse(1)
+    val prevLive: Option[Int] = liveVersion(fs, dir)
+    val vdir = s"$dir/v$next"
+    val cbRows = for {
+      s <- 0 until pq.m
+      c <- 0 until pq.ksub
+    } yield (s, c, pq.codebook(s)(c).toSeq)
+    sp.createDataset(cbRows).toDF("s", "c", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/codebook")
+    pq.encoded.write.mode("overwrite").parquet(s"$vdir/encoded")
+    val meta =
+      s"""{"kind":"rot-pq","idCol":"${jsonStr(pq.idCol)}","vecCol":"${jsonStr(pq.vecCol)}","m":${pq.m},"ksub":${pq.ksub},"dsub":${pq.dsub},"bits":${pq.bits}}"""
+    writeSmallFile(fs, s"$vdir/meta.json", meta) // version-complete marker
+    commitVersionAndGc(fs, dir, next, prevLive, versions, "rotPqSave")
+  }
+
+  /** Load an index [[rotPqSave]] wrote, re-binding the exact rerank to
+    * `corpus` and re-deriving the rotation diagonal from the dimension.
+    * Refuses raw/residual trees loudly; serving is bit-identical. */
+  def rotPqLoad(
+      spark: SparkSession, rootDir: String, corpus: DataFrame): RotatedPqIndex = {
+    val dir = ivfCurrentPath(spark, rootDir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val meta = try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      om.readTree(in)
+    } finally in.close()
+    require(meta.has("kind") && meta.get("kind").asText() == "rot-pq",
+      s"$dir/meta.json is not a rotated-PQ index — use pqLoad/residualPqLoad " +
+        "(serving rotated codes against un-rotated queries would be garbage)")
+    val idCol = meta.get("idCol").asText()
+    val vecCol = meta.get("vecCol").asText()
+    val m = meta.get("m").asInt()
+    val ksub = meta.get("ksub").asInt()
+    val dsub = meta.get("dsub").asInt()
+    val bits = meta.get("bits").asInt()
+    import spark.implicits._
+    val cb = Array.ofDim[Array[Double]](m, ksub)
+    spark.read.parquet(s"$dir/codebook")
+      .select(col("s").cast("int"), col("c").cast("int"), col("codeword"))
+      .as[(Int, Int, Array[Double])]
+      .collect()
+      .foreach { case (s, c, w) =>
+        require(s >= 0 && s < m && c >= 0 && c < ksub,
+          s"codebook row ($s, $c) outside m=$m × ksub=$ksub")
+        cb(s)(c) = w
+      }
+    require(cb.forall(_.forall(_ != null)),
+      s"codebook parquet is missing codewords (m=$m × ksub=$ksub)")
+    val encoded = spark.read.parquet(s"$dir/encoded")
+      .select(col(idCol), col("pq_code"), col("nrm"))
+    requirePqCodeType(encoded, m, bits, "rotPqLoad")
+    RotatedPqIndex(rotationSigns(m * dsub),
+      PqIndex(m, ksub, dsub, bits, cb.map(_.map(_.clone())), encoded,
+        corpus.select(col(idCol), col(vecCol)), idCol, vecCol))
   }
 
   /** [[pqBatchLutRow]] plus the shared NULL-degrade + loud

@@ -738,6 +738,85 @@ object SimQueries {
       nprobe = 4, overFetch = 4, filter = col("vec_id") =!= 0)
   }
 
+  /** Rotated-PQ oracle (v29): the v20 replay over the HD-ROTATED
+    * corpus. `dsign` derives the ±1 diagonal from the md5-parity both
+    * engines compute identically; `rot` applies the Walsh–Hadamard
+    * transform as an ORDER-FREE signed integer sum over the 2^24
+    * fixed-point grid (exact rescale by 2^24·√dim — both powers of two
+    * at the power-of-4 dims the op requires), so every rotated
+    * component is an exact, engine-portable double; the rotated `sub`
+    * feeds [[pqCodebookSql]] unchanged (the residual oracle's subCte
+    * pattern), the query's LUT reads the rotated vec-0 subvectors, and
+    * the candidate cut + exact rerank stay on the ORIGINAL vectors and
+    * norms ([[pqServeTailSql]] verbatim — rotation is orthogonal, so
+    * true cosines are unchanged). */
+  private def rotPqOracleSql(
+      m: Int, ksub: Int, iters: Int, topK: Int, overFetch: Int, dim: Int): String = {
+    val dsub = dim / m
+    val root = math.sqrt(dim.toDouble).toInt
+    require(root * root == dim && java.lang.Integer.bitCount(root) == 1,
+      s"rotPqOracleSql needs a power-of-4 dim, got $dim")
+    val rotSub =
+      s"""sub AS (SELECT vec_id, (j - 1) // $dsub AS s, (j - 1) % $dsub + 1 AS i, y AS x
+         |        FROM rot)""".stripMargin
+    val composed =
+      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |vnorm AS (SELECT vec_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
+         |          FROM d, generate_series(1, $dim) t(i) GROUP BY vec_id),
+         |cnt AS (SELECT COUNT(*) AS n FROM d),
+         |hashed AS (SELECT vec_id,
+         |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM d),
+         |dsign AS (SELECT i,
+         |    CASE WHEN ('0x' || substr(md5('rot:' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+         |      THEN 1 ELSE -1 END AS sgn
+         |  FROM generate_series(1, $dim) t(i)),
+         |rot AS (SELECT v.vec_id, tj.j,
+         |    CAST(SUM((CASE WHEN bit_count(CAST(ti.i - 1 AS BIGINT) & CAST(tj.j - 1 AS BIGINT)) % 2 = 0
+         |        THEN 1 ELSE -1 END)
+         |      * ds.sgn * CAST(FLOOR(v.ve[ti.i] * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 16777216.0 / $root.0 AS y
+         |  FROM d v, generate_series(1, $dim) tj(j), generate_series(1, $dim) ti(i), dsign ds
+         |  WHERE ds.i = ti.i
+         |  GROUP BY v.vec_id, tj.j),
+         |${pqCodebookSql(m, ksub, iters, dim, rotSub)},
+         |qsub AS (SELECT s, i, x FROM sub WHERE vec_id = 0),
+         |lut AS (SELECT cb.s, cb.c,
+         |          SUM(CAST(FLOOR(q.x * cb.comp * 16777216.0 + 0.5) AS BIGINT)) AS l
+         |        FROM cb$iters cb JOIN qsub q ON q.s = cb.s AND q.i = cb.i
+         |        GROUP BY cb.s, cb.c),
+         |${pqServeTailSql(topK, overFetch, dim, "penc e")}""".stripMargin
+    // `sub` now hides an O(dim²)-per-row transform behind it and has
+    // five consumers — without MATERIALIZED, DuckDB re-evaluates the
+    // whole rotation per consumer (the v23 CTE-inlining lesson)
+    materializeCtes(composed, Seq("rot", "sub"))
+  }
+
+  /** Rotated PQ ANN (v29) — the OPQ family's decorrelation step at its
+    * SQL-replayable rung (Ge et al., CVPR'13 §4's random-rotation
+    * baseline; FAISS's RandomRotationMatrix): the corpus and query pass
+    * through a deterministic HD rotation (md5-parity ±1 diagonal ×
+    * Walsh–Hadamard, exact integer arithmetic) before the v20 PQ stack,
+    * spreading correlated structure evenly across the m subspaces. Same
+    * dials as v20 (m=8/ksub=16/2 Lloyd/oF=4), so v20-vs-v29 is the
+    * controlled rotation pair; recall deltas are measured on the
+    * clustered fixture (`results/pq_clustered_r19.json`). Scores and
+    * rerank are on ORIGINAL vectors — rotation never changes returned
+    * cosines, only which candidates survive the coarse cut. */
+  val rotPqTopK: Q = Q(
+    "v29_rot_pq_topk",
+    rotPqOracleSql(m = 8, ksub = 16, iters = 2, topK = 10, overFetch = 4, dim = 64)) { (s, dir) =>
+    val sp = s
+    import sp.implicits._
+    val e = t(s, dir, "embeddings")
+    val idx = graft.operators.SimilaritySearch.rotPqBuild(
+      e, "vec_id", "embedding", m = 8, ksub = 16, lloydIters = 2,
+      portableSeeds = true)
+    val qVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    graft.operators.SimilaritySearch.rotPqTopK(idx, qVec, topK = 10,
+      overFetch = 4, filter = col("vec_id") =!= 0)
+  }
+
   /** Residual IVF-PQ oracle (v23): the FULL IVF replay
     * ([[ivfBuildSql]] — build, probe, `cand`) feeding a PQ codebook
     * trained on RESIDUALS — the `sub` CTE handed to [[pqCodebookSql]]
@@ -1658,5 +1737,5 @@ object SimQueries {
     ivfServePersisted, embeddingComponents, bandedComponents, pqAdcTopK,
     ivfPqAdcTopK, pqBatchTopK, ivfResidualPqAdcTopK, pqIncrementalDedup,
     residualPqBatchTopK, residualPqIncrementalDedup, pqWideAdcTopK,
-    residualPqWideTopK)
+    residualPqWideTopK, rotPqTopK)
 }

@@ -124,6 +124,13 @@ object PqClusteredBench {
         SimilaritySearch.ivfPqTopK(ivf, raw, qv, topK = 10, nprobe = 8,
           overFetch = 4))
       raw.encoded.unpersist(blocking = false)
+      // v29: the HD-rotated form — the OPQ family's decorrelation step
+      val rot = SimilaritySearch.rotPqBuild(corpus, "vec_id", "embedding",
+        m = 8, ksub = ksub, lloydIters = 2)
+      rot.pq.encoded.cache().count()
+      val rotR = recall(qv =>
+        SimilaritySearch.rotPqTopK(rot, qv, topK = 10, overFetch = 4))
+      rot.pq.encoded.unpersist(blocking = false)
       val resid = SimilaritySearch.ivfResidualPqBuild(ivf, m = 8, ksub = ksub,
         lloydIters = 2)
       resid.encoded.cache().count()
@@ -135,9 +142,11 @@ object PqClusteredBench {
           overFetch = 4))
       resid.encoded.unpersist(blocking = false)
       System.err.println(
-        f"[pqc] ksub=$ksub oF=4: raw $rawR%.4f, ivfpq(np=8) $ivfpqR%.4f, " +
+        f"[pqc] ksub=$ksub oF=4: raw $rawR%.4f, rot $rotR%.4f, " +
+          f"ivfpq(np=8) $ivfpqR%.4f, " +
           f"resid(np=64) $residFullR%.4f, resid(np=8) $residPrunedR%.4f")
       arms += f"""{"m":8,"ksub":$ksub,"over_fetch":4,"raw_pq":$rawR%.4f,
+        |"rot_pq":$rotR%.4f,
         |"ivf_pq_nprobe8":$ivfpqR%.4f,"residual_nprobe64":$residFullR%.4f,
         |"residual_nprobe8":$residPrunedR%.4f}""".stripMargin.replace("\n", "")
     }

@@ -1382,6 +1382,66 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(pq == exact, s"pq=$pq exact=$exact")
   }
 
+  test("rotated PQ (v29): exact under covering overFetch; deterministic; persistence + guards") {
+    import spark.implicits._
+    def rmTree(path: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+    val q = vec(2718L)
+    val corpus = (1L to 120L).map(i => (i, vec(i * 101 + 3))).toDF("id", "v")
+    val idx = SimilaritySearch.rotPqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 1)
+    // a covering coarse cut makes the rotated serve BIT-IDENTICAL to the
+    // exact scorer — rotation changes which candidates survive the cut,
+    // never the returned cosines (rerank on original floats)
+    val rot = SimilaritySearch.rotPqTopK(idx, q, topK = 10, overFetch = 12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = SimilaritySearch.cosineTopK(corpus, "id", "v",
+        Seq(Tuple1(q)).toDF("qv"), "qv", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rot == exact, s"rot=$rot exact=$exact")
+    // deterministic re-train, and stored norms are the ORIGINAL ones
+    val idx2 = SimilaritySearch.rotPqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 1)
+    assert(idx.pq.codebook.flatten.flatten.toSeq ==
+      idx2.pq.codebook.flatten.flatten.toSeq)
+    val nrm42 = idx.pq.encoded.filter(col("id") === 42L)
+      .select("nrm").collect()(0).getDouble(0)
+    val trueNrm = math.sqrt(vec(42L * 101 + 3).map(x => x.toDouble * x).sum)
+    assert(math.abs(nrm42 - trueNrm) < 1e-9,
+      "encoded nrm must be the original vector's norm, not the rotated fp-grid one")
+    // degenerate query returns empty (zero LUT + zero qn NULLs every row)
+    assert(SimilaritySearch.rotPqTopK(idx, new Array[Float](16), topK = 3)
+      .collect().isEmpty)
+    // persistence: round-trip serves identically; foreign loaders refuse
+    val dir = java.nio.file.Files.createTempDirectory("rotpq").toString
+    try {
+      SimilaritySearch.rotPqSave(idx, dir)
+      val loaded = SimilaritySearch.rotPqLoad(spark, dir, corpus)
+      val a = SimilaritySearch.rotPqTopK(idx, q, topK = 5).collect().toSeq
+      val b = SimilaritySearch.rotPqTopK(loaded, q, topK = 5).collect().toSeq
+      assert(a == b, "loaded rotated index must serve bit-identically")
+      val e1 = intercept[IllegalArgumentException] {
+        SimilaritySearch.pqLoad(spark, dir, corpus)
+      }
+      assert(e1.getMessage.contains("rot-pq"))
+      val e2 = intercept[IllegalArgumentException] {
+        SimilaritySearch.residualPqLoad(spark, dir, corpus)
+      }
+      assert(e2.getMessage.contains("not a residual-PQ"))
+    } finally rmTree(dir)
+    // non-power-of-4 dimension is loud (√dim must be a power of two)
+    val bad = (1L to 40L).map(i => (i, Array.fill(8)(i.toFloat))).toDF("id", "v")
+    val e3 = intercept[IllegalArgumentException] {
+      SimilaritySearch.rotPqBuild(bad, "id", "v", m = 4, ksub = 4)
+    }
+    assert(e3.getMessage.contains("power-of-4"))
+  }
+
   test("ivfPqTopK: full probe == pure PQ; pruned probe finds the planted copy") {
     import spark.implicits._
     val q = vec(1618L)
