@@ -240,8 +240,11 @@ object SimilaritySearch {
     * while the within-cluster top-10 sits in a ~0.02-cosine sliver
     * (contrast the isotropic corpus, where the same dial climbs
     * 0.19 → 0.45). What recovers recall is RESIDUAL encoding
-    * ([[ivfResidualPqBuild]], v23): 0.27 / 0.34 / 0.43 at the same
-    * ksub dial on that fixture, +0.03–0.08 even on the isotropic
+    * ([[ivfResidualPqBuild]], v23): 0.27 / 0.34 / 0.43 / 0.48 across
+    * ksub 16/64/128/256 on that fixture
+    * (`results/pq_clustered_r19.json` — the 256 point is the
+    * FAISS-default 8-bit dial the r19 wide word packing unlocked;
+    * raw PQ reads 0.23 there), +0.03–0.08 even on the isotropic
     * one, with the nprobe=8/64 probe losing nothing. Use PQ
     * as the RAM-resident coarse tier when even SQ8 bytes don't fit —
     * residual-encoded when an IVF exists — and keep SQ8 when its bytes
@@ -871,14 +874,20 @@ object SimilaritySearch {
     * vectors rotate to empty (the degenerate-row convention). O(dim²)
     * per vector; at encode/serve time that is ~4k integer adds for
     * dim=64 — noise next to the k-means passes. */
-  private[graft] def rotateFp(v: Array[Float], signs: Array[Int]): Array[Double] = {
+  private[graft] def rotateFp(v: Array[Float], signs: Array[Int]): Array[Double] =
+    if (v == null || v.isEmpty) Array.empty[Double]
+    else rotateFpD(toDoubles(v), signs) // exact float→double widening
+
+  /** [[rotateFp]]'s double-vector core — the RESIDUAL tier's form (its
+    * inputs r = x − centroid are natively double). */
+  private[graft] def rotateFpD(v: Array[Double], signs: Array[Int]): Array[Double] = {
     if (v == null || v.isEmpty) return Array.empty[Double]
     val dim = signs.length
     val FP = 1L << 24
     val fp = new Array[Long](dim)
     var i = 0
     while (i < dim) {
-      fp(i) = math.floor(v(i).toDouble * FP + 0.5).toLong * signs(i)
+      fp(i) = math.floor(v(i) * FP + 0.5).toLong * signs(i)
       i += 1
     }
     val root = math.sqrt(dim.toDouble)
@@ -1481,7 +1490,11 @@ object SimilaritySearch {
     * meaningless against any other quantizer); the float corpus stays
     * external, as in [[pqSave]]. Doubles round-trip bit-exactly, so a
     * loaded index serves bit-identically — spec'd. */
-  def residualPqSave(index: ResidualPqIndex, dir: String): Unit = {
+  def residualPqSave(index: ResidualPqIndex, dir: String): Unit =
+    residualPqSaveImpl(index, dir, kind = "residual-pq", op = "residualPqSave")
+
+  private def residualPqSaveImpl(
+      index: ResidualPqIndex, dir: String, kind: String, op: String): Unit = {
     val sp = index.encoded.sparkSession
     import sp.implicits._
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -1509,9 +1522,9 @@ object SimilaritySearch {
     index.encoded.write.mode("overwrite")
       .partitionBy("cluster").parquet(s"$vdir/encoded")
     val meta =
-      s"""{"kind":"residual-pq","idCol":"${jsonStr(index.idCol)}","vecCol":"${jsonStr(index.vecCol)}","m":${index.m},"ksub":${index.ksub},"dsub":${index.dsub},"bits":${index.bits},"k":${index.centroids.length}}"""
+      s"""{"kind":"$kind","idCol":"${jsonStr(index.idCol)}","vecCol":"${jsonStr(index.vecCol)}","m":${index.m},"ksub":${index.ksub},"dsub":${index.dsub},"bits":${index.bits},"k":${index.centroids.length}}"""
     writeSmallFile(fs, s"$vdir/meta.json", meta) // version-complete marker
-    commitVersionAndGc(fs, dir, next, prevLive, versions, "residualPqSave")
+    commitVersionAndGc(fs, dir, next, prevLive, versions, op)
   }
 
   /** Load an index [[residualPqSave]] wrote, re-binding the exact
@@ -1519,7 +1532,13 @@ object SimilaritySearch {
     * `kind` marker); serving from the loaded index is bit-identical —
     * codebook, centroids and codes all round-trip exactly. */
   def residualPqLoad(
-      spark: SparkSession, rootDir: String, corpus: DataFrame): ResidualPqIndex = {
+      spark: SparkSession, rootDir: String, corpus: DataFrame): ResidualPqIndex =
+    residualPqLoadImpl(spark, rootDir, corpus,
+      kind = "residual-pq", op = "residualPqLoad")
+
+  private def residualPqLoadImpl(
+      spark: SparkSession, rootDir: String, corpus: DataFrame,
+      kind: String, op: String): ResidualPqIndex = {
     val dir = ivfCurrentPath(spark, rootDir)
     val p = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1528,8 +1547,11 @@ object SimilaritySearch {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       om.readTree(in)
     } finally in.close()
-    require(meta.has("kind") && meta.get("kind").asText() == "residual-pq",
-      s"$dir/meta.json is not a residual-PQ index — use pqLoad/ivfLoad")
+    require(meta.has("kind") && meta.get("kind").asText() == kind,
+      s"$dir/meta.json is not a ${if (kind == "residual-pq") "residual-PQ"
+        else "rotated-residual-PQ"} index ($op reads kind '$kind' only; " +
+        s"got '${if (meta.has("kind")) meta.get("kind").asText() else "<none>"}')" +
+        " — rotated and plain residual codes are mutually garbage")
     val idCol = meta.get("idCol").asText()
     val vecCol = meta.get("vecCol").asText()
     val m = meta.get("m").asInt()
@@ -1563,9 +1585,27 @@ object SimilaritySearch {
       s"centroids parquet is missing rows (k=$k)")
     val encoded = spark.read.parquet(s"$dir/encoded")
       .select(col(idCol), col("pq_code"), col("nrm"), col("cluster"))
-    requirePqCodeType(encoded, m, bits, "residualPqLoad")
+    requirePqCodeType(encoded, m, bits, op)
     ResidualPqIndex(m, ksub, dsub, bits, cb.map(_.map(_.clone())), cents,
       encoded, corpus.select(col(idCol), col(vecCol)), idCol, vecCol)
+  }
+
+  /** Persist a [[RotatedResidualPqIndex]] — [[residualPqSave]]'s exact
+    * tree (cluster-partitioned codes and all) with `kind:
+    * "rot-residual-pq"`, so every other loader refuses it loudly; the
+    * rotation diagonal re-derives from the dimension on load. */
+  def rotResidualPqSave(index: RotatedResidualPqIndex, dir: String): Unit =
+    residualPqSaveImpl(index.rpq, dir, kind = "rot-residual-pq",
+      op = "rotResidualPqSave")
+
+  /** Load an index [[rotResidualPqSave]] wrote; kind-guarded, serving
+    * bit-identical (codebook, centroids, codes all round-trip exactly;
+    * the diagonal is a pure function of the dimension). */
+  def rotResidualPqLoad(
+      spark: SparkSession, rootDir: String, corpus: DataFrame): RotatedResidualPqIndex = {
+    val rpq = residualPqLoadImpl(spark, rootDir, corpus,
+      kind = "rot-residual-pq", op = "rotResidualPqLoad")
+    RotatedResidualPqIndex(rotationSigns(rpq.m * rpq.dsub), rpq)
   }
 
   /** IVF-PQ — the two pruning axes composed the way billion-vector
@@ -1649,7 +1689,50 @@ object SimilaritySearch {
       m: Int = 8,
       ksub: Int = 16,
       lloydIters: Int = 2,
-      portableSeeds: Boolean = false): ResidualPqIndex = {
+      portableSeeds: Boolean = false): ResidualPqIndex =
+    residualPqBuildImpl(ivf, m, ksub, lloydIters, portableSeeds, signs = None)
+
+  /** A trained ROTATED-RESIDUAL index (v30) — the FAISS `OPQ,IVF,PQ`
+    * production chain's shape: [[rpq]]'s codebook and codes live in the
+    * HD-rotated RESIDUAL space; serving decomposes ⟨q, x⟩ =
+    * ⟨q, centroid⟩ + ⟨Hq, Hr⟩, so the per-cluster offsets stay in the
+    * original space and only the LUT rotates. MUST be served through
+    * [[rotResidualPqTopK]] — the plain residual serve against these
+    * codes would be garbage (kind-guarded in persistence). */
+  final case class RotatedResidualPqIndex(signs: Array[Int], rpq: ResidualPqIndex)
+
+  /** [[ivfResidualPqBuild]] with the HD rotation ([[rotateFp]]) applied
+    * to every residual before the subspace split — the OPQ
+    * decorrelation step composed onto the residual tier (Ge et al.
+    * CVPR'13 + Jégou §IV.A; FAISS's `OPQ…,IVF…,PQ…` chain with the
+    * deterministic rotation that keeps the build SQL-replayable).
+    * Training, encode, packing, and the serve tail are the residual
+    * tier's own machinery verbatim (one shared impl). Requires a
+    * power-of-4 dimension (exact fixed-point rescale). */
+  def ivfRotResidualPqBuild(
+      ivf: IvfIndex,
+      m: Int = 8,
+      ksub: Int = 16,
+      lloydIters: Int = 2,
+      portableSeeds: Boolean = false): RotatedResidualPqIndex = {
+    require(ivf.centroids.nonEmpty, "ivfRotResidualPqBuild: no centroids")
+    val dim = ivf.centroids(0)._1.length
+    val rt = math.sqrt(dim.toDouble).toLong
+    require(rt * rt == dim && java.lang.Long.bitCount(rt) == 1,
+      s"ivfRotResidualPqBuild needs a power-of-4 dimension (√dim a power " +
+        s"of two for the exact fixed-point rescale), got dim=$dim")
+    val signs = rotationSigns(dim)
+    RotatedResidualPqIndex(signs,
+      residualPqBuildImpl(ivf, m, ksub, lloydIters, portableSeeds, Some(signs)))
+  }
+
+  private def residualPqBuildImpl(
+      ivf: IvfIndex,
+      m: Int,
+      ksub: Int,
+      lloydIters: Int,
+      portableSeeds: Boolean,
+      signs: Option[Array[Int]]): ResidualPqIndex = {
     require(m >= 1 && ksub >= 2 && lloydIters >= 0,
       s"bad m=$m / ksub=$ksub / lloydIters=$lloydIters")
     val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(ksub - 1))
@@ -1662,9 +1745,11 @@ object SimilaritySearch {
     val sp = ivf.assigned.sparkSession
     import sp.implicits._
     val bcC = sp.sparkContext.broadcast(ivf.centroids)
+    val bcSg = sp.sparkContext.broadcast(signs.getOrElse(Array.empty[Int]))
     // (id, residual, cluster, true-norm) — the residual is double-
-    // precision by construction; the true norm rides along so encode
-    // never touches the floats again
+    // precision by construction (HD-rotated here when `signs` is set:
+    // everything downstream trains on Hr unchanged); the true norm
+    // rides along so encode never touches the floats again
     val resid = ivf.assigned
       .select(col(ivf.idCol).cast("long"), col(ivf.vecCol),
         col("cluster").cast("int"))
@@ -1680,7 +1765,7 @@ object SimilaritySearch {
             val rr = new Array[Double](v.length)
             var j = 0
             while (j < v.length) { rr(j) = v(j).toDouble - cent(j); j += 1 }
-            rr
+            if (bcSg.value.isEmpty) rr else rotateFpD(rr, bcSg.value)
           }
         (id, r, cl, math.sqrt(ss))
       }
@@ -1808,7 +1893,41 @@ object SimilaritySearch {
       topK: Int = 10,
       nprobe: Int = 4,
       overFetch: Int = 4,
+      filter: Column = lit(true)): DataFrame =
+    residualServeCore(index, query, topK, nprobe, overFetch, filter,
+      lutQn = None)
+
+  /** ANN top-k from a [[RotatedResidualPqIndex]] (v30): the probe and
+    * the per-cluster ⟨q, centroid⟩ offsets stay in the ORIGINAL space
+    * (the coarse quantizer never rotated), the ADC LUT is built over
+    * the HD-ROTATED query against the rotated-residual codebook
+    * (⟨q, x⟩ = ⟨q, c⟩ + ⟨Hq, Hr⟩ — orthogonality makes the
+    * decomposition exact), and the rerank touches only original
+    * floats. Serve tail is [[ivfResidualPqTopK]]'s verbatim. */
+  def rotResidualPqTopK(
+      index: RotatedResidualPqIndex,
+      query: Array[Float],
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4,
       filter: Column = lit(true)): DataFrame = {
+    val rpq = index.rpq
+    require(query.length == rpq.m * rpq.dsub,
+      s"query dim ${query.length} != index dim ${rpq.m * rpq.dsub}")
+    val qRot = rotateFp(query, index.signs)
+    val lut = pqBatchLutRowD(rpq.codebook, qRot, rpq.m, rpq.ksub, rpq.dsub)._2
+    residualServeCore(rpq, query, topK, nprobe, overFetch, filter,
+      lutQn = Some((lut, normF(query))))
+  }
+
+  private def residualServeCore(
+      index: ResidualPqIndex,
+      query: Array[Float],
+      topK: Int,
+      nprobe: Int,
+      overFetch: Int,
+      filter: Column,
+      lutQn: Option[(Array[Long], Double)]): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     val FP = 1L << 24
     val dim = index.m * index.dsub
@@ -1844,7 +1963,7 @@ object SimilaritySearch {
         " ELSE CAST(0 AS BIGINT) END")
     pqServeCore(index.m, index.ksub, index.dsub, index.bits, index.codebook,
       index.idCol, index.vecCol, index.corpus, query, topK, overFetch, scan,
-      fpOffset = Some(offExpr))
+      fpOffset = Some(offExpr), lutQn = lutQn)
   }
 
   /** BATCHED residual IVF-PQ top-k — v23's serving-throughput form,

@@ -738,6 +738,21 @@ object SimQueries {
       nprobe = 4, overFetch = 4, filter = col("vec_id") =!= 0)
   }
 
+  /** The ±1 diagonal CTE of the HD rotation — md5-parity per dimension,
+    * the hash both engines compute identically. Shared by the rotated
+    * oracles (v29/v30). */
+  private def dsignSql(dim: Int): String =
+    s"""dsign AS (SELECT i,
+       |    CASE WHEN ('0x' || substr(md5('rot:' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+       |      THEN 1 ELSE -1 END AS sgn
+       |  FROM generate_series(1, $dim) t(i))""".stripMargin
+
+  /** Sylvester-Hadamard sign (−1)^popcount((i−1)∧(j−1)) as a SQL CASE —
+    * 1-based `iExpr`/`jExpr`. */
+  private def hadSgnSql(iExpr: String, jExpr: String): String =
+    s"(CASE WHEN bit_count(CAST($iExpr - 1 AS BIGINT) & CAST($jExpr - 1 AS BIGINT)) % 2 = 0 " +
+      "THEN 1 ELSE -1 END)"
+
   /** Rotated-PQ oracle (v29): the v20 replay over the HD-ROTATED
     * corpus. `dsign` derives the ±1 diagonal from the md5-parity both
     * engines compute identically; `rot` applies the Walsh–Hadamard
@@ -766,13 +781,9 @@ object SimQueries {
          |cnt AS (SELECT COUNT(*) AS n FROM d),
          |hashed AS (SELECT vec_id,
          |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM d),
-         |dsign AS (SELECT i,
-         |    CASE WHEN ('0x' || substr(md5('rot:' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
-         |      THEN 1 ELSE -1 END AS sgn
-         |  FROM generate_series(1, $dim) t(i)),
+         |${dsignSql(dim)},
          |rot AS (SELECT v.vec_id, tj.j,
-         |    CAST(SUM((CASE WHEN bit_count(CAST(ti.i - 1 AS BIGINT) & CAST(tj.j - 1 AS BIGINT)) % 2 = 0
-         |        THEN 1 ELSE -1 END)
+         |    CAST(SUM(${hadSgnSql("ti.i", "tj.j")}
          |      * ds.sgn * CAST(FLOOR(v.ve[ti.i] * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
          |      / 16777216.0 / $root.0 AS y
          |  FROM d v, generate_series(1, $dim) tj(j), generate_series(1, $dim) ti(i), dsign ds
@@ -815,6 +826,93 @@ object SimQueries {
       .select(col("embedding")).as[Array[Float]].head()
     graft.operators.SimilaritySearch.rotPqTopK(idx, qVec, topK = 10,
       overFetch = 4, filter = col("vec_id") =!= 0)
+  }
+
+  /** Rotated-RESIDUAL IVF-PQ oracle (v30): the v23 replay with the HD
+    * rotation applied to every residual before the subspace split —
+    * `res` materializes the per-(vec, dim) residual, `rres` rotates it
+    * (order-free signed integer sum on the 2^24 grid, exact rescale),
+    * the rotated `sub` feeds [[pqCodebookSql]] unchanged; the QUERY
+    * side rotates vec 0 (`qrot` → `qsubr`) for the LUT while `qoff`
+    * keeps the ORIGINAL-space ⟨q, centroid⟩ offsets — the exact
+    * decomposition ⟨q, x⟩ = ⟨q, c⟩ + ⟨Hq, Hr⟩ the Spark serve computes.
+    * Tail (probed radc + offset add + cut + rerank) is v23's verbatim. */
+  private def rotResidualPqOracleSql(
+      k: Int, kIters: Int, nprobe: Int,
+      m: Int, ksub: Int, pqIters: Int,
+      topK: Int, overFetch: Int, dim: Int): String = {
+    val dsub = dim / m
+    val root = math.sqrt(dim.toDouble).toInt
+    require(root * root == dim && java.lang.Integer.bitCount(root) == 1,
+      s"rotResidualPqOracleSql needs a power-of-4 dim, got $dim")
+    val rotSub =
+      s"""sub AS (SELECT vec_id, (j - 1) // $dsub AS s, (j - 1) % $dsub + 1 AS i, y AS x
+         |        FROM rres)""".stripMargin
+    val composed =
+      s"""${ivfBuildSql(k, kIters, nprobe, dim)},
+         |${dsignSql(dim)},
+         |res AS (SELECT v.vec_id, ti.i, v.ve[ti.i] - cc.comp AS x
+         |        FROM d v, generate_series(1, $dim) ti(i), finalassign a, cents$kIters cc
+         |        WHERE a.vec_id = v.vec_id AND cc.c = a.cluster AND cc.i = ti.i),
+         |rres AS (SELECT r.vec_id, tj.j,
+         |    CAST(SUM(${hadSgnSql("r.i", "tj.j")}
+         |      * ds.sgn * CAST(FLOOR(r.x * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 16777216.0 / $root.0 AS y
+         |  FROM res r, generate_series(1, $dim) tj(j), dsign ds
+         |  WHERE ds.i = r.i
+         |  GROUP BY r.vec_id, tj.j),
+         |${pqCodebookSql(m, ksub, pqIters, dim, rotSub)},
+         |qrot AS (SELECT tj.j,
+         |    CAST(SUM(${hadSgnSql("ti.i", "tj.j")}
+         |      * ds.sgn * CAST(FLOOR(q.ve[ti.i] * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 16777216.0 / $root.0 AS y
+         |  FROM d q, generate_series(1, $dim) tj(j), generate_series(1, $dim) ti(i), dsign ds
+         |  WHERE q.vec_id = 0 AND ds.i = ti.i
+         |  GROUP BY tj.j),
+         |qsubr AS (SELECT (j - 1) // $dsub AS s, (j - 1) % $dsub + 1 AS i, y AS x FROM qrot),
+         |lut AS (SELECT cb.s, cb.c,
+         |          SUM(CAST(FLOOR(q.x * cb.comp * 16777216.0 + 0.5) AS BIGINT)) AS l
+         |        FROM cb$pqIters cb JOIN qsubr q ON q.s = cb.s AND q.i = cb.i
+         |        GROUP BY cb.s, cb.c),
+         |qoff AS (SELECT cc.c,
+         |           SUM(CAST(FLOOR(q.ve[cc.i] * cc.comp * 16777216.0 + 0.5) AS BIGINT)) AS off
+         |         FROM cents$kIters cc, d q WHERE q.vec_id = 0 GROUP BY cc.c),
+         |radc AS (SELECT cd.vec_id, cd.cluster, SUM(l.l) AS rdot
+         |         FROM cand cd JOIN penc e ON e.vec_id = cd.vec_id
+         |           JOIN lut l ON l.s = e.s AND l.c = e.code
+         |         GROUP BY cd.vec_id, cd.cluster),
+         |adc AS (SELECT r.vec_id, r.rdot + o.off AS adot
+         |        FROM radc r JOIN qoff o ON o.c = r.cluster),
+         |${pqRerankTailSql(topK, overFetch, dim)}""".stripMargin
+    // the v23 inlining lesson, one node deeper: `sub` hides residual +
+    // rotation; every expensive ancestor pins to one evaluation
+    materializeCtes(composed,
+      Seq("finalassign", s"cents$kIters", "res", "rres", "sub", "penc", "cand"))
+  }
+
+  /** Rotated-residual IVF-PQ ANN (v30) — the FAISS `OPQ,IVF,PQ`
+    * production chain at the deterministic-rotation rung: the OPQ
+    * decorrelation (v29's HD rotation) composed ONTO the residual
+    * encoding (v23), i.e. the codebook trains on H(x − centroid) and
+    * serving decomposes ⟨q, x⟩ = ⟨q, c⟩ + ⟨Hq, Hr⟩ exactly. Same dials
+    * as v23 (k=16/3 Lloyd, m=8/ksub=16/2 Lloyd, nprobe=4, oF=4) so
+    * v23-vs-v30 is the controlled pair; recall is measured per-ksub on
+    * the clustered fixture (`results/pq_clustered_r19.json`). */
+  val rotResidualPqTopK: Q = Q(
+    "v30_rot_residual_pq_topk",
+    rotResidualPqOracleSql(k = 16, kIters = 3, nprobe = 4, m = 8, ksub = 16,
+      pqIters = 2, topK = 10, overFetch = 4, dim = 64)) { (s, dir) =>
+    val sp = s
+    import sp.implicits._
+    val e = t(s, dir, "embeddings")
+    val ivf = graft.operators.SimilaritySearch.ivfBuild(
+      e, "vec_id", "embedding", k = 16, lloydIters = 3, portableSeeds = true)
+    val rrpq = graft.operators.SimilaritySearch.ivfRotResidualPqBuild(
+      ivf, m = 8, ksub = 16, lloydIters = 2, portableSeeds = true)
+    val qVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    graft.operators.SimilaritySearch.rotResidualPqTopK(rrpq, qVec, topK = 10,
+      nprobe = 4, overFetch = 4, filter = col("vec_id") =!= 0)
   }
 
   /** Residual IVF-PQ oracle (v23): the FULL IVF replay
@@ -1737,5 +1835,5 @@ object SimQueries {
     ivfServePersisted, embeddingComponents, bandedComponents, pqAdcTopK,
     ivfPqAdcTopK, pqBatchTopK, ivfResidualPqAdcTopK, pqIncrementalDedup,
     residualPqBatchTopK, residualPqIncrementalDedup, pqWideAdcTopK,
-    residualPqWideTopK, rotPqTopK)
+    residualPqWideTopK, rotPqTopK, rotResidualPqTopK)
 }

@@ -141,14 +141,24 @@ object PqClusteredBench {
         SimilaritySearch.ivfResidualPqTopK(resid, qv, topK = 10, nprobe = 8,
           overFetch = 4))
       resid.encoded.unpersist(blocking = false)
+      // v30: rotation composed ONTO residual — the OPQ,IVF,PQ chain
+      val rres = SimilaritySearch.ivfRotResidualPqBuild(ivf, m = 8,
+        ksub = ksub, lloydIters = 2)
+      rres.rpq.encoded.cache().count()
+      val rresR = recall(qv =>
+        SimilaritySearch.rotResidualPqTopK(rres, qv, topK = 10, nprobe = 8,
+          overFetch = 4))
+      rres.rpq.encoded.unpersist(blocking = false)
       System.err.println(
         f"[pqc] ksub=$ksub oF=4: raw $rawR%.4f, rot $rotR%.4f, " +
           f"ivfpq(np=8) $ivfpqR%.4f, " +
-          f"resid(np=64) $residFullR%.4f, resid(np=8) $residPrunedR%.4f")
+          f"resid(np=64) $residFullR%.4f, resid(np=8) $residPrunedR%.4f, " +
+          f"rot_resid(np=8) $rresR%.4f")
       arms += f"""{"m":8,"ksub":$ksub,"over_fetch":4,"raw_pq":$rawR%.4f,
         |"rot_pq":$rotR%.4f,
         |"ivf_pq_nprobe8":$ivfpqR%.4f,"residual_nprobe64":$residFullR%.4f,
-        |"residual_nprobe8":$residPrunedR%.4f}""".stripMargin.replace("\n", "")
+        |"residual_nprobe8":$residPrunedR%.4f,
+        |"rot_residual_nprobe8":$rresR%.4f}""".stripMargin.replace("\n", "")
     }
 
     val json =

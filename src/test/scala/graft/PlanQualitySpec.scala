@@ -127,8 +127,10 @@ class PlanQualitySpec extends AnyFunSuite {
         // fetches, nothing here may plan a product (r18 verdict #3)
         "v23_ivf_residual_pq_topk", "v24_pq_incremental_dedup",
         "v25_residual_pq_batch_topk", "v26_residual_pq_incremental_dedup",
-        // round 19: the wide (two-word) code layout at ksub=256
-        "v27_pq_wide_topk", "v28_residual_pq_wide_topk")) {
+        // round 19: the wide (two-word) code layout at ksub=256 and
+        // the HD-rotated tiers (OPQ decorrelation, raw + residual)
+        "v27_pq_wide_topk", "v28_residual_pq_wide_topk",
+        "v29_rot_pq_topk", "v30_rot_residual_pq_topk")) {
       val nodes = finalPlan(name)
       assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
         s"$name contains a cartesian product")

@@ -1442,6 +1442,58 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("power-of-4"))
   }
 
+  test("rotated-residual PQ (v30): exact under full probe + covering overFetch; persistence + guards") {
+    import spark.implicits._
+    def rmTree(path: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+    val q = vec(3141L)
+    val corpus = (1L to 120L).map(i => (i, vec(i * 577 + 11))).toDF("id", "v")
+    val ivf = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 6, lloydIters = 2)
+    val rr = SimilaritySearch.ivfRotResidualPqBuild(ivf, m = 4, ksub = 8,
+      lloydIters = 1)
+    // full probe + covering cut ⇒ BIT-IDENTICAL to the exact scorer:
+    // the ⟨q,c⟩ + ⟨Hq,Hr⟩ decomposition only decides who survives the
+    // cut; returned cosines come from the original floats
+    val got = SimilaritySearch.rotResidualPqTopK(rr, q, topK = 10,
+        nprobe = 6, overFetch = 12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = SimilaritySearch.cosineTopK(corpus, "id", "v",
+        Seq(Tuple1(q)).toDF("qv"), "qv", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exact, s"got=$got exact=$exact")
+    // persistence: round-trip identical; plain and rotated residual
+    // trees are mutually refused (their codes are mutually garbage)
+    val dir = java.nio.file.Files.createTempDirectory("rrpq").toString
+    try {
+      SimilaritySearch.rotResidualPqSave(rr, dir)
+      val loaded = SimilaritySearch.rotResidualPqLoad(spark, dir, corpus)
+      val a = SimilaritySearch.rotResidualPqTopK(rr, q, topK = 5, nprobe = 3)
+        .collect().toSeq
+      val b = SimilaritySearch.rotResidualPqTopK(loaded, q, topK = 5, nprobe = 3)
+        .collect().toSeq
+      assert(a == b, "loaded rotated-residual index must serve bit-identically")
+      val e1 = intercept[IllegalArgumentException] {
+        SimilaritySearch.residualPqLoad(spark, dir, corpus)
+      }
+      assert(e1.getMessage.contains("rot-residual-pq"))
+    } finally rmTree(dir)
+    val plainDir = java.nio.file.Files.createTempDirectory("rrpq2").toString
+    try {
+      val plain = SimilaritySearch.ivfResidualPqBuild(ivf, m = 4, ksub = 8,
+        lloydIters = 1)
+      SimilaritySearch.residualPqSave(plain, plainDir)
+      val e2 = intercept[IllegalArgumentException] {
+        SimilaritySearch.rotResidualPqLoad(spark, plainDir, corpus)
+      }
+      assert(e2.getMessage.contains("rotated-residual-PQ"))
+    } finally rmTree(plainDir)
+  }
+
   test("ivfPqTopK: full probe == pure PQ; pruned probe finds the planted copy") {
     import spark.implicits._
     val q = vec(1618L)
