@@ -28,7 +28,16 @@ import graft.operators.SimilaritySearch
   * Ground truth is the exact float scan. Queries are FRESH members of
   * planted clusters (not corpus rows), the production serve shape.
   *
-  *   runMain graft.tools.PqClusteredBench [outPath] [nCorpus] [nQueries] [sigma]
+  *   runMain graft.tools.PqClusteredBench [outPath] [nCorpus] [nQueries] [sigma] [aniso]
+  *
+  * `aniso` (r19): per-dimension scale ramp from 1/aniso to aniso
+  * (componentwise, corpus AND queries — a model property). 0/1 = off
+  * (the isotropic fixture). The planted clusters' residuals are i.i.d.
+  * isotropic by construction — the case where a rotation has NOTHING
+  * to decorrelate (measured: rot_residual ≈ residual there); the
+  * anisotropic variant is the regime the OPQ literature's rotation
+  * gains live in, so the v29/v30 tiers' value claim is measured on it
+  * rather than cited.
   */
 object PqClusteredBench {
   def main(args: Array[String]): Unit = {
@@ -36,6 +45,7 @@ object PqClusteredBench {
     val nCorpus = if (args.length > 1) args(1).toInt else 17000
     val nQueries = if (args.length > 2) args(2).toInt else 30
     val sigma = if (args.length > 3) args(3).toDouble else 0.5
+    val aniso = if (args.length > 4) args(4).toDouble else 0.0
     val dim = 64
     val kClusters = 64
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,11 +69,19 @@ object PqClusteredBench {
       val r = new scala.util.Random(7700 + a)
       unit(Array.fill(dim)(r.nextGaussian()))
     }
+    // per-dim scale ramp 1/aniso → aniso (identity when aniso ≤ 1)
+    val dimScale: Array[Double] =
+      if (aniso <= 1.0) Array.fill(dim)(1.0)
+      else Array.tabulate(dim) { i =>
+        val lo = 1.0 / aniso
+        lo + (aniso - lo) * i / (dim - 1).toDouble
+      }
     def member(cluster: Int, seed: Long): Array[Float] = {
       val r = new scala.util.Random(seed * 2654435761L + 17)
       val a = anchors(cluster)
       Array.tabulate(dim)(i =>
-        (a(i) + r.nextGaussian() * sigma / math.sqrt(dim.toDouble)).toFloat)
+        ((a(i) + r.nextGaussian() * sigma / math.sqrt(dim.toDouble)) *
+          dimScale(i)).toFloat)
     }
     val corpusRows = (0 until nCorpus).map { i =>
       (i.toLong + 1, member(i % kClusters, i.toLong))
@@ -163,7 +181,7 @@ object PqClusteredBench {
 
     val json =
       f"""{"n_corpus":$nCorpus,"n_queries":$nQueries,"clusters":$kClusters,
-         |"sigma":$sigma%.2f,"mean_top1_cos":$meanTop1%.4f,
+         |"sigma":$sigma%.2f,"aniso":$aniso%.2f,"mean_top1_cos":$meanTop1%.4f,
          |"mean_top10_cos":$meanTop10%.4f,
          |"sq8_recall_of4":$sq8Recall%.4f,
          |"arms":${arms.mkString("[", ",", "]")}}"""
