@@ -749,7 +749,33 @@ object SimilaritySearch {
       batch: DataFrame,
       threshold: Double = 0.45,
       margin: Double = 0.2,
-      corpusSizeHint: Long = -1L): DataFrame = {
+      corpusSizeHint: Long = -1L): DataFrame =
+    pqIncrementalImpl(index, batch, threshold, margin, corpusSizeHint,
+      signs = Array.empty, opName = "pqIncrementalNearDup")
+
+  /** Incremental dedup at the ROTATED tier — [[pqIncrementalNearDup]]'s
+    * screen verbatim with each ingest row's LUT built over its
+    * HD-rotated vector (norms original; the ADC estimate still
+    * approximates the true cosine because the rotation is orthogonal,
+    * so `margin` keeps exactly the raw tier's semantics); the exact
+    * verify never admits a false positive, rotation or not. */
+  def rotPqIncrementalNearDup(
+      index: RotatedPqIndex,
+      batch: DataFrame,
+      threshold: Double = 0.45,
+      margin: Double = 0.2,
+      corpusSizeHint: Long = -1L): DataFrame =
+    pqIncrementalImpl(index.pq, batch, threshold, margin, corpusSizeHint,
+      signs = index.signs, opName = "rotPqIncrementalNearDup")
+
+  private def pqIncrementalImpl(
+      index: PqIndex,
+      batch: DataFrame,
+      threshold: Double,
+      margin: Double,
+      corpusSizeHint: Long,
+      signs: Array[Int],
+      opName: String): DataFrame = {
     implicit val sp: SparkSession = index.encoded.sparkSession
     import sp.implicits._
     require(margin >= 0.0,
@@ -761,8 +787,9 @@ object SimilaritySearch {
     val bound = threshold - margin
     val (_, qids, qns, luts) = collectBatchLuts(
       index.codebook, index.m, index.ksub, index.dsub,
-      batch, index.idCol, index.vecCol, "pqIncrementalNearDup",
-      keepVectors = false) // the exact verify re-reads the batch frame
+      batch, index.idCol, index.vecCol, opName,
+      keepVectors = false, // the exact verify re-reads the batch frame
+      signs = signs)
     val bc = sp.sparkContext.broadcast((qids, qns, luts))
     registerServingCleanup(() => bc.destroy(), Some(bc))
     val perW = pqPerWord(index.bits)
@@ -1155,7 +1182,7 @@ object SimilaritySearch {
     * distributed arm's closure stays serializable. */
   private def batchLutRowChecked(
       cb: Array[Array[Array[Double]]], dim: Int, m: Int, ksub: Int, dsub: Int,
-      keepVectors: Boolean,
+      keepVectors: Boolean, signs: Array[Int],
       qid: Long, v0: Array[Float]): (Long, Array[Float], Double, Array[Long]) = {
     // a NULL vector (nullable streaming source) degrades like the
     // empty vector: qn stays 0, the query answers nothing — one bad
@@ -1165,7 +1192,18 @@ object SimilaritySearch {
       throw new IllegalArgumentException(
         s"mixed-dimension batch vs index: index dimension $dim vs " +
           s"batch vector of ${v.length} components")
-    val (qn, lut) = pqBatchLutRow(cb, v, m, ksub, dsub)
+    // rotated tiers (non-empty `signs`): the LUT is built over the
+    // HD-rotated query, the norm stays the ORIGINAL vector's (the
+    // ⟨q,c⟩ + ⟨Hq,Hr⟩ serve convention) — NaN degrade as the raw path
+    val (qn, lut) =
+      if (signs.isEmpty) pqBatchLutRow(cb, v, m, ksub, dsub)
+      else {
+        val lutR = pqBatchLutRowD(cb, rotateFp(v, signs), m, ksub, dsub)._2
+        var ss = 0.0; var i = 0
+        while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+        val n = math.sqrt(ss)
+        (if (n.isNaN) 0.0 else n, lutR)
+      }
     // callers that never touch the floats again (the incremental-dedup
     // screen — its exact verify re-reads the batch FRAME) drop them
     // HERE, before the executors→driver collect moves the bytes
@@ -1205,7 +1243,8 @@ object SimilaritySearch {
       idColName: String,
       vecColName: String,
       opName: String,
-      keepVectors: Boolean = true)
+      keepVectors: Boolean = true,
+      signs: Array[Int] = Array.empty) // non-empty = rotated-tier LUTs
       : (Array[(Long, Array[Float])], Array[Long], Array[Double], Array[Long]) = {
     val sp = frame.sparkSession
     import sp.implicits._
@@ -1223,10 +1262,12 @@ object SimilaritySearch {
     val mLoc = m; val ksubLoc = ksub; val dsubLoc = dsub
     val dimLoc = dim
     val keepLoc = keepVectors
+    val signsLoc = signs
     val collected: Array[(Long, Array[Float], Double, Array[Long])] =
       if (mode == "driver")
         src.collect().map { case (q, v) =>
-          batchLutRowChecked(codebook, dimLoc, mLoc, ksubLoc, dsubLoc, keepLoc, q, v)
+          batchLutRowChecked(codebook, dimLoc, mLoc, ksubLoc, dsubLoc, keepLoc,
+            signsLoc, q, v)
         }
       else {
         val bcCb = sp.sparkContext.broadcast(codebook)
@@ -1234,7 +1275,8 @@ object SimilaritySearch {
         // dims — a local helper def here captured the enclosing frame
         // (whose DataFrames are not serializable)
         val out = src.map { case (q, v) =>
-          batchLutRowChecked(bcCb.value, dimLoc, mLoc, ksubLoc, dsubLoc, keepLoc, q, v)
+          batchLutRowChecked(bcCb.value, dimLoc, mLoc, ksubLoc, dsubLoc, keepLoc,
+            signsLoc, q, v)
         }.collect()
         bcCb.destroy() // dead once collected (the advice-r17 rule)
         out
@@ -1312,17 +1354,44 @@ object SimilaritySearch {
       queryIdCol: String,
       queryVecCol: String,
       topK: Int = 10,
-      overFetch: Int = 4): DataFrame = {
+      overFetch: Int = 4): DataFrame =
+    pqTopKBatchImpl(index, queries, queryIdCol, queryVecCol, topK, overFetch,
+      signs = Array.empty, opName = "pqTopKBatch")
+
+  /** Batched serving for the ROTATED tier — [[pqTopKBatch]]'s kernel
+    * verbatim with every per-query LUT built over the HD-rotated query
+    * (distributed, inside [[collectBatchLuts]]) and norms kept
+    * original; the kernel itself never changes (it only consumes
+    * LUTs). Chunked form: [[rotPqTopKBatchChunked]]. */
+  def rotPqTopKBatch(
+      index: RotatedPqIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      overFetch: Int = 4): DataFrame =
+    pqTopKBatchImpl(index.pq, queries, queryIdCol, queryVecCol, topK,
+      overFetch, signs = index.signs, opName = "rotPqTopKBatch")
+
+  private def pqTopKBatchImpl(
+      index: PqIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int,
+      overFetch: Int,
+      signs: Array[Int],
+      opName: String): DataFrame = {
     implicit val sp: SparkSession = index.encoded.sparkSession
     import sp.implicits._
     require(topK >= 1 && overFetch >= 1, "topK and overFetch must be >= 1")
-    requireDistinctIdCols("pqTopKBatch", queryIdCol, index.idCol)
+    requireDistinctIdCols(opName, queryIdCol, index.idCol)
     val FP = 1L << 24
     val mLoc = index.m; val ksubLoc = index.ksub; val bitsLoc = index.bits
     val stride = mLoc * ksubLoc
     val (qRows, qids, qns, luts) =
       collectBatchLuts(index.codebook, index.m, index.ksub, index.dsub,
-        queries, queryIdCol, queryVecCol, "pqTopKBatch")
+        queries, queryIdCol, queryVecCol, opName, signs = signs)
     val bc = sp.sparkContext.broadcast((qids, qns, luts))
     // registered like the quantized arm's PackedBatch broadcast: under
     // withServingResources the caller's release() destroys it after
@@ -1992,12 +2061,42 @@ object SimilaritySearch {
       queryVecCol: String,
       topK: Int = 10,
       nprobe: Int = 4,
-      overFetch: Int = 4): DataFrame = {
+      overFetch: Int = 4): DataFrame =
+    residualBatchImpl(index, queries, queryIdCol, queryVecCol, topK, nprobe,
+      overFetch, signs = Array.empty, opName = "ivfResidualPqTopKBatch")
+
+  /** Batched serving for the ROTATED-RESIDUAL tier (v30's throughput
+    * form): [[ivfResidualPqTopKBatch]]'s kernel verbatim — probes and
+    * per-(query, probed-cluster) offsets stay in the ORIGINAL space,
+    * only each query's LUT rotates (built distributed over Hq inside
+    * [[collectBatchLuts]]). Chunked form:
+    * [[rotResidualPqTopKBatchChunked]]. */
+  def rotResidualPqTopKBatch(
+      index: RotatedResidualPqIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4): DataFrame =
+    residualBatchImpl(index.rpq, queries, queryIdCol, queryVecCol, topK,
+      nprobe, overFetch, signs = index.signs, opName = "rotResidualPqTopKBatch")
+
+  private def residualBatchImpl(
+      index: ResidualPqIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int,
+      nprobe: Int,
+      overFetch: Int,
+      signs: Array[Int],
+      opName: String): DataFrame = {
     implicit val sp: SparkSession = index.encoded.sparkSession
     import sp.implicits._
     require(topK >= 1 && overFetch >= 1 && nprobe >= 1,
       "topK, overFetch and nprobe must be >= 1")
-    requireDistinctIdCols("ivfResidualPqTopKBatch", queryIdCol, index.idCol)
+    requireDistinctIdCols(opName, queryIdCol, index.idCol)
     val FP = 1L << 24
     val k = index.centroids.length
     val dim = index.m * index.dsub
@@ -2006,10 +2105,10 @@ object SimilaritySearch {
     val words = (k + 63) / 64
     val (qRows, qids, qns, luts) =
       collectBatchLuts(index.codebook, index.m, index.ksub, index.dsub,
-        queries, queryIdCol, queryVecCol, "ivfResidualPqTopKBatch")
+        queries, queryIdCol, queryVecCol, opName, signs = signs)
     val nQ = qids.length
     require(nQ.toLong * nprobe <= Int.MaxValue && nQ.toLong * words <= Int.MaxValue,
-      s"ivfResidualPqTopKBatch: $nQ queries × $nprobe offsets (or × $words " +
+      s"$opName: $nQ queries × $nprobe offsets (or × $words " +
         "mask words) exceeds the broadcast layout; chunk the batch")
     // per-query PROBED-ONLY centroid offsets in (q, probe-slot) layout
     // + probe masks — nprobe·dim flops per query on the driver, and an
@@ -3500,6 +3599,44 @@ object SimilaritySearch {
     }
   }
 
+  /** [[pqTopKBatchChunked]] for the ROTATED tier — same derates. */
+  def rotPqTopKBatchChunked(
+      index: RotatedPqIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      overFetch: Int = 4,
+      chunkTarget: Long = maxExactRows / 2): DataFrame = {
+    val lutCap = Int.MaxValue.toLong / (index.pq.m * index.pq.ksub)
+    chunkedUnion(queries, queryIdCol, math.max(1L, math.min(chunkTarget, lutCap))) { chunk =>
+      rotPqTopKBatch(index, chunk, queryIdCol, queryVecCol, topK, overFetch)
+    }
+  }
+
+  /** [[ivfResidualPqTopKBatchChunked]] for the ROTATED-RESIDUAL tier —
+    * same derates (LUT stride, nprobe offsets, ⌈k/64⌉ mask words). */
+  def rotResidualPqTopKBatchChunked(
+      index: RotatedResidualPqIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4,
+      chunkTarget: Long = maxExactRows / 2): DataFrame = {
+    val rpq = index.rpq
+    val lutCap = Int.MaxValue.toLong / (rpq.m * rpq.ksub)
+    val offCap = Int.MaxValue.toLong / math.max(1, nprobe)
+    val maskCap =
+      Int.MaxValue.toLong / math.max(1, (rpq.centroids.length + 63) / 64)
+    chunkedUnion(queries, queryIdCol,
+      math.max(1L, Seq(chunkTarget, lutCap, offCap, maskCap).min)) { chunk =>
+      rotResidualPqTopKBatch(index, chunk, queryIdCol, queryVecCol, topK,
+        nprobe, overFetch)
+    }
+  }
+
   /** Probe-pruned incremental dedup at the RESIDUAL-PQ tier — the
     * [[ivfIncrementalNearDup]] (v14) analog when the standing corpus's
     * RAM-resident form is residual codes: each ingest batch vector is
@@ -3524,7 +3661,36 @@ object SimilaritySearch {
       threshold: Double = 0.45,
       margin: Double = 0.2,
       nprobe: Int = 4,
-      corpusSizeHint: Long = -1L): DataFrame = {
+      corpusSizeHint: Long = -1L): DataFrame =
+    residualIncrementalImpl(index, batch, threshold, margin, nprobe,
+      corpusSizeHint, signs = Array.empty,
+      opName = "residualPqIncrementalNearDup")
+
+  /** Probe-pruned incremental dedup at the ROTATED-RESIDUAL tier —
+    * [[residualPqIncrementalNearDup]]'s screen verbatim: probes and
+    * offsets in the ORIGINAL space, each ingest row's LUT over its
+    * HD-rotated vector, margin semantics unchanged (orthogonality),
+    * exact verify never admits a false positive. */
+  def rotResidualPqIncrementalNearDup(
+      index: RotatedResidualPqIndex,
+      batch: DataFrame,
+      threshold: Double = 0.45,
+      margin: Double = 0.2,
+      nprobe: Int = 4,
+      corpusSizeHint: Long = -1L): DataFrame =
+    residualIncrementalImpl(index.rpq, batch, threshold, margin, nprobe,
+      corpusSizeHint, signs = index.signs,
+      opName = "rotResidualPqIncrementalNearDup")
+
+  private def residualIncrementalImpl(
+      index: ResidualPqIndex,
+      batch: DataFrame,
+      threshold: Double,
+      margin: Double,
+      nprobe: Int,
+      corpusSizeHint: Long,
+      signs: Array[Int],
+      opName: String): DataFrame = {
     implicit val sp: SparkSession = index.encoded.sparkSession
     import sp.implicits._
     require(margin >= 0.0,
@@ -3542,10 +3708,10 @@ object SimilaritySearch {
     // verify still re-reads the batch FRAME, as in pqIncrementalNearDup)
     val (qRows, qids, qns, luts) = collectBatchLuts(
       index.codebook, index.m, index.ksub, index.dsub,
-      batch, index.idCol, index.vecCol, "residualPqIncrementalNearDup")
+      batch, index.idCol, index.vecCol, opName, signs = signs)
     val nQ = qids.length
     require(nQ.toLong * nprobe <= Int.MaxValue && nQ.toLong * words <= Int.MaxValue,
-      s"residualPqIncrementalNearDup: $nQ batch rows × $nprobe offsets (or " +
+      s"$opName: $nQ batch rows × $nprobe offsets (or " +
         s"× $words mask words) exceeds the broadcast layout; chunk the batch")
     // probed-only offsets in the (q, probe-slot) layout shared with
     // ivfResidualPqTopKBatch — this arm already FILLED probed-only

@@ -451,9 +451,28 @@ object SimQueries {
     * per-query ROW_NUMBER windows — the same decisions
     * [[graft.operators.SimilaritySearch.pqTopKBatch]] makes, verbatim. */
   private def pqBatchOracleSql(
-      m: Int, ksub: Int, iters: Int, topK: Int, overFetch: Int, dim: Int): String = {
+      m: Int, ksub: Int, iters: Int, topK: Int, overFetch: Int, dim: Int,
+      rotated: Boolean = false): String = {
     val dsub = dim / m
-    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    val root = math.sqrt(dim.toDouble).toInt
+    // `rotated` (v31): the corpus trains over the HD-rotated `sub`, the
+    // batch split's LUTs read rotated per-query subvectors; norms and
+    // the rerank stay original-space — the oracle of
+    // [[graft.operators.SimilaritySearch.rotPqTopKBatch]]
+    val rotHead =
+      if (!rotated) ""
+      else s"${dsignSql(dim)},\n${rotCorpusCte(dim, root)},\n"
+    val trainSub =
+      if (!rotated) ""
+      else s"""sub AS (SELECT vec_id, (j - 1) // $dsub AS s, (j - 1) % $dsub + 1 AS i, y AS x
+              |        FROM rot)""".stripMargin
+    val qsubCtes =
+      if (!rotated)
+        s"""qsubB AS (SELECT q_id, s, i, ve[s * $dsub + i] AS x
+           |          FROM qd, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i))""".stripMargin
+      else rotQueryBatchCtes(dim, dsub, root)
+    val composed =
+      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
        |           WHERE vec_id % 7 <> 4),
        |vnorm AS (SELECT vec_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
        |          FROM d, generate_series(1, $dim) t(i) GROUP BY vec_id),
@@ -464,9 +483,8 @@ object SimQueries {
        |cnt AS (SELECT COUNT(*) AS n FROM d),
        |hashed AS (SELECT vec_id,
        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM d),
-       |${pqCodebookSql(m, ksub, iters, dim)},
-       |qsubB AS (SELECT q_id, s, i, ve[s * $dsub + i] AS x
-       |          FROM qd, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i)),
+       |$rotHead${pqCodebookSql(m, ksub, iters, dim, trainSub)},
+       |$qsubCtes,
        |lutB AS (SELECT q.q_id, cb.s, cb.c,
        |           SUM(CAST(FLOOR(q.x * cb.comp * 16777216.0 + 0.5) AS BIGINT)) AS l
        |         FROM cb$iters cb JOIN qsubB q ON q.s = cb.s AND q.i = cb.i
@@ -474,7 +492,18 @@ object SimQueries {
        |adcB AS (SELECT l.q_id, e.vec_id, SUM(l.l) AS adot
        |         FROM penc e JOIN lutB l ON l.s = e.s AND l.c = e.code
        |         GROUP BY l.q_id, e.vec_id),
-       |candB AS (SELECT q_id, vec_id FROM (
+       |${pqBatchRankTailSql(topK, overFetch, dim)}""".stripMargin
+    if (rotated) materializeCtes(composed, Seq("rot", "sub", "penc"))
+    else composed
+  }
+
+  /** Per-query candidate cut + exact rerank over `adcB` — the batch
+    * oracles' shared tail (v22/v25 and the rotated v31/v32): rounded
+    * coarse ROW_NUMBER windows to topK × overFetch, float rerank on
+    * the ORIGINAL vectors, per-query rank windows, the batch output
+    * contract (q_id, vec_id, cos_sim, rank). */
+  private def pqBatchRankTailSql(topK: Int, overFetch: Int, dim: Int): String =
+    s"""candB AS (SELECT q_id, vec_id FROM (
        |    SELECT a.q_id, a.vec_id, ROW_NUMBER() OVER (PARTITION BY a.q_id
        |        ORDER BY FLOOR(a.adot / 16777216.0 / (vn.nrm * qn.nrm) * 10000 + 0.5)
        |          / 10000 DESC, a.vec_id) AS rn
@@ -496,7 +525,6 @@ object SimQueries {
        |  FROM rrB)
        |SELECT q_id, vec_id, cos_sim, CAST(rn AS BIGINT) AS rank
        |FROM rankedB WHERE rn <= $topK ORDER BY q_id, rank""".stripMargin
-  }
 
   /** Batched PQ-ADC serving (v22) — the PQ tier's serving-matrix
     * counterpart of v15/v16: a whole query frame answers in one
@@ -534,10 +562,28 @@ object SimQueries {
     * makes. */
   private def pqIncrementalOracleSql(
       m: Int, ksub: Int, iters: Int,
-      threshold: Double, margin: Double, dim: Int): String = {
+      threshold: Double, margin: Double, dim: Int,
+      rotated: Boolean = false): String = {
     val dsub = dim / m
     val bound = threshold - margin
-    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    val root = math.sqrt(dim.toDouble).toInt
+    // `rotated` (v33): codes and per-row LUTs in the HD-rotated space,
+    // admission norms + exact verify original — the oracle of
+    // [[graft.operators.SimilaritySearch.rotPqIncrementalNearDup]]
+    val rotHead =
+      if (!rotated) ""
+      else s"${dsignSql(dim)},\n${rotCorpusCte(dim, root)},\n"
+    val trainSub =
+      if (!rotated) ""
+      else s"""sub AS (SELECT vec_id, (j - 1) // $dsub AS s, (j - 1) % $dsub + 1 AS i, y AS x
+              |        FROM rot)""".stripMargin
+    val qsubCtes =
+      if (!rotated)
+        s"""qsubB AS (SELECT q_id, s, i, ve[s * $dsub + i] AS x
+           |          FROM qd, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i))""".stripMargin
+      else rotQueryBatchCtes(dim, dsub, root)
+    val composed =
+      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
        |           WHERE vec_id % 7 <> 4),
        |vnorm AS (SELECT vec_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
        |          FROM d, generate_series(1, $dim) t(i) GROUP BY vec_id),
@@ -548,9 +594,8 @@ object SimQueries {
        |cnt AS (SELECT COUNT(*) AS n FROM d),
        |hashed AS (SELECT vec_id,
        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM d),
-       |${pqCodebookSql(m, ksub, iters, dim)},
-       |qsubB AS (SELECT q_id, s, i, ve[s * $dsub + i] AS x
-       |          FROM qd, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i)),
+       |$rotHead${pqCodebookSql(m, ksub, iters, dim, trainSub)},
+       |$qsubCtes,
        |lutB AS (SELECT q.q_id, cb.s, cb.c,
        |           SUM(CAST(FLOOR(q.x * cb.comp * 16777216.0 + 0.5) AS BIGINT)) AS l
        |         FROM cb$iters cb JOIN qsubB q ON q.s = cb.s AND q.i = cb.i
@@ -560,6 +605,8 @@ object SimQueries {
        |         GROUP BY l.q_id, e.vec_id),
        |${incrementalAdmissionSql(bound)},
        |${incrementalStatusTailSql(threshold, dim)}""".stripMargin
+    if (rotated) materializeCtes(composed, Seq("rot", "sub", "penc"))
+    else composed
   }
 
   /** The margin-admission cut over `adcB` — rounded approx cosine ≥
@@ -753,6 +800,32 @@ object SimQueries {
     s"(CASE WHEN bit_count(CAST($iExpr - 1 AS BIGINT) & CAST($jExpr - 1 AS BIGINT)) % 2 = 0 " +
       "THEN 1 ELSE -1 END)"
 
+  /** The corpus-side HD rotation CTE: rotated component j of every
+    * `d` row, as an order-free signed integer sum on the 2^24 grid
+    * with the exact 2^24·√dim rescale. Shared by v29/v30/v31/v32. */
+  private def rotCorpusCte(dim: Int, root: Int): String =
+    s"""rot AS (SELECT v.vec_id, tj.j,
+       |    CAST(SUM(${hadSgnSql("ti.i", "tj.j")}
+       |      * ds.sgn * CAST(FLOOR(v.ve[ti.i] * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / 16777216.0 / $root.0 AS y
+       |  FROM d v, generate_series(1, $dim) tj(j), generate_series(1, $dim) ti(i), dsign ds
+       |  WHERE ds.i = ti.i
+       |  GROUP BY v.vec_id, tj.j)""".stripMargin
+
+  /** The batch-split rotation: per-query rotated subvectors replacing
+    * the plain `qsubB` in the batch oracles' LUT chains (offsets and
+    * norms stay original-space). */
+  private def rotQueryBatchCtes(dim: Int, dsub: Int, root: Int): String =
+    s"""qrotB AS (SELECT q.q_id, tj.j,
+       |    CAST(SUM(${hadSgnSql("ti.i", "tj.j")}
+       |      * ds.sgn * CAST(FLOOR(q.ve[ti.i] * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / 16777216.0 / $root.0 AS y
+       |  FROM qd q, generate_series(1, $dim) tj(j), generate_series(1, $dim) ti(i), dsign ds
+       |  WHERE ds.i = ti.i
+       |  GROUP BY q.q_id, tj.j),
+       |qsubB AS (SELECT q_id, (j - 1) // $dsub AS s, (j - 1) % $dsub + 1 AS i, y AS x
+       |          FROM qrotB)""".stripMargin
+
   /** Rotated-PQ oracle (v29): the v20 replay over the HD-ROTATED
     * corpus. `dsign` derives the ±1 diagonal from the md5-parity both
     * engines compute identically; `rot` applies the Walsh–Hadamard
@@ -782,13 +855,7 @@ object SimQueries {
          |hashed AS (SELECT vec_id,
          |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM d),
          |${dsignSql(dim)},
-         |rot AS (SELECT v.vec_id, tj.j,
-         |    CAST(SUM(${hadSgnSql("ti.i", "tj.j")}
-         |      * ds.sgn * CAST(FLOOR(v.ve[ti.i] * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
-         |      / 16777216.0 / $root.0 AS y
-         |  FROM d v, generate_series(1, $dim) tj(j), generate_series(1, $dim) ti(i), dsign ds
-         |  WHERE ds.i = ti.i
-         |  GROUP BY v.vec_id, tj.j),
+         |${rotCorpusCte(dim, root)},
          |${pqCodebookSql(m, ksub, iters, dim, rotSub)},
          |qsub AS (SELECT s, i, x FROM sub WHERE vec_id = 0),
          |lut AS (SELECT cb.s, cb.c,
@@ -826,6 +893,93 @@ object SimQueries {
       .select(col("embedding")).as[Array[Float]].head()
     graft.operators.SimilaritySearch.rotPqTopK(idx, qVec, topK = 10,
       overFetch = 4, filter = col("vec_id") =!= 0)
+  }
+
+  /** Batched rotated-PQ serving (v31) — v29's throughput form, closing
+    * the rotated tier's serving matrix the way v22 closed the raw
+    * tier's: the whole query split answers in one flat-kernel pass,
+    * each query's LUT built over ITS HD-rotated vector in the
+    * distributed LUT map, norms and rerank original-space. Oracle:
+    * [[pqBatchOracleSql]] with `rotated = true` — the v22 chain with
+    * the corpus `sub` and the per-query `qsubB` both rotated. */
+  val rotPqBatchTopK: Q = Q(
+    "v31_rot_pq_batch_topk",
+    pqBatchOracleSql(m = 8, ksub = 16, iters = 2, topK = 3, overFetch = 4,
+      dim = 64, rotated = true)) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val idx = graft.operators.SimilaritySearch.rotPqBuild(
+      e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
+      m = 8, ksub = 16, lloydIters = 2, portableSeeds = true)
+    graft.operators.SimilaritySearch.rotPqTopKBatch(
+        idx,
+        e.filter(col("vec_id") % 7 === 4)
+          .select(col("vec_id").as("q_id"), col("embedding")),
+        "q_id", "embedding", topK = 3, overFetch = 4)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Batched rotated-residual serving (v32) — v30's throughput form:
+    * per-query probe bitmask row pruning + original-space offsets +
+    * rotated per-query LUTs in one broadcast, the v25 kernel verbatim.
+    * Oracle: [[residualPqBatchOracleSql]] with `rotated = true`. */
+  val rotResidualPqBatchTopK: Q = Q(
+    "v32_rot_residual_pq_batch_topk",
+    residualPqBatchOracleSql(k = 16, kIters = 3, nprobe = 4, m = 8, ksub = 16,
+      pqIters = 2, topK = 3, overFetch = 4, dim = 64, rotated = true)) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val ivf = graft.operators.SimilaritySearch.ivfBuild(
+      e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
+      k = 16, lloydIters = 3, portableSeeds = true)
+    val rrpq = graft.operators.SimilaritySearch.ivfRotResidualPqBuild(
+      ivf, m = 8, ksub = 16, lloydIters = 2, portableSeeds = true)
+    graft.operators.SimilaritySearch.rotResidualPqTopKBatch(
+        rrpq,
+        e.filter(col("vec_id") % 7 === 4)
+          .select(col("vec_id").as("q_id"), col("embedding")),
+        "q_id", "embedding", topK = 3, nprobe = 4, overFetch = 4)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Rotated-PQ incremental dedup (v33) — v24's ingest screen with the
+    * standing codes in the HD-rotated space: each ingest row's LUT is
+    * built over its rotated vector, margin admission and the exact
+    * float verify keep v24's contract exactly (orthogonality preserves
+    * the ADC-vs-true-cosine relationship the margin prices). Oracle:
+    * [[pqIncrementalOracleSql]] with `rotated = true`. */
+  val rotPqIncrementalDedup: Q = Q(
+    "v33_rot_pq_incremental_dedup",
+    pqIncrementalOracleSql(m = 8, ksub = 16, iters = 2,
+      threshold = 0.45, margin = 0.2, dim = 64, rotated = true)) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val idx = graft.operators.SimilaritySearch.rotPqBuild(
+      e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
+      m = 8, ksub = 16, lloydIters = 2, portableSeeds = true)
+    graft.operators.SimilaritySearch.rotPqIncrementalNearDup(
+        idx, e.filter(col("vec_id") % 7 === 4),
+        threshold = 0.45, margin = 0.2)
+      .orderBy("vec_id")
+  }
+
+  /** Rotated-residual incremental dedup (v34) — v26's probe-pruned
+    * ingest screen at the rotated-residual tier (the full `OPQ,IVF,PQ`
+    * ingest shape): probes + offsets original-space, LUTs rotated,
+    * exact verify never admits a false positive. Oracle:
+    * [[residualPqIncrementalOracleSql]] with `rotated = true`. */
+  val rotResidualPqIncrementalDedup: Q = Q(
+    "v34_rot_residual_pq_incremental_dedup",
+    residualPqIncrementalOracleSql(k = 16, kIters = 3, nprobe = 4,
+      m = 8, ksub = 16, pqIters = 2,
+      threshold = 0.45, margin = 0.2, dim = 64, rotated = true)) { (s, dir) =>
+    val e = t(s, dir, "embeddings")
+    val ivf = graft.operators.SimilaritySearch.ivfBuild(
+      e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
+      k = 16, lloydIters = 3, portableSeeds = true)
+    val rrpq = graft.operators.SimilaritySearch.ivfRotResidualPqBuild(
+      ivf, m = 8, ksub = 16, lloydIters = 2, portableSeeds = true)
+    graft.operators.SimilaritySearch.rotResidualPqIncrementalNearDup(
+        rrpq, e.filter(col("vec_id") % 7 === 4),
+        threshold = 0.45, margin = 0.2, nprobe = 4)
+      .orderBy("vec_id")
   }
 
   /** Rotated-RESIDUAL IVF-PQ oracle (v30): the v23 replay with the HD
@@ -1038,17 +1192,48 @@ object SimQueries {
     * status tail. MATERIALIZED hints applied here (the v23 lesson). */
   private def residualBatchAdcSql(
       k: Int, kIters: Int, nprobe: Int,
-      m: Int, ksub: Int, pqIters: Int, dim: Int): String = {
+      m: Int, ksub: Int, pqIters: Int, dim: Int,
+      rotated: Boolean = false): String = {
     val dsub = dim / m
+    val root = math.sqrt(dim.toDouble).toInt
+    // `rotated` (v32): residuals pass through the HD rotation before
+    // the subspace split (`res` → `rres`), the batch LUTs read rotated
+    // per-query subvectors; probes, offsets, norms, rerank all stay
+    // original-space — [[graft.operators.SimilaritySearch
+    // .rotResidualPqTopKBatch]]'s exact decomposition
     val residualSub =
-      s"""sub AS (SELECT v.vec_id, ss.s, ti.i, v.ve[ss.s * $dsub + ti.i] - cc.comp AS x
-         |        FROM d v, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i),
-         |          finalassign a, cents$kIters cc
-         |        WHERE a.vec_id = v.vec_id AND cc.c = a.cluster
-         |          AND cc.i = ss.s * $dsub + ti.i)""".stripMargin
+      if (!rotated)
+        s"""sub AS (SELECT v.vec_id, ss.s, ti.i, v.ve[ss.s * $dsub + ti.i] - cc.comp AS x
+           |        FROM d v, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i),
+           |          finalassign a, cents$kIters cc
+           |        WHERE a.vec_id = v.vec_id AND cc.c = a.cluster
+           |          AND cc.i = ss.s * $dsub + ti.i)""".stripMargin
+      else
+        s"""sub AS (SELECT vec_id, (j - 1) // $dsub AS s, (j - 1) % $dsub + 1 AS i, y AS x
+           |        FROM rres)""".stripMargin
+    val rotHead =
+      if (!rotated) ""
+      else
+        s"""${dsignSql(dim)},
+           |res AS (SELECT v.vec_id, ti.i, v.ve[ti.i] - cc.comp AS x
+           |        FROM d v, generate_series(1, $dim) ti(i), finalassign a, cents$kIters cc
+           |        WHERE a.vec_id = v.vec_id AND cc.c = a.cluster AND cc.i = ti.i),
+           |rres AS (SELECT r.vec_id, tj.j,
+           |    CAST(SUM(${hadSgnSql("r.i", "tj.j")}
+           |      * ds.sgn * CAST(FLOOR(r.x * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           |      / 16777216.0 / $root.0 AS y
+           |  FROM res r, generate_series(1, $dim) tj(j), dsign ds
+           |  WHERE ds.i = r.i
+           |  GROUP BY r.vec_id, tj.j),
+           |""".stripMargin
+    val qsubCtes =
+      if (!rotated)
+        s"""qsubB AS (SELECT q_id, s, i, ve[s * $dsub + i] AS x
+           |          FROM qd, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i))""".stripMargin
+      else rotQueryBatchCtes(dim, dsub, root)
     val composed =
       s"""${ivfCentroidSql(k, kIters, dim, " WHERE vec_id % 7 <> 4")},
-         |${pqCodebookSql(m, ksub, pqIters, dim, residualSub)},
+         |$rotHead${pqCodebookSql(m, ksub, pqIters, dim, residualSub)},
          |qd AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
          |       WHERE vec_id % 7 = 4),
          |qnorm AS (SELECT q_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
@@ -1062,8 +1247,7 @@ object SimQueries {
          |    SELECT q_id, c, ROW_NUMBER() OVER (PARTITION BY q_id
          |      ORDER BY sim DESC, c) AS rn FROM bqsim) p
          |  WHERE rn <= $nprobe),
-         |qsubB AS (SELECT q_id, s, i, ve[s * $dsub + i] AS x
-         |          FROM qd, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i)),
+         |$qsubCtes,
          |lutB AS (SELECT q.q_id, cb.s, cb.c,
          |           SUM(CAST(FLOOR(q.x * cb.comp * 16777216.0 + 0.5) AS BIGINT)) AS l
          |         FROM cb$pqIters cb JOIN qsubB q ON q.s = cb.s AND q.i = cb.i
@@ -1079,36 +1263,17 @@ object SimQueries {
          |adcB AS (SELECT r.q_id, r.vec_id, r.rdot + o.off AS adot
          |         FROM radcB r JOIN qoffB o ON o.q_id = r.q_id AND o.c = r.cluster)""".stripMargin
     materializeCtes(composed,
-      Seq("finalassign", "sub", s"cents$kIters", "penc"))
+      Seq("finalassign", "sub", s"cents$kIters", "penc") ++
+        (if (rotated) Seq("res", "rres") else Nil))
   }
 
   private def residualPqBatchOracleSql(
       k: Int, kIters: Int, nprobe: Int,
       m: Int, ksub: Int, pqIters: Int,
-      topK: Int, overFetch: Int, dim: Int): String =
-    s"""${residualBatchAdcSql(k, kIters, nprobe, m, ksub, pqIters, dim)},
-         |candB AS (SELECT q_id, vec_id FROM (
-         |    SELECT a.q_id, a.vec_id, ROW_NUMBER() OVER (PARTITION BY a.q_id
-         |        ORDER BY FLOOR(a.adot / 16777216.0 / (vn.nrm * qn.nrm) * 10000 + 0.5)
-         |          / 10000 DESC, a.vec_id) AS rn
-         |    FROM adcB a JOIN vnorm vn ON vn.vec_id = a.vec_id
-         |      JOIN qnorm qn ON qn.q_id = a.q_id) t
-         |  WHERE rn <= ${topK * overFetch}),
-         |rrB AS (SELECT c.q_id, d.vec_id, SUM(d.ve[t.i] * q.ve[t.i]) AS dot,
-         |          vn.nrm AS n1, qn.nrm AS n2
-         |        FROM candB c JOIN d ON d.vec_id = c.vec_id
-         |          JOIN qd q ON q.q_id = c.q_id
-         |          JOIN vnorm vn ON vn.vec_id = c.vec_id
-         |          JOIN qnorm qn ON qn.q_id = c.q_id,
-         |          generate_series(1, $dim) t(i)
-         |        GROUP BY c.q_id, d.vec_id, vn.nrm, qn.nrm),
-         |rankedB AS (SELECT q_id, vec_id,
-         |    FLOOR(dot / (n1 * n2) * 10000 + 0.5) / 10000 AS cos_sim,
-         |    ROW_NUMBER() OVER (PARTITION BY q_id
-         |      ORDER BY FLOOR(dot / (n1 * n2) * 10000 + 0.5) / 10000 DESC, vec_id) AS rn
-         |  FROM rrB)
-         |SELECT q_id, vec_id, cos_sim, CAST(rn AS BIGINT) AS rank
-         |FROM rankedB WHERE rn <= $topK ORDER BY q_id, rank""".stripMargin
+      topK: Int, overFetch: Int, dim: Int,
+      rotated: Boolean = false): String =
+    s"""${residualBatchAdcSql(k, kIters, nprobe, m, ksub, pqIters, dim, rotated)},
+         |${pqBatchRankTailSql(topK, overFetch, dim)}""".stripMargin
 
   /** Residual-tier incremental dedup oracle (v26): the SAME
     * probe-restricted composed ADC prefix as v25
@@ -1121,8 +1286,9 @@ object SimQueries {
   private def residualPqIncrementalOracleSql(
       k: Int, kIters: Int, nprobe: Int,
       m: Int, ksub: Int, pqIters: Int,
-      threshold: Double, margin: Double, dim: Int): String =
-    s"""${residualBatchAdcSql(k, kIters, nprobe, m, ksub, pqIters, dim)},
+      threshold: Double, margin: Double, dim: Int,
+      rotated: Boolean = false): String =
+    s"""${residualBatchAdcSql(k, kIters, nprobe, m, ksub, pqIters, dim, rotated)},
        |${incrementalAdmissionSql(threshold - margin)},
        |${incrementalStatusTailSql(threshold, dim)}""".stripMargin
 
@@ -1835,5 +2001,6 @@ object SimQueries {
     ivfServePersisted, embeddingComponents, bandedComponents, pqAdcTopK,
     ivfPqAdcTopK, pqBatchTopK, ivfResidualPqAdcTopK, pqIncrementalDedup,
     residualPqBatchTopK, residualPqIncrementalDedup, pqWideAdcTopK,
-    residualPqWideTopK, rotPqTopK, rotResidualPqTopK)
+    residualPqWideTopK, rotPqTopK, rotResidualPqTopK, rotPqBatchTopK,
+    rotResidualPqBatchTopK, rotPqIncrementalDedup, rotResidualPqIncrementalDedup)
 }

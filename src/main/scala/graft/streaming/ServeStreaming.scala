@@ -223,4 +223,51 @@ object ServeStreaming {
         SimilaritySearch.ivfResidualPqTopKBatchChunked(
           index, batch, queryIdCol, queryVecCol, topK, nprobe, overFetch))
   }
+
+  /** Streaming ROTATED-PQ serving (v29's streaming arm) — the same
+    * [[serveStreamLoop]] recipe over [[SimilaritySearch.rotPqLoad]] +
+    * the rotated chunked batch serve; a mid-stream
+    * [[SimilaritySearch.rotPqSave]] refresh lands on the very next
+    * micro-batch. */
+  def rotPqServeStream(
+      stream: DataFrame,
+      indexDir: String,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      outDir: String,
+      topK: Int = 10,
+      overFetch: Int = 4,
+      cacheIndex: Boolean = true): StreamingQuery = {
+    val spark = stream.sparkSession
+    serveStreamLoop[SimilaritySearch.RotatedPqIndex](
+      stream, indexDir, outDir, "rotPqServeStream", "rotPqSave", cacheIndex,
+      load = path => SimilaritySearch.rotPqLoad(spark, path, corpus),
+      serve = (index, batch) =>
+        SimilaritySearch.rotPqTopKBatchChunked(
+          index, batch, queryIdCol, queryVecCol, topK, overFetch))
+  }
+
+  /** Streaming ROTATED-RESIDUAL serving (v30's streaming arm) — same
+    * recipe over [[SimilaritySearch.rotResidualPqLoad]]. */
+  def rotResidualPqServeStream(
+      stream: DataFrame,
+      indexDir: String,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      outDir: String,
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4,
+      cacheIndex: Boolean = true): StreamingQuery = {
+    val spark = stream.sparkSession
+    serveStreamLoop[SimilaritySearch.RotatedResidualPqIndex](
+      stream, indexDir, outDir, "rotResidualPqServeStream",
+      "rotResidualPqSave", cacheIndex,
+      load = path => SimilaritySearch.rotResidualPqLoad(spark, path, corpus),
+      serve = (index, batch) =>
+        SimilaritySearch.rotResidualPqTopKBatchChunked(
+          index, batch, queryIdCol, queryVecCol, topK, nprobe, overFetch))
+  }
 }

@@ -130,7 +130,10 @@ class PlanQualitySpec extends AnyFunSuite {
         // round 19: the wide (two-word) code layout at ksub=256 and
         // the HD-rotated tiers (OPQ decorrelation, raw + residual)
         "v27_pq_wide_topk", "v28_residual_pq_wide_topk",
-        "v29_rot_pq_topk", "v30_rot_residual_pq_topk")) {
+        "v29_rot_pq_topk", "v30_rot_residual_pq_topk",
+        "v31_rot_pq_batch_topk", "v32_rot_residual_pq_batch_topk",
+        "v33_rot_pq_incremental_dedup",
+        "v34_rot_residual_pq_incremental_dedup")) {
       val nodes = finalPlan(name)
       assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
         s"$name contains a cartesian product")

@@ -1663,6 +1663,65 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("both"))
   }
 
+  test("rotated tiers: batch arms agree with per-query serving; incremental screens find the planted dup") {
+    import spark.implicits._
+    val corpus = (1L to 300L).map(i => (i, vec(i * 811 + 23))).toDF("id", "v")
+    val queryIds = Seq(901L, 902L, 903L)
+    val queries = (queryIds.map(q => (q, vec(q))) :+
+      (999L, new Array[Float](dim))).toDF("q_id", "qv") // one degenerate
+    // v29 batch == per-query
+    val rp = SimilaritySearch.rotPqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 2)
+    val rBatch = SimilaritySearch.rotPqTopKBatch(rp, queries, "q_id", "qv",
+        topK = 5, overFetch = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(!rBatch.contains(999L), "a degenerate query must produce no rows")
+    queryIds.foreach { q =>
+      val solo = SimilaritySearch.rotPqTopK(rp, vec(q), topK = 5, overFetch = 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (q, r.getLong(0), r.getDouble(1), (i + 1).toLong) }
+        .toSeq
+      assert(rBatch(q).sortBy(_._4).toSeq == solo,
+        s"rotated batch and per-query serving disagree for query $q")
+    }
+    // v30 batch == per-query
+    val ivf = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 8, lloydIters = 2)
+    val rr = SimilaritySearch.ivfRotResidualPqBuild(ivf, m = 4, ksub = 8,
+      lloydIters = 2)
+    val rrBatch = SimilaritySearch.rotResidualPqTopKBatch(rr, queries, "q_id",
+        "qv", topK = 5, nprobe = 3, overFetch = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(!rrBatch.contains(999L))
+    queryIds.foreach { q =>
+      val solo = SimilaritySearch.rotResidualPqTopK(rr, vec(q), topK = 5,
+          nprobe = 3, overFetch = 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (q, r.getLong(0), r.getDouble(1), (i + 1).toLong) }
+        .toSeq
+      assert(rrBatch(q).sortBy(_._4).toSeq == solo,
+        s"rotated-residual batch and per-query serving disagree for query $q")
+    }
+    // incremental screens: a planted near-copy of corpus row 42 flags
+    // as dup through BOTH rotated screens (wide margin covers the
+    // reconstruction error; the exact verify decides)
+    val seed = vec(42L * 811 + 23)
+    val batch = Seq((5042L, jitter(seed, 0.001f)),
+      (5043L, vec(777L))).toDF("id", "v")
+    val st1 = SimilaritySearch.rotPqIncrementalNearDup(rp, batch,
+        threshold = 0.9, margin = 0.6)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(st1(5042L) == "dup", s"rotated screen missed the planted dup: $st1")
+    val st2 = SimilaritySearch.rotResidualPqIncrementalNearDup(rr, batch,
+        threshold = 0.9, margin = 0.6, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(st2(5042L) == "dup",
+      s"rotated-residual screen missed the planted dup: $st2")
+  }
+
   test("residualPqIncrementalNearDup: pruned statuses subset the full screen; planted dup found") {
     import spark.implicits._
     val corpus = (1L to 200L).map(i => (i, vec(i * 613 + 7))).toDF("id", "v")
