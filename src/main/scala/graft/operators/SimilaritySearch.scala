@@ -1177,6 +1177,241 @@ object SimilaritySearch {
         corpus.select(col(idCol), col(vecCol)), idCol, vecCol))
   }
 
+  /** A TRAINED-OPQ index (v35): [[r]] is the learned orthogonal
+    * rotation (row-major, y = R x), [[pq]]'s codebook and codes live in
+    * the rotated space, `pq.corpus` is the ORIGINAL float table (the
+    * exact rerank never needs the inverse — R is orthogonal, true
+    * cosines unchanged). Unlike the HD tiers, R is DATA-DEPENDENT:
+    * persist it yourself if you persist the codes (no save/load pair
+    * here by design — the deterministic HD tiers are the persisted
+    * ones; this is the recall-ceiling probe). */
+  final case class OpqPqIndex(r: Array[Array[Double]], pq: PqIndex)
+
+  /** y = R x, one fixed-order double dot per output component. */
+  private def matVec(r: Array[Array[Double]], x: Array[Float]): Array[Double] = {
+    val n = r.length
+    val out = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      val row = r(j)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += row(i) * x(i).toDouble; i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    out
+  }
+
+  /** The Procrustes update of OPQ-NP (Ge et al., CVPR'13, Alg. 1):
+    * given M = Σᵢ xᵢ ŷᵢᵀ, the orthogonal R maximizing tr(R M) is
+    * V Uᵀ for M = U Σ Vᵀ. SVD by deterministic cyclic one-sided
+    * Jacobi (fixed sweep order, relative threshold) — pure driver
+    * arithmetic, bit-reproducible across runs, no library dependency.
+    * Loud on rank deficiency (a degenerate corpus has no defined
+    * rotation; callers should fall back to the HD tier). */
+  private[graft] def procrustesRotation(
+      m0: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = m0.length
+    val a = Array.tabulate(n, n)((i, j) => m0(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var rotated = true
+    while (sweep < 60 && rotated) {
+      rotated = false
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          var app = 0.0; var aqq = 0.0; var apq = 0.0
+          var i = 0
+          while (i < n) {
+            val x = a(i)(p); val y = a(i)(q)
+            app += x * x; aqq += y * y; apq += x * y
+            i += 1
+          }
+          if (math.abs(apq) > 1e-15 * math.sqrt(app * aqq)) {
+            rotated = true
+            val tau = (aqq - app) / (2 * apq)
+            val t = math.signum(tau) / (math.abs(tau) + math.sqrt(1 + tau * tau))
+            val c = 1 / math.sqrt(1 + t * t); val s = t * c
+            var i2 = 0
+            while (i2 < n) {
+              val x = a(i2)(p); val y = a(i2)(q)
+              a(i2)(p) = c * x - s * y; a(i2)(q) = s * x + c * y
+              val vx = v(i2)(p); val vy = v(i2)(q)
+              v(i2)(p) = c * vx - s * vy; v(i2)(q) = s * vx + c * vy
+              i2 += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val u = Array.ofDim[Double](n, n)
+    var j = 0
+    while (j < n) {
+      var nn = 0.0; var i = 0
+      while (i < n) { nn += a(i)(j) * a(i)(j); i += 1 }
+      val s = math.sqrt(nn)
+      require(s > 1e-12,
+        "procrustesRotation: rank-deficient x·ŷ correlation — the corpus is " +
+          "degenerate along some direction; use the HD rotation tier instead")
+      i = 0
+      while (i < n) { u(i)(j) = a(i)(j) / s; i += 1 }
+      j += 1
+    }
+    Array.tabulate(n, n) { (i, jj) =>
+      var acc = 0.0; var k = 0
+      while (k < n) { acc += v(i)(k) * u(jj)(k); k += 1 }
+      acc
+    }
+  }
+
+  /** Train OPQ-NP (Ge et al., CVPR'13, Algorithm 1 — the TRAINED
+    * orthogonal rotation, the recall rung above the deterministic HD
+    * baseline): alternate (a) PQ codebook training over y = R x with
+    * (b) the Procrustes update R ← V Uᵀ of M = Σ xᵢ ŷᵢᵀ (ŷ = the
+    * codeword reconstruction), starting from the HD rotation. M
+    * accumulates as ORDER-FREE fixed-point integer sums (bit-
+    * deterministic in any partition order), the SVD is the
+    * deterministic Jacobi above, and each codebook train reuses
+    * [[pqBuild]] verbatim over the rotated (float) corpus — so the
+    * whole build is reproducible run-to-run. NOT SQL-replayable (the
+    * SVD has no oracle form): v35 carries the rows-only driver check,
+    * with the spec pinning orthogonality/determinism/exactness and the
+    * clustered fixture measuring the recall delta vs HD. Serving:
+    * [[opqPqTopK]] — rotated LUT, original norms, original-float
+    * rerank, exactly the [[rotPqTopK]] recipe with R in place of HD. */
+  def opqPqBuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      lloydIters: Int = 2,
+      opqIters: Int = 3,
+      portableSeeds: Boolean = false): OpqPqIndex = {
+    require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val src = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].persist()
+    def failing[A](body: => A): A =
+      try body
+      catch { case t: Throwable => src.unpersist(blocking = false); throw t }
+    val dim = failing {
+      require(src.count() > 0, "opqPqBuild: empty corpus")
+      src.head()._2.length
+    }
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val rt = math.sqrt(dim.toDouble).toLong
+    require(rt * rt == dim && java.lang.Long.bitCount(rt) == 1,
+      s"opqPqBuild needs a power-of-4 dimension (the HD init), got dim=$dim")
+    val dsub = dim / m
+    val signs = rotationSigns(dim)
+    val root = math.sqrt(dim.toDouble)
+    // HD init: R0(j)(i) = D(i)·(−1)^popcount(i∧j)/√dim
+    var r: Array[Array[Double]] = Array.tabulate(dim, dim) { (j, i) =>
+      val h = if ((java.lang.Long.bitCount((i & j).toLong) & 1) == 0) 1.0 else -1.0
+      h * signs(i) / root
+    }
+    val FP = 1L << 24
+    var idx: PqIndex = null
+    var it = 0
+    while (it < opqIters) {
+      val bcR = sp.sparkContext.broadcast(r)
+      // rotated float corpus — pqBuild's input (float rounding is a
+      // deterministic function of R, so the whole build reproduces)
+      val rotDf = src.map { case (id, x) =>
+        (id, matVec(bcR.value, x).map(_.toFloat))
+      }.toDF(idCol, "__y")
+      idx = failing { pqBuild(rotDf, idCol, "__y", m, ksub, lloydIters,
+        portableSeeds) }
+      if (it < opqIters - 1) {
+        // M = Σ x ŷᵀ in fixed-point (order-free; exact integer adds)
+        val bcCb = sp.sparkContext.broadcast(idx.codebook)
+        val mLoc2 = m; val dsubLoc2 = dsub; val dimLoc = dim
+        val mFp = failing {
+          src.mapPartitions { rows =>
+            val acc = new Array[Long](dimLoc * dimLoc)
+            val cb = bcCb.value
+            val rr = bcR.value
+            rows.foreach { case (_, x) =>
+              if (x.length == dimLoc) {
+                val y = matVec(rr, x)
+                val yhat = new Array[Double](dimLoc)
+                var s = 0
+                while (s < mLoc2) {
+                  val cw = cb(s)(pqNearestCode(cb, y, s, dsubLoc2))
+                  var i = 0
+                  while (i < dsubLoc2) { yhat(s * dsubLoc2 + i) = cw(i); i += 1 }
+                  s += 1
+                }
+                var a = 0
+                while (a < dimLoc) {
+                  val xa = x(a).toDouble
+                  var b = 0
+                  while (b < dimLoc) {
+                    acc(a * dimLoc + b) +=
+                      math.round(xa * yhat(b) * FP)
+                    b += 1
+                  }
+                  a += 1
+                }
+              }
+            }
+            Iterator.single(acc)
+          }.reduce { (l, rgt) =>
+            val out = new Array[Long](l.length)
+            var i = 0
+            while (i < l.length) { out(i) = l(i) + rgt(i); i += 1 }
+            out
+          }
+        }
+        bcCb.destroy()
+        val mMat = Array.tabulate(dim, dim) { (a, b) =>
+          mFp(a * dim + b).toDouble / FP
+        }
+        r = failing { procrustesRotation(mMat) }
+        // safe to reclaim: this iteration's index (whose lazy encoded
+        // frame references bcR) is about to be replaced. The FINAL
+        // iteration's broadcast must stay alive — the returned index's
+        // encoded frame evaluates through it.
+        bcR.destroy()
+      }
+      it += 1
+    }
+    src.unpersist(blocking = false)
+    // the rerank binds to the ORIGINAL floats (aliased to the index's
+    // internal vector column name); stored nrm is ‖yf‖ = ‖x‖ up to
+    // float rounding (orthogonality), recall-irrelevant
+    OpqPqIndex(r,
+      idx.copy(corpus = corpus.select(col(idCol), col(vecCol).as("__y"))))
+  }
+
+  /** ANN top-k from an [[OpqPqIndex]] — [[rotPqTopK]]'s recipe with the
+    * TRAINED R: rotated-query LUT, original query norm, original-float
+    * exact rerank (orthogonality keeps true cosines unchanged). */
+  def opqPqTopK(
+      index: OpqPqIndex,
+      query: Array[Float],
+      topK: Int = 10,
+      overFetch: Int = 4,
+      filter: Column = lit(true)): DataFrame = {
+    val pq = index.pq
+    require(query.length == pq.m * pq.dsub,
+      s"query dim ${query.length} != index dim ${pq.m * pq.dsub}")
+    val qRot = matVec(index.r, query)
+    val lut = pqBatchLutRowD(pq.codebook, qRot, pq.m, pq.ksub, pq.dsub)._2
+    pqServeCore(pq.m, pq.ksub, pq.dsub, pq.bits, pq.codebook,
+      pq.idCol, pq.vecCol, pq.corpus, query, topK, overFetch,
+      pq.encoded.filter(filter), fpOffset = None,
+      lutQn = Some((lut, normF(query))))
+  }
+
   /** [[pqBatchLutRow]] plus the shared NULL-degrade + loud
     * mixed-dimension policy — object-level (not a local def) so the
     * distributed arm's closure stays serializable. */

@@ -982,6 +982,28 @@ object SimQueries {
       .orderBy("vec_id")
   }
 
+  /** Trained-OPQ ANN (v35) — the recall rung ABOVE the deterministic HD
+    * rotation: OPQ-NP (Ge et al., CVPR'13, Alg. 1) alternates codebook
+    * training with a Procrustes rotation update (deterministic Jacobi
+    * SVD of the fixed-point x·ŷ correlation). The SVD has no ANSI-SQL
+    * form, so this is the repo's ONE rows-only entry by design — its
+    * gates are the spec (orthogonality, bit-determinism, covering-
+    * overFetch == exact) and the clustered fixture's measured recall
+    * arm; everything downstream of the rotation (LUT, scan, rerank) is
+    * the oracle-gated v29 machinery. */
+  val opqTopKEntry: Q = Q.noOracle("v35_opq_pq_topk") { (s, dir) =>
+    val sp = s
+    import sp.implicits._
+    val e = t(s, dir, "embeddings")
+    val idx = graft.operators.SimilaritySearch.opqPqBuild(
+      e, "vec_id", "embedding", m = 8, ksub = 16, lloydIters = 2,
+      opqIters = 2, portableSeeds = true)
+    val qVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    graft.operators.SimilaritySearch.opqPqTopK(idx, qVec, topK = 10,
+      overFetch = 4, filter = col("vec_id") =!= 0)
+  }
+
   /** Rotated-RESIDUAL IVF-PQ oracle (v30): the v23 replay with the HD
     * rotation applied to every residual before the subspace split —
     * `res` materializes the per-(vec, dim) residual, `rres` rotates it
@@ -2002,5 +2024,6 @@ object SimQueries {
     ivfPqAdcTopK, pqBatchTopK, ivfResidualPqAdcTopK, pqIncrementalDedup,
     residualPqBatchTopK, residualPqIncrementalDedup, pqWideAdcTopK,
     residualPqWideTopK, rotPqTopK, rotResidualPqTopK, rotPqBatchTopK,
-    rotResidualPqBatchTopK, rotPqIncrementalDedup, rotResidualPqIncrementalDedup)
+    rotResidualPqBatchTopK, rotPqIncrementalDedup, rotResidualPqIncrementalDedup,
+    opqTopKEntry)
 }

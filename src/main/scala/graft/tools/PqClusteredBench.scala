@@ -46,6 +46,9 @@ object PqClusteredBench {
     val nQueries = if (args.length > 2) args(2).toInt else 30
     val sigma = if (args.length > 3) args(3).toDouble else 0.5
     val aniso = if (args.length > 4) args(4).toDouble else 0.0
+    // r19: the m dial — 16 subspaces at ksub=256 is a 128-bit code
+    // (3 non-spanning words), reachable only since the wide packing
+    val mDial = if (args.length > 5) args(5).toInt else 8
     val dim = 64
     val kClusters = 64
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -134,7 +137,7 @@ object PqClusteredBench {
     // (r18 verdict #1) — the dial the r18 fixture showed still climbing
     for (ksub <- Seq(16, 64, 128, 256)) {
       val raw = SimilaritySearch.pqBuild(corpus, "vec_id", "embedding",
-        m = 8, ksub = ksub, lloydIters = 2)
+        m = mDial, ksub = ksub, lloydIters = 2)
       raw.encoded.cache().count()
       val rawR = recall(qv =>
         SimilaritySearch.pqTopK(raw, qv, topK = 10, overFetch = 4))
@@ -144,13 +147,20 @@ object PqClusteredBench {
       raw.encoded.unpersist(blocking = false)
       // v29: the HD-rotated form — the OPQ family's decorrelation step
       val rot = SimilaritySearch.rotPqBuild(corpus, "vec_id", "embedding",
-        m = 8, ksub = ksub, lloydIters = 2)
+        m = mDial, ksub = ksub, lloydIters = 2)
       rot.pq.encoded.cache().count()
       val rotR = recall(qv =>
         SimilaritySearch.rotPqTopK(rot, qv, topK = 10, overFetch = 4))
       rot.pq.encoded.unpersist(blocking = false)
-      val resid = SimilaritySearch.ivfResidualPqBuild(ivf, m = 8, ksub = ksub,
-        lloydIters = 2)
+      // v35: the TRAINED rotation (OPQ-NP) — the rung above HD
+      val opq = SimilaritySearch.opqPqBuild(corpus, "vec_id", "embedding",
+        m = mDial, ksub = ksub, lloydIters = 2, opqIters = 3)
+      opq.pq.encoded.cache().count()
+      val opqR = recall(qv =>
+        SimilaritySearch.opqPqTopK(opq, qv, topK = 10, overFetch = 4))
+      opq.pq.encoded.unpersist(blocking = false)
+      val resid = SimilaritySearch.ivfResidualPqBuild(ivf, m = mDial,
+        ksub = ksub, lloydIters = 2)
       resid.encoded.cache().count()
       val residFullR = recall(qv =>
         SimilaritySearch.ivfResidualPqTopK(resid, qv, topK = 10,
@@ -160,7 +170,7 @@ object PqClusteredBench {
           overFetch = 4))
       resid.encoded.unpersist(blocking = false)
       // v30: rotation composed ONTO residual — the OPQ,IVF,PQ chain
-      val rres = SimilaritySearch.ivfRotResidualPqBuild(ivf, m = 8,
+      val rres = SimilaritySearch.ivfRotResidualPqBuild(ivf, m = mDial,
         ksub = ksub, lloydIters = 2)
       rres.rpq.encoded.cache().count()
       val rresR = recall(qv =>
@@ -169,11 +179,11 @@ object PqClusteredBench {
       rres.rpq.encoded.unpersist(blocking = false)
       System.err.println(
         f"[pqc] ksub=$ksub oF=4: raw $rawR%.4f, rot $rotR%.4f, " +
-          f"ivfpq(np=8) $ivfpqR%.4f, " +
+          f"opq $opqR%.4f, ivfpq(np=8) $ivfpqR%.4f, " +
           f"resid(np=64) $residFullR%.4f, resid(np=8) $residPrunedR%.4f, " +
           f"rot_resid(np=8) $rresR%.4f")
-      arms += f"""{"m":8,"ksub":$ksub,"over_fetch":4,"raw_pq":$rawR%.4f,
-        |"rot_pq":$rotR%.4f,
+      arms += f"""{"m":$mDial,"ksub":$ksub,"over_fetch":4,"raw_pq":$rawR%.4f,
+        |"rot_pq":$rotR%.4f,"opq_pq":$opqR%.4f,
         |"ivf_pq_nprobe8":$ivfpqR%.4f,"residual_nprobe64":$residFullR%.4f,
         |"residual_nprobe8":$residPrunedR%.4f,
         |"rot_residual_nprobe8":$rresR%.4f}""".stripMargin.replace("\n", "")

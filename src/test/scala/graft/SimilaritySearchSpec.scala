@@ -1494,6 +1494,49 @@ class SimilaritySearchSpec extends AnyFunSuite {
     } finally rmTree(plainDir)
   }
 
+  test("trained OPQ (v35): R is orthogonal and deterministic; exact under covering overFetch") {
+    import spark.implicits._
+    val q = vec(1234L)
+    val corpus = (1L to 150L).map(i => (i, vec(i * 389 + 7))).toDF("id", "v")
+    val idx = SimilaritySearch.opqPqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 1, opqIters = 2)
+    // R orthogonal: ‖R Rᵀ − I‖∞ tiny (the Procrustes update returns
+    // V Uᵀ of a converged Jacobi SVD)
+    val r = idx.r
+    val n = r.length
+    var worst = 0.0
+    for (i <- 0 until n; j <- 0 until n) {
+      var acc = 0.0
+      var k = 0
+      while (k < n) { acc += r(i)(k) * r(j)(k); k += 1 }
+      val want = if (i == j) 1.0 else 0.0
+      worst = math.max(worst, math.abs(acc - want))
+    }
+    assert(worst < 1e-9, s"R is not orthogonal: ‖RRᵀ−I‖∞ = $worst")
+    // deterministic re-train: same R, same codebook
+    val idx2 = SimilaritySearch.opqPqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 1, opqIters = 2)
+    assert(idx.r.flatten.toSeq == idx2.r.flatten.toSeq,
+      "re-training must reproduce the rotation bit-for-bit")
+    assert(idx.pq.codebook.flatten.flatten.toSeq ==
+      idx2.pq.codebook.flatten.flatten.toSeq)
+    // covering coarse cut ⇒ exact top-k (rerank on original floats)
+    val got = SimilaritySearch.opqPqTopK(idx, q, topK = 10, overFetch = 15)
+      .collect().map(r2 => (r2.getLong(0), r2.getDouble(1))).toSeq
+    val exact = SimilaritySearch.cosineTopK(corpus, "id", "v",
+        Seq(Tuple1(q)).toDF("qv"), "qv", k = 10)
+      .collect().map(r2 => (r2.getLong(0), r2.getDouble(1))).toSeq
+    assert(got == exact, s"got=$got exact=$exact")
+    // degenerate query returns empty; bad geometry loud
+    assert(SimilaritySearch.opqPqTopK(idx, new Array[Float](16), topK = 3)
+      .collect().isEmpty)
+    val bad = (1L to 40L).map(i => (i, Array.fill(8)(i.toFloat))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.opqPqBuild(bad, "id", "v", m = 4, ksub = 4)
+    }
+    assert(e.getMessage.contains("power-of-4"))
+  }
+
   test("ivfPqTopK: full probe == pure PQ; pruned probe finds the planted copy") {
     import spark.implicits._
     val q = vec(1618L)
