@@ -1763,6 +1763,21 @@ class SimilaritySearchSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(3))).toMap
     assert(st2(5042L) == "dup",
       s"rotated-residual screen missed the planted dup: $st2")
+    // chunked drivers: a forced 2-query chunk target must union to the
+    // one-shot batch answers on both rotated arms
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(rows(SimilaritySearch.rotPqTopKBatchChunked(rp, queries, "q_id",
+        "qv", topK = 5, overFetch = 4, chunkTarget = 2)) ==
+      rows(SimilaritySearch.rotPqTopKBatch(rp, queries, "q_id", "qv",
+        topK = 5, overFetch = 4)),
+      "rotated chunked union != one-shot batch")
+    assert(rows(SimilaritySearch.rotResidualPqTopKBatchChunked(rr, queries,
+        "q_id", "qv", topK = 5, nprobe = 3, overFetch = 4, chunkTarget = 2)) ==
+      rows(SimilaritySearch.rotResidualPqTopKBatch(rr, queries, "q_id", "qv",
+        topK = 5, nprobe = 3, overFetch = 4)),
+      "rotated-residual chunked union != one-shot batch")
   }
 
   test("residualPqIncrementalNearDup: pruned statuses subset the full screen; planted dup found") {
