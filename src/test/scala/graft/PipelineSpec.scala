@@ -534,6 +534,49 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ROTATED-PQ serving answers per micro-batch == the direct batch op") {
+    import spark.implicits._
+    import graft.streaming.ServeStreaming
+    import graft.operators.SimilaritySearch
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed * 2654435761L)
+      Array.fill(16)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val corpus = (1L to 60L).map(i => (i, vec(i))).toDF("id", "v")
+    val idx = SimilaritySearch.rotPqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 2)
+    val root = java.nio.file.Files.createTempDirectory("graft_rotpq_stream").toString
+    val idxDir = s"$root/index"
+    SimilaritySearch.rotPqSave(idx, idxDir)
+    val srcDir = s"$root/queries"
+    Seq((900L, jitter(vec(5L), 0.01f))).toDF("q_id", "qv")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("q_id LONG, qv ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = ServeStreaming.rotPqServeStream(
+      stream, idxDir, corpus, "q_id", "qv", s"$root/answers",
+      topK = 3, overFetch = 4)
+    try {
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$root/answers/batch=0")
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val direct = SimilaritySearch.rotPqTopKBatch(
+          SimilaritySearch.rotPqLoad(spark, idxDir, corpus),
+          Seq((900L, jitter(vec(5L), 0.01f))).toDF("q_id", "qv"),
+          "q_id", "qv", topK = 3, overFetch = 4)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      assert(b0.toSeq == direct.toSeq,
+        s"stream batch 0 diverged from the direct batch op:\n${b0.toSeq}\nvs\n${direct.toSeq}")
+      assert(b0.head._2 == 5L, s"near-copy of 5 must rank first: ${b0.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming ROTATED-RESIDUAL serving answers per micro-batch and picks up a refresh") {
     import spark.implicits._
     import graft.streaming.ServeStreaming
