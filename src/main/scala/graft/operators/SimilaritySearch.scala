@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -909,6 +909,13 @@ object SimilaritySearch {
     * inputs r = x − centroid are natively double). */
   private[graft] def rotateFpD(v: Array[Double], signs: Array[Int]): Array[Double] = {
     if (v == null || v.isEmpty) return Array.empty[Double]
+    // loud, not truncating: a longer row would silently rotate a prefix
+    // (wrong vector under its full-row norm), a shorter one would die
+    // as a bare AIOOBE on an executor (advice r19)
+    if (v.length != signs.length)
+      throw new IllegalArgumentException(
+        s"mixed-dimension vector vs rotation: rotation dimension " +
+          s"${signs.length} vs vector of ${v.length} components")
     val dim = signs.length
     val FP = 1L << 24
     val fp = new Array[Long](dim)
@@ -930,6 +937,51 @@ object SimilaritySearch {
         i2 += 1
       }
       out(j) = acc.toDouble / FP / root
+      j += 1
+    }
+    out
+  }
+
+  /** Snap a trained rotation to the 2^24 fixed-point grid — the step
+    * that makes a TRAINED R engine-portable the way the HD rotation
+    * always was: the quantized matrix is pure integers, so applying it
+    * ([[matVecFpQ]]) is an order-free exact integer sum on both
+    * engines, and the matrix itself can ride into the composed DuckDB
+    * oracle as a literal CTE (the r19 verdict's literal-R recipe —
+    * the SVD trains in Spark, everything downstream of R replays).
+    * Entries of an orthogonal R are in [−1, 1], so each quantized
+    * entry fits 25 bits and the dim-term mat-vec sums stay far under
+    * the int64 range at any realistic dimension. */
+  private[graft] def quantizeRotation(r: Array[Array[Double]]): Array[Array[Long]] =
+    r.map(_.map(x => math.floor(x * (1L << 24) + 0.5).toLong))
+
+  /** y = (Rq · fp(x)) / 2^48 — [[rotateFpD]]'s exact-arithmetic recipe
+    * for a TRAINED (quantized, [[quantizeRotation]]) rotation: the
+    * input snaps to the 2^24 grid, the mat-vec is an order-free exact
+    * integer sum (rv ≤ 2^24, x_fp ≤ ~2^26 ⇒ dim-term sums ≪ 2^63),
+    * and the result divides by 2^24 twice (both powers of two), so
+    * every output double is one IEEE rounding of an exact int64 —
+    * bit-identical in Spark and DuckDB. Empty/NULL vectors rotate to
+    * empty (the degenerate-row convention); mixed dimensions are loud. */
+  private[graft] def matVecFpQ(rq: Array[Array[Long]], v: Array[Double]): Array[Double] = {
+    if (v == null || v.isEmpty) return Array.empty[Double]
+    if (v.length != rq.length)
+      throw new IllegalArgumentException(
+        s"mixed-dimension vector vs rotation: rotation dimension " +
+          s"${rq.length} vs vector of ${v.length} components")
+    val dim = rq.length
+    val FP = 1L << 24
+    val fp = new Array[Long](dim)
+    var i = 0
+    while (i < dim) { fp(i) = math.floor(v(i) * FP + 0.5).toLong; i += 1 }
+    val out = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      val row = rq(j)
+      var acc = 0L
+      var i2 = 0
+      while (i2 < dim) { acc += row(i2) * fp(i2); i2 += 1 }
+      out(j) = acc.toDouble / FP / FP
       j += 1
     }
     out
@@ -976,7 +1028,6 @@ object SimilaritySearch {
       s"rotPqBuild needs a power-of-4 dimension (√dim a power of two " +
         s"for the exact fixed-point rescale), got dim=$dim0")
     require(dim0 % m == 0, s"m=$m must divide dim=$dim0")
-    val dsub = dim0 / m
     val signs = rotationSigns(dim0)
     val bcS = sp.sparkContext.broadcast(signs)
     // (id, y = HDx, original norm) — the rotated training frame; empty
@@ -989,13 +1040,41 @@ object SimilaritySearch {
         while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
         (id, rotateFp(v, bcS.value), math.sqrt(ss))
       }
-      .persist()
+    RotatedPqIndex(signs, pqBuildOverRotated(rotated,
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
+      dim0, m, ksub, bits, lloydIters, portableSeeds, "rotPqBuild"))
+  }
+
+  /** Seeding + fixed-point Lloyd + packed encode over an already-
+    * ROTATED double corpus frame — the shared build core of the
+    * rotated tiers: [[rotPqBuild]] (HD rotation) and [[opqPqBuild]]
+    * (trained rotation, applied through the same exact fixed-point
+    * arithmetic), so both serve — and SQL-replay — through identical
+    * machinery. `rotated` rows are (id, y, ORIGINAL norm); degenerate
+    * rows carry empty y and never seed, train, or score. The helper
+    * owns the frame's persist lifecycle. */
+  private def pqBuildOverRotated(
+      rotated0: Dataset[(Long, Array[Double], Double)],
+      corpusSel: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim0: Int,
+      m: Int,
+      ksub: Int,
+      bits: Int,
+      lloydIters: Int,
+      portableSeeds: Boolean,
+      opName: String): PqIndex = {
+    val sp = rotated0.sparkSession
+    import sp.implicits._
+    val dsub = dim0 / m
+    val rotated = rotated0.persist()
     def failing[A](body: => A): A =
       try body
       catch { case t: Throwable => rotated.unpersist(blocking = false); throw t }
     val n = failing {
       val n = rotated.count()
-      require(n > 0, "rotPqBuild: empty corpus")
+      require(n > 0, s"$opName: empty corpus")
       n
     }
     val strideMod = math.max(1L, n / (2L * ksub))
@@ -1012,7 +1091,7 @@ object SimilaritySearch {
         .select(col(idCol), col("__y"))
         .as[(Long, Array[Double])]
         .collect()
-      require(s.nonEmpty, "rotPqBuild: stride seeding found no rows")
+      require(s.nonEmpty, s"$opName: stride seeding found no rows")
       s
     }
     val kEff = seeds.length
@@ -1076,8 +1155,7 @@ object SimilaritySearch {
       }.toDF(idCol, "pq_code", "nrm")
     })
     rotated.unpersist(blocking = false)
-    RotatedPqIndex(signs, PqIndex(m, kEff, dsub, bits, cb, encoded,
-      corpus.select(col(idCol), col(vecCol)), idCol, vecCol))
+    PqIndex(m, kEff, dsub, bits, cb, encoded, corpusSel, idCol, vecCol)
   }
 
   /** ANN top-k served from a [[RotatedPqIndex]]: the QUERY rotates
@@ -1172,20 +1250,26 @@ object SimilaritySearch {
     val encoded = spark.read.parquet(s"$dir/encoded")
       .select(col(idCol), col("pq_code"), col("nrm"))
     requirePqCodeType(encoded, m, bits, "rotPqLoad")
+    requirePowerOf4Dim(m * dsub, "rotPqLoad")
     RotatedPqIndex(rotationSigns(m * dsub),
       PqIndex(m, ksub, dsub, bits, cb.map(_.map(_.clone())), encoded,
         corpus.select(col(idCol), col(vecCol)), idCol, vecCol))
   }
 
   /** A TRAINED-OPQ index (v35): [[r]] is the learned orthogonal
-    * rotation (row-major, y = R x), [[pq]]'s codebook and codes live in
-    * the rotated space, `pq.corpus` is the ORIGINAL float table (the
-    * exact rerank never needs the inverse — R is orthogonal, true
-    * cosines unchanged). Unlike the HD tiers, R is DATA-DEPENDENT:
-    * persist it yourself if you persist the codes (no save/load pair
-    * here by design — the deterministic HD tiers are the persisted
-    * ones; this is the recall-ceiling probe). */
-  final case class OpqPqIndex(r: Array[Array[Double]], pq: PqIndex)
+    * rotation (row-major, y = R x), [[rq]] its 2^24 fixed-point
+    * quantization ([[quantizeRotation]]) — the form the final encode
+    * and every serve ACTUALLY apply ([[matVecFpQ]]), making the whole
+    * post-SVD chain exact-integer and therefore oracle-replayable with
+    * R inlined as a literal CTE (the r19 verdict's recipe). [[pq]]'s
+    * codebook and codes live in the rotated space, `pq.corpus` is the
+    * ORIGINAL float table (the exact rerank never needs the inverse —
+    * R is orthogonal, true cosines unchanged). Unlike the HD tiers, R
+    * is DATA-DEPENDENT: persist it yourself if you persist the codes
+    * (no save/load pair here by design — the deterministic HD tiers
+    * are the persisted ones; this is the recall-ceiling probe). */
+  final case class OpqPqIndex(
+      r: Array[Array[Double]], rq: Array[Array[Long]], pq: PqIndex)
 
   /** y = R x, one fixed-order double dot per output component. */
   private def matVec(r: Array[Array[Double]], x: Array[Float]): Array[Double] = {
@@ -1277,12 +1361,15 @@ object SimilaritySearch {
     * codeword reconstruction), starting from the HD rotation. M
     * accumulates as ORDER-FREE fixed-point integer sums (bit-
     * deterministic in any partition order), the SVD is the
-    * deterministic Jacobi above, and each codebook train reuses
-    * [[pqBuild]] verbatim over the rotated (float) corpus — so the
-    * whole build is reproducible run-to-run. NOT SQL-replayable (the
-    * SVD has no oracle form): v35 carries the rows-only driver check,
-    * with the spec pinning orthogonality/determinism/exactness and the
-    * clustered fixture measuring the recall delta vs HD. Serving:
+    * deterministic Jacobi above, and each training-iteration codebook
+    * reuses [[pqBuild]] verbatim over the rotated (float) corpus — so
+    * the whole build is reproducible run-to-run. The FINAL build
+    * quantizes R to the 2^24 grid and re-rotates in exact integer
+    * arithmetic through the rotated tiers' shared core, so everything
+    * DOWNSTREAM of the SVD — rotation, codebook, encode, LUT, scan,
+    * rerank — is hash-exact oracle-replayable with R inlined as a
+    * literal CTE (the r19 verdict's recipe; only the SVD itself stays
+    * on spec pins: orthogonality, bit-determinism). Serving:
     * [[opqPqTopK]] — rotated LUT, original norms, original-float
     * rerank, exactly the [[rotPqTopK]] recipe with R in place of HD. */
   def opqPqBuild(
@@ -1310,6 +1397,9 @@ object SimilaritySearch {
     val rt = math.sqrt(dim.toDouble).toLong
     require(rt * rt == dim && java.lang.Long.bitCount(rt) == 1,
       s"opqPqBuild needs a power-of-4 dimension (the HD init), got dim=$dim")
+    val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(ksub - 1))
+    require(bits <= 16, s"ksub=$ksub needs $bits-bit codes — beyond the " +
+      "16-bit sanity cap (a codebook that large is not a PQ tier)")
     val dsub = dim / m
     val signs = rotationSigns(dim)
     val root = math.sqrt(dim.toDouble)
@@ -1319,82 +1409,105 @@ object SimilaritySearch {
       h * signs(i) / root
     }
     val FP = 1L << 24
-    var idx: PqIndex = null
     var it = 0
-    while (it < opqIters) {
+    while (it < opqIters - 1) {
       val bcR = sp.sparkContext.broadcast(r)
-      // rotated float corpus — pqBuild's input (float rounding is a
-      // deterministic function of R, so the whole build reproduces)
+      // rotated float corpus — the TRAINING codebook's input; only R's
+      // VALUE leaves this loop (the final build below re-rotates in
+      // exact fixed-point arithmetic, which is what the oracle replays)
+      val dimLoc0 = dim
       val rotDf = src.map { case (id, x) =>
-        (id, matVec(bcR.value, x).map(_.toFloat))
+        if (x == null || x.isEmpty) (id, Array.empty[Float])
+        else {
+          if (x.length != dimLoc0)
+            throw new IllegalArgumentException(
+              s"mixed-dimension corpus in opqPqBuild: index dimension " +
+                s"$dimLoc0 vs vector of ${x.length} components")
+          (id, matVec(bcR.value, x).map(_.toFloat))
+        }
       }.toDF(idCol, "__y")
-      idx = failing { pqBuild(rotDf, idCol, "__y", m, ksub, lloydIters,
+      val idx = failing { pqBuild(rotDf, idCol, "__y", m, ksub, lloydIters,
         portableSeeds) }
-      if (it < opqIters - 1) {
-        // M = Σ x ŷᵀ in fixed-point (order-free; exact integer adds)
-        val bcCb = sp.sparkContext.broadcast(idx.codebook)
-        val mLoc2 = m; val dsubLoc2 = dsub; val dimLoc = dim
-        val mFp = failing {
-          src.mapPartitions { rows =>
-            val acc = new Array[Long](dimLoc * dimLoc)
-            val cb = bcCb.value
-            val rr = bcR.value
-            rows.foreach { case (_, x) =>
-              if (x.length == dimLoc) {
-                val y = matVec(rr, x)
-                val yhat = new Array[Double](dimLoc)
-                var s = 0
-                while (s < mLoc2) {
-                  val cw = cb(s)(pqNearestCode(cb, y, s, dsubLoc2))
-                  var i = 0
-                  while (i < dsubLoc2) { yhat(s * dsubLoc2 + i) = cw(i); i += 1 }
-                  s += 1
+      // M = Σ x ŷᵀ in fixed-point (order-free; exact integer adds)
+      val bcCb = sp.sparkContext.broadcast(idx.codebook)
+      val mLoc2 = m; val dsubLoc2 = dsub; val dimLoc = dim
+      val mFp = failing {
+        src.mapPartitions { rows =>
+          val acc = new Array[Long](dimLoc * dimLoc)
+          val cb = bcCb.value
+          val rr = bcR.value
+          rows.foreach { case (_, x) =>
+            if (x != null && x.nonEmpty) {
+              if (x.length != dimLoc)
+                throw new IllegalArgumentException(
+                  s"mixed-dimension corpus in opqPqBuild: index dimension " +
+                    s"$dimLoc vs vector of ${x.length} components")
+              val y = matVec(rr, x)
+              val yhat = new Array[Double](dimLoc)
+              var s = 0
+              while (s < mLoc2) {
+                val cw = cb(s)(pqNearestCode(cb, y, s, dsubLoc2))
+                var i = 0
+                while (i < dsubLoc2) { yhat(s * dsubLoc2 + i) = cw(i); i += 1 }
+                s += 1
+              }
+              var a = 0
+              while (a < dimLoc) {
+                val xa = x(a).toDouble
+                var b = 0
+                while (b < dimLoc) {
+                  acc(a * dimLoc + b) +=
+                    math.round(xa * yhat(b) * FP)
+                  b += 1
                 }
-                var a = 0
-                while (a < dimLoc) {
-                  val xa = x(a).toDouble
-                  var b = 0
-                  while (b < dimLoc) {
-                    acc(a * dimLoc + b) +=
-                      math.round(xa * yhat(b) * FP)
-                    b += 1
-                  }
-                  a += 1
-                }
+                a += 1
               }
             }
-            Iterator.single(acc)
-          }.reduce { (l, rgt) =>
-            val out = new Array[Long](l.length)
-            var i = 0
-            while (i < l.length) { out(i) = l(i) + rgt(i); i += 1 }
-            out
           }
+          Iterator.single(acc)
+        }.reduce { (l, rgt) =>
+          val out = new Array[Long](l.length)
+          var i = 0
+          while (i < l.length) { out(i) = l(i) + rgt(i); i += 1 }
+          out
         }
-        bcCb.destroy()
-        val mMat = Array.tabulate(dim, dim) { (a, b) =>
-          mFp(a * dim + b).toDouble / FP
-        }
-        r = failing { procrustesRotation(mMat) }
-        // safe to reclaim: this iteration's index (whose lazy encoded
-        // frame references bcR) is about to be replaced. The FINAL
-        // iteration's broadcast must stay alive — the returned index's
-        // encoded frame evaluates through it.
-        bcR.destroy()
       }
+      bcCb.destroy()
+      val mMat = Array.tabulate(dim, dim) { (a, b) =>
+        mFp(a * dim + b).toDouble / FP
+      }
+      r = failing { procrustesRotation(mMat) }
+      // safe to reclaim: this iteration's index (whose lazy encoded
+      // frame references bcR) is training-only and about to be dropped
+      bcR.destroy()
       it += 1
     }
+    // FINAL build: quantize R to the 2^24 grid and rotate in EXACT
+    // integer arithmetic ([[matVecFpQ]] — the form every serve applies
+    // and the oracle replays as a literal-R CTE), over doubles, through
+    // the rotated tiers' shared core: v29's oracle-gated machinery with
+    // the trained R in place of HD. This broadcast must stay alive —
+    // the returned index's encoded frame evaluates through it.
+    val rq = quantizeRotation(r)
+    val bcRq = sp.sparkContext.broadcast(rq)
+    val rotated = src.map { case (id, v0) =>
+      val v = if (v0 == null) Array.empty[Float] else v0
+      var ss = 0.0; var i = 0
+      while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+      (id, matVecFpQ(bcRq.value, toDoubles(v)), math.sqrt(ss))
+    }
+    val pqIdx = failing { pqBuildOverRotated(rotated,
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
+      dim, m, ksub, bits, lloydIters, portableSeeds, "opqPqBuild") }
     src.unpersist(blocking = false)
-    // the rerank binds to the ORIGINAL floats (aliased to the index's
-    // internal vector column name); stored nrm is ‖yf‖ = ‖x‖ up to
-    // float rounding (orthogonality), recall-irrelevant
-    OpqPqIndex(r,
-      idx.copy(corpus = corpus.select(col(idCol), col(vecCol).as("__y"))))
+    OpqPqIndex(r, rq, pqIdx)
   }
 
   /** ANN top-k from an [[OpqPqIndex]] — [[rotPqTopK]]'s recipe with the
-    * TRAINED R: rotated-query LUT, original query norm, original-float
-    * exact rerank (orthogonality keeps true cosines unchanged). */
+    * TRAINED R: the query rotates through the same exact fixed-point
+    * [[matVecFpQ]] the encode used, its LUT is built over the rotated
+    * doubles, norms and the exact rerank stay original-float
+    * (orthogonality keeps true cosines unchanged). */
   def opqPqTopK(
       index: OpqPqIndex,
       query: Array[Float],
@@ -1404,7 +1517,7 @@ object SimilaritySearch {
     val pq = index.pq
     require(query.length == pq.m * pq.dsub,
       s"query dim ${query.length} != index dim ${pq.m * pq.dsub}")
-    val qRot = matVec(index.r, query)
+    val qRot = matVecFpQ(index.rq, toDoubles(query))
     val lut = pqBatchLutRowD(pq.codebook, qRot, pq.m, pq.ksub, pq.dsub)._2
     pqServeCore(pq.m, pq.ksub, pq.dsub, pq.bits, pq.codebook,
       pq.idCol, pq.vecCol, pq.corpus, query, topK, overFetch,
@@ -1909,7 +2022,21 @@ object SimilaritySearch {
       spark: SparkSession, rootDir: String, corpus: DataFrame): RotatedResidualPqIndex = {
     val rpq = residualPqLoadImpl(spark, rootDir, corpus,
       kind = "rot-residual-pq", op = "rotResidualPqLoad")
+    requirePowerOf4Dim(rpq.m * rpq.dsub, "rotResidualPqLoad")
     RotatedResidualPqIndex(rotationSigns(rpq.m * rpq.dsub), rpq)
+  }
+
+  /** The rotated loaders' √dim guard (advice r19): the BUILDERS enforce
+    * a power-of-4 dimension (the exact 2^24·√dim rescale needs √dim a
+    * power of two), so a meta.json whose m × dsub is not one is
+    * corrupted or hand-edited — fail loudly like [[requirePqCodeType]],
+    * never serve a silently non-exact rescale. */
+  private def requirePowerOf4Dim(dim: Int, where: String): Unit = {
+    val rt = math.sqrt(dim.toDouble).toLong
+    require(rt * rt == dim && java.lang.Long.bitCount(rt) == 1,
+      s"$where: meta.json implies dimension $dim, but the rotated tiers " +
+        "require a power-of-4 dimension (√dim a power of two for the " +
+        "exact fixed-point rescale) — the tree's meta is corrupt")
   }
 
   /** IVF-PQ — the two pruning axes composed the way billion-vector

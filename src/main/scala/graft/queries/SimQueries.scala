@@ -982,26 +982,102 @@ object SimQueries {
       .orderBy("vec_id")
   }
 
+  /** Trained rotations captured when a TRAINED-OPQ entry's build runs,
+    * keyed by entry name — the bridge that lets a DATA-DEPENDENT
+    * rotation ride the hash-exact oracle gate (r19 verdict #1): Verify
+    * runs every query BEFORE dumping oracle_sql.json, so by dump time
+    * the holder carries the exact 2^24-grid R the Spark build encoded
+    * with, and the composed oracle inlines it as a literal CTE. A dump
+    * without the run (a focused Verify that skipped the entry) falls
+    * back to the rows-only registration — never a stale or wrong R. */
+  private object TrainedRotations {
+    private val held =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+    def put(name: String, rq: Array[Array[Long]]): Unit = held.put(name, rq)
+    def get(name: String): Option[Array[Array[Long]]] = Option(held.get(name))
+  }
+
+  /** Trained-OPQ oracle (v35): [[rotPqOracleSql]]'s replay chain with
+    * the TRAINED rotation inlined as a fixed-point literal CTE in
+    * place of the derived HD transform — `rfp` unrolls the quantized
+    * R (round(r·2^24), the exact matrix the Spark build applied) from
+    * a dim-row VALUES list, `rot` applies it as an order-free signed
+    * integer sum with the exact /2^24/2^24 rescale (matVecFpQ's
+    * arithmetic verbatim), and everything downstream — codebook
+    * training over the rotated `sub`, the rotated-query LUT, the
+    * candidate cut, the original-float rerank — is the v29 chain
+    * unchanged. The SVD that PRODUCED R is the one step that cannot
+    * replay in SQL; it stays on its spec pins (orthogonality,
+    * bit-determinism), while this oracle independently verifies every
+    * serving decision downstream of it. */
+  private def opqPqOracleSql(
+      rq: Array[Array[Long]],
+      m: Int, ksub: Int, iters: Int, topK: Int, overFetch: Int, dim: Int): String = {
+    require(rq.length == dim && rq.forall(_.length == dim),
+      s"opqPqOracleSql: rotation is ${rq.length}×? but dim=$dim")
+    val dsub = dim / m
+    val rows = rq.zipWithIndex
+      .map { case (row, j) => s"(${j + 1},[${row.mkString(",")}])" }
+      .mkString(",")
+    val rotSub =
+      s"""sub AS (SELECT vec_id, (j - 1) // $dsub AS s, (j - 1) % $dsub + 1 AS i, y AS x
+         |        FROM rot)""".stripMargin
+    val composed =
+      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |vnorm AS (SELECT vec_id, SQRT(SUM(ve[i]*ve[i])) AS nrm
+         |          FROM d, generate_series(1, $dim) t(i) GROUP BY vec_id),
+         |cnt AS (SELECT COUNT(*) AS n FROM d),
+         |hashed AS (SELECT vec_id,
+         |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM d),
+         |rfp AS (SELECT rm.j, ti.i, CAST(rm.rw[ti.i] AS BIGINT) AS rv
+         |        FROM (VALUES $rows) rm(j, rw), generate_series(1, $dim) ti(i)),
+         |rot AS (SELECT v.vec_id, rm.j,
+         |    CAST(SUM(rm.rv * CAST(FLOOR(v.ve[rm.i] * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 16777216.0 / 16777216.0 AS y
+         |  FROM d v, rfp rm
+         |  GROUP BY v.vec_id, rm.j),
+         |${pqCodebookSql(m, ksub, iters, dim, rotSub)},
+         |qsub AS (SELECT s, i, x FROM sub WHERE vec_id = 0),
+         |lut AS (SELECT cb.s, cb.c,
+         |          SUM(CAST(FLOOR(q.x * cb.comp * 16777216.0 + 0.5) AS BIGINT)) AS l
+         |        FROM cb$iters cb JOIN qsub q ON q.s = cb.s AND q.i = cb.i
+         |        GROUP BY cb.s, cb.c),
+         |${pqServeTailSql(topK, overFetch, dim, "penc e")}""".stripMargin
+    materializeCtes(composed, Seq("rot", "sub"))
+  }
+
   /** Trained-OPQ ANN (v35) — the recall rung ABOVE the deterministic HD
     * rotation: OPQ-NP (Ge et al., CVPR'13, Alg. 1) alternates codebook
     * training with a Procrustes rotation update (deterministic Jacobi
-    * SVD of the fixed-point x·ŷ correlation). The SVD has no ANSI-SQL
-    * form, so this is the repo's ONE rows-only entry by design — its
-    * gates are the spec (orthogonality, bit-determinism, covering-
-    * overFetch == exact) and the clustered fixture's measured recall
-    * arm; everything downstream of the rotation (LUT, scan, rerank) is
-    * the oracle-gated v29 machinery. */
-  val opqTopKEntry: Q = Q.noOracle("v35_opq_pq_topk") { (s, dir) =>
-    val sp = s
-    import sp.implicits._
-    val e = t(s, dir, "embeddings")
-    val idx = graft.operators.SimilaritySearch.opqPqBuild(
-      e, "vec_id", "embedding", m = 8, ksub = 16, lloydIters = 2,
-      opqIters = 2, portableSeeds = true)
-    val qVec = e.filter(col("vec_id") === 0)
-      .select(col("embedding")).as[Array[Float]].head()
-    graft.operators.SimilaritySearch.opqPqTopK(idx, qVec, topK = 10,
-      overFetch = 4, filter = col("vec_id") =!= 0)
+    * SVD of the fixed-point x·ŷ correlation). The final build snaps R
+    * to the 2^24 grid and rotates in exact integer arithmetic, so the
+    * WHOLE post-SVD chain rides the hash-exact gate: the build stores
+    * the trained R in [[TrainedRotations]] as it runs, and this entry
+    * (a def — re-registered at oracle-dump time) composes it into
+    * [[opqPqOracleSql]]'s literal-R replay. Only the SVD itself stays
+    * on spec pins (orthogonality, bit-determinism, covering-overFetch
+    * == exact); recall is the clustered fixture's measured arm. */
+  def opqTopKEntry: Q = {
+    val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      { (s, dir) =>
+        val sp = s
+        import sp.implicits._
+        val e = t(s, dir, "embeddings")
+        val idx = graft.operators.SimilaritySearch.opqPqBuild(
+          e, "vec_id", "embedding", m = 8, ksub = 16, lloydIters = 2,
+          opqIters = 2, portableSeeds = true)
+        TrainedRotations.put("v35_opq_pq_topk", idx.rq)
+        val qVec = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).as[Array[Float]].head()
+        graft.operators.SimilaritySearch.opqPqTopK(idx, qVec, topK = 10,
+          overFetch = 4, filter = col("vec_id") =!= 0)
+      }
+    TrainedRotations.get("v35_opq_pq_topk") match {
+      case Some(rq) =>
+        Q("v35_opq_pq_topk", opqPqOracleSql(rq, m = 8, ksub = 16, iters = 2,
+          topK = 10, overFetch = 4, dim = 64))(fn)
+      case None => Q.noOracle("v35_opq_pq_topk")(fn)
+    }
   }
 
   /** Rotated-RESIDUAL IVF-PQ oracle (v30): the v23 replay with the HD
@@ -2016,7 +2092,10 @@ object SimQueries {
         rm(new java.io.File(path))
       }))
 
-  val all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup, annIvf, quantize,
+  // a def, not a val: the trained-OPQ entries re-register at each
+  // access so the oracle dump (which runs AFTER the queries in Verify)
+  // can inline the rotation their builds just trained
+  def all: Seq[Q] = Seq(cosineTopK, annLsh, stats, nearDup, annIvf, quantize,
     quantizedAnn, quantizedNearDup, annIvfQuantized, clusterSample,
     embeddingDedup, incrementalEmbeddingDedup, incrementalIvfAssign,
     ivfIncrementalDedup, ivfBatchTopK, ivfBatchTopKQuantized,

@@ -133,7 +133,9 @@ class PlanQualitySpec extends AnyFunSuite {
         "v29_rot_pq_topk", "v30_rot_residual_pq_topk",
         "v31_rot_pq_batch_topk", "v32_rot_residual_pq_batch_topk",
         "v33_rot_pq_incremental_dedup",
-        "v34_rot_residual_pq_incremental_dedup")) {
+        "v34_rot_residual_pq_incremental_dedup",
+        // round 20: the TRAINED-OPQ tiers (literal-R oracle chains)
+        "v35_opq_pq_topk")) {
       val nodes = finalPlan(name)
       assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
         s"$name contains a cartesian product")
