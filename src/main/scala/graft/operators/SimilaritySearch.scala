@@ -2163,7 +2163,10 @@ object SimilaritySearch {
       ksub: Int,
       lloydIters: Int,
       portableSeeds: Boolean,
-      signs: Option[Array[Int]]): ResidualPqIndex = {
+      signs: Option[Array[Int]],
+      rotQ: Option[Array[Array[Long]]] = None): ResidualPqIndex = {
+    require(signs.isEmpty || rotQ.isEmpty,
+      "residualPqBuildImpl: HD signs and a trained rotation are exclusive")
     require(m >= 1 && ksub >= 2 && lloydIters >= 0,
       s"bad m=$m / ksub=$ksub / lloydIters=$lloydIters")
     val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(ksub - 1))
@@ -2177,10 +2180,12 @@ object SimilaritySearch {
     import sp.implicits._
     val bcC = sp.sparkContext.broadcast(ivf.centroids)
     val bcSg = sp.sparkContext.broadcast(signs.getOrElse(Array.empty[Int]))
+    val bcRq = sp.sparkContext.broadcast(rotQ.getOrElse(Array.empty[Array[Long]]))
     // (id, residual, cluster, true-norm) — the residual is double-
-    // precision by construction (HD-rotated here when `signs` is set:
-    // everything downstream trains on Hr unchanged); the true norm
-    // rides along so encode never touches the floats again
+    // precision by construction (rotated here when `signs` [HD] or
+    // `rotQ` [trained, exact fixed-point] is set: everything downstream
+    // trains on Rr unchanged); the true norm rides along so encode
+    // never touches the floats again
     val resid = ivf.assigned
       .select(col(ivf.idCol).cast("long"), col(ivf.vecCol),
         col("cluster").cast("int"))
@@ -2196,7 +2201,9 @@ object SimilaritySearch {
             val rr = new Array[Double](v.length)
             var j = 0
             while (j < v.length) { rr(j) = v(j).toDouble - cent(j); j += 1 }
-            if (bcSg.value.isEmpty) rr else rotateFpD(rr, bcSg.value)
+            if (bcRq.value.nonEmpty) matVecFpQ(bcRq.value, rr)
+            else if (bcSg.value.isEmpty) rr
+            else rotateFpD(rr, bcSg.value)
           }
         (id, r, cl, math.sqrt(ss))
       }
@@ -2346,6 +2353,175 @@ object SimilaritySearch {
     require(query.length == rpq.m * rpq.dsub,
       s"query dim ${query.length} != index dim ${rpq.m * rpq.dsub}")
     val qRot = rotateFp(query, index.signs)
+    val lut = pqBatchLutRowD(rpq.codebook, qRot, rpq.m, rpq.ksub, rpq.dsub)._2
+    residualServeCore(rpq, query, topK, nprobe, overFetch, filter,
+      lutQn = Some((lut, normF(query))))
+  }
+
+  /** A TRAINED-OPQ residual index (v36) — the FAISS `OPQ,IVF,PQ`
+    * production chain with the LEARNED rotation, i.e.
+    * [[RotatedResidualPqIndex]] one rung up: [[rq]] (the 2^24-grid
+    * quantization of the trained [[r]], [[quantizeRotation]]) is the
+    * form the encode ACTUALLY applied to every residual, so the whole
+    * post-SVD chain — rotation, codebook, encode, LUT, offsets, scan,
+    * rerank — replays in the composed oracle with R inlined as a
+    * literal CTE. Probes and per-cluster ⟨q, centroid⟩ offsets stay in
+    * the ORIGINAL space (the coarse quantizer never rotates); only the
+    * LUT rotates. MUST be served through [[opqResidualPqTopK]]. R is
+    * DATA-DEPENDENT: persist it yourself if you persist the codes. */
+  final case class OpqResidualPqIndex(
+      r: Array[Array[Double]], rq: Array[Array[Long]], rpq: ResidualPqIndex)
+
+  /** Train OPQ-NP over the RESIDUAL tier (r19 verdict #2 — the regime
+    * the clustered fixture showed rotation actually pays in: rotation
+    * cannot fix coarse cluster structure, so the trained R belongs ON
+    * the residuals, where rot-residual read +0.12 recall anisotropic):
+    * alternate (a) a residual PQ codebook over y = R(x − centroid)
+    * with (b) the Procrustes update R ← V Uᵀ of M = Σ rᵢ ŷᵢᵀ, starting
+    * from the HD rotation. Every iteration applies R in the EXACT
+    * quantized form ([[matVecFpQ]]) and trains through
+    * [[residualPqBuildImpl]]'s own machinery (the v23/v30 build), so
+    * the final index is bit-deterministic and — downstream of the
+    * SVD — hash-exact oracle-replayable. The M-step accumulates
+    * order-free fixed-point integer sums over a residual frame
+    * computed once; the coarse quantizer is UNCHANGED throughout
+    * (residuals are always against `ivf.centroids`). */
+  def opqResidualPqBuild(
+      ivf: IvfIndex,
+      m: Int = 8,
+      ksub: Int = 16,
+      lloydIters: Int = 2,
+      opqIters: Int = 3,
+      portableSeeds: Boolean = false): OpqResidualPqIndex = {
+    require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
+    require(ivf.centroids.nonEmpty, "opqResidualPqBuild: index has no centroids")
+    val dim = ivf.centroids(0)._1.length
+    val rt = math.sqrt(dim.toDouble).toLong
+    require(rt * rt == dim && java.lang.Long.bitCount(rt) == 1,
+      s"opqResidualPqBuild needs a power-of-4 dimension (the HD init), got dim=$dim")
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val sp = ivf.assigned.sparkSession
+    import sp.implicits._
+    val signs = rotationSigns(dim)
+    val root = math.sqrt(dim.toDouble)
+    // HD init, as [[opqPqBuild]]: R0(j)(i) = D(i)·(−1)^popcount(i∧j)/√dim
+    var r: Array[Array[Double]] = Array.tabulate(dim, dim) { (j, i) =>
+      val h = if ((java.lang.Long.bitCount((i & j).toLong) & 1) == 0) 1.0 else -1.0
+      h * signs(i) / root
+    }
+    var rq = quantizeRotation(r)
+    val FP = 1L << 24
+    // the training-only residual frame for the M-step (the final build
+    // derives its own inside residualPqBuildImpl); degenerate rows
+    // (cluster −1 / empty vector) carry empty residuals and contribute
+    // nothing, mixed dimensions are loud (the v(j) − cent(j) indexing
+    // would otherwise truncate or crash bare)
+    val bcC = sp.sparkContext.broadcast(ivf.centroids)
+    val resid = ivf.assigned
+      .select(col(ivf.idCol).cast("long"), col(ivf.vecCol),
+        col("cluster").cast("int"))
+      .as[(Long, Array[Float], Int)]
+      .map { case (_, v0, cl) =>
+        val v = if (v0 == null) Array.empty[Float] else v0
+        if (cl < 0 || v.isEmpty) Array.empty[Double]
+        else {
+          val cent = bcC.value(cl)._1
+          if (v.length != cent.length)
+            throw new IllegalArgumentException(
+              s"mixed-dimension corpus in opqResidualPqBuild: index " +
+                s"dimension ${cent.length} vs vector of ${v.length} components")
+          val rr = new Array[Double](v.length)
+          var j = 0
+          while (j < v.length) { rr(j) = v(j).toDouble - cent(j); j += 1 }
+          rr
+        }
+      }
+      .persist()
+    def failing[A](body: => A): A =
+      try body
+      catch { case t: Throwable => resid.unpersist(blocking = false); throw t }
+    var it = 0
+    while (it < opqIters - 1) {
+      // this iteration's residual codebook under the CURRENT rotation —
+      // training-only (its lazy encode frame is never evaluated)
+      val cbIt = failing { residualPqBuildImpl(ivf, m, ksub, lloydIters,
+        portableSeeds, signs = None, rotQ = Some(rq)).codebook }
+      // M = Σ r ŷᵀ in fixed-point (order-free; exact integer adds) —
+      // r original-space residual, ŷ the rotated-space reconstruction
+      val bcRq = sp.sparkContext.broadcast(rq)
+      val bcCb = sp.sparkContext.broadcast(cbIt)
+      val mLoc2 = m; val dsubLoc2 = dsub; val dimLoc = dim
+      val mFp = failing {
+        resid.mapPartitions { rows =>
+          val acc = new Array[Long](dimLoc * dimLoc)
+          val cb = bcCb.value
+          val rrq = bcRq.value
+          rows.foreach { x =>
+            if (x.nonEmpty) {
+              val y = matVecFpQ(rrq, x)
+              val yhat = new Array[Double](dimLoc)
+              var s = 0
+              while (s < mLoc2) {
+                val cw = cb(s)(pqNearestCode(cb, y, s, dsubLoc2))
+                var i = 0
+                while (i < dsubLoc2) { yhat(s * dsubLoc2 + i) = cw(i); i += 1 }
+                s += 1
+              }
+              var a = 0
+              while (a < dimLoc) {
+                val xa = x(a)
+                var b = 0
+                while (b < dimLoc) {
+                  acc(a * dimLoc + b) += math.round(xa * yhat(b) * FP)
+                  b += 1
+                }
+                a += 1
+              }
+            }
+          }
+          Iterator.single(acc)
+        }.reduce { (l, rgt) =>
+          val out = new Array[Long](l.length)
+          var i = 0
+          while (i < l.length) { out(i) = l(i) + rgt(i); i += 1 }
+          out
+        }
+      }
+      bcCb.destroy(); bcRq.destroy()
+      val mMat = Array.tabulate(dim, dim) { (a, b) =>
+        mFp(a * dim + b).toDouble / FP
+      }
+      r = failing { procrustesRotation(mMat) }
+      rq = quantizeRotation(r)
+      it += 1
+    }
+    resid.unpersist(blocking = false)
+    // FINAL build under the trained, quantized R — the v23/v30 build
+    // machinery verbatim, whose encode frame the oracle replays
+    OpqResidualPqIndex(r, rq, residualPqBuildImpl(ivf, m, ksub, lloydIters,
+      portableSeeds, signs = None, rotQ = Some(rq)))
+  }
+
+  /** ANN top-k from an [[OpqResidualPqIndex]] (v36) —
+    * [[rotResidualPqTopK]]'s recipe with the TRAINED R: the probe and
+    * the per-cluster ⟨q, centroid⟩ offsets stay in the ORIGINAL space,
+    * the ADC LUT is built over the [[matVecFpQ]]-rotated query against
+    * the rotated-residual codebook (⟨q, x⟩ = ⟨q, c⟩ + ⟨Rq, Rr⟩ —
+    * orthogonality makes the decomposition exact up to the 2^24
+    * quantization, which the exact float rerank absorbs), and the
+    * serve tail is [[ivfResidualPqTopK]]'s verbatim. */
+  def opqResidualPqTopK(
+      index: OpqResidualPqIndex,
+      query: Array[Float],
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4,
+      filter: Column = lit(true)): DataFrame = {
+    val rpq = index.rpq
+    require(query.length == rpq.m * rpq.dsub,
+      s"query dim ${query.length} != index dim ${rpq.m * rpq.dsub}")
+    val qRot = matVecFpQ(index.rq, toDoubles(query))
     val lut = pqBatchLutRowD(rpq.codebook, qRot, rpq.m, rpq.ksub, rpq.dsub)._2
     residualServeCore(rpq, query, topK, nprobe, overFetch, filter,
       lutQn = Some((lut, normF(query))))

@@ -1080,6 +1080,108 @@ object SimQueries {
     }
   }
 
+  /** Trained-OPQ RESIDUAL oracle (v36): [[rotResidualPqOracleSql]]'s
+    * replay chain (the v23 residual replay + rotation) with the
+    * TRAINED rotation inlined as the `rfp` literal CTE in place of the
+    * derived HD transform: `res` materializes the per-(vec, dim)
+    * residual against the replayed IVF assignment, `rres` rotates it
+    * by the quantized R (order-free signed integer sum, exact
+    * /2^24/2^24 rescale — matVecFpQ verbatim), the rotated `sub` feeds
+    * [[pqCodebookSql]] unchanged, the QUERY side rotates vec 0 through
+    * the same literal R for the LUT while `qoff` keeps ORIGINAL-space
+    * ⟨q, centroid⟩ offsets, and the probed radc + offset + cut +
+    * rerank tail is v23's verbatim — exactly the decomposition
+    * ⟨q, x⟩ = ⟨q, c⟩ + ⟨Rq, Rr⟩ the Spark serve computes. */
+  private def opqResidualPqOracleSql(
+      rq: Array[Array[Long]],
+      k: Int, kIters: Int, nprobe: Int,
+      m: Int, ksub: Int, pqIters: Int,
+      topK: Int, overFetch: Int, dim: Int): String = {
+    require(rq.length == dim && rq.forall(_.length == dim),
+      s"opqResidualPqOracleSql: rotation is ${rq.length}×? but dim=$dim")
+    val dsub = dim / m
+    val rows = rq.zipWithIndex
+      .map { case (row, j) => s"(${j + 1},[${row.mkString(",")}])" }
+      .mkString(",")
+    val rotSub =
+      s"""sub AS (SELECT vec_id, (j - 1) // $dsub AS s, (j - 1) % $dsub + 1 AS i, y AS x
+         |        FROM rres)""".stripMargin
+    val composed =
+      s"""${ivfBuildSql(k, kIters, nprobe, dim)},
+         |rfp AS (SELECT rm.j, ti.i, CAST(rm.rw[ti.i] AS BIGINT) AS rv
+         |        FROM (VALUES $rows) rm(j, rw), generate_series(1, $dim) ti(i)),
+         |res AS (SELECT v.vec_id, ti.i, v.ve[ti.i] - cc.comp AS x
+         |        FROM d v, generate_series(1, $dim) ti(i), finalassign a, cents$kIters cc
+         |        WHERE a.vec_id = v.vec_id AND cc.c = a.cluster AND cc.i = ti.i),
+         |rres AS (SELECT r.vec_id, rm.j,
+         |    CAST(SUM(rm.rv * CAST(FLOOR(r.x * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 16777216.0 / 16777216.0 AS y
+         |  FROM res r JOIN rfp rm ON rm.i = r.i
+         |  GROUP BY r.vec_id, rm.j),
+         |${pqCodebookSql(m, ksub, pqIters, dim, rotSub)},
+         |qrot AS (SELECT rm.j,
+         |    CAST(SUM(rm.rv * CAST(FLOOR(q.ve[rm.i] * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 16777216.0 / 16777216.0 AS y
+         |  FROM d q, rfp rm
+         |  WHERE q.vec_id = 0
+         |  GROUP BY rm.j),
+         |qsubr AS (SELECT (j - 1) // $dsub AS s, (j - 1) % $dsub + 1 AS i, y AS x FROM qrot),
+         |lut AS (SELECT cb.s, cb.c,
+         |          SUM(CAST(FLOOR(q.x * cb.comp * 16777216.0 + 0.5) AS BIGINT)) AS l
+         |        FROM cb$pqIters cb JOIN qsubr q ON q.s = cb.s AND q.i = cb.i
+         |        GROUP BY cb.s, cb.c),
+         |qoff AS (SELECT cc.c,
+         |           SUM(CAST(FLOOR(q.ve[cc.i] * cc.comp * 16777216.0 + 0.5) AS BIGINT)) AS off
+         |         FROM cents$kIters cc, d q WHERE q.vec_id = 0 GROUP BY cc.c),
+         |radc AS (SELECT cd.vec_id, cd.cluster, SUM(l.l) AS rdot
+         |         FROM cand cd JOIN penc e ON e.vec_id = cd.vec_id
+         |           JOIN lut l ON l.s = e.s AND l.c = e.code
+         |         GROUP BY cd.vec_id, cd.cluster),
+         |adc AS (SELECT r.vec_id, r.rdot + o.off AS adot
+         |        FROM radc r JOIN qoff o ON o.c = r.cluster),
+         |${pqRerankTailSql(topK, overFetch, dim)}""".stripMargin
+    // the v23/v30 inlining lesson: `sub` hides residual + rotation with
+    // five consumers — every expensive ancestor pins to one evaluation
+    materializeCtes(composed,
+      Seq("finalassign", s"cents$kIters", "res", "rres", "sub", "penc", "cand"))
+  }
+
+  /** Trained-OPQ residual ANN (v36) — the FAISS `OPQ,IVF,PQ` production
+    * chain with the LEARNED rotation (r19 verdict #2): v30's
+    * decomposition (probes + offsets original-space, LUT rotated) with
+    * the Procrustes-trained R in place of HD, trained ON the residuals
+    * — the regime the clustered fixture showed rotation actually pays
+    * in. Same dials as v23/v30 so the three entries are the controlled
+    * raw / HD-rotated / trained triple; recall per regime is the
+    * fixture's measured arm. Gated exactly as v35: the build stores
+    * its trained R in [[TrainedRotations]], and this def re-registers
+    * with [[opqResidualPqOracleSql]]'s literal-R replay at dump time. */
+  def opqResidualTopKEntry: Q = {
+    val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      { (s, dir) =>
+        val sp = s
+        import sp.implicits._
+        val e = t(s, dir, "embeddings")
+        val ivf = graft.operators.SimilaritySearch.ivfBuild(
+          e, "vec_id", "embedding", k = 16, lloydIters = 3, portableSeeds = true)
+        val idx = graft.operators.SimilaritySearch.opqResidualPqBuild(
+          ivf, m = 8, ksub = 16, lloydIters = 2, opqIters = 2,
+          portableSeeds = true)
+        TrainedRotations.put("v36_opq_residual_topk", idx.rq)
+        val qVec = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).as[Array[Float]].head()
+        graft.operators.SimilaritySearch.opqResidualPqTopK(idx, qVec,
+          topK = 10, nprobe = 4, overFetch = 4, filter = col("vec_id") =!= 0)
+      }
+    TrainedRotations.get("v36_opq_residual_topk") match {
+      case Some(rq) =>
+        Q("v36_opq_residual_topk", opqResidualPqOracleSql(rq,
+          k = 16, kIters = 3, nprobe = 4, m = 8, ksub = 16, pqIters = 2,
+          topK = 10, overFetch = 4, dim = 64))(fn)
+      case None => Q.noOracle("v36_opq_residual_topk")(fn)
+    }
+  }
+
   /** Rotated-RESIDUAL IVF-PQ oracle (v30): the v23 replay with the HD
     * rotation applied to every residual before the subspace split —
     * `res` materializes the per-(vec, dim) residual, `rres` rotates it
@@ -2104,5 +2206,5 @@ object SimQueries {
     residualPqBatchTopK, residualPqIncrementalDedup, pqWideAdcTopK,
     residualPqWideTopK, rotPqTopK, rotResidualPqTopK, rotPqBatchTopK,
     rotResidualPqBatchTopK, rotPqIncrementalDedup, rotResidualPqIncrementalDedup,
-    opqTopKEntry)
+    opqTopKEntry, opqResidualTopKEntry)
 }

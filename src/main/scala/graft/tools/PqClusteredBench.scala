@@ -28,11 +28,15 @@ import graft.operators.SimilaritySearch
   * Ground truth is the exact float scan. Queries are FRESH members of
   * planted clusters (not corpus rows), the production serve shape.
   *
-  *   runMain graft.tools.PqClusteredBench [outPath] [nCorpus] [nQueries] [sigma] [aniso]
+  *   runMain graft.tools.PqClusteredBench [outPath] [nCorpus] [nQueries] [sigma] [aniso] [m]
   *
   * `aniso` (r19): per-dimension scale ramp from 1/aniso to aniso
-  * (componentwise, corpus AND queries — a model property). 0/1 = off
-  * (the isotropic fixture). The planted clusters' residuals are i.i.d.
+  * (componentwise, corpus AND queries — a model property). Any value
+  * ≤ 1 is the identity ramp, i.e. off (the isotropic fixture); the
+  * ramp only stretches, never shrinks, so pass aniso > 1 to turn it
+  * on. `m` (r19): the subspace-count dial — m=16 at ksub=256 is a
+  * 128-bit / 3-word code, reachable only since the wide packing.
+  * The planted clusters' residuals are i.i.d.
   * isotropic by construction — the case where a rotation has NOTHING
   * to decorrelate (measured: rot_residual ≈ residual there); the
   * anisotropic variant is the regime the OPQ literature's rotation
@@ -177,23 +181,82 @@ object PqClusteredBench {
         SimilaritySearch.rotResidualPqTopK(rres, qv, topK = 10, nprobe = 8,
           overFetch = 4))
       rres.rpq.encoded.unpersist(blocking = false)
+      // v36: the TRAINED rotation composed ONTO residual — the full
+      // OPQ,IVF,PQ chain with the Procrustes R, at the dial where the
+      // r19 fixture showed rotation actually pays (residuals)
+      val ores = SimilaritySearch.opqResidualPqBuild(ivf, m = mDial,
+        ksub = ksub, lloydIters = 2, opqIters = 3)
+      ores.rpq.encoded.cache().count()
+      val oresR = recall(qv =>
+        SimilaritySearch.opqResidualPqTopK(ores, qv, topK = 10, nprobe = 8,
+          overFetch = 4))
+      ores.rpq.encoded.unpersist(blocking = false)
       System.err.println(
         f"[pqc] ksub=$ksub oF=4: raw $rawR%.4f, rot $rotR%.4f, " +
           f"opq $opqR%.4f, ivfpq(np=8) $ivfpqR%.4f, " +
           f"resid(np=64) $residFullR%.4f, resid(np=8) $residPrunedR%.4f, " +
-          f"rot_resid(np=8) $rresR%.4f")
+          f"rot_resid(np=8) $rresR%.4f, opq_resid(np=8) $oresR%.4f")
       arms += f"""{"m":$mDial,"ksub":$ksub,"over_fetch":4,"raw_pq":$rawR%.4f,
         |"rot_pq":$rotR%.4f,"opq_pq":$opqR%.4f,
         |"ivf_pq_nprobe8":$ivfpqR%.4f,"residual_nprobe64":$residFullR%.4f,
         |"residual_nprobe8":$residPrunedR%.4f,
-        |"rot_residual_nprobe8":$rresR%.4f}""".stripMargin.replace("\n", "")
+        |"rot_residual_nprobe8":$rresR%.4f,
+        |"opq_residual_nprobe8":$oresR%.4f}""".stripMargin.replace("\n", "")
     }
+
+    // r20 (r19 verdict #6): the rotated tier's THROUGHPUT (v32 batched)
+    // and INGEST (v34 margin-dial screen) arms on the planted corpus at
+    // one dial (ksub=64), so the serving-matrix paths carry the same
+    // recall evidence as the one-shot arm. The batched arm is spec-
+    // pinned bit-identical to per-query serving, so its recall SHOULD
+    // match rot_residual_nprobe8@64 exactly — this row proves it on
+    // the fixture rather than citing the spec.
+    val rres64 = SimilaritySearch.ivfRotResidualPqBuild(ivf, m = mDial,
+      ksub = 64, lloydIters = 2)
+    rres64.rpq.encoded.cache().count()
+    val queriesDf = queryRows.toDF("vec_id", "embedding")
+    val batchedRows = SimilaritySearch.rotResidualPqTopKBatch(rres64,
+        queriesDf.withColumnRenamed("vec_id", "q_id"), "q_id", "embedding",
+        topK = 10, nprobe = 8, overFetch = 4)
+      .collect().groupBy(_.getLong(0))
+    val v32Recall = queryRows.map { case (qid, _) =>
+      val got = batchedRows.getOrElse(qid, Array.empty).map(_.getLong(1)).toSet
+      got.intersect(truth(qid)).size.toDouble / truth(qid).size
+    }.sum / nQueries
+    // ingest screen: threshold under the planted top-1 cosine; truth =
+    // the exact scan found a corpus row at/above it. The exact verify
+    // admits no false positives by construction, so detection rate IS
+    // the screen's recall dial (margin prices the ADC error).
+    val thr = 0.85
+    val screen = SimilaritySearch.rotResidualPqIncrementalNearDup(rres64,
+        queriesDf, threshold = thr, margin = 0.1, nprobe = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    rres64.rpq.encoded.unpersist(blocking = false)
+    val dupTruth = queryRows.map { case (qid, _) =>
+      qid -> (exactAll(qid).head._2 >= thr)
+    }.toMap
+    val nTrueDup = dupTruth.values.count(identity)
+    val v34Detect =
+      if (nTrueDup == 0) -1.0
+      else queryRows.count { case (qid, _) =>
+        dupTruth(qid) && screen.get(qid).contains("dup")
+      }.toDouble / nTrueDup
+    val v34FalsePos = queryRows.count { case (qid, _) =>
+      !dupTruth(qid) && screen.get(qid).contains("dup")
+    }
+    System.err.println(
+      f"[pqc] serving arms ksub=64: v32 batched rot-resid recall $v32Recall%.4f, " +
+        f"v34 screen detect $v34Detect%.4f ($nTrueDup true dups, " +
+        f"$v34FalsePos false positives)")
 
     val json =
       f"""{"n_corpus":$nCorpus,"n_queries":$nQueries,"clusters":$kClusters,
          |"sigma":$sigma%.2f,"aniso":$aniso%.2f,"mean_top1_cos":$meanTop1%.4f,
          |"mean_top10_cos":$meanTop10%.4f,
          |"sq8_recall_of4":$sq8Recall%.4f,
+         |"v32_batched_rot_residual_ksub64":$v32Recall%.4f,
+         |"v34_screen_detect_ksub64":$v34Detect%.4f,
+         |"v34_screen_true_dups":$nTrueDup,"v34_screen_false_pos":$v34FalsePos,
          |"arms":${arms.mkString("[", ",", "]")}}"""
         .stripMargin.replace("\n", "")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")

@@ -1537,6 +1537,62 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("power-of-4"))
   }
 
+  test("trained OPQ on residuals (v36): orthogonal + deterministic R; covering probe == exact") {
+    import spark.implicits._
+    val q = vec(5678L)
+    val corpus = ((1L, jitter(q, 0.01f)) +:
+      (2L to 180L).map(i => (i, vec(i * 523 + 3)))).toDF("id", "v")
+    val ivf = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 6, lloydIters = 2)
+    val idx = SimilaritySearch.opqResidualPqBuild(ivf, m = 4, ksub = 8,
+      lloydIters = 1, opqIters = 2)
+    // R orthogonal (Procrustes of a converged Jacobi SVD) and the
+    // quantized form is its exact 2^24 snap — the matrix the encode
+    // applied and the oracle inlines
+    val r = idx.r
+    val n = r.length
+    var worst = 0.0
+    for (i <- 0 until n; j <- 0 until n) {
+      var acc = 0.0
+      var k2 = 0
+      while (k2 < n) { acc += r(i)(k2) * r(j)(k2); k2 += 1 }
+      worst = math.max(worst, math.abs(acc - (if (i == j) 1.0 else 0.0)))
+    }
+    assert(worst < 1e-9, s"R is not orthogonal: ‖RRᵀ−I‖∞ = $worst")
+    assert(idx.rq.flatten.toSeq ==
+      r.flatten.map(x => math.floor(x * (1L << 24) + 0.5).toLong).toSeq)
+    // deterministic re-train: same R, same codebook, same codes
+    val idx2 = SimilaritySearch.opqResidualPqBuild(ivf, m = 4, ksub = 8,
+      lloydIters = 1, opqIters = 2)
+    assert(idx.r.flatten.toSeq == idx2.r.flatten.toSeq,
+      "re-training must reproduce the rotation bit-for-bit")
+    assert(idx.rpq.codebook.flatten.flatten.toSeq ==
+      idx2.rpq.codebook.flatten.flatten.toSeq)
+    // full probe + covering overFetch ⇒ exact top-k (original-float rerank)
+    val got = SimilaritySearch.opqResidualPqTopK(idx, q, topK = 10,
+      nprobe = 6, overFetch = 18)
+      .collect().map(r2 => (r2.getLong(0), r2.getDouble(1))).toSeq
+    val exact = SimilaritySearch.cosineTopK(corpus, "id", "v",
+        Seq(Tuple1(q)).toDF("qv"), "qv", k = 10)
+      .collect().map(r2 => (r2.getLong(0), r2.getDouble(1))).toSeq
+    assert(got == exact, s"got=$got exact=$exact")
+    // a pruned probe still retrieves the planted near-copy, exactly scored
+    val top = SimilaritySearch.opqResidualPqTopK(idx, q, topK = 5,
+      nprobe = 2, overFetch = 4).collect()
+    assert(top.head.getLong(0) == 1L, "planted near-copy must rank first")
+    assert(top.head.getDouble(1) > 0.99)
+    // degenerate query probes nothing and returns empty
+    assert(SimilaritySearch.opqResidualPqTopK(idx, new Array[Float](16),
+      topK = 3).collect().isEmpty)
+    // bad geometry loud (power-of-4 init)
+    val bad = (1L to 40L).map(i => (i, Array.fill(8)(vec(i).take(8)).flatten.take(8)))
+      .toDF("id", "v")
+    val badIvf = SimilaritySearch.ivfBuild(bad, "id", "v", k = 3, lloydIters = 1)
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.opqResidualPqBuild(badIvf, m = 4, ksub = 4)
+    }
+    assert(e.getMessage.contains("power-of-4"))
+  }
+
   test("ivfPqTopK: full probe == pure PQ; pruned probe finds the planted copy") {
     import spark.implicits._
     val q = vec(1618L)
