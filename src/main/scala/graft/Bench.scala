@@ -554,15 +554,24 @@ object Bench {
       }
     }
     spark.stop()
+    // the full line first, then its ≤~250-byte compact distillation as
+    // the TRUE last line (r19 verdict #2): the full line is ~20 KB and
+    // a bounded tail-capture truncates its head beyond recovery — two
+    // rounds of `parsed: null` even with the line printing last; a
+    // tail parser now always finds a complete JSON object in its window
+    def printArtifact(): Unit = {
+      println(emitted)
+      graft.tools.BenchProtocol.compactArtifactLine(emitted).foreach(println)
+    }
     if (!adjudicable) {
       System.err.println(
         f"[bench] NOT ADJUDICABLE: variance_trimmed=$varianceTrimmed%.3f (raw $variance%.3f, floor ${graft.tools.BenchProtocol.VarianceFloor}), failed=$failed" +
           (if (suspectKinds.isEmpty) ""
            else suspectKinds.map { case (k, v) => s"$k=$v" }
              .mkString(" [suspect windows: ", ", ", "]")))
-      println(emitted) // LAST stdout line, for tail parsers (see above)
+      printArtifact()
       sys.exit(1)
     }
-    println(emitted) // LAST stdout line, for tail parsers (see above)
+    printArtifact()
   }
 }

@@ -446,4 +446,41 @@ object BenchProtocol {
         Some(om.writeValueAsString(obj))
       }
     } catch { case _: Exception => None }
+
+  /** The fields the COMPACT artifact line carries — everything a
+    * bounded tail-capture needs to adjudicate a round, nothing that
+    * can grow with the query count. */
+  private val CompactFields = Seq(
+    "metric", "value", "unit", "provenance", "adjudicable",
+    "adjudicable_live", "canary_sec", "canary_shuffle_sec",
+    "variance_trimmed", "refusal_reason", "sf")
+
+  /** Distill a full artifact line to its adjudication core (r19 verdict
+    * #2): the FULL line is ~20 KB (per-query maps, samples, timestamps,
+    * gc), so a driver that tail-captures a bounded byte window can
+    * truncate its HEAD and no parser recovers it — two rounds of
+    * `parsed: null` despite the line printing last. The fix is one
+    * MORE line, ≤ ~250 bytes, printed after the full one as the true
+    * last line: a whitelist copy of the scalar adjudication fields
+    * (value, provenance, adjudicable_live, canaries, trimmed variance,
+    * refusal reason when present) plus `compact: true` so a reader can
+    * tell the two shapes apart. The full line still lands in
+    * bench_output.json / bench_last_good.json unchanged. Returns None
+    * on unparseable input — the caller then just skips the extra line
+    * rather than printing garbage. */
+  def compactArtifactLine(fullLine: String): Option[String] =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(fullLine)
+      if (root == null || !root.isObject) None
+      else {
+        val out = om.createObjectNode()
+        out.put("compact", true)
+        CompactFields.foreach { f =>
+          val v = root.get(f)
+          if (v != null) out.set[com.fasterxml.jackson.databind.JsonNode](f, v)
+        }
+        Some(om.writeValueAsString(out))
+      }
+    } catch { case _: Exception => None }
 }

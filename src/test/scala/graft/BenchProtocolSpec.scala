@@ -318,6 +318,46 @@ class BenchProtocolSpec extends AnyFunSuite {
       "[1,2,3]", "r", 1.0, 1.0, 0.6, Nil).isEmpty) // array, not an object
   }
 
+  test("compactArtifactLine: scalar adjudication core only, bounded size (r19 verdict #2)") {
+    // a full line of the real shape, padded with the per-query payloads
+    // that made BENCH_r18/r19 unparseable under a bounded tail-capture
+    val queries = (1 to 200).map(i => s""""q$i":1.234""").mkString(",")
+    val samples = (1 to 200).map(i => s""""q$i":[1.1,1.2,1.3,1.2,1.25]""").mkString(",")
+    val full =
+      s"""{"metric":"total","value":33.103,"unit":"sec","provenance":"live",""" +
+        s""""adjudicable":true,"adjudicable_live":true,"canary_sec":2.150,""" +
+        s""""canary_shuffle_sec":1.820,"variance_trimmed":0.234,""" +
+        s""""queries":{$queries},"samples":{$samples},"sf":"/root/testdata/sf0.1"}"""
+    assert(full.length > 5000, "fixture must model the oversized line")
+    val out = BenchProtocol.compactArtifactLine(full)
+    assert(out.isDefined)
+    assert(out.get.length <= 300,
+      s"compact line must survive a bounded tail-capture, got ${out.get.length}B")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(out.get)
+    assert(node.get("compact").asBoolean())
+    assert(node.get("value").asDouble() == 33.103)
+    assert(node.get("provenance").asText() == "live")
+    assert(node.get("adjudicable_live").asBoolean())
+    assert(node.get("canary_sec").asDouble() == 2.150)
+    assert(node.get("variance_trimmed").asDouble() == 0.234)
+    assert(node.get("sf").asText() == "/root/testdata/sf0.1")
+    assert(node.get("queries") == null && node.get("samples") == null,
+      "no per-query maps may ride the compact line")
+    // a refused round's standing-fallback line keeps its refusal fields
+    val fb = BenchProtocol.standingFallbackLine(
+      full, "not adjudicable: variance_trimmed=0.685 (floor 0.5)",
+      refusedCanary = 2.31, refusedCanaryShuffle = 1.88,
+      refusedVarianceTrimmed = 0.685, refusedFailed = Nil).get
+    val cfb = om.readTree(BenchProtocol.compactArtifactLine(fb).get)
+    assert(cfb.get("provenance").asText() == "standing-slot")
+    assert(!cfb.get("adjudicable_live").asBoolean())
+    assert(cfb.get("refusal_reason").asText().contains("0.685"))
+    // garbage in → no extra line, never a crash
+    assert(BenchProtocol.compactArtifactLine("not json {").isEmpty)
+    assert(BenchProtocol.compactArtifactLine("[1,2]").isEmpty)
+  }
+
   test("jsonEscape neutralizes quotes, backslashes and control chars") {
     assert(BenchProtocol.jsonEscape("""a"b\c""") == """a\"b\\c""")
     assert(BenchProtocol.jsonEscape("x\ny") == "x\\u000ay")
