@@ -359,12 +359,45 @@ object SimilaritySearch {
     rank + java.lang.Long.bitCount(mk(base + word) & ((1L << (cl % 64)) - 1))
   }
 
-  /** The kernel-side read of the packed-code column, uniform across
-    * layouts: single-word indexes (BIGINT `pq_code`) are wrapped into a
-    * one-element array so every kernel deserializes `Array[Long]`
-    * words; wide indexes carry the array natively. */
-  private def pqWordsCol(nWords: Int): Column =
-    if (nWords == 1) array(col("pq_code")) else col("pq_code")
+  /** mapPartitions over an encoded (id, pq_code, nrm) scan with
+    * LAYOUT-AWARE deserialization (advice r19): a single-word index
+    * reads the plain BIGINT column and the kernel sees ONE scratch
+    * word reused across the partition's rows — no per-row Array[Long]
+    * allocation or array() wrap on the hot flat-kernel scans, the tier
+    * the bench slots are most sensitive to — while a wide index
+    * carries its words array natively. The kernel must not retain
+    * `words` across rows (every caller decodes immediately into its
+    * own codes scratch via [[unpackPqCodes]]). */
+  private def scanEncoded3[O: org.apache.spark.sql.Encoder](
+      encoded: DataFrame, idCol: String, nW: Int)(
+      kernel: Iterator[(Long, Array[Long], Double)] => Iterator[O]): Dataset[O] = {
+    val sp = encoded.sparkSession
+    import sp.implicits._
+    val cols = encoded.select(col(idCol).cast("long"), col("pq_code"), col("nrm"))
+    if (nW == 1)
+      cols.as[(Long, Long, Double)].mapPartitions { it =>
+        val scratch = new Array[Long](1)
+        kernel(it.map { r => scratch(0) = r._2; (r._1, scratch, r._3) })
+      }
+    else cols.as[(Long, Array[Long], Double)].mapPartitions(kernel)
+  }
+
+  /** [[scanEncoded3]] for the residual tiers' (id, pq_code, nrm,
+    * cluster) scans. */
+  private def scanEncoded4[O: org.apache.spark.sql.Encoder](
+      encoded: DataFrame, idCol: String, nW: Int)(
+      kernel: Iterator[(Long, Array[Long], Double, Int)] => Iterator[O]): Dataset[O] = {
+    val sp = encoded.sparkSession
+    import sp.implicits._
+    val cols = encoded.select(col(idCol).cast("long"), col("pq_code"),
+      col("nrm"), col("cluster").cast("int"))
+    if (nW == 1)
+      cols.as[(Long, Long, Double, Int)].mapPartitions { it =>
+        val scratch = new Array[Long](1)
+        kernel(it.map { r => scratch(0) = r._2; (r._1, scratch, r._3, r._4) })
+      }
+    else cols.as[(Long, Array[Long], Double, Int)].mapPartitions(kernel)
+  }
 
   /** Loud layout guard for the persisted-tree loaders: the encoded
     * parquet's `pq_code` type must agree with the meta's (m, bits) —
@@ -793,11 +826,8 @@ object SimilaritySearch {
     val bc = sp.sparkContext.broadcast((qids, qns, luts))
     registerServingCleanup(() => bc.destroy(), Some(bc))
     val perW = pqPerWord(index.bits)
-    val admitted = index.encoded
-      .select(col(index.idCol).cast("long"),
-        pqWordsCol(pqNumWords(index.m, index.bits)).as("pq_code"), col("nrm"))
-      .as[(Long, Array[Long], Double)]
-      .mapPartitions { it =>
+    val admitted = scanEncoded3[(Long, Long)](
+        index.encoded, index.idCol, pqNumWords(index.m, index.bits)) { it =>
         val (ids, ns, lt) = bc.value
         val codes = new Array[Int](mLoc)
         it.flatMap { case (cid, words, nrm) =>
@@ -1752,11 +1782,8 @@ object SimilaritySearch {
     val perW = pqPerWord(index.bits)
     // the flat scan: unpack each row's m codes ONCE, then one LUT add
     // per (query, subspace); bounded per-query heaps keep the cut
-    val cand = index.encoded
-      .select(col(index.idCol).cast("long"),
-        pqWordsCol(pqNumWords(index.m, index.bits)).as("pq_code"), col("nrm"))
-      .as[(Long, Array[Long], Double)]
-      .mapPartitions { it =>
+    val cand = scanEncoded3[(Long, Long, Double)](
+        index.encoded, index.idCol, pqNumWords(index.m, index.bits)) { it =>
         val (ids, ns, lt) = bc.value
         val heaps = Array.fill(ids.length)(
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](heapWorst))
@@ -2680,12 +2707,8 @@ object SimilaritySearch {
     val keep = topK * overFetch
     val perW = pqPerWord(index.bits)
     val nprobeLoc = nprobe; val wordsLoc = words
-    val cand = index.encoded
-      .select(col(index.idCol).cast("long"),
-        pqWordsCol(pqNumWords(index.m, index.bits)).as("pq_code"), col("nrm"),
-        col("cluster").cast("int"))
-      .as[(Long, Array[Long], Double, Int)]
-      .mapPartitions { it =>
+    val cand = scanEncoded4[(Long, Long, Double)](
+        index.encoded, index.idCol, pqNumWords(index.m, index.bits)) { it =>
         val (ids, ns, lt, of, mk) = bc.value
         val heaps = Array.fill(ids.length)(
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](heapWorst))
@@ -4280,12 +4303,8 @@ object SimilaritySearch {
     registerServingCleanup(() => bc.destroy(), Some(bc))
     val perW = pqPerWord(index.bits)
     val nprobeLoc = nprobe; val wordsLoc = words
-    val admitted = index.encoded
-      .select(col(index.idCol).cast("long"),
-        pqWordsCol(pqNumWords(index.m, index.bits)).as("pq_code"), col("nrm"),
-        col("cluster").cast("int"))
-      .as[(Long, Array[Long], Double, Int)]
-      .mapPartitions { it =>
+    val admitted = scanEncoded4[(Long, Long)](
+        index.encoded, index.idCol, pqNumWords(index.m, index.bits)) { it =>
         val (ids, ns, lt, of, mk) = bc.value
         val codes = new Array[Int](mLoc)
         it.flatMap { case (cid, cw, nrm, cl) =>

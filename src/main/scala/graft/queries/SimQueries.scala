@@ -760,6 +760,31 @@ object SimQueries {
       overFetch = 4, filter = col("vec_id") =!= 0)
   }
 
+  /** THREE-word wide-layout PQ ANN (v27b) — the m=16 / ksub=256 dial
+    * that produced the r19 recall capstone (128-bit codes: residual
+    * 0.783 iso / rot-residual 0.840 aniso on the clustered fixture),
+    * now pinned on the hash gate (r19 verdict #5): at 8-bit codes a
+    * 63-bit word carries 7 fields, so m=16 packs as THREE non-spanning
+    * BIGINT words — the first ≥3-word layout with an oracle entry
+    * (v27/v28 gate 2 words). The oracle is [[pqOracleSql]] re-dialed,
+    * structurally unchanged: it replays codes at the (vec_id, subspace,
+    * code) level and never packs, so the hash match pins the 3-word
+    * layout as pure representation. */
+  val pqWide3AdcTopK: Q = Q(
+    "v27b_pq_wide3_topk",
+    pqOracleSql(m = 16, ksub = 256, iters = 2, topK = 10, overFetch = 4, dim = 64)) { (s, dir) =>
+    val sp = s
+    import sp.implicits._
+    val e = t(s, dir, "embeddings")
+    val idx = graft.operators.SimilaritySearch.pqBuild(
+      e, "vec_id", "embedding", m = 16, ksub = 256, lloydIters = 2,
+      portableSeeds = true)
+    val qVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    graft.operators.SimilaritySearch.pqTopK(idx, qVec, topK = 10,
+      overFetch = 4, filter = col("vec_id") =!= 0)
+  }
+
   /** Wide-layout residual IVF-PQ ANN (v28) — v23 at ksub=256, the dial
     * the r18 clustered fixture proved is the one that matters (residual
     * recall climbs 0.27 → 0.43 across ksub 16 → 128 and was CAPPED by
@@ -2204,7 +2229,7 @@ object SimQueries {
     ivfServePersisted, embeddingComponents, bandedComponents, pqAdcTopK,
     ivfPqAdcTopK, pqBatchTopK, ivfResidualPqAdcTopK, pqIncrementalDedup,
     residualPqBatchTopK, residualPqIncrementalDedup, pqWideAdcTopK,
-    residualPqWideTopK, rotPqTopK, rotResidualPqTopK, rotPqBatchTopK,
+    residualPqWideTopK, pqWide3AdcTopK, rotPqTopK, rotResidualPqTopK, rotPqBatchTopK,
     rotResidualPqBatchTopK, rotPqIncrementalDedup, rotResidualPqIncrementalDedup,
     opqTopKEntry, opqResidualTopKEntry)
 }

@@ -135,7 +135,9 @@ class PlanQualitySpec extends AnyFunSuite {
         "v33_rot_pq_incremental_dedup",
         "v34_rot_residual_pq_incremental_dedup",
         // round 20: the TRAINED-OPQ tiers (literal-R oracle chains)
-        "v35_opq_pq_topk", "v36_opq_residual_topk")) {
+        // and the 3-word (m=16 × 8-bit) packing arm
+        "v35_opq_pq_topk", "v36_opq_residual_topk",
+        "v27b_pq_wide3_topk")) {
       val nodes = finalPlan(name)
       assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
         s"$name contains a cartesian product")
