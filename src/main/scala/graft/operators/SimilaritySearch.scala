@@ -801,6 +801,23 @@ object SimilaritySearch {
     pqIncrementalImpl(index.pq, batch, threshold, margin, corpusSizeHint,
       signs = index.signs, opName = "rotPqIncrementalNearDup")
 
+  /** Incremental dedup at the TRAINED-OPQ tier (v38) —
+    * [[pqIncrementalNearDup]]'s screen verbatim with each ingest
+    * row's LUT built over its [[matVecFpQ]]-rotated vector (norms
+    * original; `margin` keeps the raw tier's semantics because the
+    * rotation is orthogonal up to the 2^24 quantization the margin
+    * already prices); the exact verify never admits a false positive,
+    * rotation or not. */
+  def opqPqIncrementalNearDup(
+      index: OpqPqIndex,
+      batch: DataFrame,
+      threshold: Double = 0.45,
+      margin: Double = 0.2,
+      corpusSizeHint: Long = -1L): DataFrame =
+    pqIncrementalImpl(index.pq, batch, threshold, margin, corpusSizeHint,
+      signs = Array.empty, opName = "opqPqIncrementalNearDup",
+      rq = index.rq)
+
   private def pqIncrementalImpl(
       index: PqIndex,
       batch: DataFrame,
@@ -808,7 +825,8 @@ object SimilaritySearch {
       margin: Double,
       corpusSizeHint: Long,
       signs: Array[Int],
-      opName: String): DataFrame = {
+      opName: String,
+      rq: Array[Array[Long]] = Array.empty): DataFrame = {
     implicit val sp: SparkSession = index.encoded.sparkSession
     import sp.implicits._
     require(margin >= 0.0,
@@ -822,7 +840,7 @@ object SimilaritySearch {
       index.codebook, index.m, index.ksub, index.dsub,
       batch, index.idCol, index.vecCol, opName,
       keepVectors = false, // the exact verify re-reads the batch frame
-      signs = signs)
+      signs = signs, rq = rq)
     val bc = sp.sparkContext.broadcast((qids, qns, luts))
     registerServingCleanup(() => bc.destroy(), Some(bc))
     val perW = pqPerWord(index.bits)
@@ -1560,7 +1578,7 @@ object SimilaritySearch {
     * distributed arm's closure stays serializable. */
   private def batchLutRowChecked(
       cb: Array[Array[Array[Double]]], dim: Int, m: Int, ksub: Int, dsub: Int,
-      keepVectors: Boolean, signs: Array[Int],
+      keepVectors: Boolean, signs: Array[Int], rq: Array[Array[Long]],
       qid: Long, v0: Array[Float]): (Long, Array[Float], Double, Array[Long]) = {
     // a NULL vector (nullable streaming source) degrades like the
     // empty vector: qn stays 0, the query answers nothing — one bad
@@ -1570,13 +1588,16 @@ object SimilaritySearch {
       throw new IllegalArgumentException(
         s"mixed-dimension batch vs index: index dimension $dim vs " +
           s"batch vector of ${v.length} components")
-    // rotated tiers (non-empty `signs`): the LUT is built over the
-    // HD-rotated query, the norm stays the ORIGINAL vector's (the
-    // ⟨q,c⟩ + ⟨Hq,Hr⟩ serve convention) — NaN degrade as the raw path
+    // rotated tiers (non-empty `signs` = HD, non-empty `rq` = the
+    // trained quantized rotation): the LUT is built over the rotated
+    // query, the norm stays the ORIGINAL vector's (the ⟨q,c⟩ + ⟨Rq,Rr⟩
+    // serve convention) — NaN degrade as the raw path
     val (qn, lut) =
-      if (signs.isEmpty) pqBatchLutRow(cb, v, m, ksub, dsub)
+      if (signs.isEmpty && rq.isEmpty) pqBatchLutRow(cb, v, m, ksub, dsub)
       else {
-        val lutR = pqBatchLutRowD(cb, rotateFp(v, signs), m, ksub, dsub)._2
+        val rot = if (rq.nonEmpty) matVecFpQ(rq, toDoubles(v))
+                  else rotateFp(v, signs)
+        val lutR = pqBatchLutRowD(cb, rot, m, ksub, dsub)._2
         var ss = 0.0; var i = 0
         while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
         val n = math.sqrt(ss)
@@ -1622,7 +1643,8 @@ object SimilaritySearch {
       vecColName: String,
       opName: String,
       keepVectors: Boolean = true,
-      signs: Array[Int] = Array.empty) // non-empty = rotated-tier LUTs
+      signs: Array[Int] = Array.empty, // non-empty = HD-rotated LUTs
+      rq: Array[Array[Long]] = Array.empty) // non-empty = trained-R LUTs
       : (Array[(Long, Array[Float])], Array[Long], Array[Double], Array[Long]) = {
     val sp = frame.sparkSession
     import sp.implicits._
@@ -1641,11 +1663,12 @@ object SimilaritySearch {
     val dimLoc = dim
     val keepLoc = keepVectors
     val signsLoc = signs
+    val rqLoc = rq
     val collected: Array[(Long, Array[Float], Double, Array[Long])] =
       if (mode == "driver")
         src.collect().map { case (q, v) =>
           batchLutRowChecked(codebook, dimLoc, mLoc, ksubLoc, dsubLoc, keepLoc,
-            signsLoc, q, v)
+            signsLoc, rqLoc, q, v)
         }
       else {
         val bcCb = sp.sparkContext.broadcast(codebook)
@@ -1654,7 +1677,7 @@ object SimilaritySearch {
         // (whose DataFrames are not serializable)
         val out = src.map { case (q, v) =>
           batchLutRowChecked(bcCb.value, dimLoc, mLoc, ksubLoc, dsubLoc, keepLoc,
-            signsLoc, q, v)
+            signsLoc, rqLoc, q, v)
         }.collect()
         bcCb.destroy() // dead once collected (the advice-r17 rule)
         out
@@ -1751,6 +1774,24 @@ object SimilaritySearch {
     pqTopKBatchImpl(index.pq, queries, queryIdCol, queryVecCol, topK,
       overFetch, signs = index.signs, opName = "rotPqTopKBatch")
 
+  /** Batched serving for the TRAINED-OPQ tier (v37) —
+    * [[pqTopKBatch]]'s kernel verbatim with every per-query LUT built
+    * over the [[matVecFpQ]]-rotated query (distributed, inside
+    * [[collectBatchLuts]]) and norms kept original; the kernel itself
+    * never changes (it only consumes LUTs) — exactly how
+    * [[rotPqTopKBatch]] closes the HD tier's throughput arm, one
+    * rotation rung up. */
+  def opqPqTopKBatch(
+      index: OpqPqIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      overFetch: Int = 4): DataFrame =
+    pqTopKBatchImpl(index.pq, queries, queryIdCol, queryVecCol, topK,
+      overFetch, signs = Array.empty, opName = "opqPqTopKBatch",
+      rq = index.rq)
+
   private def pqTopKBatchImpl(
       index: PqIndex,
       queries: DataFrame,
@@ -1759,7 +1800,8 @@ object SimilaritySearch {
       topK: Int,
       overFetch: Int,
       signs: Array[Int],
-      opName: String): DataFrame = {
+      opName: String,
+      rq: Array[Array[Long]] = Array.empty): DataFrame = {
     implicit val sp: SparkSession = index.encoded.sparkSession
     import sp.implicits._
     require(topK >= 1 && overFetch >= 1, "topK and overFetch must be >= 1")
@@ -1769,7 +1811,7 @@ object SimilaritySearch {
     val stride = mLoc * ksubLoc
     val (qRows, qids, qns, luts) =
       collectBatchLuts(index.codebook, index.m, index.ksub, index.dsub,
-        queries, queryIdCol, queryVecCol, opName, signs = signs)
+        queries, queryIdCol, queryVecCol, opName, signs = signs, rq = rq)
     val bc = sp.sparkContext.broadcast((qids, qns, luts))
     // registered like the quantized arm's PackedBatch broadcast: under
     // withServingResources the caller's release() destroys it after
@@ -2647,6 +2689,24 @@ object SimilaritySearch {
     residualBatchImpl(index.rpq, queries, queryIdCol, queryVecCol, topK,
       nprobe, overFetch, signs = index.signs, opName = "rotResidualPqTopKBatch")
 
+  /** Batched serving for the TRAINED-OPQ residual tier (v39) —
+    * [[ivfResidualPqTopKBatch]]'s kernel verbatim: probes and
+    * per-(query, probed-cluster) offsets stay in the ORIGINAL space,
+    * only each query's LUT rotates (built distributed over Rq inside
+    * [[collectBatchLuts]], the exact quantized form the codes were
+    * trained in). */
+  def opqResidualPqTopKBatch(
+      index: OpqResidualPqIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4): DataFrame =
+    residualBatchImpl(index.rpq, queries, queryIdCol, queryVecCol, topK,
+      nprobe, overFetch, signs = Array.empty,
+      opName = "opqResidualPqTopKBatch", rq = index.rq)
+
   private def residualBatchImpl(
       index: ResidualPqIndex,
       queries: DataFrame,
@@ -2656,7 +2716,8 @@ object SimilaritySearch {
       nprobe: Int,
       overFetch: Int,
       signs: Array[Int],
-      opName: String): DataFrame = {
+      opName: String,
+      rq: Array[Array[Long]] = Array.empty): DataFrame = {
     implicit val sp: SparkSession = index.encoded.sparkSession
     import sp.implicits._
     require(topK >= 1 && overFetch >= 1 && nprobe >= 1,
@@ -2670,7 +2731,7 @@ object SimilaritySearch {
     val words = (k + 63) / 64
     val (qRows, qids, qns, luts) =
       collectBatchLuts(index.codebook, index.m, index.ksub, index.dsub,
-        queries, queryIdCol, queryVecCol, opName, signs = signs)
+        queries, queryIdCol, queryVecCol, opName, signs = signs, rq = rq)
     val nQ = qids.length
     require(nQ.toLong * nprobe <= Int.MaxValue && nQ.toLong * words <= Int.MaxValue,
       s"$opName: $nQ queries × $nprobe offsets (or × $words " +
@@ -4243,6 +4304,22 @@ object SimilaritySearch {
       corpusSizeHint, signs = index.signs,
       opName = "rotResidualPqIncrementalNearDup")
 
+  /** Probe-pruned incremental dedup at the TRAINED-OPQ residual tier
+    * (v40) — [[residualPqIncrementalNearDup]]'s screen with the
+    * trained rotation on the LUT side only (probes, offsets, norms,
+    * exact verify all original-space): the full `OPQ,IVF,PQ` ingest
+    * shape with the LEARNED R. */
+  def opqResidualPqIncrementalNearDup(
+      index: OpqResidualPqIndex,
+      batch: DataFrame,
+      threshold: Double = 0.45,
+      margin: Double = 0.2,
+      nprobe: Int = 4,
+      corpusSizeHint: Long = -1L): DataFrame =
+    residualIncrementalImpl(index.rpq, batch, threshold, margin, nprobe,
+      corpusSizeHint, signs = Array.empty,
+      opName = "opqResidualPqIncrementalNearDup", rq = index.rq)
+
   private def residualIncrementalImpl(
       index: ResidualPqIndex,
       batch: DataFrame,
@@ -4251,7 +4328,8 @@ object SimilaritySearch {
       nprobe: Int,
       corpusSizeHint: Long,
       signs: Array[Int],
-      opName: String): DataFrame = {
+      opName: String,
+      rq: Array[Array[Long]] = Array.empty): DataFrame = {
     implicit val sp: SparkSession = index.encoded.sparkSession
     import sp.implicits._
     require(margin >= 0.0,
@@ -4269,7 +4347,7 @@ object SimilaritySearch {
     // verify still re-reads the batch FRAME, as in pqIncrementalNearDup)
     val (qRows, qids, qns, luts) = collectBatchLuts(
       index.codebook, index.m, index.ksub, index.dsub,
-      batch, index.idCol, index.vecCol, opName, signs = signs)
+      batch, index.idCol, index.vecCol, opName, signs = signs, rq = rq)
     val nQ = qids.length
     require(nQ.toLong * nprobe <= Int.MaxValue && nQ.toLong * words <= Int.MaxValue,
       s"$opName: $nQ batch rows × $nprobe offsets (or " +

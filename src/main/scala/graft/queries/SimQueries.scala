@@ -452,25 +452,33 @@ object SimQueries {
     * [[graft.operators.SimilaritySearch.pqTopKBatch]] makes, verbatim. */
   private def pqBatchOracleSql(
       m: Int, ksub: Int, iters: Int, topK: Int, overFetch: Int, dim: Int,
-      rotated: Boolean = false): String = {
+      rotated: Boolean = false,
+      rqLit: Option[Array[Array[Long]]] = None): String = {
+    require(!(rotated && rqLit.nonEmpty),
+      "pqBatchOracleSql: HD and literal-R rotation are exclusive")
+    val anyRot = rotated || rqLit.nonEmpty
     val dsub = dim / m
     val root = math.sqrt(dim.toDouble).toInt
     // `rotated` (v31): the corpus trains over the HD-rotated `sub`, the
     // batch split's LUTs read rotated per-query subvectors; norms and
     // the rerank stay original-space — the oracle of
-    // [[graft.operators.SimilaritySearch.rotPqTopKBatch]]
+    // [[graft.operators.SimilaritySearch.rotPqTopKBatch]].
+    // `rqLit` (v37): the SAME chain with the TRAINED rotation inlined
+    // as the literal `rfp` CTE — [[opqPqTopKBatch]]'s oracle.
     val rotHead =
-      if (!rotated) ""
-      else s"${dsignSql(dim)},\n${rotCorpusCte(dim, root)},\n"
+      if (rqLit.nonEmpty) s"${rfpLitCte(rqLit.get, dim)},\n$rotCorpusLitCte,\n"
+      else if (rotated) s"${dsignSql(dim)},\n${rotCorpusCte(dim, root)},\n"
+      else ""
     val trainSub =
-      if (!rotated) ""
+      if (!anyRot) ""
       else s"""sub AS (SELECT vec_id, (j - 1) // $dsub AS s, (j - 1) % $dsub + 1 AS i, y AS x
               |        FROM rot)""".stripMargin
     val qsubCtes =
-      if (!rotated)
+      if (rqLit.nonEmpty) rotQueryBatchLitCtes(dsub)
+      else if (rotated) rotQueryBatchCtes(dim, dsub, root)
+      else
         s"""qsubB AS (SELECT q_id, s, i, ve[s * $dsub + i] AS x
            |          FROM qd, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i))""".stripMargin
-      else rotQueryBatchCtes(dim, dsub, root)
     val composed =
       s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
        |           WHERE vec_id % 7 <> 4),
@@ -493,7 +501,8 @@ object SimQueries {
        |         FROM penc e JOIN lutB l ON l.s = e.s AND l.c = e.code
        |         GROUP BY l.q_id, e.vec_id),
        |${pqBatchRankTailSql(topK, overFetch, dim)}""".stripMargin
-    if (rotated) materializeCtes(composed, Seq("rot", "sub", "penc"))
+    if (rotated || rqLit.nonEmpty)
+      materializeCtes(composed, Seq("rot", "sub", "penc"))
     else composed
   }
 
@@ -563,25 +572,33 @@ object SimQueries {
   private def pqIncrementalOracleSql(
       m: Int, ksub: Int, iters: Int,
       threshold: Double, margin: Double, dim: Int,
-      rotated: Boolean = false): String = {
+      rotated: Boolean = false,
+      rqLit: Option[Array[Array[Long]]] = None): String = {
+    require(!(rotated && rqLit.nonEmpty),
+      "pqIncrementalOracleSql: HD and literal-R rotation are exclusive")
+    val anyRot = rotated || rqLit.nonEmpty
     val dsub = dim / m
     val bound = threshold - margin
     val root = math.sqrt(dim.toDouble).toInt
     // `rotated` (v33): codes and per-row LUTs in the HD-rotated space,
     // admission norms + exact verify original — the oracle of
-    // [[graft.operators.SimilaritySearch.rotPqIncrementalNearDup]]
+    // [[graft.operators.SimilaritySearch.rotPqIncrementalNearDup]].
+    // `rqLit` (v38): the trained rotation via the literal `rfp` CTE —
+    // [[opqPqIncrementalNearDup]]'s oracle.
     val rotHead =
-      if (!rotated) ""
-      else s"${dsignSql(dim)},\n${rotCorpusCte(dim, root)},\n"
+      if (rqLit.nonEmpty) s"${rfpLitCte(rqLit.get, dim)},\n$rotCorpusLitCte,\n"
+      else if (rotated) s"${dsignSql(dim)},\n${rotCorpusCte(dim, root)},\n"
+      else ""
     val trainSub =
-      if (!rotated) ""
+      if (!anyRot) ""
       else s"""sub AS (SELECT vec_id, (j - 1) // $dsub AS s, (j - 1) % $dsub + 1 AS i, y AS x
               |        FROM rot)""".stripMargin
     val qsubCtes =
-      if (!rotated)
+      if (rqLit.nonEmpty) rotQueryBatchLitCtes(dsub)
+      else if (rotated) rotQueryBatchCtes(dim, dsub, root)
+      else
         s"""qsubB AS (SELECT q_id, s, i, ve[s * $dsub + i] AS x
            |          FROM qd, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i))""".stripMargin
-      else rotQueryBatchCtes(dim, dsub, root)
     val composed =
       s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
        |           WHERE vec_id % 7 <> 4),
@@ -605,7 +622,7 @@ object SimQueries {
        |         GROUP BY l.q_id, e.vec_id),
        |${incrementalAdmissionSql(bound)},
        |${incrementalStatusTailSql(threshold, dim)}""".stripMargin
-    if (rotated) materializeCtes(composed, Seq("rot", "sub", "penc"))
+    if (anyRot) materializeCtes(composed, Seq("rot", "sub", "penc"))
     else composed
   }
 
@@ -851,6 +868,44 @@ object SimQueries {
        |qsubB AS (SELECT q_id, (j - 1) // $dsub AS s, (j - 1) % $dsub + 1 AS i, y AS x
        |          FROM qrotB)""".stripMargin
 
+  /** The LITERAL trained-rotation CTE (`rfp`) — the quantized R the
+    * Spark build applied, unrolled from a dim-row VALUES list to
+    * (j, i, rv) BIGINT entries. Shared by every trained-OPQ oracle
+    * (v35–v40): the SVD trains in Spark, the serve chain replays. */
+  private def rfpLitCte(rq: Array[Array[Long]], dim: Int): String = {
+    require(rq.length == dim && rq.forall(_.length == dim),
+      s"rfpLitCte: rotation is ${rq.length}×? but dim=$dim")
+    val rows = rq.zipWithIndex
+      .map { case (row, j) => s"(${j + 1},[${row.mkString(",")}])" }
+      .mkString(",")
+    s"""rfp AS (SELECT rm.j, ti.i, CAST(rm.rw[ti.i] AS BIGINT) AS rv
+       |        FROM (VALUES $rows) rm(j, rw), generate_series(1, $dim) ti(i))""".stripMargin
+  }
+
+  /** The corpus-side TRAINED rotation CTE: rotated component j of
+    * every `d` row via the literal `rfp` matrix — an order-free signed
+    * integer sum with the exact /2^24/2^24 rescale ([[graft.operators
+    * .SimilaritySearch.matVecFpQ]]'s arithmetic verbatim). */
+  private def rotCorpusLitCte: String =
+    s"""rot AS (SELECT v.vec_id, rm.j,
+       |    CAST(SUM(rm.rv * CAST(FLOOR(v.ve[rm.i] * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / 16777216.0 / 16777216.0 AS y
+       |  FROM d v, rfp rm
+       |  GROUP BY v.vec_id, rm.j)""".stripMargin
+
+  /** The batch-split TRAINED rotation: per-query rotated subvectors
+    * via the literal `rfp`, replacing the plain `qsubB` (offsets and
+    * norms stay original-space) — [[rotQueryBatchCtes]]'s literal-R
+    * form. */
+  private def rotQueryBatchLitCtes(dsub: Int): String =
+    s"""qrotB AS (SELECT q.q_id, rm.j,
+       |    CAST(SUM(rm.rv * CAST(FLOOR(q.ve[rm.i] * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / 16777216.0 / 16777216.0 AS y
+       |  FROM qd q, rfp rm
+       |  GROUP BY q.q_id, rm.j),
+       |qsubB AS (SELECT q_id, (j - 1) // $dsub AS s, (j - 1) % $dsub + 1 AS i, y AS x
+       |          FROM qrotB)""".stripMargin
+
   /** Rotated-PQ oracle (v29): the v20 replay over the HD-ROTATED
     * corpus. `dsign` derives the ±1 diagonal from the md5-parity both
     * engines compute identically; `rot` applies the Walsh–Hadamard
@@ -1038,12 +1093,7 @@ object SimQueries {
   private def opqPqOracleSql(
       rq: Array[Array[Long]],
       m: Int, ksub: Int, iters: Int, topK: Int, overFetch: Int, dim: Int): String = {
-    require(rq.length == dim && rq.forall(_.length == dim),
-      s"opqPqOracleSql: rotation is ${rq.length}×? but dim=$dim")
     val dsub = dim / m
-    val rows = rq.zipWithIndex
-      .map { case (row, j) => s"(${j + 1},[${row.mkString(",")}])" }
-      .mkString(",")
     val rotSub =
       s"""sub AS (SELECT vec_id, (j - 1) // $dsub AS s, (j - 1) % $dsub + 1 AS i, y AS x
          |        FROM rot)""".stripMargin
@@ -1054,13 +1104,8 @@ object SimQueries {
          |cnt AS (SELECT COUNT(*) AS n FROM d),
          |hashed AS (SELECT vec_id,
          |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM d),
-         |rfp AS (SELECT rm.j, ti.i, CAST(rm.rw[ti.i] AS BIGINT) AS rv
-         |        FROM (VALUES $rows) rm(j, rw), generate_series(1, $dim) ti(i)),
-         |rot AS (SELECT v.vec_id, rm.j,
-         |    CAST(SUM(rm.rv * CAST(FLOOR(v.ve[rm.i] * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
-         |      / 16777216.0 / 16777216.0 AS y
-         |  FROM d v, rfp rm
-         |  GROUP BY v.vec_id, rm.j),
+         |${rfpLitCte(rq, dim)},
+         |$rotCorpusLitCte,
          |${pqCodebookSql(m, ksub, iters, dim, rotSub)},
          |qsub AS (SELECT s, i, x FROM sub WHERE vec_id = 0),
          |lut AS (SELECT cb.s, cb.c,
@@ -1122,19 +1167,13 @@ object SimQueries {
       k: Int, kIters: Int, nprobe: Int,
       m: Int, ksub: Int, pqIters: Int,
       topK: Int, overFetch: Int, dim: Int): String = {
-    require(rq.length == dim && rq.forall(_.length == dim),
-      s"opqResidualPqOracleSql: rotation is ${rq.length}×? but dim=$dim")
     val dsub = dim / m
-    val rows = rq.zipWithIndex
-      .map { case (row, j) => s"(${j + 1},[${row.mkString(",")}])" }
-      .mkString(",")
     val rotSub =
       s"""sub AS (SELECT vec_id, (j - 1) // $dsub AS s, (j - 1) % $dsub + 1 AS i, y AS x
          |        FROM rres)""".stripMargin
     val composed =
       s"""${ivfBuildSql(k, kIters, nprobe, dim)},
-         |rfp AS (SELECT rm.j, ti.i, CAST(rm.rw[ti.i] AS BIGINT) AS rv
-         |        FROM (VALUES $rows) rm(j, rw), generate_series(1, $dim) ti(i)),
+         |${rfpLitCte(rq, dim)},
          |res AS (SELECT v.vec_id, ti.i, v.ve[ti.i] - cc.comp AS x
          |        FROM d v, generate_series(1, $dim) ti(i), finalassign a, cents$kIters cc
          |        WHERE a.vec_id = v.vec_id AND cc.c = a.cluster AND cc.i = ti.i),
@@ -1204,6 +1243,130 @@ object SimQueries {
           k = 16, kIters = 3, nprobe = 4, m = 8, ksub = 16, pqIters = 2,
           topK = 10, overFetch = 4, dim = 64))(fn)
       case None => Q.noOracle("v36_opq_residual_topk")(fn)
+    }
+  }
+
+  /** Batched trained-OPQ serving (v37) — the trained tier's
+    * throughput form, closing its serving matrix the way v31 closed
+    * the HD tier's: the whole query split answers in one flat-kernel
+    * pass, each query's LUT built over ITS [[matVecFpQ]]-rotated
+    * vector in the distributed LUT map, norms and rerank
+    * original-space. The index trains on the CORPUS split, so its R
+    * differs from v35's full-corpus R — each entry's holder carries
+    * its own. Oracle: [[pqBatchOracleSql]] with the literal `rfp`
+    * rotation — the v22/v31 chain with the trained R. */
+  def opqBatchTopKEntry: Q = {
+    val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        val idx = graft.operators.SimilaritySearch.opqPqBuild(
+          e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
+          m = 8, ksub = 16, lloydIters = 2, opqIters = 2,
+          portableSeeds = true)
+        TrainedRotations.put("v37_opq_batch_topk", idx.rq)
+        graft.operators.SimilaritySearch.opqPqTopKBatch(
+            idx,
+            e.filter(col("vec_id") % 7 === 4)
+              .select(col("vec_id").as("q_id"), col("embedding")),
+            "q_id", "embedding", topK = 3, overFetch = 4)
+          .orderBy("q_id", "rank")
+      }
+    TrainedRotations.get("v37_opq_batch_topk") match {
+      case Some(rq) =>
+        Q("v37_opq_batch_topk", pqBatchOracleSql(m = 8, ksub = 16, iters = 2,
+          topK = 3, overFetch = 4, dim = 64, rqLit = Some(rq)))(fn)
+      case None => Q.noOracle("v37_opq_batch_topk")(fn)
+    }
+  }
+
+  /** Trained-OPQ incremental dedup (v38) — v33's ingest screen with
+    * the standing codes in the TRAINED rotated space: each ingest
+    * row's LUT is built over its [[matVecFpQ]]-rotated vector, margin
+    * admission and the exact float verify keep the v24 contract.
+    * Oracle: [[pqIncrementalOracleSql]] with the literal `rfp`. */
+  def opqIncrementalDedupEntry: Q = {
+    val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        val idx = graft.operators.SimilaritySearch.opqPqBuild(
+          e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
+          m = 8, ksub = 16, lloydIters = 2, opqIters = 2,
+          portableSeeds = true)
+        TrainedRotations.put("v38_opq_incremental_dedup", idx.rq)
+        graft.operators.SimilaritySearch.opqPqIncrementalNearDup(
+            idx, e.filter(col("vec_id") % 7 === 4),
+            threshold = 0.45, margin = 0.2)
+          .orderBy("vec_id")
+      }
+    TrainedRotations.get("v38_opq_incremental_dedup") match {
+      case Some(rq) =>
+        Q("v38_opq_incremental_dedup", pqIncrementalOracleSql(
+          m = 8, ksub = 16, iters = 2, threshold = 0.45, margin = 0.2,
+          dim = 64, rqLit = Some(rq)))(fn)
+      case None => Q.noOracle("v38_opq_incremental_dedup")(fn)
+    }
+  }
+
+  /** Batched trained-OPQ RESIDUAL serving (v39) — v32 one rotation
+    * rung up: per-query probe bitmask row pruning + original-space
+    * offsets + trained-R per-query LUTs in one broadcast, the v25
+    * kernel verbatim. Oracle: [[residualPqBatchOracleSql]] with the
+    * literal `rfp` rotating the residuals and the batch queries. */
+  def opqResidualBatchTopKEntry: Q = {
+    val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        val ivf = graft.operators.SimilaritySearch.ivfBuild(
+          e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
+          k = 16, lloydIters = 3, portableSeeds = true)
+        val idx = graft.operators.SimilaritySearch.opqResidualPqBuild(
+          ivf, m = 8, ksub = 16, lloydIters = 2, opqIters = 2,
+          portableSeeds = true)
+        TrainedRotations.put("v39_opq_residual_batch_topk", idx.rq)
+        graft.operators.SimilaritySearch.opqResidualPqTopKBatch(
+            idx,
+            e.filter(col("vec_id") % 7 === 4)
+              .select(col("vec_id").as("q_id"), col("embedding")),
+            "q_id", "embedding", topK = 3, nprobe = 4, overFetch = 4)
+          .orderBy("q_id", "rank")
+      }
+    TrainedRotations.get("v39_opq_residual_batch_topk") match {
+      case Some(rq) =>
+        Q("v39_opq_residual_batch_topk", residualPqBatchOracleSql(
+          k = 16, kIters = 3, nprobe = 4, m = 8, ksub = 16, pqIters = 2,
+          topK = 3, overFetch = 4, dim = 64, rqLit = Some(rq)))(fn)
+      case None => Q.noOracle("v39_opq_residual_batch_topk")(fn)
+    }
+  }
+
+  /** Trained-OPQ residual incremental dedup (v40) — v34 with the
+    * LEARNED R: the full `OPQ,IVF,PQ` ingest shape (probes + offsets
+    * original-space, LUTs trained-rotated, exact verify never admits
+    * a false positive). Oracle: [[residualPqIncrementalOracleSql]]
+    * with the literal `rfp`. Completes the trained tier's serving
+    * matrix at parity with the HD tier (v31–v34). */
+  def opqResidualIncrementalDedupEntry: Q = {
+    val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        val ivf = graft.operators.SimilaritySearch.ivfBuild(
+          e.filter(col("vec_id") % 7 =!= 4), "vec_id", "embedding",
+          k = 16, lloydIters = 3, portableSeeds = true)
+        val idx = graft.operators.SimilaritySearch.opqResidualPqBuild(
+          ivf, m = 8, ksub = 16, lloydIters = 2, opqIters = 2,
+          portableSeeds = true)
+        TrainedRotations.put("v40_opq_residual_incremental_dedup", idx.rq)
+        graft.operators.SimilaritySearch.opqResidualPqIncrementalNearDup(
+            idx, e.filter(col("vec_id") % 7 === 4),
+            threshold = 0.45, margin = 0.2, nprobe = 4)
+          .orderBy("vec_id")
+      }
+    TrainedRotations.get("v40_opq_residual_incremental_dedup") match {
+      case Some(rq) =>
+        Q("v40_opq_residual_incremental_dedup", residualPqIncrementalOracleSql(
+          k = 16, kIters = 3, nprobe = 4, m = 8, ksub = 16, pqIters = 2,
+          threshold = 0.45, margin = 0.2, dim = 64, rqLit = Some(rq)))(fn)
+      case None => Q.noOracle("v40_opq_residual_incremental_dedup")(fn)
     }
   }
 
@@ -1418,16 +1581,22 @@ object SimQueries {
   private def residualBatchAdcSql(
       k: Int, kIters: Int, nprobe: Int,
       m: Int, ksub: Int, pqIters: Int, dim: Int,
-      rotated: Boolean = false): String = {
+      rotated: Boolean = false,
+      rqLit: Option[Array[Array[Long]]] = None): String = {
+    require(!(rotated && rqLit.nonEmpty),
+      "residualBatchAdcSql: HD and literal-R rotation are exclusive")
+    val anyRot = rotated || rqLit.nonEmpty
     val dsub = dim / m
     val root = math.sqrt(dim.toDouble).toInt
     // `rotated` (v32): residuals pass through the HD rotation before
     // the subspace split (`res` → `rres`), the batch LUTs read rotated
     // per-query subvectors; probes, offsets, norms, rerank all stay
     // original-space — [[graft.operators.SimilaritySearch
-    // .rotResidualPqTopKBatch]]'s exact decomposition
+    // .rotResidualPqTopKBatch]]'s exact decomposition.
+    // `rqLit` (v39/v40): the SAME chain with the TRAINED rotation via
+    // the literal `rfp` CTE — the opqResidual batch/incremental oracle.
     val residualSub =
-      if (!rotated)
+      if (!anyRot)
         s"""sub AS (SELECT v.vec_id, ss.s, ti.i, v.ve[ss.s * $dsub + ti.i] - cc.comp AS x
            |        FROM d v, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i),
            |          finalassign a, cents$kIters cc
@@ -1436,13 +1605,23 @@ object SimQueries {
       else
         s"""sub AS (SELECT vec_id, (j - 1) // $dsub AS s, (j - 1) % $dsub + 1 AS i, y AS x
            |        FROM rres)""".stripMargin
+    val resCte =
+      s"""res AS (SELECT v.vec_id, ti.i, v.ve[ti.i] - cc.comp AS x
+         |        FROM d v, generate_series(1, $dim) ti(i), finalassign a, cents$kIters cc
+         |        WHERE a.vec_id = v.vec_id AND cc.c = a.cluster AND cc.i = ti.i)""".stripMargin
     val rotHead =
-      if (!rotated) ""
-      else
+      if (rqLit.nonEmpty)
+        s"""${rfpLitCte(rqLit.get, dim)},
+           |$resCte,
+           |rres AS (SELECT r.vec_id, rm.j,
+           |    CAST(SUM(rm.rv * CAST(FLOOR(r.x * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           |      / 16777216.0 / 16777216.0 AS y
+           |  FROM res r JOIN rfp rm ON rm.i = r.i
+           |  GROUP BY r.vec_id, rm.j),
+           |""".stripMargin
+      else if (rotated)
         s"""${dsignSql(dim)},
-           |res AS (SELECT v.vec_id, ti.i, v.ve[ti.i] - cc.comp AS x
-           |        FROM d v, generate_series(1, $dim) ti(i), finalassign a, cents$kIters cc
-           |        WHERE a.vec_id = v.vec_id AND cc.c = a.cluster AND cc.i = ti.i),
+           |$resCte,
            |rres AS (SELECT r.vec_id, tj.j,
            |    CAST(SUM(${hadSgnSql("r.i", "tj.j")}
            |      * ds.sgn * CAST(FLOOR(r.x * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
@@ -1451,11 +1630,13 @@ object SimQueries {
            |  WHERE ds.i = r.i
            |  GROUP BY r.vec_id, tj.j),
            |""".stripMargin
+      else ""
     val qsubCtes =
-      if (!rotated)
+      if (rqLit.nonEmpty) rotQueryBatchLitCtes(dsub)
+      else if (rotated) rotQueryBatchCtes(dim, dsub, root)
+      else
         s"""qsubB AS (SELECT q_id, s, i, ve[s * $dsub + i] AS x
            |          FROM qd, generate_series(0, ${m - 1}) ss(s), generate_series(1, $dsub) ti(i))""".stripMargin
-      else rotQueryBatchCtes(dim, dsub, root)
     val composed =
       s"""${ivfCentroidSql(k, kIters, dim, " WHERE vec_id % 7 <> 4")},
          |$rotHead${pqCodebookSql(m, ksub, pqIters, dim, residualSub)},
@@ -1489,15 +1670,16 @@ object SimQueries {
          |         FROM radcB r JOIN qoffB o ON o.q_id = r.q_id AND o.c = r.cluster)""".stripMargin
     materializeCtes(composed,
       Seq("finalassign", "sub", s"cents$kIters", "penc") ++
-        (if (rotated) Seq("res", "rres") else Nil))
+        (if (anyRot) Seq("res", "rres") else Nil))
   }
 
   private def residualPqBatchOracleSql(
       k: Int, kIters: Int, nprobe: Int,
       m: Int, ksub: Int, pqIters: Int,
       topK: Int, overFetch: Int, dim: Int,
-      rotated: Boolean = false): String =
-    s"""${residualBatchAdcSql(k, kIters, nprobe, m, ksub, pqIters, dim, rotated)},
+      rotated: Boolean = false,
+      rqLit: Option[Array[Array[Long]]] = None): String =
+    s"""${residualBatchAdcSql(k, kIters, nprobe, m, ksub, pqIters, dim, rotated, rqLit)},
          |${pqBatchRankTailSql(topK, overFetch, dim)}""".stripMargin
 
   /** Residual-tier incremental dedup oracle (v26): the SAME
@@ -1512,8 +1694,9 @@ object SimQueries {
       k: Int, kIters: Int, nprobe: Int,
       m: Int, ksub: Int, pqIters: Int,
       threshold: Double, margin: Double, dim: Int,
-      rotated: Boolean = false): String =
-    s"""${residualBatchAdcSql(k, kIters, nprobe, m, ksub, pqIters, dim, rotated)},
+      rotated: Boolean = false,
+      rqLit: Option[Array[Array[Long]]] = None): String =
+    s"""${residualBatchAdcSql(k, kIters, nprobe, m, ksub, pqIters, dim, rotated, rqLit)},
        |${incrementalAdmissionSql(threshold - margin)},
        |${incrementalStatusTailSql(threshold, dim)}""".stripMargin
 
@@ -2231,5 +2414,7 @@ object SimQueries {
     residualPqBatchTopK, residualPqIncrementalDedup, pqWideAdcTopK,
     residualPqWideTopK, pqWide3AdcTopK, rotPqTopK, rotResidualPqTopK, rotPqBatchTopK,
     rotResidualPqBatchTopK, rotPqIncrementalDedup, rotResidualPqIncrementalDedup,
-    opqTopKEntry, opqResidualTopKEntry)
+    opqTopKEntry, opqResidualTopKEntry, opqBatchTopKEntry,
+    opqIncrementalDedupEntry, opqResidualBatchTopKEntry,
+    opqResidualIncrementalDedupEntry)
 }

@@ -134,9 +134,11 @@ class PlanQualitySpec extends AnyFunSuite {
         "v31_rot_pq_batch_topk", "v32_rot_residual_pq_batch_topk",
         "v33_rot_pq_incremental_dedup",
         "v34_rot_residual_pq_incremental_dedup",
-        // round 20: the TRAINED-OPQ tiers (literal-R oracle chains)
-        // and the 3-word (m=16 × 8-bit) packing arm
+        // round 20: the TRAINED-OPQ tiers (literal-R oracle chains),
+        // their full serving matrix, and the 3-word packing arm
         "v35_opq_pq_topk", "v36_opq_residual_topk",
+        "v37_opq_batch_topk", "v38_opq_incremental_dedup",
+        "v39_opq_residual_batch_topk", "v40_opq_residual_incremental_dedup",
         "v27b_pq_wide3_topk")) {
       val nodes = finalPlan(name)
       assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),

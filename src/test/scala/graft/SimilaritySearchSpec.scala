@@ -1836,6 +1836,64 @@ class SimilaritySearchSpec extends AnyFunSuite {
       "rotated-residual chunked union != one-shot batch")
   }
 
+  test("trained-OPQ tiers: batch arms agree with per-query serving; incremental screens find the planted dup") {
+    import spark.implicits._
+    val corpus = (1L to 300L).map(i => (i, vec(i * 811 + 23))).toDF("id", "v")
+    val queryIds = Seq(901L, 902L, 903L)
+    val queries = (queryIds.map(q => (q, vec(q))) :+
+      (999L, new Array[Float](dim))).toDF("q_id", "qv") // one degenerate
+    // v37 batch == per-query (v35's serve, whole frame at once)
+    val op = SimilaritySearch.opqPqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 1, opqIters = 2)
+    val oBatch = SimilaritySearch.opqPqTopKBatch(op, queries, "q_id", "qv",
+        topK = 5, overFetch = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(!oBatch.contains(999L), "a degenerate query must produce no rows")
+    queryIds.foreach { q =>
+      val solo = SimilaritySearch.opqPqTopK(op, vec(q), topK = 5, overFetch = 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (q, r.getLong(0), r.getDouble(1), (i + 1).toLong) }
+        .toSeq
+      assert(oBatch(q).sortBy(_._4).toSeq == solo,
+        s"trained-OPQ batch and per-query serving disagree for query $q")
+    }
+    // v39 batch == per-query (v36's serve)
+    val ivf = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 8, lloydIters = 2)
+    val or = SimilaritySearch.opqResidualPqBuild(ivf, m = 4, ksub = 8,
+      lloydIters = 1, opqIters = 2)
+    val orBatch = SimilaritySearch.opqResidualPqTopKBatch(or, queries, "q_id",
+        "qv", topK = 5, nprobe = 3, overFetch = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(!orBatch.contains(999L))
+    queryIds.foreach { q =>
+      val solo = SimilaritySearch.opqResidualPqTopK(or, vec(q), topK = 5,
+          nprobe = 3, overFetch = 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (q, r.getLong(0), r.getDouble(1), (i + 1).toLong) }
+        .toSeq
+      assert(orBatch(q).sortBy(_._4).toSeq == solo,
+        s"trained-OPQ residual batch and per-query serving disagree for query $q")
+    }
+    // incremental screens (v38/v40): a planted near-copy of corpus row
+    // 42 flags as dup through BOTH trained screens
+    val seed = vec(42L * 811 + 23)
+    val batch = Seq((5042L, jitter(seed, 0.001f)),
+      (5043L, vec(777L))).toDF("id", "v")
+    val st1 = SimilaritySearch.opqPqIncrementalNearDup(op, batch,
+        threshold = 0.9, margin = 0.6)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(st1(5042L) == "dup", s"trained screen missed the planted dup: $st1")
+    val st2 = SimilaritySearch.opqResidualPqIncrementalNearDup(or, batch,
+        threshold = 0.9, margin = 0.6, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(st2(5042L) == "dup",
+      s"trained residual screen missed the planted dup: $st2")
+  }
+
   test("residualPqIncrementalNearDup: pruned statuses subset the full screen; planted dup found") {
     import spark.implicits._
     val corpus = (1L to 200L).map(i => (i, vec(i * 613 + 7))).toDF("id", "v")
