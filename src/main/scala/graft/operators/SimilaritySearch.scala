@@ -1313,9 +1313,10 @@ object SimilaritySearch {
     * codebook and codes live in the rotated space, `pq.corpus` is the
     * ORIGINAL float table (the exact rerank never needs the inverse —
     * R is orthogonal, true cosines unchanged). Unlike the HD tiers, R
-    * is DATA-DEPENDENT: persist it yourself if you persist the codes
-    * (no save/load pair here by design — the deterministic HD tiers
-    * are the persisted ones; this is the recall-ceiling probe). */
+    * is DATA-DEPENDENT, so persistence carries it: [[opqPqSave]] /
+    * [[opqPqLoad]] round-trip the rotation doubles bit-exactly next to
+    * the codes (kind "opq-pq", mutually guarded against every other
+    * tree kind). */
   final case class OpqPqIndex(
       r: Array[Array[Double]], rq: Array[Array[Long]], pq: PqIndex)
 
@@ -1979,8 +1980,139 @@ object SimilaritySearch {
   def residualPqSave(index: ResidualPqIndex, dir: String): Unit =
     residualPqSaveImpl(index, dir, kind = "residual-pq", op = "residualPqSave")
 
+  /** Persist a TRAINED-OPQ index (v35) — [[pqSave]]'s exact tree with
+    * `kind: "opq-pq"` plus one extra parquet, `rotation(j, rw)`: the
+    * trained R's rows as doubles (bit-exact parquet round-trip; the
+    * quantized serving form re-derives on load via
+    * [[quantizeRotation]], which is deterministic, so a loaded index
+    * serves bit-identically). Every other loader refuses the tree
+    * loudly — trained-rotated codes served without THIS R would be
+    * silent garbage, the same argument as the HD tiers' kind guards. */
+  def opqPqSave(index: OpqPqIndex, dir: String): Unit = {
+    val pq = index.pq
+    val sp = pq.encoded.sparkSession
+    import sp.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val versions = listVersions(fs, dir)
+    val next = versions.map(_ + 1).maxOption.getOrElse(1)
+    val prevLive: Option[Int] = liveVersion(fs, dir)
+    val vdir = s"$dir/v$next"
+    val cbRows = for {
+      s <- 0 until pq.m
+      c <- 0 until pq.ksub
+    } yield (s, c, pq.codebook(s)(c).toSeq)
+    sp.createDataset(cbRows).toDF("s", "c", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/codebook")
+    writeRotation(sp, index.r, s"$vdir/rotation")
+    pq.encoded.write.mode("overwrite").parquet(s"$vdir/encoded")
+    val meta =
+      s"""{"kind":"opq-pq","idCol":"${jsonStr(pq.idCol)}","vecCol":"${jsonStr(pq.vecCol)}","m":${pq.m},"ksub":${pq.ksub},"dsub":${pq.dsub},"bits":${pq.bits}}"""
+    writeSmallFile(fs, s"$vdir/meta.json", meta) // version-complete marker
+    commitVersionAndGc(fs, dir, next, prevLive, versions, "opqPqSave")
+  }
+
+  /** Load an index [[opqPqSave]] wrote, re-binding the exact rerank to
+    * `corpus`. Refuses every other kind loudly; serving is
+    * bit-identical (codebook, codes and the rotation doubles all
+    * round-trip exactly, and the quantized serving form is a
+    * deterministic function of the rotation). */
+  def opqPqLoad(
+      spark: SparkSession, rootDir: String, corpus: DataFrame): OpqPqIndex = {
+    val dir = ivfCurrentPath(spark, rootDir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val meta = try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      om.readTree(in)
+    } finally in.close()
+    require(meta.has("kind") && meta.get("kind").asText() == "opq-pq",
+      s"$dir/meta.json is not a trained-OPQ index — use pqLoad/rotPqLoad/" +
+        "residualPqLoad (serving trained-rotated codes without their R " +
+        "would be garbage)")
+    val idCol = meta.get("idCol").asText()
+    val vecCol = meta.get("vecCol").asText()
+    val m = meta.get("m").asInt()
+    val ksub = meta.get("ksub").asInt()
+    val dsub = meta.get("dsub").asInt()
+    val bits = meta.get("bits").asInt()
+    import spark.implicits._
+    val cb = Array.ofDim[Array[Double]](m, ksub)
+    spark.read.parquet(s"$dir/codebook")
+      .select(col("s").cast("int"), col("c").cast("int"), col("codeword"))
+      .as[(Int, Int, Array[Double])]
+      .collect()
+      .foreach { case (s, c, w) =>
+        require(s >= 0 && s < m && c >= 0 && c < ksub,
+          s"codebook row ($s, $c) outside m=$m × ksub=$ksub")
+        cb(s)(c) = w
+      }
+    require(cb.forall(_.forall(_ != null)),
+      s"codebook parquet is missing codewords (m=$m × ksub=$ksub)")
+    val r = readRotation(spark, s"$dir/rotation", m * dsub, "opqPqLoad")
+    val encoded = spark.read.parquet(s"$dir/encoded")
+      .select(col(idCol), col("pq_code"), col("nrm"))
+    requirePqCodeType(encoded, m, bits, "opqPqLoad")
+    OpqPqIndex(r, quantizeRotation(r),
+      PqIndex(m, ksub, dsub, bits, cb.map(_.map(_.clone())), encoded,
+        corpus.select(col(idCol), col(vecCol)), idCol, vecCol))
+  }
+
+  /** Persist a TRAINED-OPQ residual index (v36) — [[residualPqSave]]'s
+    * exact tree (cluster-partitioned codes and all) with `kind:
+    * "opq-residual-pq"` plus the `rotation` parquet; mutual kind
+    * guards with the plain and HD-rotated residual trees. */
+  def opqResidualPqSave(index: OpqResidualPqIndex, dir: String): Unit =
+    residualPqSaveImpl(index.rpq, dir, kind = "opq-residual-pq",
+      op = "opqResidualPqSave", rotation = Some(index.r))
+
+  /** Load an index [[opqResidualPqSave]] wrote; kind-guarded, serving
+    * bit-identical (the quantized serving form re-derives from the
+    * round-tripped rotation doubles). */
+  def opqResidualPqLoad(
+      spark: SparkSession, rootDir: String, corpus: DataFrame): OpqResidualPqIndex = {
+    val rpq = residualPqLoadImpl(spark, rootDir, corpus,
+      kind = "opq-residual-pq", op = "opqResidualPqLoad")
+    val dir = ivfCurrentPath(spark, rootDir)
+    val r = readRotation(spark, s"$dir/rotation", rpq.m * rpq.dsub,
+      "opqResidualPqLoad")
+    OpqResidualPqIndex(r, quantizeRotation(r), rpq)
+  }
+
+  /** The trained rotation's parquet form: one row per output
+    * dimension, (j, rw: ARRAY<DOUBLE>) — doubles round-trip bit-exact
+    * through parquet, so [[quantizeRotation]] of the loaded matrix is
+    * the identical serving matrix. */
+  private def writeRotation(
+      sp: SparkSession, r: Array[Array[Double]], path: String): Unit = {
+    import sp.implicits._
+    sp.createDataset(r.zipWithIndex.map { case (row, j) => (j, row.toSeq) }.toSeq)
+      .toDF("j", "rw")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  private def readRotation(
+      spark: SparkSession, path: String, dim: Int, op: String): Array[Array[Double]] = {
+    import spark.implicits._
+    val out = new Array[Array[Double]](dim)
+    spark.read.parquet(path)
+      .select(col("j").cast("int"), col("rw"))
+      .as[(Int, Array[Double])]
+      .collect()
+      .foreach { case (j, row) =>
+        require(j >= 0 && j < dim && row.length == dim,
+          s"$op: rotation row $j/${row.length} outside dim=$dim — the " +
+            "tree's rotation parquet does not match its meta.json")
+        out(j) = row
+      }
+    require(out.forall(_ != null), s"$op: rotation parquet is missing rows (dim=$dim)")
+    out
+  }
+
   private def residualPqSaveImpl(
-      index: ResidualPqIndex, dir: String, kind: String, op: String): Unit = {
+      index: ResidualPqIndex, dir: String, kind: String, op: String,
+      rotation: Option[Array[Array[Double]]] = None): Unit = {
     val sp = index.encoded.sparkSession
     import sp.implicits._
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -2000,6 +2132,9 @@ object SimilaritySearch {
     }.toSeq
     sp.createDataset(centRows).toDF("c", "comp", "nrm")
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/centroids")
+    // the trained tiers ride one extra parquet (before meta — the
+    // completeness marker must cover it)
+    rotation.foreach(r => writeRotation(sp, r, s"$vdir/rotation"))
     // cluster-partitioned like ivfSave's assigned/quantized trees: the
     // serve path's probe is a DIRECT `cluster IN (…)` filter, so a
     // loaded tree answers an nprobe-of-k query by LISTING nprobe
@@ -2033,11 +2168,15 @@ object SimilaritySearch {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       om.readTree(in)
     } finally in.close()
+    val kindName = kind match {
+      case "residual-pq" => "residual-PQ"
+      case "rot-residual-pq" => "rotated-residual-PQ"
+      case _ => "trained-OPQ residual"
+    }
     require(meta.has("kind") && meta.get("kind").asText() == kind,
-      s"$dir/meta.json is not a ${if (kind == "residual-pq") "residual-PQ"
-        else "rotated-residual-PQ"} index ($op reads kind '$kind' only; " +
+      s"$dir/meta.json is not a $kindName index ($op reads kind '$kind' only; " +
         s"got '${if (meta.has("kind")) meta.get("kind").asText() else "<none>"}')" +
-        " — rotated and plain residual codes are mutually garbage")
+        " — residual codes under different rotations are mutually garbage")
     val idCol = meta.get("idCol").asText()
     val vecCol = meta.get("vecCol").asText()
     val m = meta.get("m").asInt()
@@ -2437,7 +2576,8 @@ object SimilaritySearch {
     * literal CTE. Probes and per-cluster ⟨q, centroid⟩ offsets stay in
     * the ORIGINAL space (the coarse quantizer never rotates); only the
     * LUT rotates. MUST be served through [[opqResidualPqTopK]]. R is
-    * DATA-DEPENDENT: persist it yourself if you persist the codes. */
+    * DATA-DEPENDENT, so persistence carries it — [[opqResidualPqSave]] /
+    * [[opqResidualPqLoad]] (kind "opq-residual-pq", mutually guarded). */
   final case class OpqResidualPqIndex(
       r: Array[Array[Double]], rq: Array[Array[Long]], rpq: ResidualPqIndex)
 
@@ -4221,6 +4361,21 @@ object SimilaritySearch {
     }
   }
 
+  /** [[pqTopKBatchChunked]] for the TRAINED-OPQ tier — same derates. */
+  def opqPqTopKBatchChunked(
+      index: OpqPqIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      overFetch: Int = 4,
+      chunkTarget: Long = maxExactRows / 2): DataFrame = {
+    val lutCap = Int.MaxValue.toLong / (index.pq.m * index.pq.ksub)
+    chunkedUnion(queries, queryIdCol, math.max(1L, math.min(chunkTarget, lutCap))) { chunk =>
+      opqPqTopKBatch(index, chunk, queryIdCol, queryVecCol, topK, overFetch)
+    }
+  }
+
   /** [[pqTopKBatchChunked]] for the ROTATED tier — same derates. */
   def rotPqTopKBatchChunked(
       index: RotatedPqIndex,
@@ -4255,6 +4410,29 @@ object SimilaritySearch {
     chunkedUnion(queries, queryIdCol,
       math.max(1L, Seq(chunkTarget, lutCap, offCap, maskCap).min)) { chunk =>
       rotResidualPqTopKBatch(index, chunk, queryIdCol, queryVecCol, topK,
+        nprobe, overFetch)
+    }
+  }
+
+  /** [[ivfResidualPqTopKBatchChunked]] for the TRAINED-OPQ residual
+    * tier — same derates (LUT stride, nprobe offsets, mask words). */
+  def opqResidualPqTopKBatchChunked(
+      index: OpqResidualPqIndex,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4,
+      chunkTarget: Long = maxExactRows / 2): DataFrame = {
+    val rpq = index.rpq
+    val lutCap = Int.MaxValue.toLong / (rpq.m * rpq.ksub)
+    val offCap = Int.MaxValue.toLong / math.max(1, nprobe)
+    val maskCap =
+      Int.MaxValue.toLong / math.max(1, (rpq.centroids.length + 63) / 64)
+    chunkedUnion(queries, queryIdCol,
+      math.max(1L, Seq(chunkTarget, lutCap, offCap, maskCap).min)) { chunk =>
+      opqResidualPqTopKBatch(index, chunk, queryIdCol, queryVecCol, topK,
         nprobe, overFetch)
     }
   }

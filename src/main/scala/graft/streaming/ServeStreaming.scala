@@ -248,6 +248,55 @@ object ServeStreaming {
           index, batch, queryIdCol, queryVecCol, topK, overFetch))
   }
 
+  /** Streaming TRAINED-OPQ serving (v35's streaming arm) — the same
+    * [[serveStreamLoop]] recipe over [[SimilaritySearch.opqPqLoad]] +
+    * the trained chunked batch serve; a mid-stream
+    * [[SimilaritySearch.opqPqSave]] refresh (a re-trained R + codes)
+    * lands atomically on the very next micro-batch — the rotation and
+    * the codes live in ONE versioned tree, so a batch can never score
+    * new codes under an old R. */
+  def opqPqServeStream(
+      stream: DataFrame,
+      indexDir: String,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      outDir: String,
+      topK: Int = 10,
+      overFetch: Int = 4,
+      cacheIndex: Boolean = true): StreamingQuery = {
+    val spark = stream.sparkSession
+    serveStreamLoop[SimilaritySearch.OpqPqIndex](
+      stream, indexDir, outDir, "opqPqServeStream", "opqPqSave", cacheIndex,
+      load = path => SimilaritySearch.opqPqLoad(spark, path, corpus),
+      serve = (index, batch) =>
+        SimilaritySearch.opqPqTopKBatchChunked(
+          index, batch, queryIdCol, queryVecCol, topK, overFetch))
+  }
+
+  /** Streaming TRAINED-OPQ residual serving (v36's streaming arm) —
+    * same recipe over [[SimilaritySearch.opqResidualPqLoad]]. */
+  def opqResidualPqServeStream(
+      stream: DataFrame,
+      indexDir: String,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      outDir: String,
+      topK: Int = 10,
+      nprobe: Int = 4,
+      overFetch: Int = 4,
+      cacheIndex: Boolean = true): StreamingQuery = {
+    val spark = stream.sparkSession
+    serveStreamLoop[SimilaritySearch.OpqResidualPqIndex](
+      stream, indexDir, outDir, "opqResidualPqServeStream",
+      "opqResidualPqSave", cacheIndex,
+      load = path => SimilaritySearch.opqResidualPqLoad(spark, path, corpus),
+      serve = (index, batch) =>
+        SimilaritySearch.opqResidualPqTopKBatchChunked(
+          index, batch, queryIdCol, queryVecCol, topK, nprobe, overFetch))
+  }
+
   /** Streaming ROTATED-RESIDUAL serving (v30's streaming arm) — same
     * recipe over [[SimilaritySearch.rotResidualPqLoad]]. */
   def rotResidualPqServeStream(

@@ -638,6 +638,68 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming TRAINED-OPQ residual serving: stream == direct batch; refresh swaps R + codes atomically") {
+    import spark.implicits._
+    import graft.streaming.ServeStreaming
+    import graft.operators.SimilaritySearch
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed * 2654435761L)
+      Array.fill(16)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val corpus = (1L to 60L).map(i => (i, vec(i))).toDF("id", "v")
+    val ivf = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 4, lloydIters = 2)
+    val idx = SimilaritySearch.opqResidualPqBuild(ivf, m = 4, ksub = 8,
+      lloydIters = 1, opqIters = 2)
+    val root = java.nio.file.Files.createTempDirectory("graft_opqr_stream").toString
+    val idxDir = s"$root/index"
+    SimilaritySearch.opqResidualPqSave(idx, idxDir)
+    val corpus2 = corpus.union(Seq((777L, vec(777L))).toDF("id", "v"))
+    val srcDir = s"$root/queries"
+    Seq((900L, jitter(vec(5L), 0.01f))).toDF("q_id", "qv")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("q_id LONG, qv ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = ServeStreaming.opqResidualPqServeStream(
+      stream, idxDir, corpus2, "q_id", "qv", s"$root/answers",
+      topK = 3, nprobe = 4, overFetch = 4)
+    try {
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$root/answers/batch=0")
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val direct = SimilaritySearch.opqResidualPqTopKBatch(
+          SimilaritySearch.opqResidualPqLoad(spark, idxDir, corpus2),
+          Seq((900L, jitter(vec(5L), 0.01f))).toDF("q_id", "qv"),
+          "q_id", "qv", topK = 3, nprobe = 4, overFetch = 4)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      assert(b0.toSeq == direct.toSeq,
+        s"stream batch 0 diverged from the direct batch op:\n${b0.toSeq}\nvs\n${direct.toSeq}")
+      assert(b0.head._2 == 5L, s"near-copy of 5 must rank first: ${b0.toSeq}")
+      // mid-stream refresh: a RE-TRAINED R + codes land in one
+      // versioned tree — the next micro-batch serves the new pair
+      // atomically (777 is encoded only in v2, under v2's R)
+      val ivf2 = SimilaritySearch.ivfBuild(corpus2, "id", "v", k = 4,
+        lloydIters = 2)
+      val refreshed = SimilaritySearch.opqResidualPqBuild(ivf2, m = 4,
+        ksub = 8, lloydIters = 1, opqIters = 2)
+      SimilaritySearch.opqResidualPqSave(refreshed, idxDir)
+      Seq((901L, jitter(vec(777L), 0.01f))).toDF("q_id", "qv")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(s"$root/answers/batch=1")
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      assert(b1.nonEmpty && b1.head == ((901L, 777L, 1L)),
+        s"the micro-batch after an opqResidualPqSave refresh must serve from " +
+          s"the NEW version (777 is encoded only in v2): ${b1.toSeq}")
+    } finally q.stop()
+  }
+
   test("pqServeStream fails fast when the index has no complete version") {
     import spark.implicits._
     import graft.streaming.ServeStreaming

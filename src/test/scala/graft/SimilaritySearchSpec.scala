@@ -1894,6 +1894,87 @@ class SimilaritySearchSpec extends AnyFunSuite {
       s"trained residual screen missed the planted dup: $st2")
   }
 
+  test("trained-OPQ persistence: round-trip bit-identical; mutual kind guards; chunked drivers") {
+    import spark.implicits._
+    def rmTree(path: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+    val q = vec(2718L)
+    val corpus = (1L to 150L).map(i => (i, vec(i * 433 + 9))).toDF("id", "v")
+    val op = SimilaritySearch.opqPqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 1, opqIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("opqpq").toString
+    try {
+      SimilaritySearch.opqPqSave(op, dir)
+      val loaded = SimilaritySearch.opqPqLoad(spark, dir, corpus)
+      // the rotation round-trips bit-exactly, so the quantized serving
+      // matrix is IDENTICAL — and serving is therefore bit-identical
+      assert(loaded.r.flatten.toSeq == op.r.flatten.toSeq)
+      assert(loaded.rq.flatten.toSeq == op.rq.flatten.toSeq)
+      val a = SimilaritySearch.opqPqTopK(op, q, topK = 5).collect().toSeq
+      val b = SimilaritySearch.opqPqTopK(loaded, q, topK = 5).collect().toSeq
+      assert(a == b, "loaded trained-OPQ index must serve bit-identically")
+      // every other loader refuses the tree loudly
+      val e1 = intercept[IllegalArgumentException] {
+        SimilaritySearch.pqLoad(spark, dir, corpus)
+      }
+      assert(e1.getMessage.contains("opq-pq"))
+      val e2 = intercept[IllegalArgumentException] {
+        SimilaritySearch.rotPqLoad(spark, dir, corpus)
+      }
+      assert(e2.getMessage.contains("rot"))
+    } finally rmTree(dir)
+    // ...and the opq loader refuses a plain tree
+    val plainDir = java.nio.file.Files.createTempDirectory("opqpq2").toString
+    try {
+      SimilaritySearch.pqSave(SimilaritySearch.pqBuild(corpus, "id", "v",
+        m = 4, ksub = 8, lloydIters = 1), plainDir)
+      val e3 = intercept[IllegalArgumentException] {
+        SimilaritySearch.opqPqLoad(spark, plainDir, corpus)
+      }
+      assert(e3.getMessage.contains("trained-OPQ"))
+    } finally rmTree(plainDir)
+    // residual pair: round-trip + mutual guards
+    val ivf = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 6, lloydIters = 2)
+    val or = SimilaritySearch.opqResidualPqBuild(ivf, m = 4, ksub = 8,
+      lloydIters = 1, opqIters = 2)
+    val rdir = java.nio.file.Files.createTempDirectory("opqrpq").toString
+    try {
+      SimilaritySearch.opqResidualPqSave(or, rdir)
+      val loaded = SimilaritySearch.opqResidualPqLoad(spark, rdir, corpus)
+      assert(loaded.rq.flatten.toSeq == or.rq.flatten.toSeq)
+      val a = SimilaritySearch.opqResidualPqTopK(or, q, topK = 5, nprobe = 3)
+        .collect().toSeq
+      val b = SimilaritySearch.opqResidualPqTopK(loaded, q, topK = 5, nprobe = 3)
+        .collect().toSeq
+      assert(a == b, "loaded trained residual index must serve bit-identically")
+      val e4 = intercept[IllegalArgumentException] {
+        SimilaritySearch.residualPqLoad(spark, rdir, corpus)
+      }
+      assert(e4.getMessage.contains("opq-residual-pq"))
+    } finally rmTree(rdir)
+    // chunked drivers: a forced 2-query chunk target must union to the
+    // one-shot batch answers on both trained arms
+    val queries = Seq(901L, 902L, 903L).map(i => (i, vec(i))).toDF("q_id", "qv")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(rows(SimilaritySearch.opqPqTopKBatchChunked(op, queries, "q_id",
+        "qv", topK = 5, overFetch = 4, chunkTarget = 2)) ==
+      rows(SimilaritySearch.opqPqTopKBatch(op, queries, "q_id", "qv",
+        topK = 5, overFetch = 4)),
+      "trained chunked union != one-shot batch")
+    assert(rows(SimilaritySearch.opqResidualPqTopKBatchChunked(or, queries,
+        "q_id", "qv", topK = 5, nprobe = 3, overFetch = 4, chunkTarget = 2)) ==
+      rows(SimilaritySearch.opqResidualPqTopKBatch(or, queries, "q_id", "qv",
+        topK = 5, nprobe = 3, overFetch = 4)),
+      "trained residual chunked union != one-shot batch")
+  }
+
   test("residualPqIncrementalNearDup: pruned statuses subset the full screen; planted dup found") {
     import spark.implicits._
     val corpus = (1L to 200L).map(i => (i, vec(i * 613 + 7))).toDF("id", "v")
