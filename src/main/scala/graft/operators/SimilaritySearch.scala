@@ -754,6 +754,91 @@ object SimilaritySearch {
         batch.select(col(index.idCol), col(index.vecCol))))
   }
 
+  /** [[pqEncode]] for a ROTATED index — the batch rotates through the
+    * index's own HD transform before the nearest-code pass, so an
+    * ingest row identical to a corpus row gets the identical pq_code.
+    * This wrapper is the SAFE ingest path: calling raw [[pqEncode]]
+    * against a rotated tier's inner codebook would code UNROTATED
+    * vectors against rotated codewords — silent garbage the kind
+    * guards exist to prevent at the persistence boundary. Stored nrm
+    * stays the ORIGINAL vector's (the serve convention). */
+  def rotPqEncode(index: RotatedPqIndex, batch: DataFrame): DataFrame =
+    rotatedPqEncodeImpl(index.pq, batch, index.signs, Array.empty, "rotPqEncode")
+
+  /** The growing-index fold at the ROTATED tier — [[pqAppend]]'s
+    * contract over [[rotPqEncode]]. */
+  def rotPqAppend(index: RotatedPqIndex, batch: DataFrame): RotatedPqIndex =
+    index.copy(pq = index.pq.copy(
+      encoded = index.pq.encoded.unionByName(rotPqEncode(index, batch)),
+      corpus = index.pq.corpus.unionByName(
+        batch.select(col(index.pq.idCol), col(index.pq.vecCol)))))
+
+  /** [[pqEncode]] for a TRAINED-OPQ index — the batch rotates through
+    * the index's exact quantized R ([[matVecFpQ]], the form the build
+    * encoded with). */
+  def opqPqEncode(index: OpqPqIndex, batch: DataFrame): DataFrame =
+    rotatedPqEncodeImpl(index.pq, batch, Array.empty, index.rq, "opqPqEncode")
+
+  /** The growing-index fold at the TRAINED-OPQ tier. */
+  def opqPqAppend(index: OpqPqIndex, batch: DataFrame): OpqPqIndex =
+    index.copy(pq = index.pq.copy(
+      encoded = index.pq.encoded.unionByName(opqPqEncode(index, batch)),
+      corpus = index.pq.corpus.unionByName(
+        batch.select(col(index.pq.idCol), col(index.pq.vecCol)))))
+
+  private def rotatedPqEncodeImpl(
+      pq: PqIndex, batch: DataFrame,
+      signs: Array[Int], rq: Array[Array[Long]], opName: String): DataFrame = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val dim = pq.m * pq.dsub
+    val bc = sp.sparkContext.broadcast(pq.codebook)
+    val bcSg = sp.sparkContext.broadcast(signs)
+    val bcRq = sp.sparkContext.broadcast(rq)
+    val mLoc = pq.m; val dsubLoc = pq.dsub; val bitsLoc = pq.bits
+    val perW = pqPerWord(pq.bits); val nW = pqNumWords(pq.m, pq.bits)
+    val src = batch.select(col(pq.idCol).cast("long"), col(pq.vecCol))
+      .as[(Long, Array[Float])]
+    if (nW == 1)
+      src.map { case (id, v0) =>
+        val (w, nrm) = encodeRotatedBatchRow(bc.value, v0, dim, mLoc, dsubLoc,
+          bitsLoc, perW, 1, bcSg.value, bcRq.value)
+        (id, w(0), nrm)
+      }.toDF(pq.idCol, "pq_code", "nrm")
+    else
+      src.map { case (id, v0) =>
+        val (w, nrm) = encodeRotatedBatchRow(bc.value, v0, dim, mLoc, dsubLoc,
+          bitsLoc, perW, nW, bcSg.value, bcRq.value)
+        (id, w, nrm)
+      }.toDF(pq.idCol, "pq_code", "nrm")
+  }
+
+  /** [[encodeBatchRow]] with the batch vector rotated first (HD when
+    * `signs` is non-empty, trained quantized R when `rq` is) — the
+    * nearest-code pass runs over the rotated doubles, the stored norm
+    * stays the ORIGINAL vector's. Degenerate rows encode to zero words
+    * with nrm 0; mixed dimensions are loud (from the rotation). */
+  private def encodeRotatedBatchRow(
+      cb: Array[Array[Array[Double]]], v0: Array[Float], dim: Int,
+      m: Int, dsub: Int, bits: Int, perW: Int, nW: Int,
+      signs: Array[Int], rq: Array[Array[Long]]): (Array[Long], Double) = {
+    val v = if (v0 == null) Array.empty[Float] else v0
+    if (v.nonEmpty && v.length != dim)
+      throw new IllegalArgumentException(
+        s"mixed-dimension batch vs index: index dimension $dim vs " +
+          s"batch vector of ${v.length} components")
+    val y =
+      if (v.isEmpty) Array.empty[Double]
+      else if (rq.nonEmpty) matVecFpQ(rq, toDoubles(v))
+      else rotateFp(v, signs)
+    val words =
+      if (y.isEmpty) new Array[Long](nW)
+      else encodePqWords(cb, y, m, dsub, bits, perW, nW)
+    var ss = 0.0; var i = 0
+    while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+    (words, math.sqrt(ss))
+  }
+
   /** Incremental (delta-vs-corpus) dedup screened through the PQ
     * tier — the [[incrementalNearDup]] (v12) analog when the standing
     * corpus's RAM-resident representation is its PQ codes: each ingest
@@ -2734,6 +2819,121 @@ object SimilaritySearch {
     val lut = pqBatchLutRowD(rpq.codebook, qRot, rpq.m, rpq.ksub, rpq.dsub)._2
     residualServeCore(rpq, query, topK, nprobe, overFetch, filter,
       lutQn = Some((lut, normF(query))))
+  }
+
+  /** Encode NEW vectors against an EXISTING residual index — the
+    * between-retrains ingest path of the `IVF,PQ` production chain
+    * ([[pqEncode]]'s contract one tier up): each batch row assigns to
+    * its nearest coarse centroid (the build's own [[nearestCentroid]]
+    * argmax, ties to the lower cluster), its RESIDUAL r = x − centroid
+    * encodes against the standing codebook, and the row lands with its
+    * cluster — so a batch row identical to a corpus row gets the
+    * identical (pq_code, nrm, cluster). Degenerate rows place in
+    * cluster −1 with zero codes and nrm 0 (never probed, never
+    * scored); mixed dimensions are loud. Returns the
+    * [[ResidualPqIndex.encoded]] row shape. */
+  def ivfResidualPqEncode(index: ResidualPqIndex, batch: DataFrame): DataFrame =
+    residualPqEncodeImpl(index, batch, Array.empty, Array.empty,
+      "ivfResidualPqEncode")
+
+  /** The growing-index fold at the residual tier — [[pqAppend]]'s
+    * contract over [[ivfResidualPqEncode]]: appended rows serve
+    * queries immediately through every arm (their cluster is in the
+    * probe space, their floats in the rerank corpus). The coarse
+    * quantizer and codebook are unchanged by design — re-training is
+    * [[ivfBuild]] + [[ivfResidualPqBuild]]'s periodic job. */
+  def ivfResidualPqAppend(
+      index: ResidualPqIndex, batch: DataFrame): ResidualPqIndex =
+    index.copy(
+      encoded = index.encoded.unionByName(ivfResidualPqEncode(index, batch)),
+      corpus = index.corpus.unionByName(
+        batch.select(col(index.idCol), col(index.vecCol))))
+
+  /** [[ivfResidualPqEncode]] at the HD-ROTATED residual tier: the
+    * residual rotates through the index's transform before the
+    * nearest-code pass (offsets/norms stay original-space — the serve
+    * decomposition). The SAFE ingest path for rotated codes. */
+  def rotResidualPqEncode(
+      index: RotatedResidualPqIndex, batch: DataFrame): DataFrame =
+    residualPqEncodeImpl(index.rpq, batch, index.signs, Array.empty,
+      "rotResidualPqEncode")
+
+  /** The growing-index fold at the HD-rotated residual tier. */
+  def rotResidualPqAppend(
+      index: RotatedResidualPqIndex, batch: DataFrame): RotatedResidualPqIndex =
+    index.copy(rpq = index.rpq.copy(
+      encoded = index.rpq.encoded.unionByName(rotResidualPqEncode(index, batch)),
+      corpus = index.rpq.corpus.unionByName(
+        batch.select(col(index.rpq.idCol), col(index.rpq.vecCol)))))
+
+  /** [[ivfResidualPqEncode]] at the TRAINED-OPQ residual tier: the
+    * residual rotates through the index's exact quantized R. */
+  def opqResidualPqEncode(
+      index: OpqResidualPqIndex, batch: DataFrame): DataFrame =
+    residualPqEncodeImpl(index.rpq, batch, Array.empty, index.rq,
+      "opqResidualPqEncode")
+
+  /** The growing-index fold at the trained residual tier. */
+  def opqResidualPqAppend(
+      index: OpqResidualPqIndex, batch: DataFrame): OpqResidualPqIndex =
+    index.copy(rpq = index.rpq.copy(
+      encoded = index.rpq.encoded.unionByName(opqResidualPqEncode(index, batch)),
+      corpus = index.rpq.corpus.unionByName(
+        batch.select(col(index.rpq.idCol), col(index.rpq.vecCol)))))
+
+  private def residualPqEncodeImpl(
+      index: ResidualPqIndex, batch: DataFrame,
+      signs: Array[Int], rq: Array[Array[Long]], opName: String): DataFrame = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val bcC = sp.sparkContext.broadcast(index.centroids)
+    val bcCb = sp.sparkContext.broadcast(index.codebook)
+    val bcSg = sp.sparkContext.broadcast(signs)
+    val bcRq = sp.sparkContext.broadcast(rq)
+    val mLoc = index.m; val dsubLoc = index.dsub; val bitsLoc = index.bits
+    val perW = pqPerWord(index.bits); val nW = pqNumWords(index.m, index.bits)
+    val src = batch.select(col(index.idCol).cast("long"), col(index.vecCol))
+      .as[(Long, Array[Float])]
+    if (nW == 1)
+      src.map { case (id, v0) =>
+        val (w, nrm, cl) = encodeResidualBatchRow(bcC.value, bcCb.value, v0,
+          mLoc, dsubLoc, bitsLoc, perW, 1, bcSg.value, bcRq.value)
+        (id, w(0), nrm, cl)
+      }.toDF(index.idCol, "pq_code", "nrm", "cluster")
+    else
+      src.map { case (id, v0) =>
+        val (w, nrm, cl) = encodeResidualBatchRow(bcC.value, bcCb.value, v0,
+          mLoc, dsubLoc, bitsLoc, perW, nW, bcSg.value, bcRq.value)
+        (id, w, nrm, cl)
+      }.toDF(index.idCol, "pq_code", "nrm", "cluster")
+  }
+
+  /** Per-row body of the residual ingest encodes, hoisted to object
+    * level (the serializable-closure rule): assign → residual →
+    * (rotate) → nearest-code pack; degenerate rows → (zero words, 0,
+    * −1), mixed dimensions loud via [[checkAssignDim]]. */
+  private def encodeResidualBatchRow(
+      cents: Array[(Array[Double], Double)],
+      cb: Array[Array[Array[Double]]], v0: Array[Float],
+      m: Int, dsub: Int, bits: Int, perW: Int, nW: Int,
+      signs: Array[Int], rq: Array[Array[Long]]): (Array[Long], Double, Int) = {
+    val v = if (v0 == null) Array.empty[Float] else v0
+    checkAssignDim(cents, v)
+    val cl = if (v.isEmpty) -1 else nearestCentroid(cents, v)
+    if (cl < 0) (new Array[Long](nW), 0.0, -1)
+    else {
+      val cent = cents(cl)._1
+      val rr = new Array[Double](v.length)
+      var j = 0
+      while (j < v.length) { rr(j) = v(j).toDouble - cent(j); j += 1 }
+      val y =
+        if (rq.nonEmpty) matVecFpQ(rq, rr)
+        else if (signs.nonEmpty) rotateFpD(rr, signs)
+        else rr
+      var ss = 0.0; var i = 0
+      while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+      (encodePqWords(cb, y, m, dsub, bits, perW, nW), math.sqrt(ss), cl)
+    }
   }
 
   private def residualServeCore(

@@ -1975,6 +1975,77 @@ class SimilaritySearchSpec extends AnyFunSuite {
       "trained residual chunked union != one-shot batch")
   }
 
+  test("ingest encode/append across the code tiers: clones reproduce stored codes; appended rows serve immediately") {
+    import spark.implicits._
+    val corpus = (1L to 200L).map(i => (i, vec(i * 661 + 13))).toDF("id", "v")
+    val probe = vec(9999L)
+    // the probe's near-copy exists ONLY via append; one degenerate row
+    // rides along (must place nowhere and never serve)
+    val batch = Seq((9000L, jitter(probe, 0.001f)),
+      (9001L, new Array[Float](dim))).toDF("id", "v")
+    val clone7 = Seq((9100L, vec(7L * 661 + 13))).toDF("id", "v")
+
+    // HD-rotated raw tier
+    val rp = SimilaritySearch.rotPqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 1)
+    val rpTop = SimilaritySearch.rotPqTopK(SimilaritySearch.rotPqAppend(rp, batch),
+      probe, topK = 3, overFetch = 8).collect()
+    assert(rpTop.head.getLong(0) == 9000L && rpTop.head.getDouble(1) > 0.999,
+      s"appended near-copy must serve immediately: ${rpTop.toSeq}")
+    assert(!rpTop.map(_.getLong(0)).contains(9001L))
+    // a batch row identical to a corpus row gets the IDENTICAL code
+    assert(SimilaritySearch.rotPqEncode(rp, clone7)
+        .select("pq_code").head().getLong(0) ==
+      rp.pq.encoded.filter(col("id") === 7L).select("pq_code").head().getLong(0),
+      "rotated ingest encode must reproduce the build's own code")
+    // mixed dimensions loud, from the rotation
+    val e = intercept[org.apache.spark.SparkException] {
+      SimilaritySearch.rotPqEncode(rp,
+        Seq((1L, Array.fill(dim + 4)(0.1f))).toDF("id", "v")).collect()
+    }
+    assert(e.getMessage.contains("mixed-dimension"))
+
+    // trained-OPQ raw tier
+    val op = SimilaritySearch.opqPqBuild(corpus, "id", "v", m = 4, ksub = 8,
+      lloydIters = 1, opqIters = 2)
+    val opTop = SimilaritySearch.opqPqTopK(SimilaritySearch.opqPqAppend(op, batch),
+      probe, topK = 3, overFetch = 8).collect()
+    assert(opTop.head.getLong(0) == 9000L && opTop.head.getDouble(1) > 0.999)
+    assert(SimilaritySearch.opqPqEncode(op, clone7)
+        .select("pq_code").head().getLong(0) ==
+      op.pq.encoded.filter(col("id") === 7L).select("pq_code").head().getLong(0))
+
+    // residual trio: assign → residual → encode; cluster rides along
+    val ivf = SimilaritySearch.ivfBuild(corpus, "id", "v", k = 6, lloydIters = 2)
+    val rr = SimilaritySearch.ivfResidualPqBuild(ivf, m = 4, ksub = 8,
+      lloydIters = 1)
+    val enc7 = SimilaritySearch.ivfResidualPqEncode(rr, clone7).head()
+    val stored7 = rr.encoded.filter(col("id") === 7L).head()
+    assert(enc7.getLong(1) == stored7.getLong(1) &&
+      enc7.getInt(3) == stored7.getInt(3),
+      "residual ingest encode must reproduce the build's code AND cluster")
+    val rrTop = SimilaritySearch.ivfResidualPqTopK(
+      SimilaritySearch.ivfResidualPqAppend(rr, batch), probe,
+      topK = 3, nprobe = 6, overFetch = 8).collect()
+    assert(rrTop.head.getLong(0) == 9000L && rrTop.head.getDouble(1) > 0.999)
+    val hrr = SimilaritySearch.ivfRotResidualPqBuild(ivf, m = 4, ksub = 8,
+      lloydIters = 1)
+    val hrrTop = SimilaritySearch.rotResidualPqTopK(
+      SimilaritySearch.rotResidualPqAppend(hrr, batch), probe,
+      topK = 3, nprobe = 6, overFetch = 8).collect()
+    assert(hrrTop.head.getLong(0) == 9000L && hrrTop.head.getDouble(1) > 0.999)
+    val orr = SimilaritySearch.opqResidualPqBuild(ivf, m = 4, ksub = 8,
+      lloydIters = 1, opqIters = 2)
+    val orrTop = SimilaritySearch.opqResidualPqTopK(
+      SimilaritySearch.opqResidualPqAppend(orr, batch), probe,
+      topK = 3, nprobe = 6, overFetch = 8).collect()
+    assert(orrTop.head.getLong(0) == 9000L && orrTop.head.getDouble(1) > 0.999)
+    // the degenerate appended row placed in cluster −1 with nrm 0
+    val deg = SimilaritySearch.ivfResidualPqEncode(rr,
+      Seq((9001L, new Array[Float](dim))).toDF("id", "v")).head()
+    assert(deg.getInt(3) == -1 && deg.getDouble(2) == 0.0)
+  }
+
   test("residualPqIncrementalNearDup: pruned statuses subset the full screen; planted dup found") {
     import spark.implicits._
     val corpus = (1L to 200L).map(i => (i, vec(i * 613 + 7))).toDF("id", "v")
