@@ -1370,6 +1370,76 @@ object SimQueries {
     }
   }
 
+  /** Persisted trained-OPQ serving (v41) — v35 routed through the
+    * save → load → serve cycle: the oracle is IDENTICAL to v35's
+    * (same dials, the literal R from the build), so the hash gate pins
+    * the round-trip claim the spec makes — the rotation doubles, the
+    * codebook and the codes all survive the tree bit-exactly, and a
+    * loaded index's serving decisions are indistinguishable from the
+    * in-memory ones. */
+  def opqPersistedServingEntry: Q = {
+    val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      { (s, dir) =>
+        val sp = s
+        import sp.implicits._
+        val e = t(s, dir, "embeddings")
+        val idx = graft.operators.SimilaritySearch.opqPqBuild(
+          e, "vec_id", "embedding", m = 8, ksub = 16, lloydIters = 2,
+          opqIters = 2, portableSeeds = true)
+        TrainedRotations.put("v41_opq_persisted_serving", idx.rq)
+        val path = s"/tmp/graft_v41_index_${Integer.toHexString(dir.hashCode)}" +
+          s"_p${ProcessHandle.current().pid()}"
+        reapAtExit(path)
+        graft.operators.SimilaritySearch.opqPqSave(idx, path)
+        val loaded = graft.operators.SimilaritySearch.opqPqLoad(s, path, e)
+        val qVec = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).as[Array[Float]].head()
+        graft.operators.SimilaritySearch.opqPqTopK(loaded, qVec, topK = 10,
+          overFetch = 4, filter = col("vec_id") =!= 0)
+      }
+    TrainedRotations.get("v41_opq_persisted_serving") match {
+      case Some(rq) =>
+        Q("v41_opq_persisted_serving", opqPqOracleSql(rq, m = 8, ksub = 16,
+          iters = 2, topK = 10, overFetch = 4, dim = 64))(fn)
+      case None => Q.noOracle("v41_opq_persisted_serving")(fn)
+    }
+  }
+
+  /** Persisted trained-OPQ RESIDUAL serving (v42) — v36 through the
+    * save → load → serve cycle; oracle identical to v36's, pinning the
+    * residual tree's round-trip (rotation + codebook + centroids +
+    * cluster-partitioned codes) on the hash gate. */
+  def opqResidualPersistedServingEntry: Q = {
+    val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      { (s, dir) =>
+        val sp = s
+        import sp.implicits._
+        val e = t(s, dir, "embeddings")
+        val ivf = graft.operators.SimilaritySearch.ivfBuild(
+          e, "vec_id", "embedding", k = 16, lloydIters = 3, portableSeeds = true)
+        val idx = graft.operators.SimilaritySearch.opqResidualPqBuild(
+          ivf, m = 8, ksub = 16, lloydIters = 2, opqIters = 2,
+          portableSeeds = true)
+        TrainedRotations.put("v42_opq_residual_persisted_serving", idx.rq)
+        val path = s"/tmp/graft_v42_index_${Integer.toHexString(dir.hashCode)}" +
+          s"_p${ProcessHandle.current().pid()}"
+        reapAtExit(path)
+        graft.operators.SimilaritySearch.opqResidualPqSave(idx, path)
+        val loaded = graft.operators.SimilaritySearch.opqResidualPqLoad(s, path, e)
+        val qVec = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).as[Array[Float]].head()
+        graft.operators.SimilaritySearch.opqResidualPqTopK(loaded, qVec,
+          topK = 10, nprobe = 4, overFetch = 4, filter = col("vec_id") =!= 0)
+      }
+    TrainedRotations.get("v42_opq_residual_persisted_serving") match {
+      case Some(rq) =>
+        Q("v42_opq_residual_persisted_serving", opqResidualPqOracleSql(rq,
+          k = 16, kIters = 3, nprobe = 4, m = 8, ksub = 16, pqIters = 2,
+          topK = 10, overFetch = 4, dim = 64))(fn)
+      case None => Q.noOracle("v42_opq_residual_persisted_serving")(fn)
+    }
+  }
+
   /** Rotated-RESIDUAL IVF-PQ oracle (v30): the v23 replay with the HD
     * rotation applied to every residual before the subspace split —
     * `res` materializes the per-(vec, dim) residual, `rres` rotates it
@@ -2416,5 +2486,6 @@ object SimQueries {
     rotResidualPqBatchTopK, rotPqIncrementalDedup, rotResidualPqIncrementalDedup,
     opqTopKEntry, opqResidualTopKEntry, opqBatchTopKEntry,
     opqIncrementalDedupEntry, opqResidualBatchTopKEntry,
-    opqResidualIncrementalDedupEntry)
+    opqResidualIncrementalDedupEntry, opqPersistedServingEntry,
+    opqResidualPersistedServingEntry)
 }

@@ -139,6 +139,7 @@ class PlanQualitySpec extends AnyFunSuite {
         "v35_opq_pq_topk", "v36_opq_residual_topk",
         "v37_opq_batch_topk", "v38_opq_incremental_dedup",
         "v39_opq_residual_batch_topk", "v40_opq_residual_incremental_dedup",
+        "v41_opq_persisted_serving", "v42_opq_residual_persisted_serving",
         "v27b_pq_wide3_topk")) {
       val nodes = finalPlan(name)
       assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
