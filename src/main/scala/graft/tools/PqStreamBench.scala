@@ -43,9 +43,17 @@ object PqStreamBench {
     loadOnce() // warm
     val loadSecs = Seq.fill(5)(loadOnce())
     val nBatches = 5
-    val grid = Seq((1000, true), (10000, true), (1000, false))
-    val configs = grid.map { case (batchSize, cacheIdx) =>
-      val arm = "pq" + (if (cacheIdx) "" else "_nocache")
+    // r20: the TRAINED-OPQ stream arm rides the same recipe — its only
+    // delta vs the pq arm is the per-query LUT rotation (bounded by
+    // EncodeBench at ~35% of a bare encode pass) and the rotation
+    // parquet in the per-batch load
+    val opqIdxDir = s"$root/opq_index"
+    SimilaritySearch.opqPqSave(SimilaritySearch.opqPqBuild(
+      corpus, "vec_id", "embedding", m = 8, ksub = 16, lloydIters = 2,
+      opqIters = 2, portableSeeds = true), opqIdxDir)
+    def runArm(arm: String, batchSize: Int, cacheIdx: Boolean,
+        start: (org.apache.spark.sql.DataFrame, String) =>
+          org.apache.spark.sql.streaming.StreamingQuery): String = {
       val srcDir = s"$root/queries_${arm}_$batchSize"
       val outDir = s"$root/answers_${arm}_$batchSize"
       def writeBatch(b: Int): Unit = e
@@ -58,9 +66,7 @@ object PqStreamBench {
         .schema("q_id LONG, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
-      val q = graft.streaming.ServeStreaming.pqServeStream(
-        stream, idxDir, corpus, "q_id", "embedding", outDir,
-        topK = 10, overFetch = 4, cacheIndex = cacheIdx)
+      val q = start(stream, outDir)
       val batchSecs = try {
         (0 until nBatches).map { b =>
           if (b > 0) writeBatch(b)
@@ -72,6 +78,16 @@ object PqStreamBench {
       val med = BenchProtocol.median(batchSecs.drop(1))
       f"""{"arm":"$arm","batch_rows":$batchSize,"cache_index":$cacheIdx,"batch_secs":[${batchSecs.map(s => f"$s%.3f").mkString(",")}],"median_warm_sec":$med%.3f}"""
     }
+    val grid = Seq((1000, true), (10000, true), (1000, false))
+    val configs = grid.map { case (batchSize, cacheIdx) =>
+      runArm("pq" + (if (cacheIdx) "" else "_nocache"), batchSize, cacheIdx,
+        (stream, outDir) => graft.streaming.ServeStreaming.pqServeStream(
+          stream, idxDir, corpus, "q_id", "embedding", outDir,
+          topK = 10, overFetch = 4, cacheIndex = cacheIdx))
+    } :+ runArm("opq", 1000, cacheIdx = true,
+      (stream, outDir) => graft.streaming.ServeStreaming.opqPqServeStream(
+        stream, opqIdxDir, corpus, "q_id", "embedding", outDir,
+        topK = 10, overFetch = 4))
     val loadMed = BenchProtocol.median(loadSecs)
     val line =
       f"""{"metric":"pq_serve_stream","sf":"$sfDir","corpus_rows":$nCorpus,"pq_load_secs":[${loadSecs.map(s => f"$s%.3f").mkString(",")}],"pq_load_median_sec":$loadMed%.3f,"configs":[${configs.mkString(",")}]}"""
