@@ -56,6 +56,9 @@ object Bench {
     "t26_incremental_dedup", "v12_incremental_embedding_dedup",
     "v13_incremental_ivf_assign")
 
+  /** The full headline slice, exposed for tooling (ExplainDump). */
+  def headlineNames: Seq[String] = headline
+
   def main(args: Array[String]): Unit = {
     // optional arg: comma-separated query names for a focused local
     // measurement (the driver always calls with no args → full slice)

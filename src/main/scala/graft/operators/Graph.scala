@@ -157,6 +157,19 @@ object Graph {
     *                  `iters` jobs)
     * @param dampingPct damping factor as an integer percentage
     * @param scale     fixed-point scale for rank 1.0
+    * @param edgesSymmetric caller-proven contract that the edge list is
+    *                  SYMMETRIC (every (u,v) has its (v,u) mirror —
+    *                  e.g. [[graft.queries.GraphQueries.symmetrize]]
+    *                  output): then src-set == dst-set == node set and
+    *                  every node has out-degree ≥ 1, so the node set
+    *                  and initial ranks come straight from the degree
+    *                  aggregate — skipping the src∪dst distinct
+    *                  exchange AND the init left join (r21
+    *                  optimization, guide §2.4). The degree aggregate
+    *                  itself reuses the edge cache's hash partitioning
+    *                  on `__src`, so init costs ZERO extra shuffles.
+    *                  Passing it on an asymmetric edge list silently
+    *                  drops sink-only nodes — a contract, not a hint.
     * @return (id, rank_scaled: Long) — one row per node that appears
     *         in `edges` (as source or destination)
     */
@@ -166,7 +179,8 @@ object Graph {
       dstCol: String = "dst",
       iters: Int = 3,
       dampingPct: Int = 85,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      edgesSymmetric: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
@@ -182,8 +196,6 @@ object Graph {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .repartition(col("__src"))
       .persist()
-    val nodes = e.select(col("__src").as("__id"))
-      .union(e.select(col("__dst").as("__id"))).distinct()
     // out-degree per node; deg = 0 marks a dangling node (emits no
     // shares). Computed ONCE and then carried INSIDE every round's
     // checkpoint row (id, deg, rank): joining a separate degree table
@@ -195,11 +207,22 @@ object Graph {
     val base = (100L - dampingPct) * scale / 100L
 
     // r0: one job materializes (id, deg, rank=scale) for every node —
-    // the edge scan feeding nodes/deg runs exactly once, into this cut
+    // the edge scan feeding nodes/deg runs exactly once, into this cut.
+    // Symmetric edges (see param doc): the degree aggregate already
+    // holds exactly one row per node, so init is a projection of it —
+    // no src∪dst distinct, no left join, and the aggregate reuses the
+    // edge cache's partitioning (zero exchanges in the init job beyond
+    // the one that built the cache).
     val init = Checkpoints.cut(
-      nodes.join(deg, Seq("__id"), "left")
-        .select(col("__id"), coalesce(col("__deg"), lit(0L)).as("__deg"),
-          lit(scale).as("__r")),
+      if (edgesSymmetric)
+        deg.select(col("__id"), col("__deg"), lit(scale).as("__r"))
+      else {
+        val nodes = e.select(col("__src").as("__id"))
+          .union(e.select(col("__dst").as("__id"))).distinct()
+        nodes.join(deg, Seq("__id"), "left")
+          .select(col("__id"), coalesce(col("__deg"), lit(0L)).as("__deg"),
+            lit(scale).as("__r"))
+      },
       eager = true)
     // enforce the documented overflow bound at runtime: total mass is
     // ≤ nodes × scale and the damping step multiplies a partial sum by
@@ -411,7 +434,15 @@ object Graph {
     * ordering and match exactly.
     *
     * Input edges are treated as UNDIRECTED: direction, duplicates, and
-    * self-loops are all normalized away first.
+    * self-loops are all normalized away first — unless the caller
+    * passes `edgesCanonical = true`, asserting the input is ALREADY one
+    * distinct non-loop row per undirected edge with src < dst (e.g.
+    * [[coOccurrence]] output, whose pair aggregation guarantees exactly
+    * that), which skips the normalization's full distinct
+    * exchange+aggregate over the edge set (r21 optimization, guide
+    * §2.4: a `distinct` on data that is already unique is an
+    * accidental shuffle). Passing it on non-canonical input silently
+    * miscounts — it is a caller-proven contract, not a hint.
     *
     * @return (id, triangles: Long) — one row per node incident to at
     *         least one (undirected, non-loop) edge; nodes in no
@@ -420,17 +451,20 @@ object Graph {
   def triangleCounts(
       edges: DataFrame,
       srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst",
+      edgesCanonical: Boolean = false): DataFrame = {
     // normalize to one canonical row per undirected non-loop edge;
     // read 3× (both endpoint arms of the degree union, orientation
     // base) — persisted so the caller's edge pipeline runs once, and
     // FREED as soon as deg + o below materialize (see the disk-footprint
     // note there)
-    val und = edges
+    val und = (if (edgesCanonical)
+      edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+    else edges
       .select(least(col(srcCol), col(dstCol)).as("__u"),
         greatest(col(srcCol), col(dstCol)).as("__v"))
       .filter(col("__u") =!= col("__v"))
-      .distinct()
+      .distinct())
       .persist()
     // degrees are consumed THREE times (both arms of the rank join +
     // the final full-node-set left join) — an eager lineage CUT (not a
@@ -623,10 +657,22 @@ object Graph {
     * `maxGroupSize` are dropped entirely before the expansion — the
     * standard curation semantics (a group that large carries no
     * co-occurrence signal) and the same bounded-state discipline as
-    * the capped posting-list aggregate in `t8`. The per-task work is
-    * thereby ≤ C(maxGroupSize, 2) rows per group, co-partitioned on
-    * the group key: one shuffle to size+filter groups, one equi-join
-    * on the group key, one aggregate on the pair key.
+    * the capped posting-list aggregate in `t8`.
+    *
+    * TWO shuffles, no join (r21 optimization, guide §2.3/§2.4 — same
+    * recipe that made t8's inverted index ~6x faster): ONE shuffle on
+    * the group key builds each group's distinct item set through the
+    * capped-set aggregate ([[graft.functions.CappedLongCollectSet]] —
+    * O(maxGroupSize) state per key, NULL = over-cap = dropped, exactly
+    * the old HAVING-size filter), pairs are expanded IN PLACE per set
+    * (≤ C(maxGroupSize, 2) rows per group; least/greatest makes the
+    * expansion insensitive to the set's arbitrary merge order), and
+    * ONE shuffle on the pair key aggregates support. The previous
+    * formulation paid a distinct exchange on (group, item), a second
+    * exchange to size groups, a membership join, and the group-key
+    * self-join — measured 1.9 s → 1.0 s at sf0.1 for the gr1/gr2
+    * shared edge build. Long item ids take this path; other item types
+    * fall back to the join formulation (same results).
     *
     * @return (src, dst, support: Long) with src < dst */
   def coOccurrence(
@@ -638,16 +684,35 @@ object Graph {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(maxGroupSize >= 2, s"maxGroupSize must be >= 2, got $maxGroupSize")
     val gi = df.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
-      .distinct()
-    val sized = gi.groupBy("__g").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxGroupSize)
-      .select(col("__g"))
-    val member = gi.join(sized, Seq("__g"))
-    member.as("a").join(member.as("b"), Seq("__g"))
-      .filter(col("a.__i") < col("b.__i"))
-      .groupBy(col("a.__i").as("src"), col("b.__i").as("dst"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= minSupport)
+    val isLongItem = df.schema(df.schema.fieldIndex(itemCol))
+      .dataType == org.apache.spark.sql.types.LongType
+    if (isLongItem) {
+      implicit val spark: org.apache.spark.sql.SparkSession = df.sparkSession
+      val sets = gi.groupBy("__g")
+        .agg(graft.functions.CappedLongCollectSet
+          .cappedCollectSet(col("__i"), maxGroupSize).as("__is"))
+        .filter(col("__is").isNotNull && size(col("__is")) >= 2)
+      sets.select(explode(expr(
+        """flatten(transform(sequence(0, size(__is) - 2),
+          |  i -> transform(sequence(i + 1, size(__is) - 1),
+          |    j -> struct(least(__is[i], __is[j]) AS s,
+          |                greatest(__is[i], __is[j]) AS d))))""".stripMargin))
+        .as("__p"))
+        .groupBy(col("__p.s").as("src"), col("__p.d").as("dst"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSupport)
+    } else {
+      val gid = gi.distinct()
+      val sized = gid.groupBy("__g").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxGroupSize)
+        .select(col("__g"))
+      val member = gid.join(sized, Seq("__g"))
+      member.as("a").join(member.as("b"), Seq("__g"))
+        .filter(col("a.__i") < col("b.__i"))
+        .groupBy(col("a.__i").as("src"), col("b.__i").as("dst"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSupport)
+    }
   }
 
   /** k-core decomposition by iterative peeling: repeatedly drop nodes
@@ -683,7 +748,8 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst",
       k: Int = 2,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50,
+      edgesCanonical: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
 
     // canonical (u < v) distinct non-loop edges — HALF the rows of a
@@ -691,9 +757,14 @@ object Graph {
     // footprint and keep-join width (at sf1 the symmetrized variant
     // spent 2/3 of its wall time in GC; this one doesn't). Degrees
     // come from a transient one-column union of both endpoints — it
-    // feeds a shuffle, never a checkpoint.
+    // feeds a shuffle, never a checkpoint. `edgesCanonical` (same
+    // caller-proven contract as [[triangleCounts]]): the input is
+    // already distinct canonical src < dst, skip the normalization's
+    // distinct exchange.
     val init = Checkpoints.cut( // one init job; edge pipeline runs once
-      edges
+      if (edgesCanonical)
+        edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+      else edges
         .select(least(col(srcCol), col(dstCol)).as("__u"),
           greatest(col(srcCol), col(dstCol)).as("__v"))
         .filter(col("__u") =!= col("__v"))

@@ -88,7 +88,10 @@ object GraphQueries {
     // union's two arms would each recompute the whole (unpersisted)
     // co-occurrence pipeline; one pass emits both directions
     val e = symmetrize(copurchase(s, dir))
-    graft.operators.Graph.pageRank(e, "src", "dst", iters = 3)
+    // edgesSymmetric: symmetrize() emits both orientations of every
+    // canonical pair, the exact contract the fast init path requires
+    graft.operators.Graph.pageRank(e, "src", "dst", iters = 3,
+      edgesSymmetric = true)
       .select(col("id").as("part_id"), col("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("part_id"))
       .limit(100)
@@ -114,7 +117,12 @@ object GraphQueries {
       |SELECT n.id AS part_id, CAST(COALESCE(cnt.t, 0) AS BIGINT) AS triangles
       |FROM n LEFT JOIN cnt ON n.id = cnt.id
       |ORDER BY triangles DESC, part_id LIMIT 100""".stripMargin) { (s, dir) =>
-    graft.operators.Graph.triangleCounts(copurchase(s, dir), "src", "dst")
+    // edgesCanonical: coOccurrence's pair aggregation emits one
+    // distinct non-loop row per undirected edge with src < dst — the
+    // exact contract that lets triangleCounts skip its normalization
+    // distinct
+    graft.operators.Graph.triangleCounts(copurchase(s, dir), "src", "dst",
+      edgesCanonical = true)
       .select(col("id").as("part_id"), col("triangles"))
       .orderBy(col("triangles").desc, col("part_id"))
       .limit(100)
@@ -154,7 +162,7 @@ object GraphQueries {
       |FROM k$PeelUnroll GROUP BY a
       |ORDER BY core_degree DESC, part_id""".stripMargin) { (s, dir) =>
     graft.operators.Graph.kCore(copurchase(s, dir), "src", "dst", k = 80,
-        maxIters = PeelUnroll)
+        maxIters = PeelUnroll, edgesCanonical = true)
       .select(col("id").as("part_id"), col("core_degree"))
       .orderBy(col("core_degree").desc, col("part_id"))
   }

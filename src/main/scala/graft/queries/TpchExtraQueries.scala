@@ -51,13 +51,21 @@ object TpchExtraQueries {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost"),
         col("s_acctbal"), col("s_name"), col("n_name"))
-    val minCost = eligible.groupBy(col("ps_partkey").as("mc_partkey"))
-      .agg(min(col("ps_supplycost")).as("mc_cost"))
     val p = t(s, dir, "part")
       .filter(col("p_type") === "LARGE" && col("p_size").between(10, 20))
+    // correlated-min via a window over ONE pass of `eligible` (r21
+    // optimization, guide §2.4): the former groupBy-min + equi-join
+    // re-derived the whole partsupp subtree — two full lineitem scans,
+    // two partial-agg exchanges, and a SortMergeJoin whose both sides
+    // were the same aggregation. min().over(partitionBy(ps_partkey))
+    // computes the identical per-part minimum on the single pass; rows
+    // surviving `cost == min` are exactly the former join's matches
+    // (minCost had one row per part). Plan: 24 Exchanges → 6, one
+    // lineitem scan instead of two.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ps_partkey")
     eligible
-      .join(minCost, col("ps_partkey") === col("mc_partkey") &&
-        col("ps_supplycost") === col("mc_cost"))
+      .withColumn("__mc", min(col("ps_supplycost")).over(w))
+      .filter(col("ps_supplycost") === col("__mc"))
       .join(broadcast(p), col("p_partkey") === col("ps_partkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_name"), col("ps_suppkey"), col("ps_supplycost"))

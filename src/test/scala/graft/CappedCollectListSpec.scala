@@ -76,4 +76,47 @@ class CappedCollectListSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
     assert(cappedOut == reference)
   }
+
+  // ---- capped collect-SET (the r21 one-shuffle coOccurrence builder) ----
+
+  private def cappedSet(cap: Int): org.apache.spark.sql.Column =
+    graft.functions.CappedLongCollectSet.cappedCollectSet(col("v"), cap)(spark)
+
+  test("set: dedups within and across partials; over-cap DISTINCT count is NULL") {
+    import spark.implicits._
+    // key 1 → 5 rows but only 3 distinct (cap 3: exact, duplicates free)
+    // key 2 → 4 distinct values at cap 3 → NULL
+    val df = Seq((1L, 10L), (1L, 11L), (1L, 10L), (1L, 12L), (1L, 11L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L))
+      .toDF("k", "v").repartition(8)
+    val out = df.groupBy("k").agg(cappedSet(3).as("vs"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).get.asInstanceOf[scala.collection.Seq[Long]].sorted == Seq(10L, 11L, 12L))
+    assert(out(2L).isEmpty, "4 distinct values under cap 3 must be NULL")
+  }
+
+  test("set: duplicates arriving after the buffer is full do not fake an overflow") {
+    import spark.implicits._
+    // exactly cap distinct values, each repeated — the repeats land on a
+    // full buffer and must be recognized as members, not new values
+    val df = spark.range(0, 200, 1, 8)
+      .select(lit(1L).as("k"), (col("id") % 4).as("v"))
+    val vs = df.groupBy("k").agg(cappedSet(4).as("vs"))
+      .collect()(0).getSeq[Long](1)
+    assert(vs.sorted == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("set: agrees with collect_set + size filter on random grouped data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(5000)((rnd.nextInt(300).toLong, rnd.nextInt(40).toLong))
+    val df = rows.toDF("k", "v").repartition(16)
+    val cappedOut = df.groupBy("k").agg(cappedSet(12).as("vs"))
+      .filter(col("vs").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    val reference = df.groupBy("k").agg(collect_set("v").as("vs"))
+      .filter(size(col("vs")) <= 12)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    assert(cappedOut == reference)
+  }
 }
