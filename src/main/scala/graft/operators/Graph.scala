@@ -333,6 +333,26 @@ object Graph {
       dstCol: String = "dst",
       maxIters: Int = 50): DataFrame = {
     val e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b")).persist()
+    // SCALE-ADAPTIVE loop parallelism (r21 optimization, guide §2.2):
+    // the loop's edge cache previously took the session's
+    // spark.sql.shuffle.partitions verbatim, so a 500-edge near-dup
+    // graph ran every propagation round as 32 near-empty tasks (the
+    // cached side of the round join pins the partitioning — AQE can
+    // coalesce only the downstream exchanges). One count over the
+    // (persisted) pair list — the upstream pipeline runs exactly once
+    // either way, the count just materializes the cache a job earlier —
+    // sizes partitions at ~`targetPartitionRows` symmetric-edge rows
+    // each (default 250k ≈ 10–20 MB shuffled), floored at 1 and capped
+    // at 4× the configured parallelism so the conf stays the scale
+    // knob on a real cluster. Override:
+    // spark.graft.components.targetPartitionRows.
+    val eCnt = e.count()
+    val sp = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val targetRows = edges.sparkSession.conf
+      .getOption("spark.graft.components.targetPartitionRows")
+      .map(_.toLong).getOrElse(250000L)
+    val nParts = math.max(1L, math.min(
+      (2L * eCnt + targetRows - 1L) / targetRows, 4L * sp)).toInt
     val sym = e.union(e.select(col("__b").as("__a"), col("__a").as("__b")))
     // hash-partitioned on __a so every propagation round's edge⋈labels
     // join reuses the cached partitioning — only the (id, label) side
@@ -340,7 +360,7 @@ object Graph {
     val eb = sym.union(
       sym.select(col("__a")).distinct()
         .select(col("__a"), col("__a").as("__b")))
-      .repartition(col("__a"))
+      .repartition(nParts, col("__a"))
       .persist()
     // one job: materializes the initial labels AND, through their
     // lineage, the eb cache (so e's upstream pipeline runs exactly once)
@@ -378,6 +398,11 @@ object Graph {
       // references to `relaxed` share one physical aggregation: both
       // sides canonicalize to the same exchange and ReuseExchange dedups
       // the expensive edge-join+agg subtree.
+      // (r21 note: a double jump per round was tried and reverted — the
+      // residual round-2 relabelings on the near-dup graphs are
+      // edge-relaxations whose neighbor improved in the same round, not
+      // pointer chains, so a second jump buys no round while paying an
+      // extra join stage every round.)
       val stepped =
         if (!jump) relaxed
         else relaxed.as("x").join(

@@ -65,14 +65,18 @@ object TextDedup {
       maxShingles: Int): DataFrame = {
     val prime = (1L << 61) - 1
 
-    // distinct hashed shingles per doc (capped for degenerate docs)
+    // hashed shingles per doc (capped for degenerate docs), duplicates
+    // INCLUDED: the only consumer is the per-doc MIN of each affine
+    // rehash, which is duplicate-idempotent, so the former string-level
+    // `.distinct()` was a full exchange of every shingle string bought
+    // for nothing — without it the signature build's one shuffle is the
+    // partial-min aggregate (r21 optimization, guide §2.3)
     val sh = df.select(col(idCol).as("__id"), split(col(textCol), " ").as("__ws"))
       .filter(size(col("__ws")) >= shingleSize)
       .select(col("__id"), explode(expr(
         s"transform(sequence(0, least(size(__ws)-$shingleSize, ${maxShingles - 1})), " +
           s"i -> concat_ws(' ', ${(0 until shingleSize).map(j => s"__ws[i+$j]").mkString(", ")}))"))
         .as("__g"))
-      .distinct()
       .select(col("__id"), pmod(xxhash64(col("__g")), lit(prime)).as("__gh"))
 
     def affine(i: Int): Column = {

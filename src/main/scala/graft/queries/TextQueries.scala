@@ -22,15 +22,28 @@ object TextQueries {
     * generate_series bound, which must stay in lockstep. Shared by the
     * exact-Jaccard (t8) and MinHash (t6) pipelines so the cap and
     * shingle shape can never diverge between them. */
+  /** Raw (doc_id, g) word shingles, duplicates INCLUDED — no exchange.
+    * r21 optimization (guide §2.3, "shuffle fewer bytes"): the set
+    * semantics the oracles' DISTINCT expresses moved downstream of the
+    * hash — the signature path's `MIN(affine(h))` is duplicate-
+    * idempotent so it needs no distinct at all, and the t8 path
+    * dedupes on the 8-byte hash instead of the ~40-byte string. The
+    * former string-level `.distinct()` here was a full exchange of
+    * every shingle string before any aggregation. */
   private def shingleStrings(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(
         expr("transform(sequence(0, least(size(ws)-3, 999)), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
-        .as("g")).distinct()
+        .as("g"))
 
+  /** Distinct (doc_id, gh) 64-bit shingle hashes for the t8 inverted
+    * index. Dedup is on the hash, not the string (the index, the
+    * per-doc counts, and the pair intersections are already keyed by
+    * this hash, so string-level dedup bought nothing the hash level
+    * doesn't — collision odds ≈ 2e-9 stated at the call site). */
   private def shingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    shingleStrings(docs).select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    shingleStrings(docs).select(col("doc_id"), xxhash64(col("g")).as("gh")).distinct()
 
   /** Engine-portable 60-bit hash: first 15 hex chars of md5, as BIGINT.
     * Spark `conv(substr(md5(x),1,15),16,10)` ≡ DuckDB
@@ -354,8 +367,19 @@ object TextQueries {
     // left join below.
     val e = lshPairs(s, dir).select(col("a_id"), col("b_id"))
     val comps = graft.operators.TextDedup.components(e, "a_id", "b_id", maxIters = 20)
+    // r21 optimization (guide §3.1): the label table is bounded by docs
+    // incident to a near-dup pair — normally a sliver of the corpus —
+    // while the left side is every document; broadcasting it removes
+    // both exchanges + sorts of the closing SortMergeJoin (the corpus
+    // side then never shuffles). Size-conditional, not unconditional:
+    // the count is one cheap job over the loop's final checkpoint, and
+    // a pathological everything-is-a-dup corpus (labels ≈ corpus) keeps
+    // the shuffle join rather than an 8-GB broadcast.
+    val compsNarrow = comps.select(col("id").as("lid"), col("componentId").as("comp"))
+    val compsJoinable =
+      if (comps.count() <= 5000000L) broadcast(compsNarrow) else compsNarrow
     t(s, dir, "documents").select(col("doc_id"))
-      .join(comps.select(col("id").as("lid"), col("componentId").as("comp")),
+      .join(compsJoinable,
         col("doc_id") === col("lid"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("comp_id"),
@@ -920,7 +944,17 @@ object TextQueries {
     val tok = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // r21 optimization (guide §2.4): DF is definitionally a reduction
+    // OF the TF table, but expressed as two lazy branches the optimizer
+    // planned them as two independent scan→explode→aggregate pipelines
+    // over the full corpus (the DF side collapses count-over-groupBy
+    // into a distinct, so the subtrees stop being equal and
+    // ReuseExchange can't dedup them). One eager lineage cut
+    // materializes the narrow (doc_id, term, tf) table once; both the
+    // DF reduction and the scoring join read it — one corpus
+    // scan+explode instead of two.
+    val tf = graft.operators.Checkpoints.cut(
+      tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")), eager = true)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val idf = df.join(broadcast(n))

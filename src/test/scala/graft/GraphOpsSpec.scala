@@ -205,12 +205,38 @@ class GraphOpsSpec extends AnyFunSuite {
 
   test("connectedComponents costs one Spark job per round") {
     import spark.implicits._
-    // single edge → exactly 2 rounds (one merge, one zero-change)
+    // single edge → exactly 2 rounds (one merge, one zero-change);
+    // +1 for the r21 partition-sizing count over the persisted pair
+    // list (it materializes the cache a job early — upstream still
+    // runs exactly once)
     val n = countJobs {
       Graph.connectedComponents(Seq((1L, 2L)).toDF("src", "dst"))
     }
-    assert(n <= 3, s"expected <=3 jobs (init + 2 one-job rounds), saw $n")
+    assert(n <= 4, s"expected <=4 jobs (sizing count + init + 2 one-job rounds), saw $n")
     assert(org.apache.spark.sql.classic.GraftSqlBridge.cacheIsEmpty(spark))
+  }
+
+  test("connectedComponents labels are invariant under the r21 partition-sizing knob") {
+    import spark.implicits._
+    val edges = Seq(
+      (13L, 14L), (10L, 11L), (12L, 13L), (11L, 12L),
+      (21L, 20L), (20L, 22L), (31L, 30L)).toDF("src", "dst")
+    val base = Graph.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq
+    val was = spark.conf.getOption("spark.graft.components.targetPartitionRows")
+    try {
+      // 1 row per partition → the loop runs maximally sharded (capped
+      // at 4× shuffle partitions); labels must not change
+      spark.conf.set("spark.graft.components.targetPartitionRows", "1")
+      val sharded = Graph.connectedComponents(edges).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq
+      assert(sharded == base)
+    } finally {
+      was match {
+        case Some(v) => spark.conf.set("spark.graft.components.targetPartitionRows", v)
+        case None => spark.conf.unset("spark.graft.components.targetPartitionRows")
+      }
+    }
   }
 
   test("connectedComponents resolves planted clusters with canonical flags") {

@@ -259,9 +259,11 @@ class TextDedupSpec extends AnyFunSuite {
       while (cur != last && spins < 50) {
         Thread.sleep(100); last = cur; cur = jobs.get(); spins += 1
       }
-      // 1 initialization job + 1 job per round; the pre-round-6 shape
-      // (eager checkpoint + separate convergence aggregate) cost 6 here
-      assert(cur <= 3, s"expected <=3 jobs (init + 2 one-job rounds), saw $cur")
+      // 1 partition-sizing count (r21 — scale-adaptive loop
+      // parallelism) + 1 initialization job + 1 job per round; the
+      // pre-round-6 shape (eager checkpoint + separate convergence
+      // aggregate) cost 6 here
+      assert(cur <= 4, s"expected <=4 jobs (sizing count + init + 2 one-job rounds), saw $cur")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
