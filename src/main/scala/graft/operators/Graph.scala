@@ -45,6 +45,28 @@ object Graph {
     previousBloomBcs = bcs
   }
 
+  /** Row cap for the SIZE-CONDITIONAL broadcasts inside the iterative
+    * operators (r21 optimization, guide §3.1). Every per-round join in
+    * this file pairs the EDGE table (big, cached/checkpointed,
+    * hash-partitioned) against a NODE-sized side (ranks, shares,
+    * degrees, keep-sets) — but the node side always comes out of a
+    * checkpoint or a fresh aggregate whose size the planner cannot
+    * estimate, so it plans SortMergeJoin: the r21 round-plan dump showed
+    * gr1 re-SORTING the full 2.4M-row cached edge table EVERY round and
+    * gr2's orientation paying two full edge-table Exchange+Sort pairs
+    * for two joins against a 20k-row degree table. Under this cap the
+    * node side is broadcast explicitly (the same recipe as t19's
+    * closing-join broadcast): the edge table then never re-sorts or
+    * re-shuffles inside a round. The cap keeps the 100 TB posture
+    * honest — a billion-node graph's label table must NOT be collected,
+    * so past it the shuffle plans above remain exactly as before.
+    * Row counts come from counts the operators already materialize
+    * (never an extra pass over edge-sized data). */
+  private[graft] def broadcastMaxRows(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.graph.broadcastMaxRows")
+      .map(_.toLong).getOrElse(5000000L)
+
   /** KEY-SHARDED broadcast Bloom build over a hash RDD — the uncapped,
     * driver-cliff-free replacement for both `stat.bloomFilter` (bitmap
     * silently clamped to 8 MB — a NO-OP filter past ~10M items) and the
@@ -233,6 +255,13 @@ object Graph {
     require(nodeCount <= Long.MaxValue / 100 / scale,
       s"pageRank overflow bound exceeded: $nodeCount nodes at scale=$scale " +
         s"(need nodes * scale * 100 < 2^63) — lower `scale`")
+    // node-sized round sides under the cap are broadcast (see
+    // [[broadcastMaxRows]]): without this every round re-sorts the full
+    // cached edge table for its SortMergeJoin and pays two node-side
+    // exchanges; with it a round is ONE small exchange (the __dst
+    // partial-aggregate) plus two O(nodes) broadcast builds. The count
+    // gating it is the overflow-bound count above — no extra job.
+    val bcastRounds = nodeCount <= broadcastMaxRows(edges.sparkSession)
     var ranks = init
     var prevCkpt = init
     // `spark.graft.pagerank.roundLog=true`: print each round's wall time
@@ -248,11 +277,19 @@ object Graph {
       // per-edge share = floor(rank / out-degree); summed per
       // destination; damping applied in integer space. All operands
       // non-negative → `div` == floor division == DuckDB `//`.
-      val shares = ranks.filter(col("__deg") > 0)
+      val shares0 = ranks.filter(col("__deg") > 0)
         .select(col("__id"), expr("__r div __deg").as("__share"))
-      val contrib = e.join(shares, e("__src") === shares("__id"))
+      // both node-sized sides broadcast under the cap: `shares` is a
+      // projection of the round checkpoint (cheap broadcast build, no
+      // recompute), `contrib` is the round's one aggregate and has a
+      // single consumer (broadcasting it cannot duplicate the edge join)
+      val shares =
+        if (bcastRounds) broadcast(shares0) else shares0
+      val contrib0 = e.join(shares, e("__src") === shares("__id"))
         .groupBy(col("__dst").as("__cid"))
         .agg(sum(col("__share")).as("__c"))
+      val contrib =
+        if (bcastRounds) broadcast(contrib0) else contrib0
       val next = Checkpoints.cut( // the ONE action of the round
         ranks.select(col("__id"), col("__deg"))
           .join(contrib, col("__id") === col("__cid"), "left")
@@ -386,8 +423,20 @@ object Graph {
       // (__a == __b) joins to the node's own current label, so
       // min-filtered on it == the PREVIOUS label — carried as __old in
       // the same shuffle, no extra pass over the data.
+      // labels are node-sized (≤ 2× the counted edge rows) and read off
+      // the round checkpoint: broadcast under the cap (see
+      // [[broadcastMaxRows]]) so the cached edge table is never
+      // re-sorted for the round's SortMergeJoin and the label exchange
+      // disappears; past the cap the shuffle join stands. The jump
+      // self-join below deliberately stays a shuffle join — broadcasting
+      // one of its arms would forfeit the exchange reuse that lets both
+      // arms share one physical aggregation.
+      val labelsSide =
+        if (2L * eCnt <= broadcastMaxRows(edges.sparkSession))
+          broadcast(labels)
+        else labels
       val relaxed =
-        eb.join(labels, eb("__a") === labels("__id"))
+        eb.join(labelsSide, eb("__a") === labelsSide("__id"))
           .groupBy(eb("__b").as("__id"))
           .agg(min(col("__comp")).as("__comp"),
             min(when(eb("__a") === eb("__b"), col("__comp"))).as("__old"))
@@ -501,12 +550,25 @@ object Graph {
         .union(und.select(col("__v").as("__id")))
         .groupBy("__id").agg(count(lit(1)).as("__deg")),
       eager = true)
+    // one row per node and already materialized — the count is a cheap
+    // metadata-ish job over the checkpoint snapshot, and it gates every
+    // node-sized broadcast in this operator (see [[broadcastMaxRows]])
+    val nodeCount = deg.count()
+    val bcastNodes = nodeCount <= broadcastMaxRows(edges.sparkSession)
+    def nodeSide(df: DataFrame): DataFrame =
+      if (bcastNodes) broadcast(df) else df
     // orient low-rank → high-rank, rank = (degree, id); carry b's
     // degree so wedge enumeration can order (y, z) by the same rank
-    // without another join against deg
+    // without another join against deg. The two degree arms are
+    // node-sized: broadcast under the cap, or the orientation pays two
+    // full edge-table Exchange+Sort pairs (the r21 profile's 2.4–4.4 s
+    // `orient` phase — the deg checkpoint has no stats, so the planner
+    // chose SortMergeJoin)
     val ranked = und
-      .join(deg.select(col("__id").as("__u"), col("__deg").as("__du")), "__u")
-      .join(deg.select(col("__id").as("__v"), col("__deg").as("__dv")), "__v")
+      .join(nodeSide(deg.select(col("__id").as("__u"), col("__deg").as("__du"))),
+        "__u")
+      .join(nodeSide(deg.select(col("__id").as("__v"), col("__deg").as("__dv"))),
+        "__v")
     val uLow = col("__du") < col("__dv") ||
       (col("__du") === col("__dv") && col("__u") < col("__v"))
     // oriented edges are read three times (two wedge arms + the closing
@@ -650,7 +712,9 @@ object Graph {
       .groupBy("__id").agg(count(lit(1)).as("__t"))
     val out = Checkpoints.cut(
       deg.select(col("__id"))
-        .join(perNode, Seq("__id"), "left")
+        // ≤ nodeCount rows and a single consumer: broadcasting it keeps
+        // the full-node-set side un-shuffled and un-sorted
+        .join(nodeSide(perNode), Seq("__id"), "left")
         .select(col("__id").as("id"),
           coalesce(col("__t"), lit(0L)).as("triangles")),
       eager = true)
@@ -798,6 +862,17 @@ object Graph {
     var cur = init
     var prevCkpt = init
     var prevCount = -1L
+    // survivor-node count is bounded by 2× the surviving edge count, so
+    // each round's keep-set broadcast decision (see [[broadcastMaxRows]])
+    // rides the count the loop already takes per round — the init count
+    // (skipped entirely when the cap is 0, keeping the at-scale
+    // one-job-per-round pin exact) is the only extra job, and it runs
+    // over the eagerly-materialized snapshot. Broadcasting the two keep
+    // arms removes both full edge-table Exchange+Sort pairs from every
+    // peel round (the keep side is a fresh aggregate each round, so the
+    // planner otherwise sort-merges).
+    val bcastCap = broadcastMaxRows(edges.sparkSession)
+    var curCount = if (bcastCap > 0) init.count() else Long.MaxValue
     var iter = 0
     var converged = false
     def degrees(df: DataFrame): DataFrame = df
@@ -808,10 +883,12 @@ object Graph {
       val keep = degrees(cur)
         .filter(col("__deg") >= k)
         .select(col("__id"))
+      def keepSide(df: DataFrame): DataFrame = // overflow-safe: ÷ not ×
+        if (curCount <= bcastCap / 2) broadcast(df) else df
       val next = Checkpoints.cut(
         cur
-          .join(keep.select(col("__id").as("__u")), Seq("__u"))
-          .join(keep.select(col("__id").as("__v")), Seq("__v"))
+          .join(keepSide(keep.select(col("__id").as("__u"))), Seq("__u"))
+          .join(keepSide(keep.select(col("__id").as("__v"))), Seq("__v"))
           .select(col("__u"), col("__v")),
         eager = false)
       // the ONE action of the round: materializes the checkpoint and
@@ -819,6 +896,7 @@ object Graph {
       val cnt = next.count()
       converged = cnt == prevCount
       prevCount = cnt
+      curCount = cnt
       Checkpoints.free(prevCkpt)
       prevCkpt = next
       cur = next

@@ -371,11 +371,37 @@ object TextDedup {
       .select(col(idCol).as("__id"), explode(split(col(textCol), " ")).as("__tok"))
       .filter(length(col("__tok")) > 0)
       .withColumn("__h", mdHash(col("__tok")))
-    val voteCols = (0 until B).map(i =>
-      sum(when(expr(s"shiftright(__h, $i) & 1") === 1, 1).otherwise(-1)).as(s"__v$i"))
-    val votes = tok.groupBy("__id").agg(voteCols.head, voteCols.tail: _*)
+    // PACKED vote counters (r21 optimization, guide §2.3 "narrower
+    // types" / §1.2 per-task work): the former 60 per-bit aggregates
+    // (`sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1)`) evaluated 60
+    // branchy CASE expressions per TOKEN row into a 60-slot (480-byte)
+    // aggregation buffer. The ±1 vote sum is an affine function of the
+    // plain bit count — votes_i = 2·ones_i − n, where ones_i counts
+    // set bits at position i and n counts tokens — so the signature
+    // bit test `votes_i > 0` is exactly `2·ones_i > n`, and ones_i is
+    // branch-free. Two 32-bit counters pack per 64-bit buffer slot
+    // (bit i in the low half, bit i+30 in the high half): 31 buffer
+    // slots instead of 60, 30 shift/mask/or expressions per token row
+    // instead of 60 CASEs, half the partial-aggregate shuffle bytes.
+    // The low half carries into the high one only past 2^32 tokens in
+    // ONE document (a ≥ 4-billion-word text cell — unreachable: Spark
+    // strings cap at 2 GB), and the packed sum of n terms ≤ n·(2^32+1)
+    // stays far below 2^63 for the same reason, so the arithmetic is
+    // exact where the operator is usable at all. Bit-identical to the
+    // oracle's ±1 formulation (strict `>` on both sides: votes_i > 0
+    // ⟺ 2·ones_i > n, including the tie votes_i = 0 ⟸ 2·ones_i = n).
+    val H = 30 // packed pair stride: slot m holds bits m and m+30
+    val packCols = (0 until H).map(m =>
+      sum(expr(
+        s"((__h >> $m) & 1) | (((__h >> ${m + H}) & 1) << 32)")).as(s"__p$m"))
+    val votes = tok.groupBy("__id")
+      .agg(count(lit(1)).as("__n"), packCols: _*)
+    def ones(i: Int) =
+      if (i < H) expr(s"__p$i & 4294967295")
+      else expr(s"__p${i - H} >> 32")
     val sig = (0 until B).map(i =>
-      when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+      when(ones(i) * 2 > col("__n"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
     votes.select(col("__id").as(idCol), sig.as("simhash"))
   }
 

@@ -22,6 +22,11 @@ object ExplainDump {
       else Seq("q6_forecast_revenue", "star_join4", "q3_shipping_priority")
     val names = names0.flatMap {
       case "@headline" => graft.Bench.headlineNames
+      // every declared query, for whole-inventory plan audits (r21):
+      // NB constructing some entries runs real jobs (iterative loops,
+      // index builds materialize at DataFrame-construction time), so
+      // @all is meant for a small sfDir
+      case "@all" => graft.SparkEntry.queries.keys.toSeq.sorted
       case n => Seq(n)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Checkpoints
+
+/** Diagnostic: re-derive ONE gr1 pageRank round (Graph.pageRank's loop
+  * body, structurally identical) and print its formatted plan — the
+  * checkpoint boundary hides the round plan from ExplainDump, and the
+  * round is where gr1's wall time lives (r21 roundLog: 0.63–0.92 s per
+  * round on a 20k-node graph). Also prints the triangleCounts
+  * orientation join plan (the gr2 `orient` phase, 2.4–4.4 s in the r21
+  * TriangleProfile window).
+  *
+  *   runMain graft.tools.GraphRoundExplain [sfDir]
+  */
+object GraphRoundExplain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // gr1 round body, mirroring Graph.pageRank
+    val co = graft.queries.GraphQueries.copurchase(spark, sfDir)
+    val e = graft.queries.GraphQueries.symmetrize(co)
+      .select(col("src").as("__src"), col("dst").as("__dst"))
+      .repartition(col("__src"))
+      .persist()
+    val deg = e.groupBy(col("__src").as("__id")).agg(count(lit(1)).as("__deg"))
+    val init = Checkpoints.cut(
+      deg.select(col("__id"), col("__deg"), lit(1000000000L).as("__r")),
+      eager = true)
+    println(s"[explain] nodes=${init.count()} edges=${e.count()}")
+    // r21: mirrors the operator's size-conditional round broadcasts
+    // (Graph.broadcastMaxRows); nodes=20k at sf0.1 → both sides broadcast
+    val shares = broadcast(init.filter(col("__deg") > 0)
+      .select(col("__id"), expr("__r div __deg").as("__share")))
+    val contrib = broadcast(e.join(shares, e("__src") === shares("__id"))
+      .groupBy(col("__dst").as("__cid"))
+      .agg(sum(col("__share")).as("__c")))
+    val round = init.select(col("__id"), col("__deg"))
+      .join(contrib, col("__id") === col("__cid"), "left")
+      .select(col("__id"), col("__deg"),
+        (lit(150000000L) + expr("(85 * coalesce(__c, 0L)) div 100")).as("__r"))
+    println("===== gr1 ROUND plan =====")
+    println(round.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+
+    // gr2 orientation, mirroring Graph.triangleCounts (edgesCanonical)
+    val und = co.select(col("src").as("__u"), col("dst").as("__v")).persist()
+    val deg2 = Checkpoints.cut(
+      und.select(col("__u").as("__id"))
+        .union(und.select(col("__v").as("__id")))
+        .groupBy("__id").agg(count(lit(1)).as("__deg")),
+      eager = true)
+    val ranked = und
+      .join(broadcast(
+        deg2.select(col("__id").as("__u"), col("__deg").as("__du"))), "__u")
+      .join(broadcast(
+        deg2.select(col("__id").as("__v"), col("__deg").as("__dv"))), "__v")
+    val uLow = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("__u") < col("__v"))
+    val o = ranked.select(
+      when(uLow, col("__u")).otherwise(col("__v")).as("__a"),
+      when(uLow, col("__v")).otherwise(col("__u")).as("__b"),
+      when(uLow, col("__dv")).otherwise(col("__du")).as("__db"))
+      .repartition(col("__a"))
+    println("===== gr2 ORIENT plan =====")
+    println(o.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    spark.stop()
+  }
+}

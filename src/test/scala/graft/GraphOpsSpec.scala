@@ -155,6 +155,10 @@ class GraphOpsSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the r21 size-conditional round broadcasts each cost one extra
+    // (tiny) broadcast-build job; zero the cap so these pins keep
+    // measuring the AT-SCALE shuffle shape, where the cap never fires
+    spark.conf.set("spark.graft.graph.broadcastMaxRows", "0")
     spark.catalog.clearCache()
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -177,6 +181,33 @@ class GraphOpsSpec extends AnyFunSuite {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+      spark.conf.unset("spark.graft.graph.broadcastMaxRows")
+    }
+  }
+
+  test("graph ops are invariant under the r21 round-broadcast cap") {
+    import spark.implicits._
+    // a shape with real propagation: two chained components + a triangle
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (10L, 11L), (11L, 12L),
+      (20L, 21L)).toDF("src", "dst")
+    def runAll(): (Seq[(Long, Long)], Seq[(Long, Long)], Seq[(Long, Long, Int)], Seq[(Long, Long)]) = (
+      Graph.pageRank(edges, iters = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq,
+      Graph.triangleCounts(edges).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq,
+      Graph.connectedComponents(edges).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq,
+      Graph.kCore(edges, k = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+    val broadcastShape = runAll() // default cap: tiny graph → broadcasts fire
+    try {
+      spark.conf.set("spark.graft.graph.broadcastMaxRows", "0")
+      val shuffleShape = runAll() // cap 0: every round joins by shuffle
+      assert(shuffleShape == broadcastShape)
+    } finally {
+      spark.conf.unset("spark.graft.graph.broadcastMaxRows")
     }
   }
 

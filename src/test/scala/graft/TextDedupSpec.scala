@@ -241,6 +241,10 @@ class TextDedupSpec extends AnyFunSuite {
     // job count of record is the shuffle-join shape
     val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the r21 size-conditional label broadcast costs one extra (tiny)
+    // broadcast-build job per round; zero the cap so this pin keeps
+    // measuring the at-scale shuffle shape, where the cap never fires
+    spark.conf.set("spark.graft.graph.broadcastMaxRows", "0")
     spark.catalog.clearCache()
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -268,6 +272,7 @@ class TextDedupSpec extends AnyFunSuite {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+      spark.conf.unset("spark.graft.graph.broadcastMaxRows")
     }
     assert(org.apache.spark.sql.classic.GraftSqlBridge.cacheIsEmpty(spark),
       "components() must leave no entries in the CacheManager")
