@@ -210,8 +210,16 @@ object TextQueries {
       .as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
     val inter = pairs.groupBy("a_id", "b_id").agg(count(lit(1)).as("nb"))
-    val ca = cnt.select(col("doc_id").as("ca_id"), col("n").as("na"))
-    val cb = cnt.select(col("doc_id").as("cb_id"), col("n").as("nbb"))
+    // r21 (guide §3.1): the two count arms are doc-bounded while `inter`
+    // is pair-sized — without the hint the planner sort-merges (cnt's
+    // cache-derived estimate is opaque) and the PAIR table pays two
+    // exchanges+sorts. One parquet-footer count gates the broadcast; a
+    // corpus beyond the cap keeps the shuffle joins.
+    val docBcast = t(s, dir, "documents").count() <= 5000000L
+    def cntSide(df: org.apache.spark.sql.DataFrame) =
+      if (docBcast) broadcast(df) else df
+    val ca = cntSide(cnt.select(col("doc_id").as("ca_id"), col("n").as("na")))
+    val cb = cntSide(cnt.select(col("doc_id").as("cb_id"), col("n").as("nbb")))
     val jac = Num.r4(col("nb").cast(DoubleType) / (col("na") + col("nbb") - col("nb")))
     inter.join(ca, col("a_id") === col("ca_id"))
       .join(cb, col("b_id") === col("cb_id"))
