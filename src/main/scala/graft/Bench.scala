@@ -167,9 +167,15 @@ object Bench {
         }
         val gc0 = gcMillis()
         val warm = once() // not recorded: builds caches + codegen
+        // wide-row protocol (r21 verdict #5, twice-carried): the
+        // historically widest rows take 9 designed samples — median-of-9
+        // absorbs up to 4 host-burst samples where median-of-5 absorbs 2
+        // (the r21 adjudicated run spliced gr2/t21/t8 for exactly this).
+        // Membership is BenchProtocol.WideRows, stamped on the artifact.
+        val designed = graft.tools.BenchProtocol.designedSamples(name)
         val base =
           if (warm.sec < 0.0) Seq(warm) // fail fast, skip the sample loop
-          else Seq.fill(5)(once())
+          else Seq.fill(designed)(once())
         val ok = base.forall(_.sec >= 0.0)
         val baseSecs = base.map(_.sec)
         val times =
@@ -250,6 +256,13 @@ object Bench {
     // noise, not cache warm-up.
     val okNames = ok.map(_._1).toSet
     val okSamples = sampled.collect { case (k, ts, _, _) if okNames(k) => ts.map(_.sec) }
+    // designed counts ride along so the trimmed statistic knows which
+    // queries actually escalated (size > designed) vs which are wide
+    // rows that legitimately carry 9 samples
+    val okSamplesDesigned = sampled.collect {
+      case (k, ts, _, _) if okNames(k) =>
+        (ts.map(_.sec), graft.tools.BenchProtocol.designedSamples(k))
+    }
     val variance = graft.tools.BenchProtocol.meanRelSpread(okSamples)
     // the gating statistic: same mean relSpread, but each ESCALATED
     // query (the sampler flagged its own window and bought replacement
@@ -258,7 +271,7 @@ object Bench {
     // are emitted; `variance` keeps its historic raw semantics for
     // cross-round reading.
     val varianceTrimmed =
-      graft.tools.BenchProtocol.meanRelSpreadTrimmed(okSamples)
+      graft.tools.BenchProtocol.meanRelSpreadTrimmed(okSamplesDesigned)
     // Adjudicability gate (shared with TpcRunner via BenchProtocol): a
     // run with any failed query, or with mean relative spread above the
     // floor (host contention — rounds 7 and 8 both shipped variance
@@ -272,7 +285,8 @@ object Bench {
     // ratio vs the standing last-good artifact, computed BEFORE this run
     // may overwrite the slot. Only queries present and >0 in both runs.
     val (lastGood: Map[String, Double], lastGoodVariance: Option[Double],
-        lastGoodCanary: Option[Double], lastGoodSf: Option[String]) = try {
+        lastGoodCanary: Option[Double], lastGoodSf: Option[String],
+        lastGoodCpus: Option[String]) = try {
       val p = java.nio.file.Paths.get("bench_last_good.json")
       if (java.nio.file.Files.exists(p)) {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -291,10 +305,11 @@ object Bench {
           .orElse(Option(root.get("variance"))).map(_.asDouble())
         val c = Option(root.get("canary_sec")).map(_.asDouble()).filter(_ > 0)
         val sf = Option(root.get("sf")).map(_.asText())
-        (qs, v, c, sf)
-      } else (Map.empty[String, Double], None, None, None)
+        val cp = Option(root.get("cpus")).map(_.asText())
+        (qs, v, c, sf, cp)
+      } else (Map.empty[String, Double], None, None, None, None)
     } catch { case _: Exception =>
-      (Map.empty[String, Double], None, None, None) }
+      (Map.empty[String, Double], None, None, None, None) }
     // canary at the run's tail: the band can shift DURING a 30 s run.
     // Either sample failing yields canary_sec:-1 / canary_drift:0 —
     // normalization is then unavailable but the artifact stays whole.
@@ -317,6 +332,16 @@ object Bench {
     // sf-pin protected only the SLOT, while the emitted artifact still
     // printed meaningless 0.01-style cross-scale ratios)
     val sfMatches = lastGoodSf.forall(_ == sfDir)
+    // CORE-COUNT PIN (found live in round 22: the r21 DRIVER'S own
+    // 8-core scaling run — a full-headline, standard-config, same-sf
+    // run — silently took the standing slot, so the next 32-core run
+    // compared against 8-core medians and read phantom 1.3–6× ratios;
+    // its canary 6.468 s vs ~2.1 was the tell). Same contract as the sf
+    // pin: cross-core readings are never comparable — ratios are
+    // suppressed and the slot is never overwritten across a core-count
+    // change. A standing artifact predating the `cpus` field never
+    // blocks (first write wins), exactly like the sf pin.
+    val cpusMatches = lastGoodCpus.forall(_ == cpus)
     // ONE artifact-line builder for both the run output and the standing
     // slot, so a spliced slot (see below) carries exactly the same field
     // set plus the `spliced` stamp. `res` is the per-query medians the
@@ -329,7 +354,7 @@ object Bench {
       val failed = res.collect { case (k, v) if v < 0.0 => "\"" + k + "\"" }
         .mkString("[", ",", "]")
       val ratios =
-        if (!sfMatches) "{}"
+        if (!sfMatches || !cpusMatches) "{}"
         else res.collect {
           case (k, v) if v > 0 && lastGood.get(k).exists(_ > 0) =>
             "\"" + k + "\":" + f"${v / lastGood(k)}%.3f"
@@ -340,7 +365,7 @@ object Bench {
       // regression inflates only the former. Present only when the
       // standing artifact carries a canary (post-r12 artifacts).
       val ratiosNorm = lastGoodCanary
-        .filter(_ => canary > 0 && sfMatches).map { lgc =>
+        .filter(_ => canary > 0 && sfMatches && cpusMatches).map { lgc =>
           val factor = canary / lgc
           res.collect {
             case (k, v) if v > 0 && lastGood.get(k).exists(_ > 0) =>
@@ -358,7 +383,12 @@ object Bench {
       // flagged on the artifact, not only inferable from the canary_pre
       // field's presence) — artifacts reading "median5_warm1" alone
       // predate the probe
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5_warm1_cpre","provenance":"live","adjudicable":$adjudicable,"adjudicable_live":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"canary_shuffle_sec":$canaryShuffle%.3f,"canary_shuffle_drift":$canaryShuffleDrift%.3f,"norm_parity_band":[$pLo%.2f,$pHi%.2f],"spliced":$splicedJson,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"samples_ts":$samplesTsJson,"samples_gc":$samplesGcJson,"canary_pre":$canaryPreJson,"gc_sec":$gcJson,"suspect_kind":$suspectKindJson,"spread":$spread,"variance":$variance%.3f,"variance_trimmed":$varianceTrimmed%.3f,"failed":$failed,"sf":"$sfDir"}"""
+      // method "median5w9_warm1_cpre" since r22: the wide rows (listed
+      // in `wide_rows`) carry 9 designed samples, everything else 5 —
+      // artifacts reading "median5_warm1_cpre" predate the protocol
+      val wideJson = slice.filter(graft.tools.BenchProtocol.WideRows)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","method":"median5w9_warm1_cpre","provenance":"live","cpus":"$cpus","wide_rows":$wideJson,"adjudicable":$adjudicable,"adjudicable_live":$adjudicable,"extra_conf":"$extraConfJson","canary_sec":$canary%.3f,"canary_drift":$canaryDrift%.3f,"canary_shuffle_sec":$canaryShuffle%.3f,"canary_shuffle_drift":$canaryShuffleDrift%.3f,"norm_parity_band":[$pLo%.2f,$pHi%.2f],"spliced":$splicedJson,"queries":$qs,"ratio_vs_last_good":$ratios,"ratio_vs_last_good_canary_norm":$ratiosNorm,"samples":$samplesJson,"samples_ts":$samplesTsJson,"samples_gc":$samplesGcJson,"canary_pre":$canaryPreJson,"gc_sec":$gcJson,"suspect_kind":$suspectKindJson,"spread":$spread,"variance":$variance%.3f,"variance_trimmed":$varianceTrimmed%.3f,"failed":$failed,"sf":"$sfDir"}"""
     }
     val line = artifactLine(results, Nil)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_output.json")
@@ -396,7 +426,8 @@ object Bench {
         // refused run (it could be a cross-scale line — advice r18);
         // the fallback requires the field present AND equal
         val fallback = standingRaw
-          .filter(_ => lastGoodSf.contains(sfDir) && args.isEmpty && extraConf.isEmpty)
+          .filter(_ => lastGoodSf.contains(sfDir) && lastGoodCpus.contains(cpus) &&
+            args.isEmpty && extraConf.isEmpty)
           .flatMap(raw => graft.tools.BenchProtocol.standingFallbackLine(
             raw, reason, canary, canaryShuffle, varianceTrimmed,
             bad.map(_._1)))
@@ -441,7 +472,13 @@ object Bench {
         s"[bench] keeping standing bench_last_good.json: this run's sf '$sfDir' " +
           s"differs from the standing artifact's '${lastGoodSf.get}' — cross-scale " +
           "readings are never comparable")
-    if (adjudicable && args.isEmpty && extraConf.isEmpty && sfMatches) {
+    if (adjudicable && args.isEmpty && extraConf.isEmpty && sfMatches && !cpusMatches)
+      System.err.println(
+        s"[bench] keeping standing bench_last_good.json: this run's core count " +
+          s"'$cpus' differs from the standing artifact's '${lastGoodCpus.get}' — " +
+          "cross-core readings are never comparable (the r21 c8 scaling run took " +
+          "the 32-core slot exactly this way)")
+    if (adjudicable && args.isEmpty && extraConf.isEmpty && sfMatches && cpusMatches) {
       val noisier = graft.tools.BenchProtocol.noisierThanStanding(
         varianceTrimmed, lastGoodVariance)
       // escape hatch (round-11 advice): if the host band durably

@@ -65,10 +65,19 @@ object BenchProtocol {
     * true bimodality, which gc_sec would also show) still blows the
     * floor. Both statistics are emitted on the artifact; this one
     * gates. */
-  def meanRelSpreadTrimmed(samples: Seq[Seq[Double]]): Double = {
+  def meanRelSpreadTrimmed(samples: Seq[Seq[Double]]): Double =
+    meanRelSpreadTrimmed(samples.map(ts => (ts, 5)))
+
+  /** [[meanRelSpreadTrimmed]] with per-query designed sample counts —
+    * the wide-row protocol (see [[WideRows]]) designs 9 samples for the
+    * historically widest rows, so "escalated" is `size > designed`, not
+    * the legacy `size > 5` (which would have silently treated every
+    * wide row as escalated and dropped its worst sample by default). */
+  def meanRelSpreadTrimmed(samples: Seq[(Seq[Double], Int)])(
+      implicit d: DummyImplicit): Double = {
     val rels = samples.collect {
-      case ts if ts.nonEmpty && ts.min > 0 =>
-        relSpread(if (ts.size > 5) ts.sorted.dropRight(1) else ts)
+      case (ts, designed) if ts.nonEmpty && ts.min > 0 =>
+        relSpread(if (ts.size > designed) ts.sorted.dropRight(1) else ts)
     }
     if (rels.nonEmpty) rels.sum / rels.size else 0.0
   }
@@ -98,10 +107,28 @@ object BenchProtocol {
     standing.exists(s => candidate > s + NoiseDegradeTolerance)
 
   /** Per-query relSpread above which the sampler buys 2 replacement
-    * samples after the designed 5. Lowered 1.0 → 0.5 (round-13 verdict
-    * #1): the r13 pollution incident's t26 window read 0.74 and so never
-    * bought the extra samples that would have exposed its bimodality. */
+    * samples after the designed count. Lowered 1.0 → 0.5 (round-13
+    * verdict #1): the r13 pollution incident's t26 window read 0.74 and
+    * so never bought the extra samples that would have exposed its
+    * bimodality. */
   val EscalationTrigger = 0.5
+
+  /** WIDE-ROW sampling protocol (r20 verdict #4, carried to r21 #6 —
+    * twice-burned): queries whose historical trimmed spread repeatedly
+    * exceeds [[EscalationTrigger]] on this host (gr2/t21/t8 were spliced
+    * in the r21 adjudicated run; gr1 is the suite's widest stable row).
+    * These rows take NINE designed samples instead of five: the median
+    * of 9 absorbs up to 4 host-burst samples where median-of-5 absorbs
+    * 2, which is what the r21 window needed (gr2's first sample read
+    * 34.6 s against 4.3–4.6 s thereafter). Membership is static and
+    * versioned here — the artifact stamps it (`wide_rows`) so a reader
+    * never has to infer the per-query design from sample counts. */
+  val WideRows: Set[String] = Set(
+    "gr1_pagerank_copurchase", "gr2_triangle_count",
+    "t8_ngram_jaccard", "t21_simhash_neardup")
+
+  /** Designed (pre-escalation) warm sample count for one query. */
+  def designedSamples(query: String): Int = if (WideRows(query)) 9 else 5
 
   /** Bimodal-suspect ratio for the standing-slot overwrite guard: a
     * query whose new median moved more than this factor (either
@@ -451,7 +478,7 @@ object BenchProtocol {
     * bounded tail-capture needs to adjudicate a round, nothing that
     * can grow with the query count. */
   private val CompactFields = Seq(
-    "metric", "value", "unit", "provenance", "adjudicable",
+    "metric", "value", "unit", "provenance", "cpus", "adjudicable",
     "adjudicable_live", "canary_sec", "canary_shuffle_sec",
     "variance_trimmed", "refusal_reason", "sf")
 

@@ -72,6 +72,35 @@ class BenchProtocolSpec extends AnyFunSuite {
       Seq(Seq(-1.0), Seq(1.0, 1.0, 1.0, 1.0, 1.0))) == 0.0)
   }
 
+  test("wide-row protocol: 9 designed samples for the widest rows, 5 otherwise") {
+    // membership is versioned in BenchProtocol.WideRows (r21 verdict #5:
+    // gr2/t21/t8 were spliced in the adjudicated run; gr1 is the widest
+    // stable row) — the artifact stamps it so readers never infer it
+    for (q <- BenchProtocol.WideRows)
+      assert(BenchProtocol.designedSamples(q) == 9, q)
+    assert(BenchProtocol.designedSamples("q1_pricing_summary") == 5)
+    assert(BenchProtocol.WideRows == Set(
+      "gr1_pagerank_copurchase", "gr2_triangle_count",
+      "t8_ngram_jaccard", "t21_simhash_neardup"))
+  }
+
+  test("wide-row trimming: a 9-sample designed window is NOT escalated-trimmed at 9") {
+    // nine designed samples with one spike: under the legacy `size > 5`
+    // rule this row would silently drop its worst sample every run; with
+    // the designed count threaded through, trimming happens only past
+    // the DESIGN (a genuine escalation)
+    val nine = Seq(1.0, 1.0, 1.05, 1.1, 1.1, 1.0, 1.05, 1.0, 9.0)
+    val asWide = BenchProtocol.meanRelSpreadTrimmed(Seq((nine, 9)))
+    val asLegacy = BenchProtocol.meanRelSpreadTrimmed(Seq(nine))
+    assert(asWide == BenchProtocol.meanRelSpread(Seq(nine)),
+      "designed-9 window must keep all nine samples")
+    assert(asLegacy < asWide, "legacy 5-designed path would have trimmed")
+    // an ESCALATED wide row (>9 samples) trims exactly one, as before
+    val eleven = nine ++ Seq(1.0, 1.0)
+    assert(BenchProtocol.meanRelSpreadTrimmed(Seq((eleven, 9))) <
+      BenchProtocol.meanRelSpread(Seq(eleven)))
+  }
+
   test("any failed query fails the gate regardless of dispersion") {
     assert(!BenchProtocol.adjudicable(anyFailed = true, 0.0))
   }
