@@ -64,8 +64,27 @@ object Graph {
     * (never an extra pass over edge-sized data). */
   private[graft] def broadcastMaxRows(
       spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.getOption("spark.graft.graph.broadcastMaxRows")
-      .map(_.toLong).getOrElse(5000000L)
+    confLong(spark, "spark.graft.graph.broadcastMaxRows", 5000000L)
+
+  /** Validated non-negative long conf parse: a malformed value names
+    * the key and the offender instead of surfacing as a bare
+    * NumberFormatException deep inside an operator (r22, advice —
+    * matching the bloom knob's validation style). */
+  private[graft] def confLong(
+      spark: org.apache.spark.sql.SparkSession,
+      key: String,
+      default: Long): Long =
+    spark.conf.getOption(key) match {
+      case None => default
+      case Some(v) =>
+        val n = try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$key must be a non-negative integer, got '$v'")
+        }
+        if (n < 0) throw new IllegalArgumentException(
+          s"$key must be a non-negative integer, got '$v'")
+        n
+    }
 
   /** KEY-SHARDED broadcast Bloom build over a hash RDD — the uncapped,
     * driver-cliff-free replacement for both `stat.bloomFilter` (bitmap
@@ -385,9 +404,8 @@ object Graph {
     // spark.graft.components.targetPartitionRows.
     val eCnt = e.count()
     val sp = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val targetRows = edges.sparkSession.conf
-      .getOption("spark.graft.components.targetPartitionRows")
-      .map(_.toLong).getOrElse(250000L)
+    val targetRows = math.max(1L, confLong(edges.sparkSession,
+      "spark.graft.components.targetPartitionRows", 250000L))
     val nParts = math.max(1L, math.min(
       (2L * eCnt + targetRows - 1L) / targetRows, 4L * sp)).toInt
     val sym = e.union(e.select(col("__b").as("__a"), col("__a").as("__b")))
@@ -676,9 +694,8 @@ object Graph {
         // flat at any scale; sf0.1-sized graphs degenerate to S = 1.
         val sp2 = spark
         import sp2.implicits._
-        val shardBytes = spark.conf
-          .getOption("spark.graft.triangles.bloom.shardBytes")
-          .map(_.toLong).getOrElse(64L << 20)
+        val shardBytes = math.max(1L, confLong(spark,
+          "spark.graft.triangles.bloom.shardBytes", 64L << 20))
         // filters are CREATED INSIDE each task (not treeAggregate, whose
         // zeroValue ships the whole empty bitmap in the task binary — a
         // 274 MB broadcast per call at sf10 that lingered on the heap and

@@ -17,6 +17,51 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Per-bucket member cap for the one-shuffle LSH/SimHash candidate
+    * expansion (conf `spark.graft.lsh.bucketCap`, default 4096): a band
+    * bucket with ≤ cap members has its candidate pairs expanded IN
+    * PLACE from one capped collect (≤ 16·cap bytes of aggregation
+    * buffer per key); a bucket past the cap falls back to the classic
+    * bucket self-join for exactly those keys — NEVER dropped, so the
+    * cap is a memory bound, not a semantic filter (unlike
+    * coOccurrence's maxGroupSize, where over-cap groups are dropped by
+    * declared semantics). 4096 bounds the degenerate single-task
+    * expansion at C(4096,2) ≈ 8.4M in-place rows — the same order as
+    * what one SMJ task would stream for that bucket anyway. */
+  private[graft] def lshBucketCap(spark: org.apache.spark.sql.SparkSession): Int = {
+    val key = "spark.graft.lsh.bucketCap"
+    spark.conf.getOption(key) match {
+      case None => 4096
+      case Some(v) =>
+        val n = try v.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$key must be a positive integer, got '$v'")
+        }
+        if (n <= 0) throw new IllegalArgumentException(
+          s"$key must be a positive integer, got '$v'")
+        n
+    }
+  }
+
+  /** Formulation switch for the minhash-LSH candidate stage (conf
+    * `spark.graft.lsh.expand`, default true): true = one-shuffle capped
+    * collect + in-place pair expansion; false = the classic bucket
+    * self-join. Both compute the identical candidate set — the switch
+    * exists so the two formulations can be A/B-measured (and so a
+    * deployment that knows its buckets are degenerate can pin the
+    * join). Only applies where band keys are wide hashes (minhash);
+    * [[simhashPairs]] always joins — see the keyspace note there. */
+  private[graft] def lshExpand(spark: org.apache.spark.sql.SparkSession): Boolean = {
+    val key = "spark.graft.lsh.expand"
+    spark.conf.getOption(key) match {
+      case None => true
+      case Some(v) if v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false") =>
+        v.toBoolean
+      case Some(v) => throw new IllegalArgumentException(
+        s"$key must be true or false, got '$v'")
+    }
+  }
+
   /** Engine-portable 60-bit hash: first 15 hex chars of md5, as BIGINT —
     * the same construction TextQueries uses so API results are
     * bit-identical to the oracle-gated demo queries (Spark
@@ -132,15 +177,60 @@ object TextDedup {
       threshold: Double = 0.5,
       maxShingles: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    val spark = df.sparkSession
     val sig = affineSignatures(df, idCol, textCol, k, shingleSize, maxShingles)
 
-    // banded blocking: candidates share at least one full band
+    // banded blocking: candidates share at least one full band. Long
+    // ids take the one-shuffle capped-collect expansion (r22, guide
+    // §2.3/§2.4 — same recipe and rationale as TextQueries.lshPairs:
+    // band keys are 64-bit hashes, so buckets are true near-dup
+    // clusters at any scale; over-cap buckets keep the exact self-join
+    // so the cap is a memory bound, never a candidate filter; the
+    // collect is checkpoint-materialized so its two consumers never
+    // recompute it). Other id types keep the classic join — identical
+    // candidates either way, as does `spark.graft.lsh.expand=false`.
     val bandKv = bandKeys(sig, k, bands)
-    val lhs = bandKv.select(col("__b"), col("__bk"), col("__id").as("__a"))
-    val rhs = bandKv.select(col("__b").as("__b2"), col("__bk").as("__bk2"), col("__id").as("__bId"))
-    val cand = lhs.join(rhs,
-        col("__b") === col("__b2") && col("__bk") === col("__bk2") && col("__a") < col("__bId"))
-      .select(col("__a"), col("__bId")).distinct()
+    val isLongId =
+      df.schema(df.schema.fieldIndex(idCol)).dataType ==
+        org.apache.spark.sql.types.LongType
+    val candRaw =
+      if (isLongId && lshExpand(spark)) {
+        val cap = lshBucketCap(spark)
+        val sets = Checkpoints.cut(
+          bandKv.groupBy("__b", "__bk")
+            .agg(graft.functions.CappedLongCollectList
+              .cappedCollectList(col("__id"), cap)(spark).as("__m")),
+          eager = true)
+        val small = sets.filter(col("__m").isNotNull && size(col("__m")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(sequence(0, size(__m) - 2),
+              |  i -> transform(sequence(i + 1, size(__m) - 1),
+              |    j -> struct(least(__m[i], __m[j]) AS a,
+              |                greatest(__m[i], __m[j]) AS b))))""".stripMargin))
+            .as("__p"))
+          .select(col("__p.a").as("__a"), col("__p.b").as("__bId"))
+        val overKeys = sets.filter(col("__m").isNull).select(col("__b"), col("__bk"))
+        if (overKeys.isEmpty) small
+        else {
+          val bb = bandKv.join(broadcast(overKeys), Seq("__b", "__bk"), "left_semi")
+          val l = bb.select(col("__b"), col("__bk"), col("__id").as("__a"))
+          val r = bb.select(col("__b").as("__b2"), col("__bk").as("__bk2"),
+            col("__id").as("__bId"))
+          small.unionByName(
+            l.join(r, col("__b") === col("__b2") &&
+                col("__bk") === col("__bk2") && col("__a") < col("__bId"))
+              .select(col("__a"), col("__bId")))
+        }
+      } else {
+        val lhs = bandKv.select(col("__b"), col("__bk"), col("__id").as("__a"))
+        val rhs = bandKv.select(col("__b").as("__b2"), col("__bk").as("__bk2"),
+          col("__id").as("__bId"))
+        lhs.join(rhs,
+            col("__b") === col("__b2") && col("__bk") === col("__bk2") &&
+              col("__a") < col("__bId"))
+          .select(col("__a"), col("__bId"))
+      }
+    val cand = candRaw.distinct()
 
     // verify on full-signature agreement
     val sa = sig.select(col("__id").as("__a") +: (0 until k).map(i => col(s"__h$i").as(s"__x$i")): _*)
@@ -433,36 +523,60 @@ object TextDedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    val (sig, preCut) = simhashPairsInterior(df, idCol, textCol, maxHamming)
+    val pairs = Checkpoints.cut(preCut, eager = true)
+    sig.unpersist(blocking = false)
+    pairs
+  }
+
+  /** The pre-checkpoint candidate plan of [[simhashPairs]] plus its
+    * persisted signature table — split out so plan-audit tooling can
+    * explain the interior (the checkpoint hides it from a top-level
+    * explain); callers other than [[simhashPairs]] must unpersist the
+    * returned signature table themselves. */
+  private[graft] def simhashPairsInterior(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int): (DataFrame, DataFrame) = {
     val B = 60
     val bands = maxHamming + 1
     require(maxHamming >= 0 && B % bands == 0,
       s"maxHamming + 1 must divide $B, got $maxHamming")
     val w = B / bands
+    implicit val spark: org.apache.spark.sql.SparkSession = df.sparkSession
     val sig = simhash(df, idCol, textCol).persist()
     // band key bit-packed into ONE long — (band index << 32) | band
     // value — so the candidate shuffle keys on a single primitive
     // column instead of a two-column composite (half the key width,
-    // no struct/array intermediates on the hot join)
+    // no struct/array intermediates on the hot path)
     val banded = sig.select(col(idCol), col("simhash"),
         explode(expr(s"sequence(0, ${bands - 1})")).as("__b"))
-      .select(col(idCol), col("simhash"),
+      .select(col(idCol).as("__id"), col("simhash").as("__s"),
         expr(s"(__b << 32) | ((simhash >> (__b * $w)) & ${(1L << w) - 1})").as("__k"))
+    // DELIBERATELY a bucket self-join, not the capped-collect expansion
+    // the minhash family uses (r22, measured): a simhash band value is
+    // only `w` = 15 bits wide, so the whole keyspace is bands·2^w ≈ 131k
+    // buckets — average bucket size grows linearly with the corpus and
+    // saturates ANY fixed collect cap once N ≳ cap·2^w, at which point
+    // the aggregate pass is pure overhead and all work lands in the
+    // fallback join anyway. The r22 session measured the collect
+    // formulation at 2.26 s vs 1.15 s for this join locally (clean
+    // canary window) and reverted it; the join also lets the planner
+    // pick broadcast vs sort-merge from the cached signature's stats.
     val lhs = banded.select(col("__k"),
-      col(idCol).as("idA"), col("simhash").as("__sa"))
+      col("__id").as("idA"), col("__s").as("__sa"))
     val rhs = banded.select(col("__k").as("__k2"),
-      col(idCol).as("idB"), col("simhash").as("__sb"))
-    // hamming is computed BEFORE the dedup so the distinct carries
-    // (idA, idB, hamming) — it is functionally determined by the pair,
-    // and dropping the two signature columns narrows the exchange
-    val pairs = Checkpoints.cut(
-      lhs
-        .join(rhs, col("__k") === col("__k2") && col("idA") < col("idB"))
+      col("__id").as("idB"), col("__s").as("__sb"))
+    val candidatePairs =
+      lhs.join(rhs, col("__k") === col("__k2") && col("idA") < col("idB"))
         .select(col("idA"), col("idB"),
           expr("CAST(bit_count(__sa ^ __sb) AS INT)").as("hamming"))
-        .filter(col("hamming") <= maxHamming)
-        .distinct(),
-      eager = true)
-    sig.unpersist(blocking = false)
-    pairs
+    // the distinct dedups cross-band multiplicity exactly as before
+    // (hamming is functionally determined by the pair, so carrying it
+    // through the distinct is free)
+    (sig, candidatePairs
+      .filter(col("hamming") <= maxHamming)
+      .distinct())
   }
 }

@@ -214,8 +214,11 @@ object TextQueries {
     // is pair-sized — without the hint the planner sort-merges (cnt's
     // cache-derived estimate is opaque) and the PAIR table pays two
     // exchanges+sorts. One parquet-footer count gates the broadcast; a
-    // corpus beyond the cap keeps the shuffle joins.
-    val docBcast = t(s, dir, "documents").count() <= 5000000L
+    // corpus beyond the cap keeps the shuffle joins. The cap is the
+    // shared size-conditional-broadcast knob (r22, advice): one conf
+    // governs every hint of this class.
+    val docBcast = t(s, dir, "documents").count() <=
+      graft.operators.Graph.broadcastMaxRows(s)
     def cntSide(df: org.apache.spark.sql.DataFrame) =
       if (docBcast) broadcast(df) else df
     val ca = cntSide(cnt.select(col("doc_id").as("ca_id"), col("n").as("na")))
@@ -306,7 +309,7 @@ object TextQueries {
     hh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
-  private[queries] def lshPairs(
+  private[graft] def lshPairs(
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val sig = lshSignatures(s, dir).persist()
@@ -315,13 +318,75 @@ object TextQueries {
       struct(col(s"h${2 * b}").as("he"), col(s"h${2 * b + 1}").as("ho"))): _*)
     val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
       .select(col("doc_id"), col("band"), col("bh.he"), col("bh.ho"))
-    val l = bands.select(col("band"), col("he"), col("ho"), col("doc_id").as("a_id"))
-    val r = bands.select(col("band").as("band2"), col("he").as("he2"),
-      col("ho").as("ho2"), col("doc_id").as("b_id"))
-    val cand = l.join(r, col("band") === col("band2") &&
-        col("he") === col("he2") && col("ho") === col("ho2") &&
-        col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    // candidate stage: above the shared broadcast cap, ONE shuffle on
+    // the band key replaces the bucket self-join (r22, guide §2.3/§2.4
+    // — the coOccurrence recipe). A minhash band key is a pair of
+    // 61-bit hash minima, so buckets are true near-dup clusters and
+    // stay small at ANY corpus size (unlike simhash's 15-bit band
+    // values — see TextDedup.simhashPairs); the capped collect gathers
+    // each bucket's doc ids and the pairs expand in place, so the
+    // banded table is exchanged once instead of twice and the at-scale
+    // sort-merge sorts disappear. Buckets past the cap (degenerate
+    // identical-doc clusters) keep the EXACT self-join for exactly
+    // those keys — the cap bounds aggregation memory, it never drops
+    // candidates. The collect output is checkpoint-materialized (the
+    // t25 precedent: in-query lineage cut, GC-bounded block leak
+    // accepted) so its two consumers — the expansion and the over-cap
+    // key probe — never recompute the aggregation.
+    //
+    // SIZE-GATED like every conditional plan choice here (the t19
+    // closing join / Graph.broadcastMaxRows pattern): below the cap the
+    // planner broadcasts the self-join from the cached signature's
+    // stats — measured 0.85 s vs 1.37 s for the expansion at sf0.1 — so
+    // small corpora keep the join; past the cap the join would
+    // sort-merge and the expansion wins the saved exchange + sorts.
+    // The count is one job over the already-persisted signature table.
+    // `spark.graft.lsh.expand=false` pins the classic join everywhere
+    // for A/B measurement.
+    val candRaw =
+      if (graft.operators.TextDedup.lshExpand(s) &&
+          sig.count() > graft.operators.Graph.broadcastMaxRows(s)) {
+        val cap = graft.operators.TextDedup.lshBucketCap(s)
+        val sets = graft.operators.Checkpoints.cut(
+          bands.groupBy("band", "he", "ho")
+            .agg(graft.functions.CappedLongCollectList
+              .cappedCollectList(col("doc_id"), cap)(s).as("__m")),
+          eager = true)
+        val small = sets.filter(col("__m").isNotNull && size(col("__m")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(sequence(0, size(__m) - 2),
+              |  i -> transform(sequence(i + 1, size(__m) - 1),
+              |    j -> struct(least(__m[i], __m[j]) AS a,
+              |                greatest(__m[i], __m[j]) AS b))))""".stripMargin))
+            .as("__p"))
+          .select(col("__p.a").as("a_id"), col("__p.b").as("b_id"))
+        val overKeys = sets.filter(col("__m").isNull)
+          .select(col("band"), col("he"), col("ho"))
+        if (overKeys.isEmpty) small
+        else {
+          val bb = bands.join(broadcast(overKeys),
+            Seq("band", "he", "ho"), "left_semi")
+          val l = bb.select(col("band"), col("he"), col("ho"),
+            col("doc_id").as("a_id"))
+          val r = bb.select(col("band").as("band2"), col("he").as("he2"),
+            col("ho").as("ho2"), col("doc_id").as("b_id"))
+          small.unionByName(
+            l.join(r, col("band") === col("band2") &&
+                col("he") === col("he2") && col("ho") === col("ho2") &&
+                col("a_id") < col("b_id"))
+              .select("a_id", "b_id"))
+        }
+      } else {
+        val l = bands.select(col("band"), col("he"), col("ho"),
+          col("doc_id").as("a_id"))
+        val r = bands.select(col("band").as("band2"), col("he").as("he2"),
+          col("ho").as("ho2"), col("doc_id").as("b_id"))
+        l.join(r, col("band") === col("band2") &&
+            col("he") === col("he2") && col("ho") === col("ho2") &&
+            col("a_id") < col("b_id"))
+          .select("a_id", "b_id")
+      }
+    val cand = candRaw.distinct()
     // verify candidates by full-signature agreement (estimated jaccard)
     val sa = sig.select(col("doc_id").as("a_id") +: (0 until lshK).map(i => col(s"h$i").as(s"a$i")): _*)
     val sb = sig.select(col("doc_id").as("b_id") +: (0 until lshK).map(i => col(s"h$i").as(s"b$i")): _*)
@@ -385,7 +450,9 @@ object TextQueries {
     // the shuffle join rather than an 8-GB broadcast.
     val compsNarrow = comps.select(col("id").as("lid"), col("componentId").as("comp"))
     val compsJoinable =
-      if (comps.count() <= 5000000L) broadcast(compsNarrow) else compsNarrow
+      if (comps.count() <= graft.operators.Graph.broadcastMaxRows(s))
+        broadcast(compsNarrow)
+      else compsNarrow
     t(s, dir, "documents").select(col("doc_id"))
       .join(compsJoinable,
         col("doc_id") === col("lid"), "left")

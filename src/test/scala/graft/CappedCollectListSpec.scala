@@ -119,4 +119,5 @@ class CappedCollectListSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
     assert(cappedOut == reference)
   }
+
 }

@@ -205,6 +205,40 @@ class TextDedupSpec extends AnyFunSuite {
       "simhashPairs() must leave no entries in the CacheManager")
   }
 
+  test("minhashPairs() is formulation-invariant: join == expansion == cap-1 fallback") {
+    import spark.implicits._
+    // the r22 one-shuffle expansion routes ≤-cap buckets through the
+    // capped collect and over-cap buckets through the classic
+    // self-join. Three arms must agree: the default expansion, the
+    // pinned join (spark.graft.lsh.expand=false), and cap=1 — which
+    // sends EVERY multi-member bucket down the fallback, proving the
+    // memory cap is never a semantic filter.
+    val base = (0 until 24).map { i =>
+      val words = (0 until 40).map(w => s"w${i % 6}_$w")
+      (i.toLong, words.updated(i % 11, s"PERTURB${i / 6}").mkString(" "))
+    }
+    val df = base.toDF("id", "text")
+    def run(): Set[(Long, Long, Double)] =
+      TextDedup.minhashPairs(df, "id", "text", threshold = 0.3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fast = run()
+    assert(fast.nonEmpty, "fixture must produce at least one candidate pair")
+    spark.conf.set("spark.graft.lsh.expand", "false")
+    val viaJoin = try run() finally spark.conf.unset("spark.graft.lsh.expand")
+    assert(fast == viaJoin, "expand=false (classic join) must match the expansion")
+    spark.conf.set("spark.graft.lsh.bucketCap", "1")
+    val viaFallback = try run() finally
+      spark.conf.unset("spark.graft.lsh.bucketCap")
+    assert(fast == viaFallback, "cap=1 (all-fallback) must match the default path")
+    // a STRING-id frame keeps the join formulation and still works
+    val sdf = base.map { case (i, t) => (s"d%02d".format(i), t) }.toDF("id", "text")
+    val viaString = TextDedup.minhashPairs(sdf, "id", "text", threshold = 0.3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(viaString.map { case (a, b, j) =>
+      (a.drop(1).toLong, b.drop(1).toLong, j) } ==
+      fast, "string-id join path must find the same pairs")
+  }
+
   test("components() resolves planted clusters to min-id with canonical flags") {
     import spark.implicits._
     // planted graph: a 5-node chain (10-11-12-13-14), a 3-node star
