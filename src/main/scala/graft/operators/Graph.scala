@@ -298,17 +298,26 @@ object Graph {
       // non-negative → `div` == floor division == DuckDB `//`.
       val shares0 = ranks.filter(col("__deg") > 0)
         .select(col("__id"), expr("__r div __deg").as("__share"))
-      // both node-sized sides broadcast under the cap: `shares` is a
-      // projection of the round checkpoint (cheap broadcast build, no
-      // recompute), `contrib` is the round's one aggregate and has a
-      // single consumer (broadcasting it cannot duplicate the edge join)
+      // Only `shares` carries an explicit broadcast hint under the cap:
+      // it is a projection of the round checkpoint — a LogicalRDD with
+      // no stats, which the STATIC planner would otherwise sort-merge
+      // against the cached edge table (re-sorting it every round). The
+      // round's aggregate (`contrib`) needs no hint: it sits behind its
+      // own shuffle, so AQE reads the actual node-sized stage output at
+      // runtime and converts the closing left join to a broadcast join
+      // itself (verified in plans/r22/after/gr1_round_interior.txt).
+      // r22: the r21 version broadcast `contrib` explicitly too, which
+      // forced a SECOND driver-blocking broadcast-build job per round —
+      // 0.4–0.55 s of each round's 0.6 s at sf0.1 — and collected the
+      // aggregate to the driver each round (the r21 verdict's
+      // driver-memory watch item #4). Dropping the hint folds the edge
+      // join + aggregate into the round's ONE cut job and keeps the
+      // aggregate off the driver; the plan shape is unchanged.
       val shares =
         if (bcastRounds) broadcast(shares0) else shares0
-      val contrib0 = e.join(shares, e("__src") === shares("__id"))
+      val contrib = e.join(shares, e("__src") === shares("__id"))
         .groupBy(col("__dst").as("__cid"))
         .agg(sum(col("__share")).as("__c"))
-      val contrib =
-        if (bcastRounds) broadcast(contrib0) else contrib0
       val next = Checkpoints.cut( // the ONE action of the round
         ranks.select(col("__id"), col("__deg"))
           .join(contrib, col("__id") === col("__cid"), "left")

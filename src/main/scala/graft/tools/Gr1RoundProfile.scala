@@ -38,14 +38,20 @@ object Gr1RoundProfile {
     val ckDir = Files.createTempDirectory("graft_gr1_rounds")
     spark.sparkContext.setCheckpointDir(ckDir.toString)
 
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-    val jobs = new ConcurrentLinkedQueue[(Int, Double)]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobs = new ConcurrentLinkedQueue[(Int, Double, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        starts.put(j.jobId, j.time)
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        // attribute each job: the result stage's name carries the
+        // triggering action's call site (count / broadcast build /
+        // checkpoint / noop write); stages-per-job rides along
+        val site = j.stageInfos.lastOption.map(_.name.takeWhile(_ != '('))
+          .getOrElse("?") + s"/${j.stageInfos.size}st"
+        starts.put(j.jobId, (j.time, site))
+      }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
         val s = starts.remove(j.jobId)
-        if (s != null) jobs.add((j.jobId, (j.time - s) / 1000.0))
+        if (s != null) jobs.add((j.jobId, (j.time - s._1) / 1000.0, s._2))
       }
     })
 
@@ -57,12 +63,13 @@ object Gr1RoundProfile {
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(2000) // listener settle
       val seq = {
-        val it = jobs.iterator(); val b = Seq.newBuilder[(Int, Double)]
+        val it = jobs.iterator(); val b = Seq.newBuilder[(Int, Double, String)]
         while (it.hasNext) b += it.next()
         b.result().sortBy(_._1)
       }
       println(f"[gr1rounds] $label wall=$wall%.1f s jobs=" +
-        seq.map { case (id, d) => f"$id:$d%.2f" }.mkString("[", ", ", "]"))
+        seq.map { case (id, d, site) => f"$id:$d%.2f($site)" }
+          .mkString("[", ", ", "]"))
       spark.catalog.clearCache(); System.gc()
       wall
     }

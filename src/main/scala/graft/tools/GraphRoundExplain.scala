@@ -39,17 +39,24 @@ object GraphRoundExplain {
       deg.select(col("__id"), col("__deg"), lit(1000000000L).as("__r")),
       eager = true)
     println(s"[explain] nodes=${init.count()} edges=${e.count()}")
-    // r21: mirrors the operator's size-conditional round broadcasts
-    // (Graph.broadcastMaxRows); nodes=20k at sf0.1 → both sides broadcast
+    // r22: mirrors the operator's round — only `shares` carries the
+    // explicit hint (checkpoint output, no stats); `contrib` sits
+    // behind its own shuffle, so AQE broadcast-converts the closing
+    // left join from the runtime stage size (nodes=20k at sf0.1)
     val shares = broadcast(init.filter(col("__deg") > 0)
       .select(col("__id"), expr("__r div __deg").as("__share")))
-    val contrib = broadcast(e.join(shares, e("__src") === shares("__id"))
+    val contrib = e.join(shares, e("__src") === shares("__id"))
       .groupBy(col("__dst").as("__cid"))
-      .agg(sum(col("__share")).as("__c")))
+      .agg(sum(col("__share")).as("__c"))
     val round = init.select(col("__id"), col("__deg"))
       .join(contrib, col("__id") === col("__cid"), "left")
       .select(col("__id"), col("__deg"),
         (lit(150000000L) + expr("(85 * coalesce(__c, 0L)) div 100")).as("__r"))
+    // execute first THROUGH THE DATASET'S OWN QueryExecution (a
+    // .write spawns a separate one and the printed plan stays static):
+    // the AQE broadcast conversion of the closing join only shows in
+    // the FINAL adaptive plan
+    round.collect()
     println("===== gr1 ROUND plan =====")
     println(round.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
