@@ -1165,7 +1165,17 @@ object TextQueries {
       |WHERE d.doc_id % 7 = 4 ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     val docs = t(s, dir, "documents")
     val isBatch = col("doc_id") % 7 === 4
-    val ch = docs.select(col("doc_id"), mdHash(col("text")).as("chash"))
+    // (doc_id, chash) is 16 bytes/row and read TWICE (batch probe +
+    // corpus fingerprint side) — uncut, each reference re-scanned the
+    // full documents TEXT column (r22, guide §2.4: the t25 recipe; plan
+    // went 3 → 2 full-text scans). The remaining two text readers (this
+    // and the shingle pipeline feeding `sig`) deliberately stay
+    // separate parquet scans: checkpointing raw text to share one scan
+    // would materialize the whole corpus into executor blocks — worse
+    // at scale than a second pruned columnar read.
+    val ch = graft.operators.Checkpoints.cut(
+      docs.select(col("doc_id"), mdHash(col("text")).as("chash")),
+      eager = true)
     val ex = ch.filter(isBatch)
       .join(ch.filter(col("doc_id") % 7 =!= 4).select("chash").distinct(),
         Seq("chash"), "left_semi")
