@@ -83,6 +83,39 @@ object GraphRoundExplain {
     println("===== gr2 ORIENT plan =====")
     println(o.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+
+    // gr3 PEEL round, mirroring Graph.kCore's loop body (k=80 as in the
+    // declared query): keep-set aggregate + two keep joins against the
+    // surviving edge checkpoint. Dumped TWICE — the default (keep arms
+    // broadcast under Graph.broadcastMaxRows) and the at-scale shape
+    // (cap 0: shuffle joins) — closing the r21 verdict's gr3 evidence
+    // gap (#3). Executed through the dataset's own QueryExecution so
+    // the final adaptive plan is what prints.
+    val initK = Checkpoints.cut(
+      co.select(col("src").as("__u"), col("dst").as("__v")), eager = true)
+    def peelRound(bcast: Boolean): org.apache.spark.sql.DataFrame = {
+      val keep = initK
+        .select(col("__u").as("__id"))
+        .unionAll(initK.select(col("__v").as("__id")))
+        .groupBy("__id").agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= 80)
+        .select(col("__id"))
+      def keepSide(df: org.apache.spark.sql.DataFrame) =
+        if (bcast) broadcast(df) else df
+      initK
+        .join(keepSide(keep.select(col("__id").as("__u"))), Seq("__u"))
+        .join(keepSide(keep.select(col("__id").as("__v"))), Seq("__v"))
+        .select(col("__u"), col("__v"))
+    }
+    for ((bcast, label) <- Seq(
+        (true, "default, keep arms broadcast under the cap"),
+        (false, "at-scale shape, broadcastMaxRows=0"))) {
+      val r = peelRound(bcast)
+      r.collect()
+      println(s"===== gr3 PEEL round plan ($label) =====")
+      println(r.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
     spark.stop()
   }
 }
