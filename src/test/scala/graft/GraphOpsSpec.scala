@@ -211,6 +211,62 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("above the cap the rounds join by shuffle — no broadcast anywhere in the plans") {
+    import spark.implicits._
+    // r21 verdict #6 / r22: the invariance test above proves results
+    // don't change across the cap; THIS one proves the shuffle path
+    // actually engages — with the cap below the node count (and the
+    // planner's own auto-broadcast off), no executed plan of the loop
+    // may contain a BroadcastExchange, while the default cap must
+    // produce at least one (the hint firing).
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (10L, 11L), (11L, 12L)).toDF("src", "dst")
+    def broadcastsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(
+            e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            if (s.physicalPlanDescription.contains("BroadcastExchange"))
+              n.incrementAndGet()
+          case _ =>
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // listener events post asynchronously — wait for the count to
+        // settle (same discipline as countJobs above)
+        var last = -1; var cur = n.get(); var spins = 0
+        while (cur != last && spins < 50) {
+          Thread.sleep(100); last = cur; cur = n.get(); spins += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      n.get()
+    }
+    val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.conf.set("spark.graft.graph.broadcastMaxRows", "1") // < 6 nodes
+      val above = broadcastsDuring {
+        Graph.pageRank(edges, iters = 2).collect()
+        Graph.connectedComponents(edges).collect()
+        Graph.kCore(edges, k = 2).collect()
+      }
+      assert(above == 0,
+        s"above the cap no loop plan may broadcast, saw $above plans with BroadcastExchange")
+      spark.conf.unset("spark.graft.graph.broadcastMaxRows")
+      val below = broadcastsDuring {
+        Graph.pageRank(edges, iters = 2).collect()
+      }
+      assert(below > 0, "under the default cap the round hint must fire")
+    } finally {
+      spark.conf.unset("spark.graft.graph.broadcastMaxRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+    }
+  }
+
   test("pageRank costs one Spark job per round (plus init and guard)") {
     import spark.implicits._
     val n = countJobs {
